@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Directly-follows graph + footprint matrix miners — the reference's
+  * aspirational `DFGGenerator`/`FootprintGenerator`
+  * (`/root/reference/src/lib.rs:11-22`, no implementation exists there;
+  * semantics per the process-mining textbook the reference's corpus
+  * comes from).
+  *
+  * Scale shape: one shuffle to co-locate each case's events
+  * (window partitionBy case), then a partial-aggregated pair count —
+  * the same two-exchange plan at 60k rows and at 100 TB. Per-case data
+  * is never materialized on the driver.
+  */
+object Dfg {
+
+  /** Edge list `(act_from, act_to, n)`: a &gt; b iff b directly follows a
+    * in some case. Order within a case = (ts, tieBreak) — order is
+    * semantically load-bearing (reference component.rs:155-160), and
+    * the tie-break makes the window total, hence deterministic.
+    */
+  def edges(events: DataFrame, caseCol: String, activityCol: String,
+      tsCol: String, tieBreak: String): DataFrame = {
+    val w = Window.partitionBy(col(caseCol)).orderBy(col(tsCol), col(tieBreak))
+    events
+      .select(col(caseCol), col(activityCol), col(tsCol), col(tieBreak))
+      .withColumn("act_to", lead(col(activityCol), 1).over(w))
+      .filter(col("act_to").isNotNull)
+      .groupBy(col(activityCol).as("act_from"), col("act_to"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Footprint matrix (alpha-miner relations) derived from the DFG:
+    * for each activity pair (a,b):
+    *   `-&gt;` iff a&gt;b and not b&gt;a;  `&lt;-` iff b&gt;a and not a&gt;b;
+    *   `||` iff both;  `#` iff neither.
+    * Emitted as a long-form table (a, b, rel) over the cross product of
+    * observed activities.
+    */
+  def footprint(events: DataFrame, caseCol: String, activityCol: String,
+      tsCol: String, tieBreak: String): DataFrame = {
+    val e = edges(events, caseCol, activityCol, tsCol, tieBreak)
+      .select(col("act_from"), col("act_to")).distinct()
+    val acts = events.select(col(activityCol).as("a")).distinct()
+    val pairs = acts.crossJoin(acts.select(col("a").as("b")))
+    val fwd = e.select(col("act_from").as("a"), col("act_to").as("b"),
+      lit(true).as("_fwd"))
+    val rev = e.select(col("act_to").as("a"), col("act_from").as("b"),
+      lit(true).as("_rev"))
+    pairs
+      .join(broadcast(fwd), Seq("a", "b"), "left")
+      .join(broadcast(rev), Seq("a", "b"), "left")
+      .select(col("a"), col("b"),
+        when(col("_fwd").isNotNull && col("_rev").isNotNull, lit("||"))
+          .when(col("_fwd").isNotNull, lit("->"))
+          .when(col("_rev").isNotNull, lit("<-"))
+          .otherwise(lit("#")).as("rel"))
+  }
+
+  /** Start/end activity profiles — first and last activity per case,
+    * counted. Common companions of the DFG for discovery algorithms.
+    */
+  def startActivities(events: DataFrame, caseCol: String, activityCol: String,
+      tsCol: String, tieBreak: String): DataFrame = {
+    val w = Window.partitionBy(col(caseCol)).orderBy(col(tsCol), col(tieBreak))
+    events
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .groupBy(col(activityCol).as("activity"))
+      .agg(count(lit(1)).as("n"))
+  }
+}

@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Train/test split + sampling at trace granularity — analogue of the
+  * reference's `Split`/`Sample` (`/root/reference/src/stream/split.rs`).
+  *
+  * Reference semantics to preserve (split.rs:56-72): the split decision
+  * is per *component* — a whole trace (all its events) goes to exactly
+  * one branch, never split inside; Meta goes to both branches.
+  *
+  * The reference uses a seeded Pcg64 in stream order, which has no
+  * stable distributed equivalent (SURVEY.md §7.4.5): Spark's
+  * `randomSplit` is only deterministic for a fixed partitioning. We
+  * instead derive the branch from a *deterministic arithmetic hash of
+  * the case key* — reproducible across engines, partitionings, and
+  * cluster sizes, and cheap (no shuffle at all: a map-side predicate).
+  * The statistical guarantee (train fraction → ratio) is the same one
+  * the reference tests (split.rs:161-224).
+  */
+object Split {
+
+  /** Knuth multiplicative hash on the case key, mod 1000. Pure i64
+    * arithmetic so an external SQL oracle can replicate it exactly.
+    * Mixing: two rounds of multiply-xor keep low-entropy keys (dense
+    * small ints) well spread across permilles.
+    */
+  def bucket(caseId: Column, seed: Long): Column = {
+    val h1 = (caseId + lit(seed)) * lit(2654435761L) % lit(1000000007L)
+    val h2 = (h1 * lit(40503L) + lit(seed)) % lit(1000000007L)
+    pmod(h2, lit(1000))
+  }
+
+  /** Same arithmetic as [[bucket]] in portable ANSI SQL (for oracles). */
+  def oracleBucketSql(caseCol: String, seed: Long): String = {
+    val h1 = s"((($caseCol + $seed) * 2654435761) % 1000000007)"
+    val h2 = s"((($h1 * 40503) + $seed) % 1000000007)"
+    s"((($h2 % 1000) + 1000) % 1000)"
+  }
+
+  def oracleTrainPredicate(caseCol: String, trainPermille: Int, seed: Long): String =
+    s"${oracleBucketSql(caseCol, seed)} < $trainPermille"
+
+  /** Adds a deterministic `is_train` flag at case granularity. */
+  def assign(events: DataFrame, caseCol: String, trainPermille: Int,
+      seed: Long): DataFrame =
+    events.withColumn("is_train", bucket(col(caseCol), seed) < lit(trainPermille))
+
+  /** The `Split` operator proper: (train, test) DataFrames. Both are
+    * lazy views over the same scan — cache upstream if both sides are
+    * consumed (the reference's Duplicator note, SURVEY.md §4).
+    */
+  def split(events: DataFrame, caseCol: String, trainPermille: Int,
+      seed: Long): (DataFrame, DataFrame) = {
+    val flagged = assign(events, caseCol, trainPermille, seed)
+    (flagged.filter(col("is_train")).drop("is_train"),
+     flagged.filter(!col("is_train")).drop("is_train"))
+  }
+
+  /** `Sample` = Split with a Void test sink (split.rs:121-144). */
+  def sample(events: DataFrame, caseCol: String, keepPermille: Int,
+      seed: Long): DataFrame =
+    split(events, caseCol, keepPermille, seed)._1
+}

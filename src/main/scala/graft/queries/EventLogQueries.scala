@@ -1,0 +1,139 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.dsl.{Concept, Time}
+import graft.ops.{Dfg, LogStats, Split}
+
+/** Event-log (process-mining) surface on the `events` table, mapping
+  * the reference's XES semantics (SURVEY.md §1-2) onto a flat event
+  * stream: `user_id` = case id (trace identity), `event_type` =
+  * `concept:name` (activity), `ts` = `time:timestamp`.
+  *
+  * Each query exercises one operator family from SURVEY.md §2:
+  * StatsCollector (§2.4), Concept/Time predicate factories (§2.6),
+  * classifier application (§1.3), the trace-filter→event cascade
+  * (§2.3), Split/Sample (§2.7), and the aspirational DFG/footprint
+  * miners (§2.4, lib.rs:11-22).
+  */
+object EventLogQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // StatsCollector (reference stats.rs:63-141): [n_traces, n_events].
+    "q_log_stats" -> { (s, dir) =>
+      LogStats.stats(Tables(s, dir, "events"), caseCol = "user_id")
+    },
+
+    // Concept.filter_in (concept.rs:71-101): keep events whose activity
+    // is in a set. Pushed down to the parquet scan.
+    "q_filter_concept_in" -> { (s, dir) =>
+      Tables(s, dir, "events")
+        .filter(Concept.filterIn(Seq("click", "purchase"), activity = "event_type"))
+        .select("event_id", "user_id", "event_type")
+    },
+
+    // Concept.filter_match (regex) — rlike, codegen'd.
+    "q_filter_concept_match" -> { (s, dir) =>
+      Tables(s, dir, "events")
+        .filter(Concept.filterMatch("^(sign|err)", activity = "event_type"))
+        .select("event_id", "event_type")
+    },
+
+    // Time extension trace view (time.rs:92-127): a trace's view is the
+    // interval (first, last) of its event timestamps.
+    "q_trace_intervals" -> { (s, dir) =>
+      Time.traceIntervals(Tables(s, dir, "events"), caseCol = "user_id", tsCol = "ts")
+    },
+
+    // Trace-level time filter + cascade (observer.rs:116-146): keep
+    // traces whose interval starts in a range, then keep exactly their
+    // events (dropped trace drops its events) via semi-join.
+    "q_trace_filter_cascade" -> { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+      val keep = Time.traceIntervals(ev, "user_id", "ts")
+        .filter(Time.startsIn(lit("2024-01-01 00:00:00").cast("timestamp"),
+                              lit("2024-01-01 02:00:00").cast("timestamp")))
+        .select("user_id")
+      ev.join(broadcast(keep), Seq("user_id"), "left_semi")
+        .select("event_id", "user_id", "event_type")
+    },
+
+    // Classifier application (component.rs:76-81): event identity =
+    // space-joined attribute keys, like "concept:name lifecycle".
+    "q_classifier_identity" -> { (s, dir) =>
+      Tables(s, dir, "events")
+        .select(col("event_id"),
+          concat_ws(" ", col("event_type"), col("user_id")).as("class_id"))
+    },
+
+    // Split (split.rs:18-147): deterministic case-granular train/test
+    // split — traces never split across branches. Train branch shown;
+    // oracle mirrors the arithmetic hash exactly.
+    "q_split_train" -> { (s, dir) =>
+      Split.assign(Tables(s, dir, "events"), caseCol = "user_id",
+          trainPermille = 800, seed = 42)
+        .filter(col("is_train"))
+        .groupBy("user_id").agg(count(lit(1)).as("n_events"))
+    },
+
+    // DFG miner (lib.rs:11-22 aspiration): directly-follows pairs per
+    // case, one window pass + partial-agg count.
+    "q_dfg_edges" -> { (s, dir) =>
+      Dfg.edges(Tables(s, dir, "events"),
+        caseCol = "user_id", activityCol = "event_type",
+        tsCol = "ts", tieBreak = "event_id")
+    },
+
+    // Chronological-order validation (time.rs:129-153): count of
+    // out-of-order steps per case — here always 0 by construction, so
+    // emit per-case event counts with max gap instead: order-sensitive.
+    "q_case_durations" -> { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+      ev.groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          (unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))).as("duration_us"))
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q_log_stats" ->
+      """SELECT count(DISTINCT user_id) AS n_traces,
+        |  count(*) AS n_events_total,
+        |  count(*) - count(user_id) AS n_orphan_events
+        |FROM events""".stripMargin,
+    "q_filter_concept_in" ->
+      "SELECT event_id, user_id, event_type FROM events WHERE event_type IN ('click','purchase')",
+    "q_filter_concept_match" ->
+      "SELECT event_id, event_type FROM events WHERE regexp_matches(event_type, '^(sign|err)')",
+    "q_trace_intervals" ->
+      """SELECT user_id, min(ts) AS t_start, max(ts) AS t_end, count(*) AS n_events
+        |FROM events GROUP BY user_id""".stripMargin,
+    "q_trace_filter_cascade" ->
+      """SELECT event_id, user_id, event_type FROM events
+        |WHERE user_id IN (
+        |  SELECT user_id FROM events GROUP BY user_id
+        |  HAVING min(ts) >= TIMESTAMP '2024-01-01 00:00:00'
+        |     AND min(ts) <= TIMESTAMP '2024-01-01 02:00:00')""".stripMargin,
+    "q_classifier_identity" ->
+      "SELECT event_id, concat_ws(' ', event_type, CAST(user_id AS VARCHAR)) AS class_id FROM events",
+    "q_split_train" ->
+      s"""SELECT user_id, count(*) AS n_events FROM events
+         |WHERE ${Split.oracleTrainPredicate("user_id", 800, 42)}
+         |GROUP BY user_id""".stripMargin,
+    "q_dfg_edges" ->
+      """SELECT act_from, act_to, count(*) AS n FROM (
+        |  SELECT event_type AS act_from,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS act_to
+        |  FROM events)
+        |WHERE act_to IS NOT NULL
+        |GROUP BY act_from, act_to""".stripMargin,
+    "q_case_durations" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+        |FROM events GROUP BY user_id""".stripMargin
+  )
+}

@@ -1,0 +1,92 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Relational surface: aggregation, join, sort/limit, set ops.
+  *
+  * The reference (PM4Rs/promi) has no relational operators — SURVEY.md
+  * §2.5 — but its capability direction (classifier application,
+  * trace↔event association, interval predicates) plus the 100 TB target
+  * make a full relational layer a first-class part of this engine.
+  *
+  * Determinism notes (driver hashes Spark result vs DuckDB oracle):
+  *  - money arithmetic is done in decimal (exact, associative) — double
+  *    sums are order-dependent across engines;
+  *  - every top-k has a total ordering (unique tiebreak key).
+  */
+object RelationalQueries {
+
+  private def dec(c: String) = col(c).cast("decimal(18,2)")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1-style pricing summary: map-side partial agg, 6-group output.
+    "q1_pricing_summary" -> { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(dec("l_quantity")).as("sum_qty"),
+          sum(dec("l_extendedprice")).as("sum_base_price"),
+          sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount"))).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+    },
+
+    // Star-schema join: small dims broadcast, fact stays partitioned.
+    "q2_join_revenue_by_nation" -> { (s, dir) =>
+      val li = Tables(s, dir, "lineitem")
+      val ord = Tables(s, dir, "orders")
+      val cust = Tables(s, dir, "customer")
+      val nat = Tables(s, dir, "nation")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+    },
+
+    // Top-k with total ordering (revenue desc, custkey tiebreak).
+    "q3_topk_customers" -> { (s, dir) =>
+      val li = Tables(s, dir, "lineitem")
+      val ord = Tables(s, dir, "orders")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_custkey").asc)
+        .limit(10)
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_join_revenue_by_nation" ->
+      """SELECT n_name,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+    "q3_topk_customers" ->
+      """SELECT o_custkey,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_custkey
+        |ORDER BY revenue DESC, o_custkey ASC
+        |LIMIT 10""".stripMargin
+  )
+}

@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate.
+
+Reads outDir produced by `graft.Verify` (one parquet dir per query +
+oracle_sql.json), runs each oracle SQL in DuckDB against the same
+sf tables, and compares: schema (column names), row count, and values
+(columns sorted by name, rows sorted, floats via repr). Exits non-zero
+on any mismatch.
+
+Usage: python3 tools/check.py <sfDir> <outDir>
+"""
+import json, sys, math
+import duckdb
+
+def canon(rows, cols):
+    # sort columns by name, then rows lexicographically by repr
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                v = repr(round(v, 9))
+            else:
+                v = repr(v)
+            vals.append(v)
+        out.append(tuple(vals))
+    out.sort()
+    return sorted(c for c in cols), out
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in ["region","nation","customer","supplier","part","orders",
+              "lineitem","events","documents","embeddings"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    failures = 0
+    for name, sql in sorted(oracles.items()):
+        try:
+            got = con.execute(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            g_cols = [d[0] for d in got.description]
+            g_rows = got.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: cannot read spark result: {e}")
+            failures += 1
+            continue
+        try:
+            exp = con.execute(sql)
+            e_cols = [d[0] for d in exp.description]
+            e_rows = exp.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: oracle sql error: {e}")
+            failures += 1
+            continue
+        gc, gr = canon(g_rows, g_cols)
+        ec, er = canon(e_rows, e_cols)
+        if gc != ec:
+            print(f"FAIL {name}: columns spark={gc} oracle={ec}")
+            failures += 1
+        elif len(gr) != len(er):
+            print(f"FAIL {name}: rows spark={len(gr)} oracle={len(er)}")
+            failures += 1
+        elif gr != er:
+            bad = next(i for i in range(len(gr)) if gr[i] != er[i])
+            print(f"FAIL {name}: value mismatch at sorted row {bad}:")
+            print(f"  spark : {gr[bad]}")
+            print(f"  oracle: {er[bad]}")
+            failures += 1
+        else:
+            print(f"ok   {name}: {len(gr)} rows")
+    print(f"{len(oracles) - failures}/{len(oracles)} queries match")
+    return 1 if failures else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
