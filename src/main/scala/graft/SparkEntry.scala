@@ -16,7 +16,8 @@ object SparkEntry {
   private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (RelationalQueries.queries, RelationalQueries.oracle),
-      (EventLogQueries.queries, EventLogQueries.oracle)
+      (EventLogQueries.queries, EventLogQueries.oracle),
+      (TextQueries.queries, TextQueries.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

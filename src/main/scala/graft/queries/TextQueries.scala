@@ -1,0 +1,98 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Portable
+import graft.text.TextOps
+
+/** Text-analysis surface over the `documents` table: token counting,
+  * quality scoring, language ID, fingerprinting. All map-side-only
+  * plans (zero shuffle — see TextOps scaladoc), so at 100 TB they cost
+  * exactly one scan.
+  */
+object TextQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Token + subword counting (whitespace + BPE-ish regex split).
+    "q_text_token_counts" -> { (s, dir) =>
+      Tables(s, dir, "documents").select(
+        col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextOps.subwordCount(col("text")).cast("long").as("n_subwords"))
+    },
+
+    // Quality scoring: the cheap pretraining filters.
+    "q_text_quality" -> { (s, dir) =>
+      val m = TextOps.qualityMetrics(col("text"))
+      Tables(s, dir, "documents")
+        .select(col("doc_id") +: m.map { case (n, c) => c.as(n) }: _*)
+    },
+
+    // Language ID: marker-stopword heuristic, argmax with deterministic
+    // tie-break; compared against the table's labeled lang.
+    "q_text_lang_id" -> { (s, dir) =>
+      Tables(s, dir, "documents").select(
+        col("doc_id"), col("lang").as("lang_labeled"),
+        TextOps.langPredict(col("text")).as("lang_pred"))
+    },
+
+    // Winnowing-style mod-p fingerprint sketch per document.
+    "q_text_fingerprint" -> { (s, dir) =>
+      Tables(s, dir, "documents").select(
+        col("doc_id"),
+        TextOps.fingerprint(col("text"), k = 8, p = 8).as("fp"),
+        size(TextOps.fingerprint(col("text"), k = 8, p = 8)).cast("long").as("fp_size"))
+    }
+  )
+
+  private val toksSql = "[t for t in string_split_regex(text, '\\s+') if len(t) > 0]"
+
+  private def markersSql(markers: Seq[String]): String =
+    markers.map(m => s"'$m'").mkString("[", ",", "]")
+
+  def oracle: Map[String, String] = Map(
+    "q_text_token_counts" ->
+      s"""SELECT doc_id,
+         |  CAST(len($toksSql) AS BIGINT) AS n_tokens,
+         |  CAST(len([t for t in string_split_regex(text, '[^A-Za-z0-9]+') if len(t) > 0])
+         |     + len([t for t in string_split_regex(text, '[A-Za-z0-9\\s]+') if len(t) > 0]) AS BIGINT) AS n_subwords
+         |FROM documents""".stripMargin,
+
+    "q_text_quality" ->
+      s"""SELECT doc_id,
+         |  CAST(length(text) AS BIGINT) AS n_chars_m,
+         |  CAST(len($toksSql) AS BIGINT) AS n_tokens,
+         |  CAST(list_sum([CAST(len(t) AS BIGINT) for t in $toksSql]) AS DOUBLE)
+         |    / CAST(len($toksSql) AS DOUBLE) AS mean_token_len,
+         |  CAST(len([t for t in $toksSql if list_contains(${markersSql(TextOps.Stopwords)}, lower(t))]) AS DOUBLE)
+         |    / CAST(len($toksSql) AS DOUBLE) AS stopword_ratio,
+         |  CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+         |    / CAST(length(text) AS DOUBLE) AS alpha_ratio
+         |FROM documents""".stripMargin,
+
+    "q_text_lang_id" -> {
+      val scores = TextOps.LangMarkers.map { case (lang, ms) =>
+        lang -> s"len([t for t in $toksSql if list_contains(${markersSql(ms)}, lower(t))])"
+      }
+      val best = scores.map(_._2).mkString("greatest(", ", ", ")")
+      val cases = scores.map { case (lang, s) =>
+        s"WHEN $s = __best AND __best > 0 THEN '$lang'"
+      }.mkString(" ")
+      s"""SELECT doc_id, lang_labeled, CASE $cases ELSE 'und' END AS lang_pred FROM (
+         |  SELECT doc_id, lang AS lang_labeled, text, $best AS __best
+         |  FROM documents)""".stripMargin
+    },
+
+    "q_text_fingerprint" -> {
+      val fold = Portable.charHashSql("substr(text, i+1, 8)")
+      s"""SELECT doc_id,
+         |  list_sort(list_distinct([h for h in
+         |    [$fold for i in generate_series(0, length(text)-8)] if h % 8 = 0])) AS fp,
+         |  CAST(len(list_distinct([h for h in
+         |    [$fold for i in generate_series(0, length(text)-8)] if h % 8 = 0])) AS BIGINT) AS fp_size
+         |FROM documents""".stripMargin
+    }
+  )
+}

@@ -1,0 +1,114 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.functions.Portable
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality scoring, language ID, and document
+  * fingerprinting. All are per-row `Column` expressions (builtin
+  * functions + HOFs, no UDFs) — pure map-side work that stays inside
+  * WholeStageCodegen, so a 100 TB corpus is one full scan with zero
+  * shuffle.
+  *
+  * Capability direction extends the reference's extension/validator
+  * surface (SURVEY.md §2.6) from event attributes to document text.
+  */
+object TextOps {
+
+  /** Whitespace tokenization. One-or-more whitespace, no empty tokens
+    * (leading/trailing whitespace would otherwise produce ""). */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => length(t) > 0)
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count estimate: words + punctuation runs counted
+    * separately (a cheap stand-in for a tokenizer's token count, the
+    * usual "tokens" currency of training pipelines). */
+  def subwordCount(text: Column): Column =
+    size(filter(split(text, "[^A-Za-z0-9]+"), t => length(t) > 0)) +
+      size(filter(split(text, "[A-Za-z0-9\\s]+"), t => length(t) > 0))
+
+  /** Word k-grams ("shingles") joined by a single space; empty array
+    * when the document has fewer than k tokens. Guarded because
+    * Spark's `sequence(0, n)` with n &lt; 0 generates a *descending*
+    * sequence rather than an empty one. */
+  def shingles(text: Column, k: Int): Column = {
+    val t = tokens(text)
+    when(size(t) < k, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(t) - k),
+        i => concat_ws(" ", (0 until k).map(j => element_at(t, i + j + 1)): _*)))
+  }
+
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "in", "to", "is")
+
+  /** Quality metrics: doc length, token count, mean token length,
+    * stopword ratio, alpha ratio — the standard cheap filters a
+    * pretraining pipeline applies before anything expensive. Division
+    * is double-by-double with identical operand order → portable.
+    */
+  def qualityMetrics(text: Column): Seq[(String, Column)] = {
+    val t = tokens(text)
+    val n = size(t).cast("double")
+    Seq(
+      "n_chars_m" -> length(text).cast("long"),
+      "n_tokens" -> size(t).cast("long"),
+      "mean_token_len" ->
+        (aggregate(t, lit(0L), (s, x) => s + length(x)).cast("double") / n),
+      "stopword_ratio" ->
+        (size(filter(t, x => lower(x).isin(Stopwords: _*))).cast("double") / n),
+      "alpha_ratio" ->
+        (length(regexp_replace(text, "[^A-Za-z]", "")).cast("double") /
+          length(text).cast("double")))
+  }
+
+  /** Marker-stopword language ID (the n-gram-profile heuristic reduced
+    * to its highest-signal features: closed-class marker words). Score
+    * per language = number of tokens in that language's marker set;
+    * prediction = argmax, ties broken by language-code order. Returns
+    * (lang, score) so callers can threshold on confidence.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "en" -> Seq("the", "a", "of", "and", "is", "to", "in"),
+    "es" -> Seq("el", "la", "de", "y", "es", "no", "un"),
+    "fr" -> Seq("le", "la", "de", "et", "est", "ne", "un"),
+    "zh" -> Seq("de", "shi", "bu", "le", "wo", "zai", "you"))
+
+  def langScores(text: Column): Seq[(String, Column)] = {
+    val t = tokens(text)
+    LangMarkers.map { case (lang, markers) =>
+      lang -> size(filter(t, x => lower(x).isin(markers: _*))).cast("long")
+    }
+  }
+
+  /** Predicted language: argmax over [[langScores]], ties to the
+    * lexicographically-first language code (greatest(…) then first
+    * match, both engines evaluate identically). */
+  def langPredict(text: Column): Column = {
+    val scores = langScores(text)
+    val best = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("und")) { case ((lang, s), acc) =>
+      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+    // foldRight ⇒ the FIRST matching lang in declaration (= sorted)
+    // order wins, because earlier whens wrap later ones.
+  }
+
+  /** Mod-p fingerprinting (the sampling core of the winnowing
+    * algorithm): hash every character k-gram with a rolling polynomial
+    * hash, keep those ≡ 0 (mod p) — a deterministic ~1/p sample that
+    * two documents share iff they share the underlying k-gram. Returns
+    * a sorted array of selected hashes (the document's fingerprint
+    * sketch).
+    */
+  def fingerprint(text: Column, k: Int = 8, p: Int = 8): Column = {
+    val n = length(text)
+    val hashes = when(n < k, array().cast("array<bigint>"))
+      .otherwise(transform(sequence(lit(0), n - k),
+        i => Portable.charHash(text.substr(i + lit(1), lit(k)))))
+    array_sort(array_distinct(filter(hashes, h => h % p === 0)))
+  }
+}
