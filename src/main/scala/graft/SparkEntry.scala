@@ -17,7 +17,8 @@ object SparkEntry {
     Seq(
       (RelationalQueries.queries, RelationalQueries.oracle),
       (EventLogQueries.queries, EventLogQueries.oracle),
-      (TextQueries.queries, TextQueries.oracle)
+      (TextQueries.queries, TextQueries.oracle),
+      (DedupQueries.queries, DedupQueries.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

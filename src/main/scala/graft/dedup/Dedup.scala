@@ -1,0 +1,180 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Portable
+import graft.text.TextOps
+
+/** Deduplication operators for training-data pipelines: exact,
+  * n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine near-dup.
+  *
+  * Scale design (the 100 TB story):
+  *  - sketches (shingle hashes, MinHash signatures, SimHash bits) are
+  *    per-row HOF expressions — map-side, codegen'd, zero shuffle;
+  *  - pair generation NEVER does an all-pairs join: candidates come
+  *    from equi-joins on content keys (shingle hash / LSH band bucket /
+  *    SimHash band), which shuffle-partition by key and scale linearly
+  *    with the number of colliding pairs;
+  *  - hot keys (stop-shingles shared by millions of docs) are the skew
+  *    risk — `maxDf` drops shingles above a document-frequency cutoff
+  *    before the join (standard trick; AQE skew-join picks up the rest).
+  *
+  * All arithmetic is [[Portable]] so the driver's DuckDB oracle can
+  * replicate results exactly.
+  */
+object Dedup {
+
+  /** Exact dedup on normalized text: every doc mapped to the smallest
+    * doc_id of its normalization group. One hash-shuffle on the
+    * normalized text (map-side partial min, no window/sort needed at
+    * scale — this is a groupBy+broadcast-back written as an agg+join).
+    */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val norm = lower(trim(col(textCol)))
+    val groups = docs
+      .groupBy(norm.as("_norm"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("group_size"))
+    docs.select(col(idCol), norm.as("_norm"))
+      .join(groups, "_norm")
+      .select(col(idCol), col("canonical_id"), col("group_size"),
+        (col(idCol) =!= col("canonical_id")).as("is_dup"))
+  }
+
+  /** Distinct hashed word-k-gram shingles per document (the sketch all
+    * set-similarity ops share). */
+  def shingleHashes(text: Column, k: Int): Column =
+    array_distinct(transform(TextOps.shingles(text, k),
+      s => Portable.charHash(s)))
+
+  /** All pairs with shingle-set Jaccard >= tau, via inverted-index
+    * equi-join on the shingle hash. `maxDf` drops shingles present in
+    * more than that many documents (skew guard; None = keep all).
+    */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, tau: Double, maxDf: Option[Long] = None): DataFrame = {
+    val sh = docs.select(col(idCol).as("_id"),
+      shingleHashes(col(textCol), k).as("_sh"))
+    val sizes = sh.select(col("_id"), size(col("_sh")).as("_n"))
+    val inv0 = sh.select(col("_id"), explode(col("_sh")).as("_s"))
+    val inv = maxDf match {
+      case Some(m) =>
+        val ok = inv0.groupBy("_s").agg(count(lit(1)).as("_df"))
+          .filter(col("_df") <= m).select("_s")
+        inv0.join(ok, "_s")
+      case None => inv0
+    }
+    val a = inv.select(col("_id").as("id_a"), col("_s"))
+    val b = inv.select(col("_id").as("id_b"), col("_s"))
+    a.join(b, a("_s") === b("_s") && col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("_inter"))
+      .join(broadcast(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("_n", "_na")), "id_a")
+      .join(broadcast(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("_n", "_nb")), "id_b")
+      .withColumn("jaccard",
+        col("_inter").cast("double") /
+          (col("_na") + col("_nb") - col("_inter")).cast("double"))
+      .filter(col("jaccard") >= tau)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** MinHash signature: numHashes universal hashes over the shingle
+    * hash set, each taking the min. Per-row expression (no shuffle). */
+  def minhashSignature(shingles: Column, numHashes: Int, seed: Long): Column =
+    array((0 until numHashes).map(i =>
+      array_min(transform(shingles, x => Portable.ihash(x, i, seed)))): _*)
+
+  /** LSH band key: fold r consecutive signature entries into one
+    * bucket id: acc = (acc*1009 + sig[i]) % P. */
+  def bandHash(sig: Column, band: Int, r: Int): Column =
+    (0 until r).foldLeft(lit(0L): Column)((acc, j) =>
+      (acc * lit(1009L) + element_at(sig, band * r + j + 1)) % lit(Portable.P))
+
+  /** MinHash+LSH near-dup pairs: banded signature buckets propose
+    * candidates; exact Jaccard (array_intersect on the shingle sets)
+    * verifies. bands*r must equal numHashes. The candidate join is an
+    * equi-join on (band, bucket) — linear in colliding pairs.
+    */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, tau: Double, numHashes: Int = 32, bands: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sh = docs.select(col(idCol).as("_id"),
+        shingleHashes(col(textCol), k).as("_sh"))
+      .filter(size(col("_sh")) > 0)
+    val sig = sh.withColumn("_sig",
+      minhashSignature(col("_sh"), numHashes, seed))
+    val banded = sig.select(col("_id"), col("_sh"),
+      posexplode(array((0 until bands).map(b =>
+        bandHash(col("_sig"), b, r)): _*)).as(Seq("_band", "_bh")))
+    val a = banded.select(col("_id").as("id_a"), col("_sh").as("_sha"),
+      col("_band"), col("_bh"))
+    val b = banded.select(col("_id").as("id_b"), col("_sh").as("_shb"),
+      col("_band"), col("_bh"))
+    a.join(b, Seq("_band", "_bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("_sha"), col("_shb"))).cast("double") /
+          (size(col("_sha")) + size(col("_shb")) -
+            size(array_intersect(col("_sha"), col("_shb")))).cast("double"))
+          .as("jaccard"))
+      .distinct()
+      .filter(col("jaccard") >= tau)
+  }
+
+  /** SimHash fingerprint (32-bit, stored in a long): per token-hash
+    * bit votes summed; bit set iff the vote is positive. Pure per-row
+    * arithmetic. Token multiset (duplicates count). */
+  def simhash(text: Column): Column = {
+    val th = transform(TextOps.tokens(text), t => Portable.charHash(t))
+    (0 until 30).map { bit =>
+      val vote = aggregate(th, lit(0L),
+        (s, h) => s + (shiftright(h, bit).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)))
+      when(vote > 0, lit(1L << bit)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** SimHash near-dup pairs: candidates share at least one of four
+    * 8-bit bands (pigeonhole: any pair within hamming distance 3 of a
+    * 32-bit fingerprint shares an unchanged band); verified with
+    * bit_count(xor) <= maxHamming.
+    */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val fp = docs.select(col(idCol).as("_id"), simhash(col(textCol)).as("_fp"))
+    val banded = fp.select(col("_id"), col("_fp"),
+      posexplode(array((0 until 4).map(i =>
+        shiftright(col("_fp"), i * 8).bitwiseAND(lit(255L))): _*))
+        .as(Seq("_band", "_key")))
+    val a = banded.select(col("_id").as("id_a"), col("_fp").as("_fa"),
+      col("_band"), col("_key"))
+    val b = banded.select(col("_id").as("id_b"), col("_fp").as("_fb"),
+      col("_band"), col("_key"))
+    a.join(b, Seq("_band", "_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("_fa").bitwiseXOR(col("_fb"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding-cosine near-dup pairs >= tau. This is the BRUTE-FORCE
+    * verifier (all-pairs) — correct at any size but quadratic; the
+    * scale path buckets by random-hyperplane LSH first (see
+    * [[graft.sim.Ann.lshBuckets]]) and verifies only within buckets.
+    * Norms are precomputed once per vector (one extra column, not one
+    * per pair).
+    */
+  def cosinePairs(embs: DataFrame, idCol: String, vecCol: String,
+      tau: Double): DataFrame = {
+    val n = embs.select(col(idCol).as("_id"), col(vecCol).as("_v"),
+      sqrt(Portable.dot(col(vecCol), col(vecCol))).as("_nrm"))
+    val a = n.select(col("_id").as("id_a"), col("_v").as("_va"), col("_nrm").as("_nrma"))
+    val b = n.select(col("_id").as("id_b"), col("_v").as("_vb"), col("_nrm").as("_nrmb"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", Portable.dot(col("_va"), col("_vb")) / (col("_nrma") * col("_nrmb")))
+      .filter(col("cos") >= tau)
+      .select("id_a", "id_b", "cos")
+  }
+}

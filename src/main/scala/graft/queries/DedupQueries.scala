@@ -1,0 +1,126 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.dedup.Dedup
+import graft.functions.Portable.{P, charHashSql}
+
+/** Dedup surface over `documents` / `embeddings`. Thresholds chosen
+  * against the synthetic data: the corpus has 25 planted near-dup
+  * pairs with 3-gram Jaccard ≈ 0.99 (next-highest pair < 0.3), and 59
+  * embedding pairs with cosine >= 0.4.
+  */
+object DedupQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> { (s, dir) =>
+      Dedup.exact(Tables(s, dir, "documents"), "doc_id", "text")
+    },
+    "q_dedup_jaccard" -> { (s, dir) =>
+      Dedup.jaccardPairs(Tables(s, dir, "documents"), "doc_id", "text",
+        k = 3, tau = 0.8)
+    },
+    "q_dedup_minhash_lsh" -> { (s, dir) =>
+      Dedup.minhashLshPairs(Tables(s, dir, "documents"), "doc_id", "text",
+        k = 3, tau = 0.5, numHashes = 32, bands = 8, seed = 42L)
+    },
+    "q_dedup_simhash" -> { (s, dir) =>
+      Dedup.simhashPairs(Tables(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 3)
+    },
+    "q_dedup_embedding" -> { (s, dir) =>
+      Dedup.cosinePairs(Tables(s, dir, "embeddings"), "vec_id", "embedding",
+        tau = 0.4)
+    }
+  )
+
+  // ---- shared DuckDB fragments (replicate Portable arithmetic) ----
+  private val toks = "[x for x in string_split_regex(text, '\\s+') if len(x) > 0]"
+  private val shingleHashes =
+    s"list_distinct([${charHashSql("concat_ws(' ', t[i+1], t[i+2], t[i+3])")} " +
+      "for i in generate_series(0, len(t)-3)])"
+  private val docShingles =
+    s"""WITH tk AS (SELECT doc_id, $toks AS t FROM documents),
+       |sh AS (SELECT doc_id, $shingleHashes AS s FROM tk)""".stripMargin
+
+  def oracle: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT doc_id,
+        |  min(doc_id) OVER (PARTITION BY lower(trim(text))) AS canonical_id,
+        |  count(*) OVER (PARTITION BY lower(trim(text))) AS group_size,
+        |  doc_id <> min(doc_id) OVER (PARTITION BY lower(trim(text))) AS is_dup
+        |FROM documents""".stripMargin,
+
+    "q_dedup_jaccard" ->
+      s"""$docShingles,
+         |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         |  CAST(inter AS DOUBLE) / CAST(la.n + lb.n - inter AS DOUBLE) AS jaccard
+         |FROM pairs
+         |JOIN (SELECT doc_id, len(s) AS n FROM sh) la ON id_a = la.doc_id
+         |JOIN (SELECT doc_id, len(s) AS n FROM sh) lb ON id_b = lb.doc_id
+         |WHERE CAST(inter AS DOUBLE) / CAST(la.n + lb.n - inter AS DOUBLE) >= 0.8""".stripMargin,
+
+    "q_dedup_minhash_lsh" -> {
+      val seed = 42L
+      val aI = s"((2654435761*(2*i+1)+$seed) % $P)"
+      val bI = s"((2654435761*(i+7)+${seed * 31}) % $P)"
+      s"""$docShingles,
+         |sig AS (SELECT doc_id, s,
+         |  [list_min([(($aI*(x % $P) + $bI) % $P) for x in s])
+         |   for i in generate_series(0, 31)] AS sg
+         |  FROM sh WHERE len(s) > 0),
+         |bands AS (SELECT doc_id, s, gb.b AS band,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    [sg[gb.b*4+j] for j in generate_series(1, 4)]),
+         |    (acc, v) -> (acc*1009 + v) % $P) AS bh
+         |  FROM sig, generate_series(0, 7) gb(b)),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b,
+         |  CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+         |  CAST(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS DOUBLE) AS jaccard
+         |FROM cand JOIN sh sa ON id_a = sa.doc_id JOIN sh sb ON id_b = sb.doc_id
+         |WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+         |  CAST(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS DOUBLE) >= 0.5""".stripMargin
+    },
+
+    "q_dedup_simhash" -> {
+      val th = s"[${charHashSql("x")} for x in $toks]"
+      val fp =
+        s"""CAST(list_sum([CASE WHEN list_sum([((h >> b) & 1)*2 - 1 for h in th]) > 0
+           |  THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END
+           |  for b in generate_series(0, 29)]) AS BIGINT)""".stripMargin
+      s"""WITH t0 AS (SELECT doc_id, $th AS th FROM documents),
+         |fp AS (SELECT doc_id, $fp AS f FROM t0),
+         |bands AS (SELECT doc_id, f, gb.i AS band, (f >> (gb.i*8)) & 255 AS key
+         |  FROM fp, generate_series(0, 3) gb(i)),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    a.f AS fa, b.f AS fb
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(fa, fb)) <= 3""".stripMargin
+    },
+
+    "q_dedup_embedding" -> {
+      def dot(a: String, b: String) =
+        s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+          s"[CAST($a[i] AS DOUBLE)*CAST($b[i] AS DOUBLE) " +
+          s"for i in generate_series(1, len($a))]), (s, v) -> s + v)"
+      s"""WITH n AS (SELECT vec_id, embedding AS v,
+         |  sqrt(${dot("embedding", "embedding")}) AS nrm FROM embeddings)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  ${dot("a.v", "b.v")} / (a.nrm * b.nrm) AS cos
+         |FROM n a JOIN n b ON a.vec_id < b.vec_id
+         |WHERE ${dot("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.4""".stripMargin
+    }
+  )
+}
