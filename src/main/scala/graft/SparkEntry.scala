@@ -18,7 +18,8 @@ object SparkEntry {
       (RelationalQueries.queries, RelationalQueries.oracle),
       (EventLogQueries.queries, EventLogQueries.oracle),
       (TextQueries.queries, TextQueries.oracle),
-      (DedupQueries.queries, DedupQueries.oracle)
+      (DedupQueries.queries, DedupQueries.oracle),
+      (SimQueries.queries, SimQueries.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,109 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Portable
+
+/** Similarity search over an embedding column (`array<float>`):
+  * brute-force cosine top-k as the exact baseline, and random-
+  * hyperplane LSH bucketing as the approximate scale path.
+  *
+  * Scale design:
+  *  - brute force is one broadcast (the query set) × one corpus scan —
+  *    exact, linear in |corpus|×|queries|; right answer when the query
+  *    set is small;
+  *  - LSH assigns every vector to L bucket keys map-side (pure
+  *    arithmetic, no model fit, no shuffle), so candidate generation is
+  *    an equi-join on (table, bucket) — the classic multi-table
+  *    hyperplane scheme; recall grows with L, cost with bucket load;
+  *  - hyperplane weights are derived arithmetically from (plane, dim)
+  *    via [[Portable]] hashing — no RNG state, reproducible on any
+  *    cluster and replicable by the SQL oracle.
+  */
+object Ann {
+
+  /** Pseudo-random hyperplane weight for (global plane p, 1-based dim
+    * i), in [-1, 1]: (((p*64+i)*Knuth + seed) % P % 2001 - 1000)/1000.
+    * `i` is a runtime Column (the HOF lambda variable); `p` is fixed
+    * per plane at plan build time.
+    */
+  private def weight(p: Int, i: Column, seed: Long, dims: Int): Column =
+    (((i + lit(p.toLong * dims)) * lit(Portable.Knuth) + lit(seed)) % lit(Portable.P) % lit(2001L)
+      - lit(1000L)).cast("double") / lit(1000.0)
+
+  def weightSql(pExpr: String, iExpr: String, seed: Long, dims: Int): String =
+    s"((((($iExpr + $pExpr*$dims) * ${Portable.Knuth} + $seed) % ${Portable.P}) % 2001 - 1000) / 1000.0)"
+
+  /** Signed projection of `v` onto plane `p`: sequential fold in dim
+    * order (portable double rounding). */
+  def planeDot(v: Column, p: Int, seed: Long, dims: Int): Column =
+    aggregate(sequence(lit(1), lit(dims)), lit(0.0),
+      (s, i) => s + element_at(v, i).cast("double") * weight(p, i.cast("long"), seed, dims))
+
+  /** Bucket id for hash table `table` with `planesPerTable` planes:
+    * bit p set iff the projection on global plane (table*planesPerTable
+    * + p) is positive. */
+  def bucket(v: Column, table: Int, planesPerTable: Int, seed: Long,
+      dims: Int): Column =
+    (0 until planesPerTable).map { p =>
+      when(planeDot(v, table * planesPerTable + p, seed, dims) > 0,
+        lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Exact brute-force cosine top-k: for every query vector, the k
+    * nearest corpus vectors (cosine desc, id asc tiebreak), self
+    * excluded. Queries are broadcast; the corpus is scanned once.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("id_n"), col(vecCol).as("_vn"),
+      sqrt(Portable.dot(col(vecCol), col(vecCol))).as("_nn"))
+    val q = queries.select(col(idCol).as("id_q"), col(vecCol).as("_vq"),
+      sqrt(Portable.dot(col(vecCol), col(vecCol))).as("_nq"))
+    val w = Window.partitionBy(col("id_q"))
+      .orderBy(col("cos").desc, col("id_n").asc)
+    c.crossJoin(broadcast(q))
+      .filter(col("id_n") =!= col("id_q"))
+      .withColumn("cos", Portable.dot(col("_vq"), col("_vn")) / (col("_nq") * col("_nn")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("id_q", "id_n", "cos", "rnk")
+  }
+
+  /** Adds `_table`, `_bucket` key columns — one row per (vector,
+    * hash table). Map-side only. */
+  def lshBuckets(embs: DataFrame, idCol: String, vecCol: String,
+      tables: Int, planesPerTable: Int, seed: Long, dims: Int): DataFrame =
+    embs.select(col(idCol), col(vecCol),
+      posexplode(array((0 until tables).map(t =>
+        bucket(col(vecCol), t, planesPerTable, seed, dims)): _*))
+        .as(Seq("_table", "_bucket")))
+
+  /** Approximate top-k: candidates share an LSH bucket in at least one
+    * of `tables` hash tables; exact cosine ranks the candidates.
+    * Equi-join on (table, bucket) — never all-pairs.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, tables: Int = 4, planesPerTable: Int = 8,
+      seed: Long = 42L, dims: Int = 64): DataFrame = {
+    val cb = lshBuckets(corpus, idCol, vecCol, tables, planesPerTable, seed, dims)
+      .select(col(idCol).as("id_n"), col(vecCol).as("_vn"), col("_table"), col("_bucket"))
+    val qb = lshBuckets(queries, idCol, vecCol, tables, planesPerTable, seed, dims)
+      .select(col(idCol).as("id_q"), col(vecCol).as("_vq"), col("_table"), col("_bucket"))
+    val cand = cb.join(broadcast(qb), Seq("_table", "_bucket"))
+      .filter(col("id_n") =!= col("id_q"))
+      .select("id_q", "_vq", "id_n", "_vn").distinct()
+    val w = Window.partitionBy(col("id_q"))
+      .orderBy(col("cos").desc, col("id_n").asc)
+    cand
+      .withColumn("cos",
+        Portable.dot(col("_vq"), col("_vn")) /
+          (sqrt(Portable.dot(col("_vq"), col("_vq"))) *
+           sqrt(Portable.dot(col("_vn"), col("_vn")))))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("id_q", "id_n", "cos", "rnk")
+  }
+}
