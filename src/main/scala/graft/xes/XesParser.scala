@@ -1,0 +1,313 @@
+package graft.xes
+
+import java.io.ByteArrayInputStream
+import java.time.OffsetDateTime
+import java.time.format.DateTimeFormatter
+import javax.xml.stream.{XMLInputFactory, XMLStreamConstants, XMLStreamReader}
+
+import scala.collection.mutable.ArrayBuffer
+
+import XesModel._
+
+/** Pure (no Spark) streaming XES parser — the per-file kernel the
+  * Spark reader runs inside `mapPartitions`. StAX pull parsing keeps
+  * memory O(depth), so a multi-GB single log streams through an
+  * executor without materializing the XML tree.
+  *
+  * Behavior replicates the reference's parse/fail classification over
+  * its corpus (`/root/reference/src/stream/xes.rs:562-714`, corpus
+  * `static/xes/{correct,recoverable,non_parsing}/`), superset-tolerant
+  * per xes.rs:3-7:
+  *  - unknown XML attributes on any element are ignored (recoverable
+  *    "*_too_many_attributes");
+  *  - meta children (extension/global/classifier/log-attribute) may
+  *    appear in any order among themselves (recoverable "misplaced_*"),
+  *    but any of them AFTER the first trace/event is an error
+  *    (non_parsing "misplaced_*_{trace,event}") — Meta is emitted
+  *    exactly once, first (xes.rs:627-648);
+  *  - a trace after a standalone event parses fine; that ordering is a
+  *    *validation* error (observer.rs:90-100), not a parse error;
+  *  - unknown elements, missing required XML attributes, and malformed
+  *    typed values (boolean ∉ {true,false}, unparseable int/float,
+  *    date without explicit zone offset) are errors;
+  *  - `<log/>` with no attributes is fine; a file without a `<log>`
+  *    root is an error.
+  */
+object XesParser {
+
+  private val factory: XMLInputFactory = {
+    val f = XMLInputFactory.newInstance()
+    f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
+    f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+    f.setProperty(XMLInputFactory.IS_COALESCING, true)
+    f
+  }
+
+  def parse(file: String, bytes: Array[Byte]): ParsedLog = {
+    val r = factory.createXMLStreamReader(new ByteArrayInputStream(bytes))
+    try parseRoot(file, r)
+    catch {
+      case e: XesParseException => throw e
+      case e: Exception =>
+        throw XesParseException(file, s"malformed XML: ${e.getMessage}")
+    } finally r.close()
+  }
+
+  def parseString(file: String, xml: String): ParsedLog =
+    parse(file, xml.getBytes("UTF-8"))
+
+  // ---------------------------------------------------------------
+
+  private def fail(file: String, msg: String): Nothing =
+    throw XesParseException(file, msg)
+
+  private def attrMap(r: XMLStreamReader): Map[String, String] =
+    (0 until r.getAttributeCount)
+      .map(i => r.getAttributeLocalName(i) -> r.getAttributeValue(i)).toMap
+
+  /** Advance to the next start/end element; returns false at document
+    * end. */
+  private def nextTag(r: XMLStreamReader): Int = {
+    while (r.hasNext) {
+      val ev = r.next()
+      if (ev == XMLStreamConstants.START_ELEMENT ||
+          ev == XMLStreamConstants.END_ELEMENT) return ev
+    }
+    XMLStreamConstants.END_DOCUMENT
+  }
+
+  private def parseRoot(file: String, r: XMLStreamReader): ParsedLog = {
+    // Find the root element; anything other than <log> is an error.
+    var ev = r.getEventType
+    while (ev != XMLStreamConstants.START_ELEMENT) {
+      if (!r.hasNext) fail(file, "no <log> root element")
+      ev = r.next()
+    }
+    if (r.getLocalName != "log") fail(file, s"root element is <${r.getLocalName}>, expected <log>")
+    val logAttrs = attrMap(r)
+
+    val extensions = ArrayBuffer[ExtensionDecl]()
+    val globals = ArrayBuffer[GlobalDecl]()
+    val classifiers = ArrayBuffer[ClassifierDecl]()
+    val metaAttrs = ArrayBuffer[XAttr]()
+    val traces = ArrayBuffer[XesTrace]()
+    val events = ArrayBuffer[XesEvent]()
+    var payloadSeen = false
+    var standaloneSeq = 0L
+
+    var tag = nextTag(r)
+    while (tag == XMLStreamConstants.START_ELEMENT) {
+      r.getLocalName match {
+        case "extension" =>
+          if (payloadSeen) fail(file, "extension declaration after trace/event")
+          val a = attrMap(r)
+          val d = ExtensionDecl(
+            a.getOrElse("name", fail(file, "extension without name")),
+            a.getOrElse("prefix", fail(file, "extension without prefix")),
+            a.getOrElse("uri", fail(file, "extension without uri")))
+          extensions += d
+          skipElement(file, r)
+        case "global" =>
+          if (payloadSeen) fail(file, "global declaration after trace/event")
+          val a = attrMap(r)
+          val scope = a.getOrElse("scope", "event")
+          if (scope != "trace" && scope != "event")
+            fail(file, s"invalid global scope '$scope'")
+          globals += GlobalDecl(scope, parseAttrChildren(file, r, 0).map(toDepth0))
+        case "classifier" =>
+          if (payloadSeen) fail(file, "classifier declaration after trace/event")
+          val a = attrMap(r)
+          val scope = a.getOrElse("scope", "event")
+          if (scope != "trace" && scope != "event")
+            fail(file, s"invalid classifier scope '$scope'")
+          classifiers += ClassifierDecl(
+            a.getOrElse("name", fail(file, "classifier without name")),
+            scope,
+            a.getOrElse("keys", fail(file, "classifier without keys")))
+          skipElement(file, r)
+        case "trace" =>
+          payloadSeen = true
+          parseTrace(file, r, traces.size.toLong, traces, events)
+        case "event" =>
+          payloadSeen = true
+          events += parseEvent(file, r, None, standaloneSeq)
+          standaloneSeq += 1
+        case t if Types.contains(t) =>
+          if (payloadSeen) fail(file, "log attribute after trace/event")
+          metaAttrs += toDepth0(parseAttrNode(file, r, 0))
+        case other => fail(file, s"unexpected element <$other> in <log>")
+      }
+      tag = nextTag(r)
+    }
+    ParsedLog(
+      XesMeta(file, logAttrs, extensions.toSeq, globals.toSeq,
+        classifiers.toSeq, metaAttrs.toSeq),
+      traces.toSeq, events.toSeq)
+  }
+
+  private def parseTrace(file: String, r: XMLStreamReader, idx: Long,
+      traces: ArrayBuffer[XesTrace], events: ArrayBuffer[XesEvent]): Unit = {
+    val attrs = ArrayBuffer[XAttr]()
+    var nEvents = 0L
+    var tag = nextTag(r)
+    while (!(tag == XMLStreamConstants.END_ELEMENT && r.getLocalName == "trace")) {
+      if (tag != XMLStreamConstants.START_ELEMENT)
+        fail(file, "unexpected end of document inside <trace>")
+      r.getLocalName match {
+        case "event" =>
+          events += parseEvent(file, r, Some(idx), nEvents)
+          nEvents += 1
+        case t if Types.contains(t) =>
+          attrs += toDepth0(parseAttrNode(file, r, 0))
+        case other => fail(file, s"unexpected element <$other> in <trace>")
+      }
+      tag = nextTag(r)
+    }
+    val caseId = attrs.find(a => a.key == "concept:name" && a.xtype == "string")
+      .map(_.value)
+    traces += XesTrace(file, idx, caseId, nEvents, attrs.toSeq)
+  }
+
+  private def parseEvent(file: String, r: XMLStreamReader,
+      traceIdx: Option[Long], seq: Long): XesEvent = {
+    val attrs = ArrayBuffer[XAttr]()
+    var tag = nextTag(r)
+    // <event/> empty element: StAX still reports END_ELEMENT next.
+    while (!(tag == XMLStreamConstants.END_ELEMENT && r.getLocalName == "event")) {
+      if (tag != XMLStreamConstants.START_ELEMENT)
+        fail(file, "unexpected end of document inside <event>")
+      r.getLocalName match {
+        case t if Types.contains(t) =>
+          attrs += toDepth0(parseAttrNode(file, r, 0))
+        case other => fail(file, s"unexpected element <$other> in <event>")
+      }
+      tag = nextTag(r)
+    }
+    def str(key: String): Option[String] =
+      attrs.find(a => a.key == key && a.xtype == "string").map(_.value)
+    val ts = attrs.find(a => a.key == "time:timestamp" && a.xtype == "date")
+      .map(a => parseDate(file, a.value))
+    XesEvent(file, traceIdx, seq,
+      activity = str("concept:name"),
+      instance = str("concept:instance"),
+      lifecycle = str("lifecycle:transition"),
+      resource = str("org:resource"),
+      role = str("org:role"),
+      group = str("org:group"),
+      tsMicros = ts.map(_._1),
+      tzOffsetMin = ts.map(_._2),
+      attrs = attrs.toSeq)
+  }
+
+  /** Parses the typed-attribute children of the current element
+    * (cursor on its start tag) until its end tag — used for
+    * `<global>` declarations. */
+  private def parseAttrChildren(file: String, r: XMLStreamReader,
+      depth: Int): Seq[Node] = {
+    val outer = r.getLocalName
+    val children = ArrayBuffer[Node]()
+    var tag = nextTag(r)
+    while (!(tag == XMLStreamConstants.END_ELEMENT && r.getLocalName == outer)) {
+      if (tag != XMLStreamConstants.START_ELEMENT)
+        fail(file, s"unexpected end of document inside <$outer>")
+      if (!Types.contains(r.getLocalName))
+        fail(file, s"unexpected element <${r.getLocalName}> in <$outer>")
+      children += parseAttrNode(file, r, depth)
+      tag = nextTag(r)
+    }
+    children.toSeq
+  }
+
+  /** Generic attribute node used during recursion (depth-checked). */
+  private case class Node(key: String, xtype: String, value: String,
+    children: Seq[Node])
+
+  private def toDepth0(n: Node): XAttr =
+    XAttr(n.key, n.xtype, n.value, n.children.map(c =>
+      XA1(c.key, c.xtype, c.value, c.children.map(g =>
+        XA2(g.key, g.xtype, g.value)))))
+
+  /** Parses one typed attribute element (cursor on its start tag),
+    * including nested children and, for `list`, the `<values>` block.
+    * Consumes through the matching end tag. */
+  private def parseAttrNode(file: String, r: XMLStreamReader, depth: Int): Node = {
+    if (depth > 2) fail(file, "attribute nesting deeper than 3 levels is not supported")
+    val xtype = r.getLocalName
+    val a = attrMap(r)
+    val key = a.getOrElse("key", fail(file, s"<$xtype> without key"))
+    val value = xtype match {
+      case "list" => ""
+      case _ => a.getOrElse("value", fail(file, s"<$xtype> without value"))
+    }
+    validateValue(file, xtype, value)
+    val children = ArrayBuffer[Node]()
+    var tag = nextTag(r)
+    while (!(tag == XMLStreamConstants.END_ELEMENT && r.getLocalName == xtype)) {
+      if (tag != XMLStreamConstants.START_ELEMENT)
+        fail(file, s"unexpected end of document inside <$xtype>")
+      r.getLocalName match {
+        case "values" if xtype == "list" =>
+          // members of the list; parse each child attribute
+          var vt = nextTag(r)
+          while (!(vt == XMLStreamConstants.END_ELEMENT && r.getLocalName == "values")) {
+            if (vt != XMLStreamConstants.START_ELEMENT)
+              fail(file, "unexpected end of document inside <values>")
+            if (!Types.contains(r.getLocalName))
+              fail(file, s"unexpected element <${r.getLocalName}> in <values>")
+            children += parseAttrNode(file, r, depth + 1)
+            vt = nextTag(r)
+          }
+        case t if Types.contains(t) =>
+          children += parseAttrNode(file, r, depth + 1)
+        case other => fail(file, s"unexpected element <$other> in <$xtype>")
+      }
+      tag = nextTag(r)
+    }
+    Node(key, xtype, value, children.toSeq)
+  }
+
+  /** Skip to the end of the current element, failing on any child. */
+  private def skipElement(file: String, r: XMLStreamReader): Unit = {
+    val name = r.getLocalName
+    var depth = 0
+    var ev = r.next()
+    while (!(ev == XMLStreamConstants.END_ELEMENT && depth == 0)) {
+      if (ev == XMLStreamConstants.START_ELEMENT) depth += 1
+      if (ev == XMLStreamConstants.END_ELEMENT) depth -= 1
+      ev = r.next()
+    }
+    require(r.getLocalName == name)
+  }
+
+  private def validateValue(file: String, xtype: String, value: String): Unit =
+    xtype match {
+      case "boolean" =>
+        if (value != "true" && value != "false")
+          fail(file, s"invalid boolean value '$value'")
+      case "int" =>
+        try { value.toLong; () }
+        catch { case _: NumberFormatException =>
+          fail(file, s"invalid int value '$value'") }
+      case "float" =>
+        try { value.toDouble; () }
+        catch { case _: NumberFormatException =>
+          fail(file, s"invalid float value '$value'") }
+      case "date" => parseDate(file, value); ()
+      case _ => ()
+    }
+
+  /** RFC-3339 with mandatory 'T' and explicit zone (Z or ±hh:mm) →
+    * (UTC micros, offset minutes). The reference requires the full
+    * lexical form (non_parsing/date_no_t_z_d, date_incorrect_value).
+    */
+  def parseDate(file: String, value: String): (Long, Int) =
+    try {
+      val odt = OffsetDateTime.parse(value, DateTimeFormatter.ISO_OFFSET_DATE_TIME)
+      val micros = odt.toInstant.getEpochSecond * 1000000L +
+        odt.toInstant.getNano / 1000L
+      (micros, odt.getOffset.getTotalSeconds / 60)
+    } catch {
+      case _: java.time.format.DateTimeParseException =>
+        fail(file, s"invalid date value '$value'")
+    }
+}

@@ -1,0 +1,76 @@
+package graft.xes
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import XesModel._
+
+/** Spark XES source: `binaryFile` scan → per-file StAX parse in
+  * executors → typed Datasets (SURVEY.md §2.2 "XesReader" row;
+  * reference `/root/reference/src/stream/xes.rs:562-714`).
+  *
+  * Scale notes:
+  *  - parallelism is per *file* (XML has no splittable structure);
+  *    many logs → many tasks. A single giant XML log cannot be split —
+  *    that is inherent to the format, and the first thing this engine
+  *    does at scale is convert to parquet (`toParquet`) so every
+  *    downstream query gets columnar pruning + splittable scans;
+  *  - `events`/`traces` are separate lazy plans over the same files
+  *    (each runs its own parse pass — XML ingestion is a one-time
+  *    conversion cost, not the steady-state query path);
+  *  - Meta is a driver-side object per file (emitted once, first —
+  *    xes.rs:627-648); it never enters the row plane.
+  */
+object XesReader {
+
+  /** A log handle: driver-side metas + distributed traces/events. */
+  case class XLog(metas: Seq[XesMeta], traces: Dataset[XesTrace],
+      events: Dataset[XesEvent]) {
+    /** Events with a timestamp column usable by the Time DSL. */
+    def eventsDf: DataFrame =
+      events.withColumn("ts", timestamp_micros(col("tsMicros")))
+  }
+
+  private def binary(spark: SparkSession, path: String): Dataset[(String, Array[Byte])] = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(path)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+  }
+
+  private def shortName(p: String): String = p.substring(p.lastIndexOf('/') + 1)
+
+  def readEvents(spark: SparkSession, path: String): Dataset[XesEvent] = {
+    import spark.implicits._
+    binary(spark, path).flatMap { case (p, c) =>
+      XesParser.parse(shortName(p), c).events }
+  }
+
+  def readTraces(spark: SparkSession, path: String): Dataset[XesTrace] = {
+    import spark.implicits._
+    binary(spark, path).flatMap { case (p, c) =>
+      XesParser.parse(shortName(p), c).traces }
+  }
+
+  /** Metas only — parses each file on executors, collects the (small)
+    * headers to the driver. */
+  def readMetas(spark: SparkSession, path: String): Seq[XesMeta] = {
+    import spark.implicits._
+    binary(spark, path).map { case (p, c) =>
+      XesParser.parse(shortName(p), c).meta }.collect().toSeq
+  }
+
+  def read(spark: SparkSession, path: String): XLog =
+    XLog(readMetas(spark, path), readTraces(spark, path),
+      readEvents(spark, path))
+
+  /** One-time conversion to the at-scale layout: events + traces
+    * parquet, partitioned-ready (repartition by file so downstream
+    * per-log work is co-located). */
+  def toParquet(spark: SparkSession, xesPath: String, outDir: String): Unit = {
+    readEvents(spark, xesPath).write.mode("overwrite")
+      .parquet(s"$outDir/events.parquet")
+    readTraces(spark, xesPath).write.mode("overwrite")
+      .parquet(s"$outDir/traces.parquet")
+  }
+}

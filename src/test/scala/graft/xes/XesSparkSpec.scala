@@ -1,0 +1,49 @@
+package graft.xes
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.ops.LogStats
+
+/** End-to-end Spark path: binaryFile scan → executor-side parse →
+  * typed Datasets → DataFrame ops, against the reference corpus. */
+class XesSparkSpec extends SparkSpec {
+
+  val book = "/root/reference/static/xes/book"
+
+  test("Spark read of L1 matches the count oracle [6,23,23]") {
+    val xlog = XesReader.read(spark, s"$book/L1.xes")
+    assert(xlog.metas.size == 1)
+    assert(xlog.traces.count() == 6L)
+    assert(xlog.events.count() == 23L)
+    assert(xlog.events.filter(_.traceIdx.isEmpty).count() == 0L)
+  }
+
+  test("whole book dir reads distributed; stats per file match oracles") {
+    val events = XesReader.readEvents(spark, s"$book/*.xes")
+    val perFile = events.groupBy("file").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perFile("L1.xes") == 23L)
+    assert(perFile("L2.xes") == 80L)
+    assert(perFile("bigger-example.xes") == 7539L)
+  }
+
+  test("eventsDf exposes a usable ts column + the minimum-slice query (SURVEY §7.2)") {
+    val xlog = XesReader.read(spark, s"$book/L1.xes")
+    val df = xlog.eventsDf
+    // filter concept:name ∈ {b,c,d} then stats — the reference's
+    // concept.rs:128-161 test over L1.
+    val kept = df.filter(col("activity").isin("b", "c", "d"))
+    assert(kept.count() > 0)
+    val stats = LogStats.collect(df.withColumn("case",
+      concat(col("file"), lit("#"), col("traceIdx"))), "case")
+    assert(stats.counts == Seq(6L, 23L, 23L))
+  }
+
+  test("distributed writer round-trips through Spark") {
+    val xlog = XesReader.read(spark, s"$book/L1.xes")
+    val rendered = XesWriter.toXmlStrings(spark, xlog).collect().toMap
+    val reparsed = XesParser.parseString("L1.xes", rendered("L1.xes"))
+    assert(reparsed.counts == Seq(6L, 23L, 23L))
+  }
+}
