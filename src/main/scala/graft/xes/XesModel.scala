@@ -50,10 +50,13 @@ object XesModel {
     attrs: Seq[XAttr])
 
   /** One trace row; its events live in the events table keyed by
-    * (file, traceIdx). */
+    * (file, traceIdx). `filePos` = payload index at log level (traces
+    * and standalone events share one counter) — carries the component
+    * order the observer state machine enforces (observer.rs:90-100). */
   case class XesTrace(
     file: String,
     traceIdx: Long,
+    filePos: Long,
     caseId: Option[String],
     nEvents: Long,
     attrs: Seq[XAttr])
@@ -65,6 +68,7 @@ object XesModel {
   case class XesEvent(
     file: String,
     traceIdx: Option[Long],
+    filePos: Long,
     seq: Long,
     activity: Option[String],
     instance: Option[String],

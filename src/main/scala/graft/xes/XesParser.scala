@@ -94,6 +94,7 @@ object XesParser {
     val events = ArrayBuffer[XesEvent]()
     var payloadSeen = false
     var standaloneSeq = 0L
+    var payloadPos = 0L
 
     var tag = nextTag(r)
     while (tag == XMLStreamConstants.START_ELEMENT) {
@@ -127,11 +128,13 @@ object XesParser {
           skipElement(file, r)
         case "trace" =>
           payloadSeen = true
-          parseTrace(file, r, traces.size.toLong, traces, events)
+          parseTrace(file, r, traces.size.toLong, payloadPos, traces, events)
+          payloadPos += 1
         case "event" =>
           payloadSeen = true
-          events += parseEvent(file, r, None, standaloneSeq)
+          events += parseEvent(file, r, None, payloadPos, standaloneSeq)
           standaloneSeq += 1
+          payloadPos += 1
         case t if Types.contains(t) =>
           if (payloadSeen) fail(file, "log attribute after trace/event")
           metaAttrs += toDepth0(parseAttrNode(file, r, 0))
@@ -146,7 +149,8 @@ object XesParser {
   }
 
   private def parseTrace(file: String, r: XMLStreamReader, idx: Long,
-      traces: ArrayBuffer[XesTrace], events: ArrayBuffer[XesEvent]): Unit = {
+      filePos: Long, traces: ArrayBuffer[XesTrace],
+      events: ArrayBuffer[XesEvent]): Unit = {
     val attrs = ArrayBuffer[XAttr]()
     var nEvents = 0L
     var tag = nextTag(r)
@@ -155,7 +159,7 @@ object XesParser {
         fail(file, "unexpected end of document inside <trace>")
       r.getLocalName match {
         case "event" =>
-          events += parseEvent(file, r, Some(idx), nEvents)
+          events += parseEvent(file, r, Some(idx), filePos, nEvents)
           nEvents += 1
         case t if Types.contains(t) =>
           attrs += toDepth0(parseAttrNode(file, r, 0))
@@ -165,11 +169,11 @@ object XesParser {
     }
     val caseId = attrs.find(a => a.key == "concept:name" && a.xtype == "string")
       .map(_.value)
-    traces += XesTrace(file, idx, caseId, nEvents, attrs.toSeq)
+    traces += XesTrace(file, idx, filePos, caseId, nEvents, attrs.toSeq)
   }
 
   private def parseEvent(file: String, r: XMLStreamReader,
-      traceIdx: Option[Long], seq: Long): XesEvent = {
+      traceIdx: Option[Long], filePos: Long, seq: Long): XesEvent = {
     val attrs = ArrayBuffer[XAttr]()
     var tag = nextTag(r)
     // <event/> empty element: StAX still reports END_ELEMENT next.
@@ -187,7 +191,7 @@ object XesParser {
       attrs.find(a => a.key == key && a.xtype == "string").map(_.value)
     val ts = attrs.find(a => a.key == "time:timestamp" && a.xtype == "date")
       .map(a => parseDate(file, a.value))
-    XesEvent(file, traceIdx, seq,
+    XesEvent(file, traceIdx, filePos, seq,
       activity = str("concept:name"),
       instance = str("concept:instance"),
       lifecycle = str("lifecycle:transition"),
