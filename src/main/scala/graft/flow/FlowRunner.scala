@@ -1,0 +1,214 @@
+package graft.flow
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Portable
+import graft.xes.{XesReader, XesValidator, XesWriter}
+import graft.xes.XesModel.XesMeta
+
+import FlowSpec._
+
+/** Executes a declarative flow over Spark — the analogue of the
+  * reference's `Graph::execute` + plugin registry
+  * (`/root/reference/src/stream/flow/graph.rs:97-225`,
+  * `plugin.rs:354-371`). The reference's channel/toposort/thread
+  * machinery collapses into lazy DataFrame composition (SURVEY.md
+  * §3.3): named streams become handles in a registry, pipes run in
+  * dependency order, and Spark's scheduler provides the parallelism.
+  *
+  * Built-in segments (default plugin registry, plugin.rs:354-371):
+  * XesReader, XesWriter, Void, Repair, Validator, Statistics,
+  * Sample, Split, Sender/Receiver (named streams).
+  *
+  * A stream value is an [[XesReader.XLog]]; artifacts land in
+  * [[FlowResult.artifacts]] keyed by channel name.
+  */
+object FlowRunner {
+
+  case class Statistics(nTraces: Long, nEventsInTraces: Long, nEventsTotal: Long) {
+    def counts: Seq[Long] = Seq(nTraces, nEventsInTraces, nEventsTotal)
+  }
+
+  case class FlowResult(artifacts: Map[String, Any],
+    streams: Map[String, XesReader.XLog])
+
+  def runJson(spark: SparkSession, json: String): FlowResult =
+    run(spark, FlowSpec.parseJson(json))
+
+  def run(spark: SparkSession, flow: Flow): FlowResult = {
+    var artifacts = Map.empty[String, Any]
+    var namedStreams = Map.empty[String, XesReader.XLog]
+
+    // Dependency order: run pipes whose stream receivers are all
+    // available; a cycle or missing channel fails (graph.rs:149-152).
+    var pending = flow.pipes
+    while (pending.nonEmpty) {
+      val (ready, blocked) = pending.partition(p =>
+        p.source.streamReceiver.forall(namedStreams.contains))
+      if (ready.isEmpty)
+        throw new IllegalStateException(
+          s"flow deadlock: pipes ${blocked.map(_.name).mkString(", ")} wait on " +
+            s"channels ${blocked.flatMap(_.source.streamReceiver).mkString(", ")}")
+      ready.foreach { pipe =>
+        val (arts, streams) = runPipe(spark, pipe, namedStreams)
+        artifacts ++= arts
+        namedStreams ++= streams
+      }
+      pending = blocked
+    }
+    FlowResult(artifacts, namedStreams)
+  }
+
+  private def runPipe(spark: SparkSession, pipe: Pipe,
+      named: Map[String, XesReader.XLog])
+      : (Map[String, Any], Map[String, XesReader.XLog]) = {
+    var artifacts = Map.empty[String, Any]
+    var streams = Map.empty[String, XesReader.XLog]
+
+    var current: XesReader.XLog = pipe.source.name match {
+      case "XesReader" =>
+        val path = pipe.source.attributes("path").toString
+        XesReader.read(spark, path)
+      case "Receiver" =>
+        named(pipe.source.streamReceiver.head)
+      case other =>
+        throw new IllegalArgumentException(s"unknown source segment '$other'")
+    }
+
+    (pipe.streams ++ pipe.sink.toSeq).zipWithIndex.foreach { case (seg, i) =>
+      current = applySegment(spark, seg, i, current,
+        a => artifacts ++= a, s => streams ++= s)
+    }
+    (artifacts, streams)
+  }
+
+  /** Deterministic component-granular bucket in [0,1000): traces split
+    * as whole units (key = file#traceIdx, shared by their events),
+    * standalone events split independently (key = file#e&lt;seq&gt;) —
+    * the reference's per-component split granularity (split.rs:65-72).
+    * Meta goes to both branches (split.rs:59-64). */
+  private def traceBucket(seed: Long) =
+    graft.ops.Split.bucket(
+      Portable.charHash(concat_ws("#", col("file"), col("traceIdx"))), seed)
+
+  private def eventBucket(seed: Long) =
+    graft.ops.Split.bucket(
+      Portable.charHash(concat_ws("#", col("file"),
+        coalesce(col("traceIdx").cast("string"),
+          concat(lit("e"), col("seq"))))), seed)
+
+  private def applySegment(spark: SparkSession, seg: Segment, segIndex: Int,
+      in: XesReader.XLog,
+      emitArtifacts: Map[String, Any] => Unit,
+      emitStreams: Map[String, XesReader.XLog] => Unit): XesReader.XLog = {
+    import spark.implicits._
+    seg.name match {
+      case "Void" => in
+
+      case "Repair" =>
+        in.copy(metas = in.metas.map(repairMeta))
+
+      case "Validator" =>
+        // Meta-level checks run driver-side; the data-plane checks run
+        // distributed through the parsed rows (ingestion already
+        // enforced parse classes).
+        in.metas.foreach { m =>
+          val v = validateMeta(m)
+          if (v.nonEmpty) throw new IllegalStateException(
+            s"validation failed for ${m.file}: ${v.mkString("; ")}")
+        }
+        in
+
+      case "Statistics" =>
+        val nTraces = in.traces.count()
+        val inTraces = in.events.filter(_.traceIdx.isDefined).count()
+        val total = in.events.count()
+        val stats = Statistics(nTraces, inTraces, total)
+        seg.artifactSender.foreach(ch => emitArtifacts(Map(ch -> stats)))
+        in
+
+      case "Sample" =>
+        val keep = permille(seg.attributes.getOrElse("ratio", 1.0))
+        val seed = opSeed(seg, segIndex)
+        in.copy(
+          traces = in.traces.filter(traceBucket(seed) < lit(keep)),
+          events = in.events.filter(eventBucket(seed) < lit(keep)))
+
+      case "Split" =>
+        val train = permille(seg.attributes.getOrElse("ratio", 0.5))
+        val seed = opSeed(seg, segIndex)
+        val testLog = in.copy(
+          traces = in.traces.filter(traceBucket(seed) >= lit(train)),
+          events = in.events.filter(eventBucket(seed) >= lit(train)))
+        seg.streamSender.foreach(ch => emitStreams(Map(ch -> testLog)))
+        in.copy(
+          traces = in.traces.filter(traceBucket(seed) < lit(train)),
+          events = in.events.filter(eventBucket(seed) < lit(train)))
+
+      case "XesWriter" =>
+        val path = seg.attributes("path").toString
+        val xmls = XesWriter.toXmlStrings(spark, in).collect()
+        val out = new java.io.File(path)
+        Option(out.getParentFile).foreach(_.mkdirs())
+        // one input log → that file; many → suffixed
+        xmls match {
+          case Array((_, xml)) =>
+            java.nio.file.Files.writeString(out.toPath, xml)
+          case many =>
+            many.foreach { case (f, xml) =>
+              java.nio.file.Files.writeString(
+                new java.io.File(out, f).toPath, xml)
+            }
+        }
+        in
+
+      case "Sender" =>
+        seg.streamSender.foreach(ch => emitStreams(Map(ch -> in)))
+        in
+
+      case other =>
+        throw new IllegalArgumentException(s"unknown segment '$other'")
+    }
+  }
+
+  /** The user seed salted with the segment's position in the pipe.
+    * Two sampling segments with the same user seed must draw
+    * independently (the reference gets this from sequential RNG state,
+    * split.rs:22-38; a pure hash scheme needs an explicit per-operator
+    * salt or a Sample(0.1) feeding a Split(0.8) would send every
+    * sampled trace to the train branch). */
+  private def opSeed(seg: Segment, segIndex: Int): Long =
+    long(seg.attributes.getOrElse("seed", 0L)) + 7919L * (segIndex + 1)
+
+  private def permille(v: Any): Int = v match {
+    case d: Double => (d * 1000).round.toInt
+    case l: Long => (l * 1000).toInt
+    case i: Int => i * 1000
+    case s => (s.toString.toDouble * 1000).round.toInt
+  }
+
+  private def long(v: Any): Long = v match {
+    case l: Long => l
+    case i: Int => i.toLong
+    case d: Double => d.toLong
+    case s => s.toString.toLong
+  }
+
+  private def repairMeta(m: XesMeta): XesMeta = {
+    val ncName = "^[A-Za-z_][A-Za-z0-9._\\-]*$".r
+    m.copy(classifiers = m.classifiers.map { c =>
+      if (ncName.findFirstIn(c.name).isEmpty)
+        c.copy(name = c.name.replaceAll("\\s", ""))
+      else c
+    })
+  }
+
+  private def validateMeta(m: XesMeta): Seq[String] = {
+    val ncName = "^[A-Za-z_][A-Za-z0-9._\\-]*$".r
+    m.classifiers.collect {
+      case c if ncName.findFirstIn(c.name).isEmpty =>
+        s"classifier name '${c.name}' is no valid xs:NCName"
+    }
+  }
+}

@@ -22,20 +22,30 @@ import org.apache.spark.sql.functions._
 object Split {
 
   /** Knuth multiplicative hash on the case key, mod 1000. Pure i64
-    * arithmetic so an external SQL oracle can replicate it exactly.
-    * Mixing: two rounds of multiply-xor keep low-entropy keys (dense
-    * small ints) well spread across permilles.
+    * arithmetic (every step < 2^63, reduced mod P=1e9+7) so an
+    * external SQL oracle can replicate it exactly.
+    *
+    * The seed enters through the round-2 MULTIPLIER, not only
+    * additively: an additive-only seed makes bucket(x, s2) an affine
+    * shift of bucket(x, s1) mod 1000, i.e. two sampling operators with
+    * different seeds would be perfectly correlated (a Sample(0.1)
+    * feeding a Split(0.8) would route every survivor to one branch).
     */
+  private val P = 1000000007L
+
   def bucket(caseId: Column, seed: Long): Column = {
-    val h1 = (caseId + lit(seed)) * lit(2654435761L) % lit(1000000007L)
-    val h2 = (h1 * lit(40503L) + lit(seed)) % lit(1000000007L)
+    val a = (2 * seed + 40503L) % P
+    val h1 = (pmod(caseId, lit(P)) + lit(seed % P)) * lit(2654435761L) % lit(P)
+    val h2 = (h1 * lit(a) + lit(seed % P)) % lit(P)
     pmod(h2, lit(1000))
   }
 
   /** Same arithmetic as [[bucket]] in portable ANSI SQL (for oracles). */
   def oracleBucketSql(caseCol: String, seed: Long): String = {
-    val h1 = s"((($caseCol + $seed) * 2654435761) % 1000000007)"
-    val h2 = s"((($h1 * 40503) + $seed) % 1000000007)"
+    val a = (2 * seed + 40503L) % P
+    val x0 = s"((($caseCol % $P) + $P) % $P)"
+    val h1 = s"((($x0 + ${seed % P}) * 2654435761) % $P)"
+    val h2 = s"((($h1 * $a) + ${seed % P}) % $P)"
     s"((($h2 % 1000) + 1000) % 1000)"
   }
 
