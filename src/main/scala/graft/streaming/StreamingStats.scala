@@ -1,0 +1,42 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming analogue of the reference's `StatsCollector`
+  * (`/root/reference/src/stream/stats.rs:63-141`): incremental
+  * counters over an unbounded event stream. The reference's one-pass
+  * bounded-memory counting IS Spark's incremental stateful
+  * aggregation; `outputMode(update)` emits the running triple.
+  */
+object StreamingStats {
+
+  /** Running [n_traces, n_events_total, n_orphans] over a streaming
+    * events DataFrame. `approx_count_distinct` keeps state bounded at
+    * scale (HLL sketch) — exact distinct over an unbounded key space
+    * is unbounded state by definition. */
+  def running(events: DataFrame, caseCol: String): DataFrame =
+    events.agg(
+      approx_count_distinct(caseCol).as("n_traces_approx"),
+      count(lit(1)).as("n_events_total"),
+      (count(lit(1)) - count(col(caseCol))).as("n_orphan_events"))
+
+  /** Per-case running event counts + time bounds (the `ct_trace`
+    * vector as an updatable table; watermark bounds state). */
+  def perCase(events: DataFrame, caseCol: String, tsCol: String): DataFrame =
+    events.groupBy(col(caseCol)).agg(
+      count(lit(1)).as("n_events"),
+      min(col(tsCol)).as("t_start"),
+      max(col(tsCol)).as("t_end"))
+
+  /** Windowed event rates: tumbling-window counts per activity —
+    * the standard watermark + window aggregation. */
+  def windowedRates(events: DataFrame, tsCol: String, activityCol: String,
+      windowSeconds: Long): DataFrame =
+    events.groupBy(
+      window(col(tsCol), s"$windowSeconds seconds"),
+      col(activityCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"),
+        col("window.end").as("w_end"), col(activityCol), col("n"))
+}

@@ -1,0 +1,101 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+
+/** Streaming layer driven through MemoryStream: session-window trace
+  * assembly with event-time timeouts, stateful stats, windowed rates. */
+class StreamingSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  def sec(s: Long): Long = s * 1000000L // micros
+
+  test("trace assembly closes sessions on event-time gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[TraceAssembly.InEvent]
+    val events = input.toDS()
+      .withColumn("ts", timestamp_micros(col("tsMicros")))
+      .withWatermark("ts", "10 seconds")
+      .as[TraceAssembly.InEvent]
+
+    val traces = TraceAssembly.assemble(spark, events, gapSeconds = 30)
+    val query = traces.writeStream
+      .format("memory").queryName("closed_traces")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // two cases interleaved, out of order within case A
+      input.addData(
+        TraceAssembly.InEvent("A", "a1", sec(10)),
+        TraceAssembly.InEvent("B", "b1", sec(12)),
+        TraceAssembly.InEvent("A", "a3", sec(20)),
+        TraceAssembly.InEvent("A", "a2", sec(15)))
+      query.processAllAvailable()
+      // advance watermark far past A/B last event + gap
+      input.addData(TraceAssembly.InEvent("C", "c1", sec(200)))
+      query.processAllAvailable()
+      // one more batch so the timeout fires after watermark update
+      input.addData(TraceAssembly.InEvent("C", "c2", sec(201)))
+      query.processAllAvailable()
+
+      val closed = spark.table("closed_traces")
+        .as[TraceAssembly.ClosedTrace].collect()
+        .map(t => t.caseId -> t).toMap
+      assert(closed.contains("A") && closed.contains("B"))
+      assert(closed("A").activities == Seq("a1", "a2", "a3")) // sorted at close
+      assert(closed("A").nEvents == 3L)
+      assert(closed("A").startMicros == sec(10) && closed("A").endMicros == sec(20))
+      assert(closed("B").activities == Seq("b1"))
+      assert(!closed.contains("C")) // still open
+    } finally query.stop()
+  }
+
+  test("running stats update incrementally (stats.rs as stateful agg)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val df = input.toDS().toDF("case_id", "v")
+    val query = StreamingStats.running(df, "case_id").writeStream
+      .format("memory").queryName("running_stats")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      input.addData(("x", 1L), ("x", 2L), ("y", 3L))
+      query.processAllAvailable()
+      val r1 = spark.table("running_stats").collect().head
+      assert(r1.getLong(1) == 3L)
+      input.addData(("z", 4L))
+      query.processAllAvailable()
+      val r2 = spark.table("running_stats").collect().head
+      assert(r2.getLong(1) == 4L && r2.getLong(0) == 3L)
+    } finally query.stop()
+  }
+
+  test("windowed activity rates with watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[TraceAssembly.InEvent]
+    val events = input.toDS()
+      .withColumn("ts", timestamp_micros(col("tsMicros")))
+      .withWatermark("ts", "5 seconds")
+    val query = StreamingStats.windowedRates(events.toDF(), "ts", "activity", 60)
+      .writeStream.format("memory").queryName("rates")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        TraceAssembly.InEvent("A", "click", sec(10)),
+        TraceAssembly.InEvent("B", "click", sec(20)),
+        TraceAssembly.InEvent("A", "buy", sec(30)))
+      query.processAllAvailable()
+      input.addData(TraceAssembly.InEvent("C", "click", sec(200)))
+      query.processAllAvailable()
+      input.addData(TraceAssembly.InEvent("C", "click", sec(300)))
+      query.processAllAvailable()
+      val rows = spark.table("rates")
+        .select(unix_timestamp(col("w_start")), col("activity"), col("n"))
+        .as[(Long, String, Long)].collect()
+        .map { case (w, a, n) => (w, a) -> n }.toMap
+      assert(rows((0L, "click")) == 2L && rows((0L, "buy")) == 1L) // first window flushed
+    } finally query.stop()
+  }
+}
