@@ -19,7 +19,8 @@ object SparkEntry {
       (EventLogQueries.queries, EventLogQueries.oracle),
       (TextQueries.queries, TextQueries.oracle),
       (DedupQueries.queries, DedupQueries.oracle),
-      (SimQueries.queries, SimQueries.oracle)
+      (SimQueries.queries, SimQueries.oracle),
+      (XesQueries.queries, XesQueries.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

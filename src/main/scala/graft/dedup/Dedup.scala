@@ -3,7 +3,7 @@ package graft.dedup
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.Portable
+import graft.functions.{NativeExpressions, Portable}
 import graft.text.TextOps
 
 /** Deduplication operators for training-data pipelines: exact,
@@ -42,10 +42,12 @@ object Dedup {
   }
 
   /** Distinct hashed word-k-gram shingles per document (the sketch all
-    * set-similarity ops share). */
+    * set-similarity ops share). Native codegen'd expression; the
+    * equivalent HOF spec is
+    * `array_distinct(transform(TextOps.shingles(text,k), Portable.charHash))`
+    * (same arithmetic, pinned by the DuckDB oracles). */
   def shingleHashes(text: Column, k: Int): Column =
-    array_distinct(transform(TextOps.shingles(text, k),
-      s => Portable.charHash(s)))
+    NativeExpressions.shingleHashes(text, k)
 
   /** All pairs with shingle-set Jaccard >= tau, via inverted-index
     * equi-join on the shingle hash. `maxDf` drops shingles present in
@@ -78,10 +80,11 @@ object Dedup {
   }
 
   /** MinHash signature: numHashes universal hashes over the shingle
-    * hash set, each taking the min. Per-row expression (no shuffle). */
+    * hash set, each taking the min. Per-row native expression (no
+    * shuffle); HOF spec: `array(i -> array_min(transform(shingles,
+    * x -> Portable.ihash(x, i, seed))))`. */
   def minhashSignature(shingles: Column, numHashes: Int, seed: Long): Column =
-    array((0 until numHashes).map(i =>
-      array_min(transform(shingles, x => Portable.ihash(x, i, seed)))): _*)
+    NativeExpressions.minhashSig(shingles, numHashes, seed)
 
   /** LSH band key: fold r consecutive signature entries into one
     * bucket id: acc = (acc*1009 + sig[i]) % P. */
@@ -104,35 +107,34 @@ object Dedup {
       .filter(size(col("_sh")) > 0)
     val sig = sh.withColumn("_sig",
       minhashSignature(col("_sh"), numHashes, seed))
-    val banded = sig.select(col("_id"), col("_sh"),
+    val banded = sig.select(col("_id"),
       posexplode(array((0 until bands).map(b =>
         bandHash(col("_sig"), b, r)): _*)).as(Seq("_band", "_bh")))
-    val a = banded.select(col("_id").as("id_a"), col("_sh").as("_sha"),
-      col("_band"), col("_bh"))
-    val b = banded.select(col("_id").as("id_b"), col("_sh").as("_shb"),
-      col("_band"), col("_bh"))
-    a.join(b, Seq("_band", "_bh"))
+    val a = banded.select(col("_id").as("id_a"), col("_band"), col("_bh"))
+    val b = banded.select(col("_id").as("id_b"), col("_band"), col("_bh"))
+    // candidates deduped on bare ids BEFORE touching the shingle
+    // arrays; each unique pair then verifies exactly once.
+    val cand = a.join(b, Seq("_band", "_bh"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val inter = size(array_intersect(col("_sha"), col("_shb")))
+    cand
+      .join(sh.select(col("_id").as("id_a"), col("_sh").as("_sha")), "id_a")
+      .join(sh.select(col("_id").as("id_b"), col("_sh").as("_shb")), "id_b")
+      .withColumn("_inter", inter)
       .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("_sha"), col("_shb"))).cast("double") /
-          (size(col("_sha")) + size(col("_shb")) -
-            size(array_intersect(col("_sha"), col("_shb")))).cast("double"))
+        (col("_inter").cast("double") /
+          (size(col("_sha")) + size(col("_shb")) - col("_inter")).cast("double"))
           .as("jaccard"))
-      .distinct()
       .filter(col("jaccard") >= tau)
   }
 
-  /** SimHash fingerprint (32-bit, stored in a long): per token-hash
-    * bit votes summed; bit set iff the vote is positive. Pure per-row
-    * arithmetic. Token multiset (duplicates count). */
-  def simhash(text: Column): Column = {
-    val th = transform(TextOps.tokens(text), t => Portable.charHash(t))
-    (0 until 30).map { bit =>
-      val vote = aggregate(th, lit(0L),
-        (s, h) => s + (shiftright(h, bit).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)))
-      when(vote > 0, lit(1L << bit)).otherwise(lit(0L))
-    }.reduce(_ + _)
-  }
+  /** SimHash fingerprint (30-bit, stored in a long): per token-hash
+    * bit votes summed; bit set iff the vote is positive. Native
+    * per-row expression; HOF spec: sum over bits of
+    * `when(aggregate(tokenHashes, 0, (s,h) -> s + ((h>>b)&1)*2-1) > 0,
+    * 1<<b)`. Token multiset (duplicates count). */
+  def simhash(text: Column): Column = NativeExpressions.simhash(text)
 
   /** SimHash near-dup pairs: candidates share at least one of four
     * 8-bit bands (pigeonhole: any pair within hamming distance 3 of a
@@ -168,12 +170,12 @@ object Dedup {
   def cosinePairs(embs: DataFrame, idCol: String, vecCol: String,
       tau: Double): DataFrame = {
     val n = embs.select(col(idCol).as("_id"), col(vecCol).as("_v"),
-      sqrt(Portable.dot(col(vecCol), col(vecCol))).as("_nrm"))
+      sqrt(NativeExpressions.dotF(col(vecCol), col(vecCol))).as("_nrm"))
     val a = n.select(col("_id").as("id_a"), col("_v").as("_va"), col("_nrm").as("_nrma"))
     val b = n.select(col("_id").as("id_b"), col("_v").as("_vb"), col("_nrm").as("_nrmb"))
     a.crossJoin(b)
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", Portable.dot(col("_va"), col("_vb")) / (col("_nrma") * col("_nrmb")))
+      .withColumn("cos", NativeExpressions.dotF(col("_va"), col("_vb")) / (col("_nrma") * col("_nrmb")))
       .filter(col("cos") >= tau)
       .select("id_a", "id_b", "cos")
   }

@@ -1,0 +1,148 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Tight JVM kernels behind the native Catalyst expressions in
+  * [[NativeExpressions]]. Same arithmetic as the [[Portable]] HOF
+  * forms (validated against the DuckDB oracles), but evaluated as one
+  * static call per row from generated code instead of interpreted
+  * per-element lambda trees — the HOF forms cost ~3ms/row on shingle
+  * hashing; these cost ~3µs.
+  *
+  * All methods are static-reachable so `doGenCode` can emit a direct
+  * call and stay inside WholeStageCodegen.
+  */
+object Native {
+  val P: Long = Portable.P
+  val K: Long = Portable.Knuth
+
+  /** Polynomial code-point hash: h = (h*131 + cp) % P over the code
+    * points of [lo, hi) in `s`. */
+  private def hashRange(s: String, lo: Int, hi: Int, seed: Long): Long = {
+    var h = seed
+    var i = lo
+    while (i < hi) {
+      val cp = s.codePointAt(i)
+      h = (h * Portable.CharMul + cp) % P
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  def charHash(s: UTF8String, seed: Long): Long = {
+    val str = s.toString
+    hashRange(str, 0, str.length, seed)
+  }
+
+  /** Token spans (start, end) over whitespace-separated tokens. */
+  private def tokenSpans(s: String): Array[Int] = {
+    val spans = new scala.collection.mutable.ArrayBuffer[Int](64)
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
+      if (i < n) {
+        val start = i
+        while (i < n && !Character.isWhitespace(s.charAt(i))) i += 1
+        spans += start; spans += i
+      }
+    }
+    spans.toArray
+  }
+
+  /** Hash of every whitespace token, duplicates kept, document order. */
+  def tokenHashes(text: UTF8String): ArrayData = {
+    val s = text.toString
+    val spans = tokenSpans(s)
+    val out = new Array[Long](spans.length / 2)
+    var t = 0
+    while (t < out.length) {
+      out(t) = hashRange(s, spans(2 * t), spans(2 * t + 1), 7L)
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Distinct hashes of word k-grams (tokens joined by one space) —
+    * same value as charHash over the joined shingle string. */
+  def shingleHashes(text: UTF8String, k: Int): ArrayData = {
+    val s = text.toString
+    val spans = tokenSpans(s)
+    val nTok = spans.length / 2
+    if (nTok < k) return new GenericArrayData(Array.emptyLongArray)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var i = 0
+    while (i <= nTok - k) {
+      var h = 7L
+      var j = 0
+      while (j < k) {
+        if (j > 0) h = (h * Portable.CharMul + ' '.toInt) % P
+        h = hashRange(s, spans(2 * (i + j)), spans(2 * (i + j) + 1), h)
+        j += 1
+      }
+      seen.add(h)
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var x = 0
+    while (it.hasNext) { out(x) = it.next(); x += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** MinHash signature over a shingle-hash array (universal hash
+    * family from [[Portable.ihash]]). */
+  def minhashSig(shingles: ArrayData, n: Int, seed: Long): ArrayData = {
+    val m = shingles.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val a = (K * (2 * i + 1) + seed) % P
+      val b = (K * (i + 7) + seed * 31) % P
+      var best = Long.MaxValue
+      var j = 0
+      while (j < m) {
+        val x = shingles.getLong(j) % P
+        val h = (a * x + b) % P
+        if (h < best) best = h
+        j += 1
+      }
+      out(i) = if (m == 0) 0L else best
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** 30-bit SimHash over token hashes (duplicates weighted). */
+  def simhash(text: UTF8String): Long = {
+    val th = tokenHashes(text)
+    val n = th.numElements()
+    var fp = 0L
+    var b = 0
+    while (b < 30) {
+      var vote = 0L
+      var j = 0
+      while (j < n) {
+        vote += ((th.getLong(j) >> b) & 1L) * 2L - 1L
+        j += 1
+      }
+      if (vote > 0) fp |= 1L << b
+      b += 1
+    }
+    fp
+  }
+
+  /** Sequential-order dot product of two float arrays (same rounding
+    * as the fold in [[Portable.dot]]). */
+  def dotF(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    s
+  }
+}

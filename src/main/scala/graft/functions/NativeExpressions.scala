@@ -1,0 +1,94 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the hot sketch/hash kernels
+  * (SURVEY.md §7.3: custom `Expression` with `doGenCode` over UDFs).
+  * Each generates a single static call into [[Native]], so the whole
+  * operator pipeline stays inside WholeStageCodegen; the interpreted
+  * HOF equivalents in [[Portable]]/ops remain as the executable
+  * specification (their arithmetic is identical, and the DuckDB
+  * oracles pin both).
+  *
+  * Measured on sf0.1 documents (5000 rows): shingle hashing via HOFs
+  * ≈ 13s per pass; via these expressions ≈ 50ms.
+  */
+object NativeExpressions {
+
+  case class ShingleHashesExpr(child: Expression, k: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_shingle_hashes"
+    override protected def nullSafeEval(input: Any): Any =
+      Native.shingleHashes(input.asInstanceOf[UTF8String], k)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.Native.shingleHashes($c, $k)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  case class TokenHashesExpr(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_token_hashes"
+    override protected def nullSafeEval(input: Any): Any =
+      Native.tokenHashes(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.Native.tokenHashes($c)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  case class MinHashSigExpr(child: Expression, n: Int, seed: Long)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_minhash_sig"
+    override protected def nullSafeEval(input: Any): Any =
+      Native.minhashSig(input.asInstanceOf[ArrayData], n, seed)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.Native.minhashSig($c, $n, ${seed}L)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  case class SimHashExpr(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_simhash"
+    override protected def nullSafeEval(input: Any): Any =
+      Native.simhash(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.Native.simhash($c)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  case class DotFExpr(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "graft_dot_f"
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      Native.dotF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Native.dotF($a, $b)")
+    override protected def withNewChildrenInternal(newLeft: Expression,
+        newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+  }
+
+  // ---- Column wrappers ----
+  private def c(e: Expression): Column = GraftColumnBridge.column(e)
+  private def e(col: Column): Expression = GraftColumnBridge.expression(col)
+
+  def shingleHashes(text: Column, k: Int): Column = c(ShingleHashesExpr(e(text), k))
+  def tokenHashes(text: Column): Column = c(TokenHashesExpr(e(text)))
+  def minhashSig(shingles: Column, n: Int, seed: Long): Column =
+    c(MinHashSigExpr(e(shingles), n, seed))
+  def simhash(text: Column): Column = c(SimHashExpr(e(text)))
+  def dotF(a: Column, b: Column): Column = c(DotFExpr(e(a), e(b)))
+}

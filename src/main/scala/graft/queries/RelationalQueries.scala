@@ -58,6 +58,43 @@ object RelationalQueries {
         .agg(sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount"))).as("revenue"))
         .orderBy(col("revenue").desc, col("o_custkey").asc)
         .limit(10)
+    },
+
+    // Set operations: distinct union minus intersection of two key sets.
+    "q4_set_ops" -> { (s, dir) =>
+      val ord = Tables(s, dir, "orders").select(col("o_custkey").as("custkey"))
+      val cust = Tables(s, dir, "customer")
+        .filter(col("c_acctbal") > 0).select(col("c_custkey").as("custkey"))
+      ord.union(cust).distinct()
+        .exceptAll(ord.intersect(cust))
+        .orderBy("custkey")
+    },
+
+    // Window functions: top-3 orders per customer by price (dense
+    // ranking with unique tiebreak), shuffle partitioned by custkey.
+    "q5_window_topn" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables(s, dir, "orders")
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("rnk"))
+    },
+
+    // Anti join: customers with no orders, counted per nation.
+    "q6_anti_join" -> { (s, dir) =>
+      val cust = Tables(s, dir, "customer")
+      val ord = Tables(s, dir, "orders")
+      cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_customers"))
+    },
+
+    // Rollup: revenue by (returnflag, linestatus) with subtotals.
+    "q7_rollup" -> { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(dec("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
     }
   )
 
@@ -87,6 +124,29 @@ object RelationalQueries {
         |JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_custkey
         |ORDER BY revenue DESC, o_custkey ASC
-        |LIMIT 10""".stripMargin
+        |LIMIT 10""".stripMargin,
+    "q4_set_ops" ->
+      """WITH o AS (SELECT o_custkey AS custkey FROM orders),
+        |c AS (SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 0)
+        |SELECT custkey FROM (
+        |  SELECT DISTINCT custkey FROM (SELECT custkey FROM o UNION ALL SELECT custkey FROM c)
+        |  EXCEPT ALL
+        |  SELECT custkey FROM (SELECT custkey FROM o INTERSECT SELECT custkey FROM c))
+        |ORDER BY custkey""".stripMargin,
+    "q5_window_topn" ->
+      """SELECT o_custkey, o_orderkey, rnk FROM (
+        |  SELECT o_custkey, o_orderkey, CAST(row_number() OVER (
+        |    PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rnk
+        |  FROM orders)
+        |WHERE rnk <= 3""".stripMargin,
+    "q6_anti_join" ->
+      """SELECT c_nationkey, count(*) AS n_customers FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_nationkey""".stripMargin,
+    "q7_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty, count(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
   )
 }

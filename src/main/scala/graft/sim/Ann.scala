@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.Portable
+import graft.functions.{NativeExpressions, Portable}
 
 /** Similarity search over an embedding column (`array<float>`):
   * brute-force cosine top-k as the exact baseline, and random-
@@ -59,14 +59,14 @@ object Ann {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
     val c = corpus.select(col(idCol).as("id_n"), col(vecCol).as("_vn"),
-      sqrt(Portable.dot(col(vecCol), col(vecCol))).as("_nn"))
+      sqrt(NativeExpressions.dotF(col(vecCol), col(vecCol))).as("_nn"))
     val q = queries.select(col(idCol).as("id_q"), col(vecCol).as("_vq"),
-      sqrt(Portable.dot(col(vecCol), col(vecCol))).as("_nq"))
+      sqrt(NativeExpressions.dotF(col(vecCol), col(vecCol))).as("_nq"))
     val w = Window.partitionBy(col("id_q"))
       .orderBy(col("cos").desc, col("id_n").asc)
     c.crossJoin(broadcast(q))
       .filter(col("id_n") =!= col("id_q"))
-      .withColumn("cos", Portable.dot(col("_vq"), col("_vn")) / (col("_nq") * col("_nn")))
+      .withColumn("cos", NativeExpressions.dotF(col("_vq"), col("_vn")) / (col("_nq") * col("_nn")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select("id_q", "id_n", "cos", "rnk")
@@ -99,9 +99,9 @@ object Ann {
       .orderBy(col("cos").desc, col("id_n").asc)
     cand
       .withColumn("cos",
-        Portable.dot(col("_vq"), col("_vn")) /
-          (sqrt(Portable.dot(col("_vq"), col("_vq"))) *
-           sqrt(Portable.dot(col("_vn"), col("_vn")))))
+        NativeExpressions.dotF(col("_vq"), col("_vn")) /
+          (sqrt(NativeExpressions.dotF(col("_vq"), col("_vq"))) *
+           sqrt(NativeExpressions.dotF(col("_vn"), col("_vn")))))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select("id_q", "id_n", "cos", "rnk")
