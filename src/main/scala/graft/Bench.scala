@@ -1,18 +1,28 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver contract): times every SparkEntry query at
+  * SPARK_GRAFT_SF_DIR and prints ONE JSON line. A generic session
+  * warmup (tiny job + one parquet footer read) runs before the timed
+  * loop so JVM/codegen/Hadoop init is not attributed to whichever
+  * query happens to run first; queries are timed cold-cache otherwise
+  * (no table caching, each query re-scans).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.get(cpus)
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // session warmup: scheduler, codegen, parquet reader init
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+    Tables(spark, sfDir, "region").count()
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch sessionization + trace-variant analysis — the two classic
+  * event-log reshapes the reference's trace model implies (a "trace"
+  * IS a session; variants are the classifier-identity sequences,
+  * component.rs:76-81 / 155-160).
+  *
+  * Scale shape: both are one shuffle on the case key (window
+  * partitionBy), then pure map-side arithmetic; the variant count adds
+  * one partial-agg shuffle on the (small) variant string.
+  */
+object Sessionize {
+
+  /** Splits each case's event stream into sessions on inactivity gaps:
+    * a new session starts when the gap from the previous event exceeds
+    * `gapSeconds`. Adds `session_idx` (0-based per case). */
+  def byGap(events: DataFrame, caseCol: String, tsCol: String,
+      tieBreak: String, gapSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(col(caseCol)).orderBy(col(tsCol), col(tieBreak))
+    events
+      .withColumn("_prev", lag(col(tsCol), 1).over(w))
+      .withColumn("_new_session",
+        when(col("_prev").isNull, lit(0))
+          .when(unix_micros(col(tsCol)) - unix_micros(col("_prev")) >
+            gapSeconds * 1000000L, lit(1))
+          .otherwise(lit(0)))
+      .withColumn("session_idx",
+        sum(col("_new_session")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .drop("_prev", "_new_session")
+  }
+
+  /** Trace variants: the ordered activity sequence per case, counted.
+    * The sequence string is the trace's classifier identity. */
+  def variants(events: DataFrame, caseCol: String, activityCol: String,
+      tsCol: String, tieBreak: String): DataFrame =
+    events
+      .groupBy(col(caseCol))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col(tsCol), col(tieBreak), col(activityCol).as("_a")))),
+        x => x.getField("_a")), ">").as("variant"))
+      .groupBy("variant")
+      .agg(count(lit(1)).as("n_cases"))
+}

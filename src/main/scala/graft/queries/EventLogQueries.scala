@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.dsl.{Concept, Time}
-import graft.ops.{Dfg, LogStats, Split}
+import graft.ops.{Dfg, LogStats, Sessionize, Split}
 
 /** Event-log (process-mining) surface on the `events` table, mapping
   * the reference's XES semantics (SURVEY.md §1-2) onto a flat event
@@ -87,6 +87,23 @@ object EventLogQueries {
         tsCol = "ts", tieBreak = "event_id")
     },
 
+    // Batch sessionization: split each user's stream on 12h inactivity
+    // gaps; one window shuffle on the case key.
+    "q_sessionize" -> { (s, dir) =>
+      Sessionize.byGap(Tables(s, dir, "events"), "user_id", "ts",
+          tieBreak = "event_id", gapSeconds = 43200L)
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(count(lit(1)).as("n_events"),
+          (unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))).as("duration_us"))
+    },
+
+    // Trace variants (the classifier-identity sequence per case,
+    // component.rs:76-81/155-160), counted.
+    "q_trace_variants" -> { (s, dir) =>
+      Sessionize.variants(Tables(s, dir, "events"), "user_id",
+        "event_type", "ts", tieBreak = "event_id")
+    },
+
     // Chronological-order validation (time.rs:129-153): count of
     // out-of-order steps per case — here always 0 by construction, so
     // emit per-case event counts with max gap instead: order-sensitive.
@@ -134,6 +151,27 @@ object EventLogQueries {
     "q_case_durations" ->
       """SELECT user_id, count(*) AS n_events,
         |  epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
-        |FROM events GROUP BY user_id""".stripMargin
+        |FROM events GROUP BY user_id""".stripMargin,
+    "q_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL THEN 0
+        |         WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > CAST(43200 AS BIGINT)*1000000 THEN 1
+        |         ELSE 0 END AS ns
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT user_id, ts,
+        |    sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_idx
+        |  FROM flagged)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |  count(*) AS n_events,
+        |  epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+        |FROM sessions GROUP BY 1, 2""".stripMargin,
+    "q_trace_variants" ->
+      """SELECT variant, count(*) AS n_cases FROM (
+        |  SELECT user_id, string_agg(event_type, '>' ORDER BY ts, event_id) AS variant
+        |  FROM events GROUP BY user_id)
+        |GROUP BY variant""".stripMargin
   )
 }

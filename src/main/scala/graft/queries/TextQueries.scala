@@ -38,6 +38,13 @@ object TextQueries {
         TextOps.langPredict(col("text")).as("lang_pred"))
     },
 
+    // Corpus vocabulary: token frequency table (explode + partial agg).
+    "q_token_freq" -> { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+    },
+
     // Winnowing-style mod-p fingerprint sketch per document.
     "q_text_fingerprint" -> { (s, dir) =>
       Tables(s, dir, "documents").select(
@@ -84,6 +91,11 @@ object TextQueries {
          |  SELECT doc_id, lang AS lang_labeled, text, $best AS __best
          |  FROM documents)""".stripMargin
     },
+
+    "q_token_freq" ->
+      s"""SELECT t AS token, count(*) AS n FROM (
+         |  SELECT unnest($toksSql) AS t FROM documents)
+         |GROUP BY 1""".stripMargin,
 
     "q_text_fingerprint" -> {
       val fold = Portable.charHashSql("substr(text, i+1, 8)")

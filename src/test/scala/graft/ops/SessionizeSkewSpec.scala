@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SessionizeSkewSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("sessionize: splits on gap, 0-based per case, order-stable") {
+    val events = Seq(
+      (1L, 100L), (1L, 200L), (1L, 5000L), (1L, 5100L), (1L, 99999L),
+      (2L, 50L)
+    ).toDF("case", "t")
+      .withColumn("ts", timestamp_micros(col("t") * 1000000L))
+    val s = Sessionize.byGap(events, "case", "ts", "t", gapSeconds = 1000L)
+      .select(col("case"), col("t"), col("session_idx"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(s == Set(
+      (1L, 100L, 0L), (1L, 200L, 0L),        // session 0
+      (1L, 5000L, 1L), (1L, 5100L, 1L),      // gap 4800 > 1000
+      (1L, 99999L, 2L),                      // gap ~94899
+      (2L, 50L, 0L)))
+  }
+
+  test("variants: ordered activity sequences counted") {
+    val events = Seq(
+      (1L, "a", 1L), (1L, "b", 2L), (1L, "c", 3L),
+      (2L, "a", 4L), (2L, "b", 5L), (2L, "c", 6L),
+      (3L, "a", 7L), (3L, "c", 8L), (3L, "b", 9L)
+    ).toDF("case", "act", "t").withColumn("ts", timestamp_micros(col("t")))
+    val v = Sessionize.variants(events, "case", "act", "ts", "t")
+      .as[(String, Long)].collect().toMap
+    assert(v == Map("a>b>c" -> 2L, "a>c>b" -> 1L))
+  }
+
+  test("salted aggregation equals plain groupBy (skew-safe two-stage)") {
+    // heavily skewed: one key owns 90% of rows
+    val df = spark.range(10000L)
+      .select(when(col("id") < 9000, lit("hot")).otherwise(col("id").cast("string")).as("k"),
+        lit(1L).as("v"))
+    val plainC = df.groupBy("k").count().as[(String, Long)].collect().toMap
+    val saltedC = Skew.saltedCount(df, "k", salts = 16)
+      .as[(String, Long)].collect().toMap
+    assert(saltedC == plainC)
+    val plainS = df.groupBy("k").agg(sum("v")).as[(String, Long)].collect().toMap
+    val saltedS = Skew.saltedSum(df, "k", "v", salts = 16)
+      .as[(String, Long)].collect().toMap
+    assert(saltedS == plainS)
+  }
+}
