@@ -160,10 +160,35 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** LSH-bucketed embedding near-dup: candidates share a
+    * random-hyperplane bucket in >= 1 of `tables` hash tables
+    * ([[graft.sim.Ann.lshBuckets]]); exact cosine verifies. Linear in
+    * colliding pairs — the scale path ([[cosinePairs]] is the exact
+    * quadratic verifier). */
+  def cosinePairsLsh(embs: DataFrame, idCol: String, vecCol: String,
+      tau: Double, tables: Int = 4, planesPerTable: Int = 8,
+      seed: Long = 42L, dims: Int = 64): DataFrame = {
+    val b = graft.sim.Ann.lshBuckets(embs, idCol, vecCol, tables,
+      planesPerTable, seed, dims)
+    val l = b.select(col(idCol).as("id_a"), col(vecCol).as("_va"),
+      col("_table"), col("_bucket"))
+    val r = b.select(col(idCol).as("id_b"), col(vecCol).as("_vb"),
+      col("_table"), col("_bucket"))
+    l.join(r, Seq("_table", "_bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "_va", "_vb").distinct()
+      .withColumn("cos",
+        NativeExpressions.dotF(col("_va"), col("_vb")) /
+          (sqrt(NativeExpressions.dotF(col("_va"), col("_va"))) *
+           sqrt(NativeExpressions.dotF(col("_vb"), col("_vb")))))
+      .filter(col("cos") >= tau)
+      .select("id_a", "id_b", "cos")
+  }
+
   /** Embedding-cosine near-dup pairs >= tau. This is the BRUTE-FORCE
     * verifier (all-pairs) — correct at any size but quadratic; the
-    * scale path buckets by random-hyperplane LSH first (see
-    * [[graft.sim.Ann.lshBuckets]]) and verifies only within buckets.
+    * scale path buckets by random-hyperplane LSH first
+    * ([[cosinePairsLsh]]) and verifies only within buckets.
     * Norms are precomputed once per vector (one extra column, not one
     * per pair).
     */

@@ -133,6 +133,30 @@ object Native {
     fp
   }
 
+  /** Random-hyperplane LSH bucket for one hash table: bit p set iff
+    * the projection on global plane (table*planes+p) is positive.
+    * Weight and fold arithmetic identical to [[graft.sim.Ann.weight]]/
+    * `planeDot` (sequential double fold in dim order, 1-based i).
+    */
+  def lshBucket(v: ArrayData, table: Int, planes: Int, seed: Long,
+      dims: Int): Long = {
+    var bucket = 0L
+    var p = 0
+    while (p < planes) {
+      val gp = table * planes + p
+      var s = 0.0
+      var i = 1
+      while (i <= dims) {
+        val h = ((i.toLong + gp.toLong * dims) * K + seed) % P % 2001L - 1000L
+        s += v.getFloat(i - 1).toDouble * (h.toDouble / 1000.0)
+        i += 1
+      }
+      if (s > 0) bucket |= 1L << p
+      p += 1
+    }
+    bucket
+  }
+
   /** Sequential-order dot product of two float arrays (same rounding
     * as the fold in [[Portable.dot]]). */
   def dotF(a: ArrayData, b: ArrayData): Double = {

@@ -69,6 +69,19 @@ object NativeExpressions {
       copy(child = newChild)
   }
 
+  case class LshBucketExpr(child: Expression, table: Int, planes: Int,
+      seed: Long, dims: Int) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_lsh_bucket"
+    override protected def nullSafeEval(input: Any): Any =
+      Native.lshBucket(input.asInstanceOf[ArrayData], table, planes, seed, dims)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.Native.lshBucket($c, $table, $planes, ${seed}L, $dims)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   case class DotFExpr(left: Expression, right: Expression)
       extends BinaryExpression {
     override def dataType: DataType = DoubleType
@@ -90,5 +103,7 @@ object NativeExpressions {
   def minhashSig(shingles: Column, n: Int, seed: Long): Column =
     c(MinHashSigExpr(e(shingles), n, seed))
   def simhash(text: Column): Column = c(SimHashExpr(e(text)))
+  def lshBucket(v: Column, table: Int, planes: Int, seed: Long, dims: Int): Column =
+    c(LshBucketExpr(e(v), table, planes, seed, dims))
   def dotF(a: Column, b: Column): Column = c(DotFExpr(e(a), e(b)))
 }

@@ -33,6 +33,10 @@ object DedupQueries {
     "q_dedup_embedding" -> { (s, dir) =>
       Dedup.cosinePairs(Tables(s, dir, "embeddings"), "vec_id", "embedding",
         tau = 0.4)
+    },
+    "q_dedup_embedding_lsh" -> { (s, dir) =>
+      Dedup.cosinePairsLsh(Tables(s, dir, "embeddings"), "vec_id", "embedding",
+        tau = 0.4)
     }
   )
 
@@ -108,6 +112,31 @@ object DedupQueries {
          |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
          |SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
          |FROM cand WHERE bit_count(xor(fa, fb)) <= 3""".stripMargin
+    },
+
+    "q_dedup_embedding_lsh" -> {
+      def dot(a: String, b: String) =
+        s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+          s"[CAST($a[i] AS DOUBLE)*CAST($b[i] AS DOUBLE) " +
+          s"for i in generate_series(1, len($a))]), (s, v) -> s + v)"
+      val w = graft.sim.Ann.weightSql("(tbl*8 + p)", "i", 42L, 64)
+      val planeDot = s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        s"[CAST(v[i] AS DOUBLE) * $w for i in generate_series(1, 64)]), " +
+        s"(s, x) -> s + x)"
+      s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+         |b AS (SELECT vec_id, v, gt.tbl AS tbl,
+         |  CAST(list_sum([CASE WHEN $planeDot > 0
+         |    THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END
+         |    for p in generate_series(0, 7)]) AS BIGINT) AS bkt
+         |  FROM e, generate_series(0, 3) gt(tbl)),
+         |cand AS (SELECT DISTINCT a.vec_id AS id_a, a.v AS va,
+         |    c.vec_id AS id_b, c.v AS vb
+         |  FROM b a JOIN b c
+         |    ON a.tbl = c.tbl AND a.bkt = c.bkt AND a.vec_id < c.vec_id)
+         |SELECT id_a, id_b,
+         |  ${dot("va", "vb")} / (sqrt(${dot("va", "va")}) * sqrt(${dot("vb", "vb")})) AS cos
+         |FROM cand
+         |WHERE ${dot("va", "vb")} / (sqrt(${dot("va", "va")}) * sqrt(${dot("vb", "vb")})) >= 0.4""".stripMargin
     },
 
     "q_dedup_embedding" -> {

@@ -44,13 +44,12 @@ object Ann {
 
   /** Bucket id for hash table `table` with `planesPerTable` planes:
     * bit p set iff the projection on global plane (table*planesPerTable
-    * + p) is positive. */
+    * + p) is positive. Native codegen'd kernel; the HOF spec is
+    * `sum_p when(planeDot(v, table*planes+p) > 0, 1<<p)` — identical
+    * double arithmetic, pinned by the LSH oracles. */
   def bucket(v: Column, table: Int, planesPerTable: Int, seed: Long,
       dims: Int): Column =
-    (0 until planesPerTable).map { p =>
-      when(planeDot(v, table * planesPerTable + p, seed, dims) > 0,
-        lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    NativeExpressions.lshBucket(v, table, planesPerTable, seed, dims)
 
   /** Exact brute-force cosine top-k: for every query vector, the k
     * nearest corpus vectors (cosine desc, id asc tiebreak), self
