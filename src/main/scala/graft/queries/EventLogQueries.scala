@@ -87,6 +87,27 @@ object EventLogQueries {
         tsCol = "ts", tieBreak = "event_id")
     },
 
+    // Funnel range join: per purchase event, clicks by the same user in
+    // the prior 24h — equi-join on the case key plus a time-range
+    // predicate (the interval-predicate surface of §2.6 as a join
+    // condition; shuffle partitions by user, range filter is local).
+    "q_funnel" -> { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts").as("p_ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("c_ts"))
+      purchases.join(clicks, Seq("user_id"), "left")
+        .withColumn("_hit",
+          when(col("c_ts").isNotNull &&
+            col("c_ts") < col("p_ts") &&
+            unix_micros(col("p_ts")) - unix_micros(col("c_ts")) <= 86400000000L,
+            lit(1L)).otherwise(lit(0L)))
+        .groupBy("user_id", "purchase_id")
+        .agg(sum("_hit").as("n_prior_clicks"))
+    },
+
     // Batch sessionization: split each user's stream on 12h inactivity
     // gaps; one window shuffle on the case key.
     "q_sessionize" -> { (s, dir) =>
@@ -152,6 +173,14 @@ object EventLogQueries {
       """SELECT user_id, count(*) AS n_events,
         |  epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
         |FROM events GROUP BY user_id""".stripMargin,
+    "q_funnel" ->
+      """SELECT p.user_id, p.event_id AS purchase_id,
+        |  CAST(coalesce(sum(CASE WHEN c.ts IS NOT NULL AND c.ts < p.ts
+        |    AND epoch_us(p.ts) - epoch_us(c.ts) <= 86400000000 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_prior_clicks
+        |FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        |GROUP BY 1, 2""".stripMargin,
     "q_sessionize" ->
       """WITH flagged AS (
         |  SELECT user_id, ts, event_id,

@@ -95,6 +95,13 @@ object RelationalQueries {
       Tables(s, dir, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(sum(dec("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+    },
+
+    // Cube: all grouping-set combinations.
+    "q8_cube" -> { (s, dir) =>
+      Tables(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(dec("o_totalprice")).as("total"))
     }
   )
 
@@ -147,6 +154,11 @@ object RelationalQueries {
       """SELECT l_returnflag, l_linestatus,
         |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty, count(*) AS n
         |FROM lineitem
-        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q8_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin
   )
 }
