@@ -64,6 +64,27 @@ object XesReader {
     XLog(readMetas(spark, path), readTraces(spark, path),
       readEvents(spark, path))
 
+  /** Fault-tolerant directory read: files that fail to parse land in a
+    * quarantine table instead of failing the job (the Spark analogue of
+    * the reference's in-band error cells, SURVEY.md §7.4.2 — at bulk
+    * ingestion one corrupt log must not kill a 10k-file import).
+    * Returns (events from parseable files, quarantine rows
+    * (file, error)). Each side is its own lazy plan.
+    */
+  def readEventsTolerant(spark: SparkSession, path: String)
+      : (Dataset[XesEvent], Dataset[(String, String)]) = {
+    import spark.implicits._
+    val events = binary(spark, path).flatMap { case (p, c) =>
+      try XesParser.parse(shortName(p), c).events
+      catch { case _: XesParseException => Seq.empty[XesEvent] }
+    }
+    val quarantine = binary(spark, path).flatMap { case (p, c) =>
+      try { XesParser.parse(shortName(p), c); Seq.empty[(String, String)] }
+      catch { case e: XesParseException => Seq((shortName(p), e.message)) }
+    }
+    (events, quarantine)
+  }
+
   /** One-time conversion to the at-scale layout: events + traces
     * parquet, partitioned-ready (repartition by file so downstream
     * per-log work is co-located). */

@@ -40,6 +40,20 @@ class XesSparkSpec extends SparkSpec {
     assert(stats.counts == Seq(6L, 23L, 23L))
   }
 
+  test("tolerant read quarantines bad files instead of failing the job") {
+    // a dir mixing parseable and non-parsing files
+    val tmp = java.nio.file.Files.createTempDirectory("mix")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$book/L1.xes"), tmp.resolve("L1.xes"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/reference/static/xes/non_parsing/broken_xml.xes"),
+      tmp.resolve("broken_xml.xes"))
+    val (events, quarantine) = XesReader.readEventsTolerant(spark, s"$tmp/*.xes")
+    assert(events.count() == 23L) // L1 only
+    val q = quarantine.collect()
+    assert(q.length == 1 && q.head._1 == "broken_xml.xes")
+  }
+
   test("distributed writer round-trips through Spark") {
     val xlog = XesReader.read(spark, s"$book/L1.xes")
     val rendered = XesWriter.toXmlStrings(spark, xlog).collect().toMap
