@@ -29,6 +29,13 @@ object StreamingStats {
       min(col(tsCol)).as("t_start"),
       max(col(tsCol)).as("t_end"))
 
+  /** Streaming exactly-once dedup on an id column: duplicates arriving
+    * within the watermark window are dropped with bounded state —
+    * the streaming face of the dedup family (at-least-once sources
+    * made effectively-once). `df` must already carry a watermark. */
+  def dedup(events: DataFrame, idCols: Seq[String]): DataFrame =
+    events.dropDuplicatesWithinWatermark(idCols)
+
   /** Windowed event rates: tumbling-window counts per activity —
     * the standard watermark + window aggregation. */
   def windowedRates(events: DataFrame, tsCol: String, activityCol: String,

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Plan-shape assertions: the optimizations the engine relies on at
+  * 100 TB must be visible in the physical plan, and CI should fail if
+  * a refactor silently loses them.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  val dir = "/root/testdata/sf0.001"
+
+  def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("concept filters push down to the parquet scan") {
+    val p = plan("q_filter_concept_in")
+    assert(p.contains("PushedFilters: [In(event_type"), p.take(500))
+  }
+
+  test("column pruning: q1 reads only the needed lineitem columns") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("l_returnflag"))
+    assert(!p.contains("l_comment"), "unused column not pruned from scan")
+  }
+
+  test("star join broadcasts the dimension side") {
+    val p = plan("q2_join_revenue_by_nation")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+  }
+
+  test("trace cascade is a broadcast semi-join, not a shuffle join") {
+    val p = plan("q_trace_filter_cascade")
+    assert(p.contains("LeftSemi"), p.take(800))
+  }
+
+  test("sketch kernels stay inside WholeStageCodegen") {
+    val df = Tables(spark, dir, "documents")
+      .select(graft.dedup.Dedup.shingleHashes(col("text"), 3).as("s"))
+    val p = df.queryExecution.executedPlan.toString
+    // "*(n)" prefixes mark WholeStageCodegen stages in plan toString
+    assert(p.contains("*(1)"), p.take(500))
+  }
+
+  test("dedup pair generation contains no cartesian product") {
+    Seq("q_dedup_jaccard", "q_dedup_minhash_lsh", "q_dedup_simhash",
+      "q_dedup_embedding_lsh").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join")
+    }
+  }
+}

@@ -72,6 +72,25 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming dedup drops duplicates within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long)]
+    val df = input.toDS().toDF("id", "t")
+      .withColumn("ts", timestamp_micros(col("t")))
+      .withWatermark("ts", "10 seconds")
+    val query = StreamingStats.dedup(df, Seq("id")).writeStream
+      .format("memory").queryName("deduped")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((1L, sec(10)), (2L, sec(11)), (1L, sec(12)), (1L, sec(13)))
+      query.processAllAvailable()
+      input.addData((2L, sec(14)), (3L, sec(15)))
+      query.processAllAvailable()
+      val ids = spark.table("deduped").select("id").as[Long].collect().sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L))
+    } finally query.stop()
+  }
+
   test("windowed activity rates with watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[TraceAssembly.InEvent]
