@@ -125,6 +125,13 @@ object EventLogQueries {
         "event_type", "ts", tieBreak = "event_id")
     },
 
+    // Footprint matrix (alpha-relations) over the events table.
+    "q_dfg_footprint" -> { (s, dir) =>
+      Dfg.footprint(Tables(s, dir, "events"),
+        caseCol = "user_id", activityCol = "event_type",
+        tsCol = "ts", tieBreak = "event_id")
+    },
+
     // Chronological-order validation (time.rs:129-153): count of
     // out-of-order steps per case — here always 0 by construction, so
     // emit per-case event counts with max gap instead: order-sensitive.
@@ -173,6 +180,22 @@ object EventLogQueries {
       """SELECT user_id, count(*) AS n_events,
         |  epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
         |FROM events GROUP BY user_id""".stripMargin,
+    "q_dfg_footprint" ->
+      """WITH e AS (
+        |  SELECT DISTINCT act_from, act_to FROM (
+        |    SELECT event_type AS act_from,
+        |      lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS act_to
+        |    FROM events)
+        |  WHERE act_to IS NOT NULL),
+        |acts AS (SELECT DISTINCT event_type AS x FROM events)
+        |SELECT a.x AS a, b.x AS b,
+        |  CASE WHEN fwd.act_from IS NOT NULL AND rev.act_from IS NOT NULL THEN '||'
+        |       WHEN fwd.act_from IS NOT NULL THEN '->'
+        |       WHEN rev.act_from IS NOT NULL THEN '<-'
+        |       ELSE '#' END AS rel
+        |FROM acts a CROSS JOIN acts b
+        |LEFT JOIN e fwd ON fwd.act_from = a.x AND fwd.act_to = b.x
+        |LEFT JOIN e rev ON rev.act_from = b.x AND rev.act_to = a.x""".stripMargin,
     "q_funnel" ->
       """SELECT p.user_id, p.event_id AS purchase_id,
         |  CAST(coalesce(sum(CASE WHEN c.ts IS NOT NULL AND c.ts < p.ts

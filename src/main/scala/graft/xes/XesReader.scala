@@ -85,6 +85,27 @@ object XesReader {
     (events, quarantine)
   }
 
+  /** Streaming XES source (SURVEY.md §7.1.8): watches a directory for
+    * new XES files (`text` file-stream source with `wholetext`), parses
+    * each on arrival, emits its events. Feeds
+    * [[graft.streaming.TraceAssembly]] / [[graft.streaming.StreamingStats]]
+    * after a `withWatermark` on the derived ts column. Per-file
+    * batches = per-file parallelism, same kernel as the batch reader.
+    */
+  def readEventsStream(spark: SparkSession, dir: String): Dataset[XesEvent] = {
+    import spark.implicits._
+    spark.readStream
+      .option("wholetext", "true")
+      .text(dir)
+      .as[String]
+      .flatMap { xml =>
+        // file name is unavailable through the text source value; tag
+        // by content hash for uniqueness
+        val name = s"stream-${Integer.toHexString(xml.hashCode)}"
+        XesParser.parseString(name, xml).events
+      }
+  }
+
   /** One-time conversion to the at-scale layout: events + traces
     * parquet, partitioned-ready (repartition by file so downstream
     * per-log work is co-located). */

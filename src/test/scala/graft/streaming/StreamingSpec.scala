@@ -72,6 +72,23 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming XES source picks up files as they arrive") {
+    val dir = java.nio.file.Files.createTempDirectory("xes_stream")
+    val book = java.nio.file.Paths.get("/root/reference/static/xes/book")
+    java.nio.file.Files.copy(book.resolve("L1.xes"), dir.resolve("L1.xes"))
+
+    val events = graft.xes.XesReader.readEventsStream(spark, dir.toString)
+    val query = events.writeStream.format("memory").queryName("xes_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      query.processAllAvailable()
+      assert(spark.table("xes_stream").count() == 23L) // L1
+      java.nio.file.Files.copy(book.resolve("L3.xes"), dir.resolve("L3.xes"))
+      query.processAllAvailable()
+      assert(spark.table("xes_stream").count() == 23L + 39L) // + L3
+    } finally query.stop()
+  }
+
   test("streaming dedup drops duplicates within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Long)]
