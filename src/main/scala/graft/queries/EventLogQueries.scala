@@ -125,6 +125,18 @@ object EventLogQueries {
         "event_type", "ts", tieBreak = "event_id")
     },
 
+    // Semi-structured props: JSON field extraction + typed aggregation
+    // (the reference's open attribute map ⇒ JSON escape hatch,
+    // SURVEY.md §1.3). get_json_object is codegen'd; at scale prefer
+    // from_json with an explicit schema once fields stabilize.
+    "q_props_json" -> { (s, dir) =>
+      Tables(s, dir, "events")
+        .withColumn("_k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(sum("_k").as("sum_k"), count(col("_k")).as("n_k"),
+          max("_k").as("max_k"))
+    },
+
     // Footprint matrix (alpha-relations) over the events table.
     "q_dfg_footprint" -> { (s, dir) =>
       Dfg.footprint(Tables(s, dir, "events"),
@@ -180,6 +192,12 @@ object EventLogQueries {
       """SELECT user_id, count(*) AS n_events,
         |  epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
         |FROM events GROUP BY user_id""".stripMargin,
+    "q_props_json" ->
+      """SELECT event_type,
+        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type""".stripMargin,
     "q_dfg_footprint" ->
       """WITH e AS (
         |  SELECT DISTINCT act_from, act_to FROM (
