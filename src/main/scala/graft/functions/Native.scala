@@ -157,6 +157,69 @@ object Native {
     bucket
   }
 
+  /** Winnowing mod-p fingerprint sketch: the polynomial hash of every
+    * character k-gram (code points, seed 7 — value-identical to
+    * [[charHash]] over `substr(i, k)`), keeping hashes ≡ 0 (mod p),
+    * sorted distinct. True O(len) rolling update — the leading code
+    * point is removed via the precomputed 131^(k-1) weight instead of
+    * re-folding each window (the interpreted-HOF form was O(len·k)
+    * with a lambda tree per character; this is one static call).
+    */
+  def fingerprint(text: UTF8String, k: Int, p: Int): ArrayData = {
+    val s = text.toString
+    val cps = new Array[Long](s.length)
+    var n = 0
+    var ci = 0
+    while (ci < s.length) {
+      val cp = s.codePointAt(ci)
+      cps(n) = cp; n += 1
+      ci += Character.charCount(cp)
+    }
+    if (n < k) return new GenericArrayData(Array.emptyLongArray)
+    var pw = 1L // 131^(k-1) mod P: weight of the window's leading char
+    var j = 0
+    while (j < k - 1) { pw = pw * Portable.CharMul % P; j += 1 }
+    var seedK = 7L // seed contribution 7*131^k mod P, constant per window
+    j = 0
+    while (j < k) { seedK = seedK * Portable.CharMul % P; j += 1 }
+    val sel = new java.util.TreeSet[java.lang.Long]()
+    var w = 0L // seedless window hash: sum cps(i+j)*131^(k-1-j) mod P
+    j = 0
+    while (j < k) { w = (w * Portable.CharMul + cps(j)) % P; j += 1 }
+    var i = 0
+    while (i <= n - k) {
+      val h = (seedK + w) % P
+      if (h % p == 0) sel.add(h)
+      if (i < n - k) {
+        var t = (w - cps(i) * pw % P) % P
+        if (t < 0) t += P
+        w = (t * Portable.CharMul + cps(i + k)) % P
+      }
+      i += 1
+    }
+    val out = new Array[Long](sel.size)
+    val it = sel.iterator()
+    var x = 0
+    while (it.hasNext) { out(x) = it.next(); x += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Order-sensitive fold digest of a long array:
+    * d = fold(xs, seed, (d,x) -> (d*131 + x) % P) — collapses an
+    * array column to one scalar the driver's comparator can hash.
+    * Oracle: list_reduce(list_prepend(seed, xs), (d,x)->(d*131+x)%P).
+    */
+  def foldHash(xs: ArrayData, seed: Long): Long = {
+    val n = xs.numElements()
+    var d = seed
+    var i = 0
+    while (i < n) {
+      d = (d * Portable.CharMul + xs.getLong(i) % P) % P
+      i += 1
+    }
+    d
+  }
+
   /** Sequential-order dot product of two float arrays (same rounding
     * as the fold in [[Portable.dot]]). */
   def dotF(a: ArrayData, b: ArrayData): Double = {

@@ -82,6 +82,30 @@ object NativeExpressions {
       copy(child = newChild)
   }
 
+  case class FingerprintExpr(child: Expression, k: Int, p: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_fingerprint"
+    override protected def nullSafeEval(input: Any): Any =
+      Native.fingerprint(input.asInstanceOf[UTF8String], k, p)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.Native.fingerprint($c, $k, $p)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  case class FoldHashExpr(child: Expression, seed: Long)
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_fold_hash"
+    override protected def nullSafeEval(input: Any): Any =
+      Native.foldHash(input.asInstanceOf[ArrayData], seed)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.Native.foldHash($c, ${seed}L)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   case class DotFExpr(left: Expression, right: Expression)
       extends BinaryExpression {
     override def dataType: DataType = DoubleType
@@ -106,4 +130,7 @@ object NativeExpressions {
   def lshBucket(v: Column, table: Int, planes: Int, seed: Long, dims: Int): Column =
     c(LshBucketExpr(e(v), table, planes, seed, dims))
   def dotF(a: Column, b: Column): Column = c(DotFExpr(e(a), e(b)))
+  def fingerprint(text: Column, k: Int, p: Int): Column =
+    c(FingerprintExpr(e(text), k, p))
+  def foldHash(xs: Column, seed: Long): Column = c(FoldHashExpr(e(xs), seed))
 }

@@ -194,7 +194,7 @@ object EventLogQueries {
         |FROM events GROUP BY user_id""".stripMargin,
     "q_props_json" ->
       """SELECT event_type,
-        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k,
         |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type""".stripMargin,

@@ -21,6 +21,13 @@ object RelationalQueries {
 
   private def dec(c: String) = col(c).cast("decimal(18,2)")
 
+  /** Final-result decimal → double. The exact decimal sum is computed
+    * identically by Spark and DuckDB; one correctly-rounded IEEE cast
+    * on the finished value keeps the driver's pandas-side hash stable
+    * (DuckDB DECIMAL→float64 vs parquet DECIMAL→`decimal.Decimal`
+    * otherwise diverge in dtype, not value). */
+  private def asDouble(c: String) = col(c).cast("double").as(c)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q1-style pricing summary: map-side partial agg, 6-group output.
     "q1_pricing_summary" -> { (s, dir) =>
@@ -32,6 +39,9 @@ object RelationalQueries {
           sum(dec("l_extendedprice")).as("sum_base_price"),
           sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount"))).as("sum_disc_price"),
           count(lit(1)).as("count_order"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          asDouble("sum_qty"), asDouble("sum_base_price"),
+          asDouble("sum_disc_price"), col("count_order"))
     },
 
     // Star-schema join: small dims broadcast, fact stays partitioned.
@@ -47,6 +57,7 @@ object RelationalQueries {
         .agg(
           sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount"))).as("revenue"),
           count(lit(1)).as("n_items"))
+        .select(col("n_name"), asDouble("revenue"), col("n_items"))
     },
 
     // Top-k with total ordering (revenue desc, custkey tiebreak).
@@ -58,6 +69,7 @@ object RelationalQueries {
         .agg(sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount"))).as("revenue"))
         .orderBy(col("revenue").desc, col("o_custkey").asc)
         .limit(10)
+        .select(col("o_custkey"), asDouble("revenue"))
     },
 
     // Set operations: distinct union minus intersection of two key sets.
@@ -95,6 +107,8 @@ object RelationalQueries {
       Tables(s, dir, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(sum(dec("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          asDouble("sum_qty"), col("n"))
     },
 
     // Cube: all grouping-set combinations.
@@ -102,22 +116,24 @@ object RelationalQueries {
       Tables(s, dir, "orders")
         .cube(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n"), sum(dec("o_totalprice")).as("total"))
+        .select(col("o_orderstatus"), col("o_orderpriority"),
+          col("n"), asDouble("total"))
     }
   )
 
   def oracle: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "q2_join_revenue_by_nation" ->
       """SELECT n_name,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS revenue,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
         |  count(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -125,13 +141,14 @@ object RelationalQueries {
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name""".stripMargin,
     "q3_topk_customers" ->
-      """SELECT o_custkey,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS revenue
-        |FROM lineitem
-        |JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY o_custkey
-        |ORDER BY revenue DESC, o_custkey ASC
-        |LIMIT 10""".stripMargin,
+      """SELECT o_custkey, CAST(revenue AS DOUBLE) AS revenue FROM (
+        |  SELECT o_custkey,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS revenue
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY o_custkey
+        |  ORDER BY revenue DESC, o_custkey ASC
+        |  LIMIT 10)""".stripMargin,
     "q4_set_ops" ->
       """WITH o AS (SELECT o_custkey AS custkey FROM orders),
         |c AS (SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 0)
@@ -152,12 +169,12 @@ object RelationalQueries {
         |GROUP BY c_nationkey""".stripMargin,
     "q7_rollup" ->
       """SELECT l_returnflag, l_linestatus,
-        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty, count(*) AS n
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, count(*) AS n
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
     "q8_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders
         |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin
   )

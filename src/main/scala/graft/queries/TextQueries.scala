@@ -45,12 +45,15 @@ object TextQueries {
         .groupBy("token").agg(count(lit(1)).as("n"))
     },
 
-    // Winnowing-style mod-p fingerprint sketch per document.
+    // Winnowing-style mod-p fingerprint sketch per document, reduced
+    // to scalars (sketch size + order-fold digest): the driver's
+    // comparator hashes cells pandas-side and cannot sort array cells.
     "q_text_fingerprint" -> { (s, dir) =>
+      val fp = TextOps.fingerprint(col("text"), k = 8, p = 8)
       Tables(s, dir, "documents").select(
         col("doc_id"),
-        TextOps.fingerprint(col("text"), k = 8, p = 8).as("fp"),
-        size(TextOps.fingerprint(col("text"), k = 8, p = 8)).cast("long").as("fp_size"))
+        size(fp).cast("long").as("fp_size"),
+        TextOps.fingerprintDigest(fp).as("fp_digest"))
     }
   )
 
@@ -100,11 +103,13 @@ object TextQueries {
     "q_text_fingerprint" -> {
       val fold = Portable.charHashSql("substr(text, i+1, 8)")
       s"""SELECT doc_id,
-         |  list_sort(list_distinct([h for h in
-         |    [$fold for i in generate_series(0, length(text)-8)] if h % 8 = 0])) AS fp,
-         |  CAST(len(list_distinct([h for h in
-         |    [$fold for i in generate_series(0, length(text)-8)] if h % 8 = 0])) AS BIGINT) AS fp_size
-         |FROM documents""".stripMargin
+         |  CAST(len(fp) AS BIGINT) AS fp_size,
+         |  list_reduce(list_prepend(CAST(7 AS BIGINT), fp),
+         |    (d,h) -> (d*${Portable.CharMul}+h) % ${Portable.P}) AS fp_digest
+         |FROM (
+         |  SELECT doc_id, list_sort(list_distinct([h for h in
+         |    [$fold for i in generate_series(0, length(text)-8)] if h % 8 = 0])) AS fp
+         |  FROM documents)""".stripMargin
     }
   )
 }

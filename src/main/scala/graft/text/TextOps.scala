@@ -3,7 +3,7 @@ package graft.text
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-import graft.functions.Portable
+import graft.functions.{NativeExpressions, Portable}
 
 /** Text-analysis operators for large-scale training-data pipelines:
   * tokenization, quality scoring, language ID, and document
@@ -104,11 +104,26 @@ object TextOps {
     * a sorted array of selected hashes (the document's fingerprint
     * sketch).
     */
-  def fingerprint(text: Column, k: Int = 8, p: Int = 8): Column = {
+  def fingerprint(text: Column, k: Int = 8, p: Int = 8): Column =
+    NativeExpressions.fingerprint(text, k, p)
+
+  /** Interpreted-HOF form of [[fingerprint]] — the executable
+    * specification the native rolling kernel is verified against
+    * (TextOpsSpec asserts bit-equality). O(len·k) lambda trees; do
+    * not use in hot paths.
+    */
+  def fingerprintSpec(text: Column, k: Int = 8, p: Int = 8): Column = {
     val n = length(text)
     val hashes = when(n < k, array().cast("array<bigint>"))
       .otherwise(transform(sequence(lit(0), n - k),
         i => Portable.charHash(text.substr(i + lit(1), lit(k)))))
     array_sort(array_distinct(filter(hashes, h => h % p === 0)))
   }
+
+  /** Scalar digest of a fingerprint sketch: order-sensitive fold
+    * (d*131 + h) % P over the sorted hashes, seed 7 — one BIGINT the
+    * driver's comparator can hash (its pandas sorter cannot handle
+    * array cells). */
+  def fingerprintDigest(fp: Column): Column =
+    NativeExpressions.foldHash(fp, 7L)
 }
