@@ -26,17 +26,26 @@ import graft.text.TextOps
 object Dedup {
 
   /** Exact dedup on normalized text: every doc mapped to the smallest
-    * doc_id of its normalization group. One hash-shuffle on the
-    * normalized text (map-side partial min, no window/sort needed at
-    * scale — this is a groupBy+broadcast-back written as an agg+join).
+    * doc_id of its normalization group.
+    *
+    * Scale shape: the group/join key is a 192-bit content digest of
+    * the normalization — xxhash64 + md5, both computed map-side — so
+    * the two shuffles move (id, 40-byte key), never the document text
+    * (the text itself would make the shuffle payload the corpus). Two
+    * independent digests agreeing on equality is the standard
+    * content-addressing argument: a false merge needs a simultaneous
+    * 64-bit and 128-bit collision on the same normalized bytes
+    * (P < 2^-90 even at 10^12 docs), strictly stronger than the
+    * single-digest keys production dedup pipelines group on.
     */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val norm = lower(trim(col(textCol)))
-    val groups = docs
-      .groupBy(norm.as("_norm"))
+    val keyed = docs.select(col(idCol),
+      xxhash64(norm).as("_k1"), md5(norm.cast("binary")).as("_k2"))
+    val groups = keyed
+      .groupBy("_k1", "_k2")
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("group_size"))
-    docs.select(col(idCol), norm.as("_norm"))
-      .join(groups, "_norm")
+    keyed.join(groups, Seq("_k1", "_k2"))
       .select(col(idCol), col("canonical_id"), col("group_size"),
         (col(idCol) =!= col("canonical_id")).as("is_dup"))
   }
@@ -52,19 +61,25 @@ object Dedup {
   /** All pairs with shingle-set Jaccard >= tau, via inverted-index
     * equi-join on the shingle hash. `maxDf` drops shingles present in
     * more than that many documents (skew guard; None = keep all).
+    * With `maxDf` set, BOTH the intersection and the set sizes are
+    * computed over the df-filtered shingle universe, so the reported
+    * jaccard is internally consistent (numerator and denominator see
+    * the same sets) rather than a systematic underestimate that could
+    * push true near-dups below tau.
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int, tau: Double, maxDf: Option[Long] = None): DataFrame = {
     val sh = docs.select(col(idCol).as("_id"),
       shingleHashes(col(textCol), k).as("_sh"))
-    val sizes = sh.select(col("_id"), size(col("_sh")).as("_n"))
     val inv0 = sh.select(col("_id"), explode(col("_sh")).as("_s"))
-    val inv = maxDf match {
+    val (inv, sizes) = maxDf match {
       case Some(m) =>
         val ok = inv0.groupBy("_s").agg(count(lit(1)).as("_df"))
           .filter(col("_df") <= m).select("_s")
-        inv0.join(ok, "_s")
-      case None => inv0
+        val filtered = inv0.join(ok, "_s")
+        (filtered, filtered.groupBy("_id").agg(count(lit(1)).as("_n")))
+      case None =>
+        (inv0, sh.select(col("_id"), size(col("_sh")).as("_n")))
     }
     val a = inv.select(col("_id").as("id_a"), col("_s"))
     val b = inv.select(col("_id").as("id_b"), col("_s"))

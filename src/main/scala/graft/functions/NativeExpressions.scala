@@ -82,6 +82,18 @@ object NativeExpressions {
       copy(child = newChild)
   }
 
+  case class CharHashExpr(child: Expression, seed: Long)
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_char_hash"
+    override protected def nullSafeEval(input: Any): Any =
+      Native.charHash(input.asInstanceOf[UTF8String], seed)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.Native.charHash($c, ${seed}L)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   case class FingerprintExpr(child: Expression, k: Int, p: Int)
       extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -133,4 +145,5 @@ object NativeExpressions {
   def fingerprint(text: Column, k: Int, p: Int): Column =
     c(FingerprintExpr(e(text), k, p))
   def foldHash(xs: Column, seed: Long): Column = c(FoldHashExpr(e(xs), seed))
+  def charHash(s: Column, seed: Long): Column = c(CharHashExpr(e(s), seed))
 }

@@ -52,10 +52,32 @@ object Split {
   def oracleTrainPredicate(caseCol: String, trainPermille: Int, seed: Long): String =
     s"${oracleBucketSql(caseCol, seed)} < $trainPermille"
 
+  /** Numeric view of the case key for [[bucket]]. [[bucket]]'s `pmod`
+    * silently casts a non-numeric column to double → NULL → the row
+    * would vanish from BOTH branches (total silent data loss, against
+    * the every-trace-in-exactly-one-branch contract). So: numeric keys
+    * pass through; string keys (e.g. XES `concept:name` ids) route
+    * through the deterministic charHash (seed 7 — the same key
+    * FlowRunner derives, and replicable in an oracle via
+    * `Portable.charHashSql(col)` substituted into [[oracleBucketSql]]);
+    * anything else fails fast.
+    */
+  private[graft] def keyColumn(events: DataFrame, caseCol: String): Column = {
+    import org.apache.spark.sql.types.{NumericType, StringType}
+    events.schema(caseCol).dataType match {
+      case _: NumericType => col(caseCol)
+      case StringType => graft.functions.NativeExpressions.charHash(col(caseCol), 7L)
+      case dt => throw new IllegalArgumentException(
+        s"Split: case column '$caseCol' has unsupported type $dt — " +
+          "use a numeric or string key")
+    }
+  }
+
   /** Adds a deterministic `is_train` flag at case granularity. */
   def assign(events: DataFrame, caseCol: String, trainPermille: Int,
       seed: Long): DataFrame =
-    events.withColumn("is_train", bucket(col(caseCol), seed) < lit(trainPermille))
+    events.withColumn("is_train",
+      bucket(keyColumn(events, caseCol), seed) < lit(trainPermille))
 
   /** The `Split` operator proper: (train, test) DataFrames. Both are
     * lazy views over the same scan — cache upstream if both sides are

@@ -88,24 +88,19 @@ object EventLogQueries {
     },
 
     // Funnel range join: per purchase event, clicks by the same user in
-    // the prior 24h — equi-join on the case key plus a time-range
-    // predicate (the interval-predicate surface of §2.6 as a join
-    // condition; shuffle partitions by user, range filter is local).
+    // the prior 24h. Join key is (user, day-bucket) — see Funnel
+    // scaladoc — so a hot user's blowup is bounded per bucket, not
+    // quadratic in their whole history.
     "q_funnel" -> { (s, dir) =>
       val ev = Tables(s, dir, "events")
       val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("event_id").as("purchase_id"),
-          col("ts").as("p_ts"))
+        .select(col("user_id"), col("event_id").as("purchase_id"), col("ts"))
       val clicks = ev.filter(col("event_type") === "click")
-        .select(col("user_id"), col("ts").as("c_ts"))
-      purchases.join(clicks, Seq("user_id"), "left")
-        .withColumn("_hit",
-          when(col("c_ts").isNotNull &&
-            col("c_ts") < col("p_ts") &&
-            unix_micros(col("p_ts")) - unix_micros(col("c_ts")) <= 86400000000L,
-            lit(1L)).otherwise(lit(0L)))
-        .groupBy("user_id", "purchase_id")
-        .agg(sum("_hit").as("n_prior_clicks"))
+        .select(col("user_id"), col("ts"))
+      graft.ops.Funnel.priorCounts(purchases, clicks,
+          caseCol = "user_id", idCol = "purchase_id", tsCol = "ts",
+          windowUs = 86400000000L)
+        .withColumnRenamed("n_prior", "n_prior_clicks")
     },
 
     // Batch sessionization: split each user's stream on 12h inactivity

@@ -34,7 +34,6 @@ object Profile {
         .as(Seq("_band", "_bh")))
     t("banded")(banded.count())
 
-    val a = banded.select(col("id_a").as("id_a"), col("_band"), col("_bh"))
     val cand = banded.select(col("_id").as("id_a"), col("_band"), col("_bh"))
       .join(banded.select(col("_id").as("id_b"), col("_band"), col("_bh")),
         Seq("_band", "_bh"))

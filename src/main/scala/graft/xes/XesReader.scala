@@ -97,12 +97,13 @@ object XesReader {
     spark.readStream
       .option("wholetext", "true")
       .text(dir)
-      .as[String]
-      .flatMap { xml =>
-        // file name is unavailable through the text source value; tag
-        // by content hash for uniqueness
-        val name = s"stream-${Integer.toHexString(xml.hashCode)}"
-        XesParser.parseString(name, xml).events
+      .select(col("value"), col("_metadata").getField("file_path").as("_path"))
+      .as[(String, String)]
+      .flatMap { case (xml, p) =>
+        // real file name via the hidden _metadata column — a content
+        // hash would conflate two identical (or colliding) files into
+        // one (file, traceIdx) key space and silently merge their logs
+        XesParser.parseString(shortName(p), xml).events
       }
   }
 

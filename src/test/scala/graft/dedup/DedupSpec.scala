@@ -1,0 +1,44 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Dedup unit specs complementing the driver oracles: the maxDf skew
+  * guard must stay internally consistent, and exact dedup's hashed
+  * group key must reproduce the full-text grouping.
+  */
+class DedupSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("jaccardPairs maxDf: sizes come from the filtered universe (identical docs stay at 1.0)") {
+    val near = "alpha beta gamma delta epsilon zeta eta theta"
+    // 10 fillers all share the hot prefix shingle "alpha beta gamma"
+    val docs = (Seq((1L, near), (2L, near)) ++
+      (3L to 12L).map(i => (i, s"alpha beta gamma filler$i only$i here$i")))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", k = 3,
+        tau = 0.9, maxDf = Some(5L))
+      .as[(Long, Long, Double)].collect()
+    // the identical pair must survive at exactly 1.0: its hot shingle
+    // is dropped from BOTH numerator and denominator
+    assert(pairs.exists { case (a, b, j) => a == 1L && b == 2L && j == 1.0 })
+  }
+
+  test("exact dedup on hashed keys == grouping by normalized text") {
+    val docs = Seq(
+      (1L, "Hello World"), (2L, "  hello world  "), (3L, "HELLO WORLD"),
+      (4L, "different"), (5L, "Different"), (6L, "unique doc")
+    ).toDF("doc_id", "text")
+    val got = Dedup.exact(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got(1L) == ((1L, 3L, false)))
+    assert(got(2L) == ((1L, 3L, true)))
+    assert(got(3L) == ((1L, 3L, true)))
+    assert(got(4L) == ((4L, 2L, false)))
+    assert(got(5L) == ((4L, 2L, true)))
+    assert(got(6L) == ((6L, 1L, false)))
+  }
+}

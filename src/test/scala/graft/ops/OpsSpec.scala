@@ -35,6 +35,23 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("split: string case ids (XES concept:name) — no silent loss, case granularity") {
+    // regression: pmod on a non-numeric key cast to double → NULL →
+    // rows silently vanished from BOTH branches.
+    val events = (1 to 500).flatMap(c => (0 until 3).map(i => (s"Case$c.0", i)))
+      .toDF("case_id", "i")
+    val (train, test) = Split.split(events, "case_id", 600, seed = 11)
+    assert(train.count() + test.count() == 1500L)
+    val both = train.select("case_id").distinct()
+      .join(test.select("case_id").distinct(), "case_id")
+    assert(both.count() == 0L)
+    val ratio = train.select("case_id").distinct().count().toDouble / 500.0
+    assert(math.abs(ratio - 0.6) < 0.1)
+    // unsupported key type fails fast instead of silently dropping
+    val bad = Seq((Array[Byte](1), 1)).toDF("case_id", "i")
+    intercept[IllegalArgumentException] { Split.assign(bad, "case_id", 500, 1) }
+  }
+
   test("split: deterministic across partitionings") {
     val one = Split.assign((1L to 1000L).toDF("c").repartition(1), "c", 500, 9)
       .filter(col("is_train")).select("c").as[Long].collect().toSet

@@ -86,6 +86,11 @@ class StreamingSpec extends SparkSpec {
       java.nio.file.Files.copy(book.resolve("L3.xes"), dir.resolve("L3.xes"))
       query.processAllAvailable()
       assert(spark.table("xes_stream").count() == 23L + 39L) // + L3
+      // events carry the REAL file name (batch-reader contract), not a
+      // content-hash tag that would conflate identical files
+      val files = spark.table("xes_stream").select("file")
+        .distinct().as[String].collect().toSet
+      assert(files == Set("L1.xes", "L3.xes"))
     } finally query.stop()
   }
 
