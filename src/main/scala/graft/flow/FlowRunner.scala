@@ -17,9 +17,12 @@ import FlowSpec._
   * §3.3): named streams become handles in a registry, pipes run in
   * dependency order, and Spark's scheduler provides the parallelism.
   *
-  * Built-in segments (default plugin registry, plugin.rs:354-371):
-  * XesReader, XesWriter, Void, Repair, Validator, Statistics,
-  * Sample, Split, Sender/Receiver (named streams).
+  * Built-in segments (default plugin registry, plugin.rs:354-371 —
+  * all ten): XesReader, XesWriter, Void, Duplicator, Repair,
+  * Validator, Statistics, Sample, Split, Sender/Receiver (named
+  * streams). Segments may also declare `artifact_receiver` channels
+  * (segment.rs:35-102); the runner holds the pipe until those
+  * artifacts exist and hands them to the segment.
   *
   * A stream value is an [[XesReader.XLog]]; artifacts land in
   * [[FlowResult.artifacts]] keyed by channel name.
@@ -36,22 +39,40 @@ object FlowRunner {
   def runJson(spark: SparkSession, json: String): FlowResult =
     run(spark, FlowSpec.parseJson(json))
 
+  def runYaml(spark: SparkSession, yaml: String): FlowResult =
+    run(spark, FlowSpec.parseYaml(yaml))
+
+  def runFile(spark: SparkSession, path: String): FlowResult =
+    run(spark, FlowSpec.parseFile(path))
+
+  private def allSegments(p: Pipe): Seq[Segment] =
+    (p.source +: p.streams) ++ p.sink.toSeq
+
   def run(spark: SparkSession, flow: Flow): FlowResult = {
     var artifacts = Map.empty[String, Any]
     var namedStreams = Map.empty[String, XesReader.XLog]
 
-    // Dependency order: run pipes whose stream receivers are all
-    // available; a cycle or missing channel fails (graph.rs:149-152).
+    // Dependency order: run pipes whose stream receivers AND artifact
+    // receivers are all available (the reference acquires artifact
+    // channels before building segments, pipe.rs:100-131 /
+    // segment.rs:35-102); a cycle or missing channel fails
+    // (graph.rs:149-152).
     var pending = flow.pipes
     while (pending.nonEmpty) {
-      val (ready, blocked) = pending.partition(p =>
-        p.source.streamReceiver.forall(namedStreams.contains))
-      if (ready.isEmpty)
+      val (ready, blocked) = pending.partition { p =>
+        p.source.streamReceiver.forall(namedStreams.contains) &&
+          allSegments(p).flatMap(_.artifactReceiver).forall(artifacts.contains)
+      }
+      if (ready.isEmpty) {
+        val waits = blocked.flatMap(p =>
+          p.source.streamReceiver.filterNot(namedStreams.contains) ++
+            allSegments(p).flatMap(_.artifactReceiver).filterNot(artifacts.contains))
         throw new IllegalStateException(
           s"flow deadlock: pipes ${blocked.map(_.name).mkString(", ")} wait on " +
-            s"channels ${blocked.flatMap(_.source.streamReceiver).mkString(", ")}")
+            s"channels ${waits.distinct.mkString(", ")}")
+      }
       ready.foreach { pipe =>
-        val (arts, streams) = runPipe(spark, pipe, namedStreams)
+        val (arts, streams) = runPipe(spark, pipe, namedStreams, artifacts)
         artifacts ++= arts
         namedStreams ++= streams
       }
@@ -61,7 +82,7 @@ object FlowRunner {
   }
 
   private def runPipe(spark: SparkSession, pipe: Pipe,
-      named: Map[String, XesReader.XLog])
+      named: Map[String, XesReader.XLog], globalArtifacts: Map[String, Any])
       : (Map[String, Any], Map[String, XesReader.XLog]) = {
     var artifacts = Map.empty[String, Any]
     var streams = Map.empty[String, XesReader.XLog]
@@ -77,7 +98,8 @@ object FlowRunner {
     }
 
     (pipe.streams ++ pipe.sink.toSeq).zipWithIndex.foreach { case (seg, i) =>
-      current = applySegment(spark, seg, i, current,
+      val received = seg.artifactReceiver.map(ch => ch -> globalArtifacts(ch)).toMap
+      current = applySegment(spark, seg, i, current, received,
         a => artifacts ++= a, s => streams ++= s)
     }
     (artifacts, streams)
@@ -99,12 +121,23 @@ object FlowRunner {
           concat(lit("e"), col("seq"))))), seed)
 
   private def applySegment(spark: SparkSession, seg: Segment, segIndex: Int,
-      in: XesReader.XLog,
+      in: XesReader.XLog, received: Map[String, Any],
       emitArtifacts: Map[String, Any] => Unit,
       emitStreams: Map[String, XesReader.XLog] => Unit): XesReader.XLog = {
     import spark.implicits._
     seg.name match {
       case "Void" => in
+
+      case "Duplicator" =>
+        // duplicator.rs:12-92 (default registry, plugin.rs:354-371):
+        // forward the stream unchanged while an exact copy goes to the
+        // sink acquired from the named channel. Lazy-plan world: the
+        // copy IS the same plan; cache at the fan-out so the two
+        // consumers share one parse (the Buffer subsumption, SURVEY
+        // §7.5).
+        val shared = in.copy(traces = in.traces.cache(), events = in.events.cache())
+        seg.streamSender.foreach(ch => emitStreams(Map(ch -> shared)))
+        shared
 
       case "Repair" =>
         in.copy(metas = in.metas.map(repairMeta))
@@ -121,10 +154,12 @@ object FlowRunner {
         in
 
       case "Statistics" =>
-        val nTraces = in.traces.count()
-        val inTraces = in.events.filter(_.traceIdx.isDefined).count()
-        val total = in.events.count()
-        val stats = Statistics(nTraces, inTraces, total)
+        // one aggregation job over the events (total + in-trace counts
+        // partial-agg'd in the same pass) plus the cheap trace-table
+        // count — not three full scans of the data.
+        val row = in.events.toDF().agg(
+          count(lit(1)).as("total"), count(col("traceIdx")).as("inTraces")).head()
+        val stats = Statistics(in.traces.count(), row.getLong(1), row.getLong(0))
         seg.artifactSender.foreach(ch => emitArtifacts(Map(ch -> stats)))
         in
 
@@ -148,18 +183,27 @@ object FlowRunner {
 
       case "XesWriter" =>
         val path = seg.attributes("path").toString
-        val xmls = XesWriter.toXmlStrings(spark, in).collect()
+        // indent attribute (xes.rs:799-856): n tabs per level. The
+        // reference defaults to 0 AND drops newlines (quick-xml
+        // single-line mode); our renderer always keeps newlines, so we
+        // default to 1 tab and map indent=0 to flush-left.
+        val indent = long(seg.attributes.getOrElse("indent", 1L)).toInt
+        val tab = "\t" * indent
         val out = new java.io.File(path)
-        Option(out.getParentFile).foreach(_.mkdirs())
-        // one input log → that file; many → suffixed
-        xmls match {
-          case Array((_, xml)) =>
-            java.nio.file.Files.writeString(out.toPath, xml)
-          case many =>
-            many.foreach { case (f, xml) =>
-              java.nio.file.Files.writeString(
-                new java.io.File(out, f).toPath, xml)
-            }
+        // layout decided from the (small, driver-side) meta list: one
+        // input log → `path` is the file; many → `path` is a directory
+        val single = in.metas.size <= 1
+        if (single) Option(out.getParentFile).foreach(_.mkdirs())
+        else out.mkdirs()
+        val target = out.getAbsolutePath
+        // rendered logs are written FROM THE EXECUTORS that hold them —
+        // collecting every rendered XML to the driver is an OOM for any
+        // log set that doesn't fit driver memory
+        XesWriter.toXmlStrings(spark, in, tab).foreach { kv: (String, String) =>
+          val file = if (single) new java.io.File(target)
+                     else new java.io.File(target, kv._1)
+          java.nio.file.Files.writeString(file.toPath, kv._2)
+          ()
         }
         in
 
@@ -195,20 +239,16 @@ object FlowRunner {
     case s => s.toString.toLong
   }
 
-  private def repairMeta(m: XesMeta): XesMeta = {
-    val ncName = "^[A-Za-z_][A-Za-z0-9._\\-]*$".r
+  private def repairMeta(m: XesMeta): XesMeta =
     m.copy(classifiers = m.classifiers.map { c =>
-      if (ncName.findFirstIn(c.name).isEmpty)
+      if (!graft.xes.XmlLexical.isNcName(c.name))
         c.copy(name = c.name.replaceAll("\\s", ""))
       else c
     })
-  }
 
-  private def validateMeta(m: XesMeta): Seq[String] = {
-    val ncName = "^[A-Za-z_][A-Za-z0-9._\\-]*$".r
+  private def validateMeta(m: XesMeta): Seq[String] =
     m.classifiers.collect {
-      case c if ncName.findFirstIn(c.name).isEmpty =>
+      case c if !graft.xes.XmlLexical.isNcName(c.name) =>
         s"classifier name '${c.name}' is no valid xs:NCName"
     }
-  }
 }

@@ -1,17 +1,21 @@
 package graft.flow
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.dataformat.yaml.YAMLFactory
 
 import scala.jdk.CollectionConverters._
 
 /** Declarative pipeline spec — schema-compatible with the reference's
   * serialized flow graphs (`/root/reference/static/flow/flow.json`,
-  * `flow/graph.rs:16-226`): a list of pipes, each one source segment +
-  * N stream segments + an optional sink, wired together by named
-  * stream/artifact channels.
+  * `flow.yml`, `flow/graph.rs:16-226`): a list of pipes, each one
+  * source segment + N stream segments + an optional sink, wired
+  * together by named stream/artifact channels (senders AND receivers,
+  * `flow/segment.rs:35-102`).
   *
   * Attribute values use the reference's typed-wrapper encoding:
-  * `{"path": {"String": "…"}, "ratio": {"Float": 0.1}}`.
+  * `{"path": {"String": "…"}, "ratio": {"Float": 0.1}}`. YAML specs
+  * parse through the same node tree (jackson-dataformat-yaml ships
+  * with Spark), so `flow.yml` and `flow.json` are interchangeable.
   */
 object FlowSpec {
 
@@ -19,6 +23,7 @@ object FlowSpec {
     name: String,
     attributes: Map[String, Any] = Map.empty,
     artifactSender: Seq[String] = Nil,
+    artifactReceiver: Seq[String] = Nil,
     streamSender: Seq[String] = Nil,
     streamReceiver: Seq[String] = Nil)
 
@@ -30,11 +35,23 @@ object FlowSpec {
 
   case class Flow(pipes: Seq[Pipe])
 
-  def parseJson(json: String): Flow = {
-    val root = new ObjectMapper().readTree(json)
+  def parseJson(json: String): Flow =
+    fromTree(new ObjectMapper().readTree(json))
+
+  def parseYaml(yaml: String): Flow =
+    fromTree(new ObjectMapper(new YAMLFactory()).readTree(yaml))
+
+  /** Parses a spec file, dispatching on extension (.yml/.yaml vs json). */
+  def parseFile(path: String): Flow = {
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
+    if (path.endsWith(".yml") || path.endsWith(".yaml")) parseYaml(text)
+    else parseJson(text)
+  }
+
+  private def fromTree(root: JsonNode): Flow =
     Flow(opt(root, "pipes").map(_.elements().asScala.map(parsePipe).toSeq)
       .getOrElse(Nil))
-  }
 
   private def opt(n: JsonNode, field: String): Option[JsonNode] =
     Option(n.get(field)).filterNot(_.isNull)
@@ -50,6 +67,7 @@ object FlowSpec {
     name = n.get("name").asText,
     attributes = opt(n, "attributes").map(parseAttributes).getOrElse(Map.empty),
     artifactSender = strings(n, "artifact_sender"),
+    artifactReceiver = strings(n, "artifact_receiver"),
     streamSender = strings(n, "stream_sender"),
     streamReceiver = strings(n, "stream_receiver"))
 

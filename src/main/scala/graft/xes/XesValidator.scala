@@ -41,8 +41,6 @@ import XesModel._
   */
 object XesValidator {
 
-  /** xs:NCName: a Name without colons. */
-  private val NCName = "^[A-Za-z_][A-Za-z0-9._\\-]*$".r
   private val Uuid =
     "^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$".r
 
@@ -53,9 +51,10 @@ object XesValidator {
     val declaredPrefixes = meta.extensions.map(_.prefix).toSet
     val globalKeys = meta.globals.flatMap(_.attrs.map(_.key)).toSet
 
-    // R1 — classifier names NCName
+    // R1 — classifier names NCName (full W3C tables via XmlLexical —
+    // a legal non-ASCII name like 'Überweisung' must pass)
     meta.classifiers.foreach { c =>
-      if (NCName.findFirstIn(c.name).isEmpty)
+      if (!XmlLexical.isNcName(c.name))
         v += s"classifier name '${c.name}' is no valid xs:NCName"
     }
 
@@ -161,7 +160,7 @@ object XesValidator {
     * repaired log. */
   def repair(log: ParsedLog): ParsedLog = {
     val fixed = log.meta.classifiers.map { c =>
-      if (NCName.findFirstIn(c.name).isEmpty)
+      if (!XmlLexical.isNcName(c.name))
         c.copy(name = c.name.replaceAll("\\s", ""))
       else c
     }

@@ -78,4 +78,145 @@ class FlowRunnerSpec extends SparkSpec {
         |  "stream_receiver": ["never"]}, "streams": []}]}""".stripMargin
     assertThrows[IllegalStateException](FlowRunner.runJson(spark, bad))
   }
+
+  test("the reference's flow.yml executes verbatim (YAML spec surface)") {
+    val tmp = Files.createTempDirectory("flowyml").toString
+    // the reference spec verbatim, with its relative corpus path and
+    // /tmp sinks anchored for the test environment — structure,
+    // segments, channels, and the indent attribute untouched
+    val yml = new String(Files.readAllBytes(
+        java.nio.file.Paths.get("/root/reference/static/flow/flow.yml")))
+      .replace("static/xes/book/bigger-example.xes",
+        "/root/reference/static/xes/book/bigger-example.xes")
+      .replace("/tmp/train.xes", s"$tmp/train.xes")
+      .replace("/tmp/test.xes", s"$tmp/test.xes")
+    val result = FlowRunner.runYaml(spark, yml)
+    val raw = result.artifacts("raw_stats").asInstanceOf[FlowRunner.Statistics]
+    assert(raw.counts == Seq(1391L, 7539L, 7539L))
+    val train = result.artifacts("train_stats").asInstanceOf[FlowRunner.Statistics]
+    val test = result.artifacts("test_stats").asInstanceOf[FlowRunner.Statistics]
+    val trainLog = XesParser.parse("train.xes",
+      Files.readAllBytes(java.nio.file.Paths.get(s"$tmp/train.xes")))
+    assert(trainLog.counts == train.counts)
+    val testLog = XesParser.parse("test.xes",
+      Files.readAllBytes(java.nio.file.Paths.get(s"$tmp/test.xes")))
+    assert(testLog.counts == test.counts)
+  }
+
+  test("Duplicator fan-out: copy channel sees the identical stream (duplicator.rs:12-92)") {
+    val flow =
+      """pipes:
+        |  - name: Main
+        |    source:
+        |      name: XesReader
+        |      attributes:
+        |        path:
+        |          String: /root/reference/static/xes/book/L1.xes
+        |    streams:
+        |      - name: Duplicator
+        |        stream_sender:
+        |          - copy
+        |      - name: Statistics
+        |        artifact_sender:
+        |          - orig_stats
+        |  - name: Copy
+        |    source:
+        |      name: Receiver
+        |      stream_receiver:
+        |        - copy
+        |    streams:
+        |      - name: Statistics
+        |        artifact_sender:
+        |          - copy_stats
+        |""".stripMargin
+    val result = FlowRunner.runYaml(spark, flow)
+    val orig = result.artifacts("orig_stats").asInstanceOf[FlowRunner.Statistics]
+    val copy = result.artifacts("copy_stats").asInstanceOf[FlowRunner.Statistics]
+    assert(orig.counts == Seq(6L, 23L, 23L))
+    assert(copy.counts == orig.counts)
+  }
+
+  test("artifact receivers gate pipe scheduling (segment.rs:35-102, pipe.rs:119-131)") {
+    // consumer pipe listed FIRST: it must wait for the producer pipe's
+    // raw_stats artifact, not deadlock or run early
+    val flow =
+      """{"pipes": [
+        |  {"name": "Consumer",
+        |   "source": {"name": "XesReader", "attributes":
+        |     {"path": {"String": "/root/reference/static/xes/book/L2.xes"}}},
+        |   "streams": [{"name": "Void", "artifact_receiver": ["stats_a"]},
+        |               {"name": "Statistics", "artifact_sender": ["stats_b"]}]},
+        |  {"name": "Producer",
+        |   "source": {"name": "XesReader", "attributes":
+        |     {"path": {"String": "/root/reference/static/xes/book/L1.xes"}}},
+        |   "streams": [{"name": "Statistics", "artifact_sender": ["stats_a"]}]}
+        |]}""".stripMargin
+    val result = FlowRunner.runJson(spark, flow)
+    assert(result.artifacts("stats_a").asInstanceOf[FlowRunner.Statistics]
+      .counts == Seq(6L, 23L, 23L))
+    assert(result.artifacts("stats_b").asInstanceOf[FlowRunner.Statistics]
+      .counts == Seq(13L, 80L, 80L))
+
+    // a receiver on a channel nobody produces is a detected deadlock
+    val bad =
+      """{"pipes": [{"name": "P",
+        |  "source": {"name": "XesReader", "attributes":
+        |    {"path": {"String": "/root/reference/static/xes/book/L1.xes"}}},
+        |  "streams": [{"name": "Void", "artifact_receiver": ["ghost"]}]}]}""".stripMargin
+    val e = intercept[IllegalStateException](FlowRunner.runJson(spark, bad))
+    assert(e.getMessage.contains("ghost"))
+  }
+
+  test("XesWriter sink: multi-log directory layout + executor-side write") {
+    val tmp = Files.createTempDirectory("floww").toString
+    val flow =
+      s"""{"pipes": [{"name": "W",
+         |  "source": {"name": "XesReader", "attributes":
+         |    {"path": {"String": "/root/reference/static/xes/book/*.xes"}}},
+         |  "sink": {"name": "XesWriter", "attributes":
+         |    {"path": {"String": "$tmp/out"}}}}]}""".stripMargin
+    FlowRunner.runJson(spark, flow)
+    val written = new java.io.File(s"$tmp/out").listFiles()
+      .filter(_.getName.endsWith(".xes")).sortBy(_.getName)
+    assert(written.length == 13) // regression: out dir was never mkdirs()'d
+    val l1 = XesParser.parse("L1.xes",
+      Files.readAllBytes(written.find(_.getName == "L1.xes").get.toPath))
+    assert(l1.counts == Seq(6L, 23L, 23L))
+  }
+
+  test("XesWriter indent attribute: flush-left output still re-parses identically") {
+    val tmp = Files.createTempDirectory("flowi").toString
+    val flow =
+      s"""{"pipes": [{"name": "I",
+         |  "source": {"name": "XesReader", "attributes":
+         |    {"path": {"String": "/root/reference/static/xes/book/L1.xes"}}},
+         |  "sink": {"name": "XesWriter", "attributes":
+         |    {"path": {"String": "$tmp/flat.xes"}, "indent": {"Int": 0}}}}]}""".stripMargin
+    FlowRunner.runJson(spark, flow)
+    val text = new String(Files.readAllBytes(java.nio.file.Paths.get(s"$tmp/flat.xes")))
+    assert(!text.contains("\t<event>")) // flush-left, no indentation
+    val log = XesParser.parse("flat.xes", text.getBytes)
+    assert(log.counts == Seq(6L, 23L, 23L))
+  }
+
+  test("Statistics segment runs one aggregation job over events, not three scans") {
+    val flow =
+      """{"pipes": [{"name": "S",
+        |  "source": {"name": "XesReader", "attributes":
+        |    {"path": {"String": "/root/reference/static/xes/book/L1.xes"}}},
+        |  "streams": [{"name": "Statistics", "artifact_sender": ["s"]}]}]}""".stripMargin
+    spark.sparkContext.setJobGroup("stats-flow", "job-count assertion", false)
+    try FlowRunner.runJson(spark, flow)
+    finally spark.sparkContext.clearJobGroup()
+    // the status store is fed asynchronously — poll until stable
+    def count() = spark.sparkContext.statusTracker
+      .getJobIdsForGroup("stats-flow").length
+    var (n, prev) = (count(), -1)
+    while (n != prev) { Thread.sleep(300); prev = n; n = count() }
+    // three actions total — metas collect (1 job) + ONE events agg +
+    // traces count (≤2 jobs each under AQE) ⇒ ≤5; the old Statistics
+    // ran separate events.count + filtered count + traces.count
+    // actions ⇒ ≥7 jobs on the same flow
+    assert(n <= 5 && n > 0, s"expected 1..5 jobs, saw $n")
+  }
 }
