@@ -28,10 +28,11 @@ object Dedup {
   /** Exact dedup on normalized text: every doc mapped to the smallest
     * doc_id of its normalization group.
     *
-    * Scale shape: the group/join key is a 192-bit content digest of
-    * the normalization — xxhash64 + md5, both computed map-side — so
-    * the two shuffles move (id, 40-byte key), never the document text
-    * (the text itself would make the shuffle payload the corpus). Two
+    * Scale shape: ONE shuffle of (id, 40-byte content digest) — the
+    * group key is xxhash64 + md5 of the normalization, both computed
+    * map-side, and group members come back from a `collect_list` +
+    * explode on the aggregate itself (ids only), so neither the
+    * document text nor a second key shuffle ever moves. Two
     * independent digests agreeing on equality is the standard
     * content-addressing argument: a false merge needs a simultaneous
     * 64-bit and 128-bit collision on the same normalized bytes
@@ -40,14 +41,15 @@ object Dedup {
     */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val norm = lower(trim(col(textCol)))
-    val keyed = docs.select(col(idCol),
-      xxhash64(norm).as("_k1"), md5(norm.cast("binary")).as("_k2"))
-    val groups = keyed
+    docs
+      .select(col(idCol),
+        xxhash64(norm).as("_k1"), md5(norm.cast("binary")).as("_k2"))
       .groupBy("_k1", "_k2")
-      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("group_size"))
-    keyed.join(groups, Seq("_k1", "_k2"))
-      .select(col(idCol), col("canonical_id"), col("group_size"),
-        (col(idCol) =!= col("canonical_id")).as("is_dup"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("group_size"),
+        collect_list(col(idCol)).as("_ids"))
+      .select(explode(col("_ids")).as(idCol), col("canonical_id"),
+        col("group_size"))
+      .withColumn("is_dup", col(idCol) =!= col("canonical_id"))
   }
 
   /** Distinct hashed word-k-gram shingles per document (the sketch all

@@ -1,18 +1,17 @@
 package graft.multimodal
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
-import org.apache.spark.sql.functions._
 
 /** Multimodal columns for training-data pipelines: image/audio/video
   * as opaque `binary` columns + a typed metadata struct, with
-  * decode / feature-extract / frame-sample operators.
+  * decode / feature-extract / resize / frame-sample operators.
   *
-  * The Spark-side plumbing is real and tested — schema, partition/batch
-  * shape, operator signatures, deterministic outputs. The actual codec
-  * calls are STUBBED behind [[Codec]] (no image/audio libraries in this
-  * environment): `decode` produces a deterministic fake raster derived
-  * from the bytes. Swapping in a real codec (JNI/javacv/etc.) changes
-  * ONE function, not the pipeline.
+  * The codec is REAL for Netpbm rasters ([[Ppm]]: binary PGM/PPM
+  * decode, nearest-neighbor resize, luma conversion, concatenated-
+  * frame video walking — pure JVM, no external libraries). Any other
+  * container falls back to a deterministic byte-summary path, clearly
+  * marked in [[Codec.decode]]; adding JPEG/PNG later swaps that one
+  * function, not the pipeline.
   *
   * Scale shape: all operators are `mapPartitions` over the binary
   * column — embarrassingly parallel, no shuffle; heavy rows are
@@ -29,48 +28,68 @@ object Multimodal {
   case class MediaRow(mediaId: Long, kind: String, content: Array[Byte],
     meta: MediaMeta)
 
-  /** Decoded raster summary (what a real decoder would hand to feature
-    * extraction; `pixels` stays OFF this row — only per-batch summaries
-    * leave the decode stage, the full raster lives only inside the
-    * partition iterator). */
+  /** Decoded raster summary (the full raster lives only inside the
+    * partition iterator; only per-row summaries leave the decode
+    * stage). `decoded` = a real codec parsed the container; false =
+    * byte-summary fallback. */
   case class Decoded(mediaId: Long, width: Int, height: Int,
-    nBytes: Long, meanByte: Double)
+    nBytes: Long, meanByte: Double, decoded: Boolean)
 
-  case class Frame(mediaId: Long, frameIdx: Int, offsetMs: Long)
+  case class Frame(mediaId: Long, frameIdx: Int, offsetMs: Long,
+    offsetBytes: Long)
 
   case class MediaFeature(mediaId: Long, feature: Seq[Float])
 
-  /** The codec boundary. STUB: a real implementation would call an
-    * image/audio library here; this one derives a deterministic fake
-    * raster from the bytes so the pipeline around it is fully
-    * exercised and reproducible. */
+  /** The codec boundary: PGM/PPM decode for real; anything else gets
+    * the labeled byte-summary fallback (dims from metadata, mean over
+    * raw bytes). */
   object Codec extends Serializable {
-    /** ??? in spirit — fake decode: the "raster" is the content bytes;
-      * dimensions come from metadata (a real codec reads them from the
-      * container). */
-    def decode(row: MediaRow): Decoded = {
-      val bytes = row.content
-      val mean =
-        if (bytes.isEmpty) 0.0
-        else bytes.foldLeft(0L)((s, b) => s + (b & 0xff)).toDouble / bytes.length
-      Decoded(row.mediaId, row.meta.width, row.meta.height,
-        bytes.length.toLong, mean)
-    }
+    def decode(row: MediaRow): Decoded =
+      Ppm.decode(row.content) match {
+        case Some(img) =>
+          val px = img.pixels
+          var s = 0L
+          var i = 0
+          while (i < px.length) { s += px(i) & 0xff; i += 1 }
+          Decoded(row.mediaId, img.width, img.height, px.length.toLong,
+            if (px.isEmpty) 0.0 else s.toDouble / px.length, decoded = true)
+        case None =>
+          val bytes = row.content
+          val mean =
+            if (bytes.isEmpty) 0.0
+            else bytes.foldLeft(0L)((s, b) => s + (b & 0xff)).toDouble / bytes.length
+          Decoded(row.mediaId, row.meta.width, row.meta.height,
+            bytes.length.toLong, mean, decoded = false)
+      }
   }
 
-  /** Deterministic synthetic media fixture (seeded by id) — stands in
-    * for a real binary scan (`spark.read.format("binaryFile")` or a
-    * parquet table with a binary column). */
+  /** Deterministic synthetic media fixture (seeded by id) — real P6
+    * rasters for "image", concatenated P6 frames for "video", raw
+    * bytes for anything else; stands in for a binary scan
+    * (`spark.read.format("binaryFile")` / parquet binary column). */
   def syntheticMedia(spark: SparkSession, n: Int, kind: String = "image")
       : Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(n.toLong).as[Long].map { id =>
-      val len = 64 + (id * 37 % 192).toInt
-      val bytes = Array.tabulate[Byte](len)(i =>
-        (((id + 7) * 2654435761L + i * 131L) % 251).toByte)
-      MediaRow(id, kind, bytes,
-        MediaMeta(kind, 4 + (id % 8).toInt, 4 + (id % 5).toInt,
-          16000, 1000L + id * 40L, "fake"))
+      val w = 4 + (id % 8).toInt
+      val h = 4 + (id % 5).toInt
+      def frame(salt: Long): Ppm.Image = Ppm.Image(w, h, 3,
+        Array.tabulate[Byte](w * h * 3)(i =>
+          (((id + 7 + salt) * 2654435761L + i * 131L) % 251).toByte))
+      val durationMs = 1000L + id * 40L
+      val content = kind match {
+        case "image" => Ppm.encode(frame(0))
+        case "video" =>
+          val nFrames = 2 + (id % 3).toInt
+          (0L until nFrames.toLong).toArray.flatMap(f => Ppm.encode(frame(f)))
+        case _ =>
+          val len = 64 + (id * 37 % 192).toInt
+          Array.tabulate[Byte](len)(i =>
+            (((id + 7) * 2654435761L + i * 131L) % 251).toByte)
+      }
+      MediaRow(id, kind, content,
+        MediaMeta(kind, w, h, 16000, durationMs,
+          if (kind == "image" || kind == "video") "ppm" else "raw"))
     }
   }
 
@@ -78,44 +97,74 @@ object Multimodal {
   def decode(media: Dataset[MediaRow]): Dataset[Decoded] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      // a real codec would open its context once per partition here
+      // a real heavyweight codec would open its context once per
+      // partition here
       it.map(Codec.decode)
     }
   }
 
-  /** Feature extraction: 32-bin normalized byte histogram per media
-    * row (a real, deterministic feature — not a stub — usable by the
-    * ANN/near-dup operators downstream). */
+  /** Feature extraction: 32-bin normalized histogram per media row —
+    * over decoded LUMA pixels when the container parses, over raw
+    * bytes otherwise. Deterministic and usable by the ANN/near-dup
+    * operators downstream. */
   def features(media: Dataset[MediaRow]): Dataset[MediaFeature] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.map { row =>
+        val data = Ppm.decode(row.content) match {
+          case Some(img) => Ppm.gray(img)
+          case None => row.content
+        }
         val hist = new Array[Float](32)
-        row.content.foreach(b => hist((b & 0xff) / 8) += 1f)
-        val n = math.max(1, row.content.length).toFloat
+        data.foreach(b => hist((b & 0xff) / 8) += 1f)
+        val n = math.max(1, data.length).toFloat
         MediaFeature(row.mediaId, hist.toSeq.map(_ / n))
       }
     }
   }
 
-  /** Frame sampling plumbing for video/audio: emits (frame, offset)
-    * rows at a fixed stride from the container metadata — the row
-    * explosion is real; a real implementation would also attach the
-    * decoded frame bytes. */
-  def sampleFrames(media: Dataset[MediaRow], strideMs: Long): Dataset[Frame] = {
+  /** Real resize for parseable rasters: nearest-neighbor resample,
+    * re-encoded, metadata updated. Unparseable content passes through
+    * with metadata-only update (documented fallback). */
+  def resize(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
-    media.flatMap { row =>
-      val n = (row.meta.durationMs / strideMs).toInt
-      (0 until n).map(i => Frame(row.mediaId, i, i * strideMs))
+    media.map { r =>
+      Ppm.decode(r.content) match {
+        case Some(img) =>
+          r.copy(content = Ppm.encode(Ppm.resize(img, w, h)),
+            meta = r.meta.copy(width = w, height = h))
+        case None => r.copy(meta = r.meta.copy(width = w, height = h))
+      }
     }
   }
 
-  /** Resize plumbing: metadata-level transform (real resize happens in
-    * the codec); demonstrates the metadata struct staying consistent
-    * through the pipeline. */
+  /** Metadata-only resize (kept for pipelines that defer the pixel
+    * work to a downstream codec). */
   def resizeMeta(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
     media.map(r => r.copy(meta = r.meta.copy(width = w, height = h)))
+  }
+
+  /** Frame sampling: for concatenated-raster video containers the
+    * walk is REAL — every frame's byte offset comes from parsing the
+    * container — with frame→time mapping from container duration;
+    * unparseable containers fall back to metadata-stride rows
+    * (offsetBytes = -1). */
+  def sampleFrames(media: Dataset[MediaRow], strideMs: Long): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.flatMap { row =>
+      val frames = Ppm.decodeFrames(row.content)
+      if (frames.nonEmpty) {
+        val frameMs = row.meta.durationMs / frames.size
+        frames.zipWithIndex.collect {
+          case ((off, _), i) if i.toLong * frameMs % strideMs < frameMs =>
+            Frame(row.mediaId, i, i.toLong * frameMs, off.toLong)
+        }
+      } else {
+        val n = (row.meta.durationMs / strideMs).toInt
+        (0 until n).map(i => Frame(row.mediaId, i, i * strideMs, -1L))
+      }
+    }
   }
 
   /** Features as a DataFrame ready for [[graft.sim.Ann]] (id + float

@@ -72,4 +72,15 @@ object Dfg {
       .groupBy(col(activityCol).as("activity"))
       .agg(count(lit(1)).as("n"))
   }
+
+  def endActivities(events: DataFrame, caseCol: String, activityCol: String,
+      tsCol: String, tieBreak: String): DataFrame = {
+    val w = Window.partitionBy(col(caseCol))
+      .orderBy(col(tsCol).desc, col(tieBreak).desc)
+    events
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .groupBy(col(activityCol).as("activity"))
+      .agg(count(lit(1)).as("n"))
+  }
 }

@@ -132,6 +132,26 @@ object EventLogQueries {
           max("_k").as("max_k"))
     },
 
+    // Start/end activity profiles (DFG companions for discovery).
+    "q_dfg_start_acts" -> { (s, dir) =>
+      Dfg.startActivities(Tables(s, dir, "events"),
+        caseCol = "user_id", activityCol = "event_type",
+        tsCol = "ts", tieBreak = "event_id")
+    },
+    "q_dfg_end_acts" -> { (s, dir) =>
+      Dfg.endActivities(Tables(s, dir, "events"),
+        caseCol = "user_id", activityCol = "event_type",
+        tsCol = "ts", tieBreak = "event_id")
+    },
+
+    // Skew-guarded aggregation (ops/Skew): two-stage salted count —
+    // bit-identical to a plain GROUP BY, bounded reducer load at any
+    // key skew.
+    "q_skew_salted_counts" -> { (s, dir) =>
+      graft.ops.Skew.saltedCount(Tables(s, dir, "events"),
+        keyCol = "event_type", salts = 16)
+    },
+
     // Footprint matrix (alpha-relations) over the events table.
     "q_dfg_footprint" -> { (s, dir) =>
       Dfg.footprint(Tables(s, dir, "events"),
@@ -183,6 +203,18 @@ object EventLogQueries {
         |  FROM events)
         |WHERE act_to IS NOT NULL
         |GROUP BY act_from, act_to""".stripMargin,
+    "q_dfg_start_acts" ->
+      """SELECT event_type AS activity, count(*) AS n FROM (
+        |  SELECT event_type, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events) WHERE rn = 1 GROUP BY 1""".stripMargin,
+    "q_dfg_end_acts" ->
+      """SELECT event_type AS activity, count(*) AS n FROM (
+        |  SELECT event_type, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1 GROUP BY 1""".stripMargin,
+    "q_skew_salted_counts" ->
+      "SELECT event_type, count(*) AS count FROM events GROUP BY event_type",
     "q_case_durations" ->
       """SELECT user_id, count(*) AS n_events,
         |  epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us

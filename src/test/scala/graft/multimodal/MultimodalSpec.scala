@@ -6,11 +6,35 @@ import org.apache.spark.sql.types._
 import graft.SparkSpec
 import graft.sim.Ann
 
-/** Multimodal plumbing: schema, determinism, batch shapes, and the
-  * media → features → ANN integration path. */
+/** Multimodal pipeline: real PGM/PPM codec (decode, resize,
+  * frame-walk), schema, determinism, batch shapes, and the media →
+  * features → ANN integration path. */
 class MultimodalSpec extends SparkSpec {
 
   import spark.implicits._
+
+  test("ppm codec: encode → decode round trip, comments, resize, luma") {
+    val img = Ppm.Image(6, 4, 3,
+      Array.tabulate[Byte](6 * 4 * 3)(i => (i * 7 % 251).toByte))
+    val rt = Ppm.decode(Ppm.encode(img)).get
+    assert(rt == img.copy(pixels = rt.pixels) && rt.pixels.toSeq == img.pixels.toSeq)
+    // header comments per the netpbm spec
+    val withComment = "P5\n# a comment\n2 2\n255\n".getBytes ++
+      Array[Byte](10, 20, 30, 40)
+    val g = Ppm.decode(withComment).get
+    assert(g.width == 2 && g.height == 2 && g.channels == 1)
+    assert(g.pixels.toSeq == Seq[Byte](10, 20, 30, 40))
+    // resize: nearest neighbor, exact on integer upscale
+    val up = Ppm.resize(g, 4, 4)
+    assert(up.pixels.toSeq == Seq[Byte](
+      10, 10, 20, 20, 10, 10, 20, 20, 30, 30, 40, 40, 30, 30, 40, 40))
+    // luma of a pure-gray RGB pixel equals (77+150+29)*v >> 8 ≈ v
+    val rgbGray = Ppm.Image(1, 1, 3, Array[Byte](100, 100, 100))
+    assert((Ppm.gray(rgbGray)(0) & 0xff) == 100)
+    // truncated raster and bad magic refuse to decode
+    assert(Ppm.decode("P6\n4 4\n255\nxy".getBytes).isEmpty)
+    assert(Ppm.decode(Array[Byte](1, 2, 3)).isEmpty)
+  }
 
   test("media schema: opaque binary + typed metadata struct") {
     val df = Multimodal.syntheticMedia(spark, 10).toDF()
@@ -20,29 +44,44 @@ class MultimodalSpec extends SparkSpec {
       Set("kind", "width", "height", "sampleRate", "durationMs", "format"))
   }
 
-  test("decode is deterministic and partition-shaped") {
+  test("decode REALLY parses the container: dims from bytes, partition-independent") {
     val media = Multimodal.syntheticMedia(spark, 100).repartition(7)
     val d1 = Multimodal.decode(media).collect().sortBy(_.mediaId)
     val d2 = Multimodal.decode(media.repartition(3)).collect().sortBy(_.mediaId)
     assert(d1.toSeq == d2.toSeq) // partitioning-independent
-    assert(d1.forall(d => d.nBytes >= 64 && d.meanByte > 0))
+    assert(d1.forall(_.decoded)) // the codec parsed every container
+    // raster size follows the DECODED dimensions exactly
+    assert(d1.forall(d => d.nBytes == d.width.toLong * d.height * 3))
+    // fallback path is labeled
+    val blob = Multimodal.decode(
+      Multimodal.syntheticMedia(spark, 5, kind = "blob")).collect()
+    assert(blob.forall(!_.decoded))
   }
 
-  test("frame sampling explodes per container metadata") {
-    val media = Multimodal.syntheticMedia(spark, 5, kind = "video")
+  test("frame sampling walks the real container: byte offsets decode in place") {
+    val media = Multimodal.syntheticMedia(spark, 6, kind = "video")
     val frames = Multimodal.sampleFrames(media, strideMs = 100).collect()
     val byId = frames.groupBy(_.mediaId)
-    assert(byId(0L).length == 10)  // 1000ms / 100
-    assert(byId(4L).length == 11)  // 1160ms / 100
-    assert(byId(4L).map(_.offsetMs).sorted.last == 1000L)
+    // id % 3 + 2 frames per container, stride finer than frame interval
+    assert(byId(0L).length == 2 && byId(1L).length == 3 && byId(2L).length == 4)
+    assert(frames.forall(_.offsetBytes >= 0L))
+    // each recorded offset is a real frame boundary: decoding there works
+    val content = media.filter(_.mediaId == 2L).collect().head.content
+    byId(2L).foreach { f =>
+      assert(Ppm.decodeAt(content, f.offsetBytes.toInt).isDefined)
+    }
+    // unparseable container falls back to metadata-stride rows
+    val blobFrames = Multimodal.sampleFrames(
+      Multimodal.syntheticMedia(spark, 1, kind = "blob"), strideMs = 100).collect()
+    assert(blobFrames.length == 10 && blobFrames.forall(_.offsetBytes == -1L))
   }
 
-  test("features are unit-scale histograms usable by ANN top-k") {
+  test("features are unit-scale LUMA histograms usable by ANN top-k") {
     val media = Multimodal.syntheticMedia(spark, 50)
     val feats = Multimodal.featureFrame(media)
     assert(feats.schema("embedding").dataType ==
       ArrayType(FloatType, containsNull = false))
-    // histogram sums to ~1 (normalized by length)
+    // histogram sums to ~1 (normalized by pixel count)
     val sums = feats.select(aggregate(col("embedding"), lit(0.0d),
       (s, x) => s + x.cast("double")).as("s")).as[Double].collect()
     assert(sums.forall(s => math.abs(s - 1.0) < 1e-5))
@@ -53,10 +92,17 @@ class MultimodalSpec extends SparkSpec {
     assert(topk.filter(col("id_q") === col("id_n")).count() == 0L)
   }
 
-  test("resize updates metadata consistently") {
+  test("resize resamples the actual raster and re-encodes") {
     val media = Multimodal.syntheticMedia(spark, 5)
-    val resized = Multimodal.resizeMeta(media, 224, 224).collect()
-    assert(resized.forall(r => r.meta.width == 224 && r.meta.height == 224))
-    assert(resized.forall(r => r.content.nonEmpty)) // content untouched
+    val resized = Multimodal.resize(media, 8, 8).collect()
+    resized.foreach { r =>
+      assert(r.meta.width == 8 && r.meta.height == 8)
+      val img = Ppm.decode(r.content).get
+      assert(img.width == 8 && img.height == 8)
+      assert(img.pixels.length == 8 * 8 * 3)
+    }
+    // metadata-only variant leaves content untouched
+    val metaOnly = Multimodal.resizeMeta(media, 224, 224).collect()
+    assert(metaOnly.forall(r => Ppm.decode(r.content).get.width != 224))
   }
 }

@@ -74,6 +74,10 @@ class OpsSpec extends SparkSpec {
       .as[(String, Long)].collect().toSet
     assert(starts == Set(("a", 2L)))
 
+    val ends = Dfg.endActivities(events, "case", "act", "ts", "t")
+      .as[(String, Long)].collect().toSet
+    assert(ends == Set(("c", 1L), ("b", 1L)))
+
     val fp = Dfg.footprint(events, "case", "act", "ts", "t")
       .as[(String, String, String)].collect()
       .map { case (x, y, r) => (x, y) -> r }.toMap
