@@ -202,6 +202,45 @@ object Dedup {
       .select("id_a", "id_b", "cos")
   }
 
+  /** Connected components over a near-dup pair list: every node gets
+    * `cluster_id` = the smallest id in its component — the step that
+    * turns pairwise similarity into canonical-document selection (keep
+    * one doc per cluster, drop the rest).
+    *
+    * Algorithm: iterative hash-to-min label propagation — each round,
+    * a node's label becomes the min of its own and its neighbors'
+    * labels; converges in O(diameter) rounds (near-dup components are
+    * shallow in practice: most are pairs/triangles, so 2-3 rounds).
+    * Each round is one equi-join + partial-agg shuffle on the node
+    * id — no driver-side graph, scales with |pairs|. The driver loop
+    * is control flow only (a `changed == 0` fixpoint probe);
+    * `localCheckpoint` truncates the growing lineage each round.
+    */
+  def clusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b")
+      : DataFrame = {
+    val edges = pairs.select(col(idA).as("a"), col(idB).as("b"))
+    val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint()
+    var labels = sym.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val nbr = labels.select(col("node").as("_b"), col("label").as("_nl"))
+      val neighborMin = sym.join(nbr, sym("b") === nbr("_b"))
+        .groupBy(col("a").as("node"))
+        .agg(min(col("_nl")).as("_minNl"))
+      val next = labels.join(neighborMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("_minNl"), col("label"))).as("label"),
+          (col("_minNl").isNotNull && col("_minNl") < col("label")).as("_chg"))
+      val materialized = next.localCheckpoint()
+      changed = materialized.filter(col("_chg")).count()
+      labels = materialized.drop("_chg")
+    }
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** Embedding-cosine near-dup pairs >= tau. This is the BRUTE-FORCE
     * verifier (all-pairs) — correct at any size but quadratic; the
     * scale path buckets by random-hyperplane LSH first

@@ -37,6 +37,12 @@ object DedupQueries {
     "q_dedup_embedding_lsh" -> { (s, dir) =>
       Dedup.cosinePairsLsh(Tables(s, dir, "embeddings"), "vec_id", "embedding",
         tau = 0.4)
+    },
+    // Near-dup pairs → connected components → canonical doc per
+    // cluster (the dedup endgame: keep min-id, drop the rest).
+    "q_dedup_clusters" -> { (s, dir) =>
+      Dedup.clusters(Dedup.jaccardPairs(Tables(s, dir, "documents"),
+        "doc_id", "text", k = 3, tau = 0.8))
     }
   )
 
@@ -49,6 +55,20 @@ object DedupQueries {
     s"""WITH tk AS (SELECT doc_id, $toks AS t FROM documents),
        |sh AS (SELECT doc_id, $shingleHashes AS s FROM tk)""".stripMargin
 
+  private val jaccardPairsSql =
+    s"""$docShingles,
+       |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+       |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b,
+       |  CAST(inter AS DOUBLE) / CAST(la.n + lb.n - inter AS DOUBLE) AS jaccard
+       |FROM pairs
+       |JOIN (SELECT doc_id, len(s) AS n FROM sh) la ON id_a = la.doc_id
+       |JOIN (SELECT doc_id, len(s) AS n FROM sh) lb ON id_b = lb.doc_id
+       |WHERE CAST(inter AS DOUBLE) / CAST(la.n + lb.n - inter AS DOUBLE) >= 0.8""".stripMargin
+
   def oracle: Map[String, String] = Map(
     "q_dedup_exact" ->
       """SELECT doc_id,
@@ -57,19 +77,21 @@ object DedupQueries {
         |  doc_id <> min(doc_id) OVER (PARTITION BY lower(trim(text))) AS is_dup
         |FROM documents""".stripMargin,
 
-    "q_dedup_jaccard" ->
-      s"""$docShingles,
-         |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
-         |pairs AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-         |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2)
-         |SELECT id_a, id_b,
-         |  CAST(inter AS DOUBLE) / CAST(la.n + lb.n - inter AS DOUBLE) AS jaccard
-         |FROM pairs
-         |JOIN (SELECT doc_id, len(s) AS n FROM sh) la ON id_a = la.doc_id
-         |JOIN (SELECT doc_id, len(s) AS n FROM sh) lb ON id_b = lb.doc_id
-         |WHERE CAST(inter AS DOUBLE) / CAST(la.n + lb.n - inter AS DOUBLE) >= 0.8""".stripMargin,
+    "q_dedup_jaccard" -> jaccardPairsSql,
+
+    // connected components via recursive label reachability: a node's
+    // cluster id = min doc_id reachable over the (symmetrized) pair
+    // edges — exactly Dedup.clusters' hash-to-min fixpoint.
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE pr AS ($jaccardPairsSql),
+         |e AS (SELECT id_a AS a, id_b AS b FROM pr
+         |      UNION SELECT id_b, id_a FROM pr),
+         |reach(node, label) AS (
+         |  SELECT a, a FROM e
+         |  UNION
+         |  SELECT e.a, r.label FROM e JOIN reach r ON e.b = r.node)
+         |SELECT node AS doc_id, min(label) AS cluster_id
+         |FROM reach GROUP BY node""".stripMargin,
 
     "q_dedup_minhash_lsh" -> {
       val seed = 42L

@@ -45,6 +45,14 @@ object TextQueries {
         .groupBy("token").agg(count(lit(1)).as("n"))
     },
 
+    // The composed quality FILTER decision (metrics are diagnostics;
+    // this is the keep/drop bit a pipeline acts on).
+    "q_text_quality_filter" -> { (s, dir) =>
+      Tables(s, dir, "documents").select(
+        col("doc_id"),
+        TextOps.qualityKeep(col("text")).as("keep"))
+    },
+
     // Winnowing-style mod-p fingerprint sketch per document, reduced
     // to scalars (sketch size + order-fold digest): the driver's
     // comparator hashes cells pandas-side and cannot sort array cells.
@@ -99,6 +107,16 @@ object TextQueries {
       s"""SELECT t AS token, count(*) AS n FROM (
          |  SELECT unnest($toksSql) AS t FROM documents)
          |GROUP BY 1""".stripMargin,
+
+    "q_text_quality_filter" ->
+      s"""SELECT doc_id,
+         |  (len($toksSql) >= 5 AND len($toksSql) <= 100000
+         |   AND length(text) > 0
+         |   AND CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+         |       / CAST(length(text) AS DOUBLE) >= 0.5
+         |   AND CAST(len([t for t in $toksSql if list_contains(${markersSql(TextOps.Stopwords)}, lower(t))]) AS DOUBLE)
+         |       / CAST(len($toksSql) AS DOUBLE) >= 0.01) AS keep
+         |FROM documents""".stripMargin,
 
     "q_text_fingerprint" -> {
       val fold = Portable.charHashSql("substr(text, i+1, 8)")

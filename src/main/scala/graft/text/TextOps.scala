@@ -64,6 +64,24 @@ object TextOps {
           length(text).cast("double")))
   }
 
+  /** Quality keep/drop decision composing the cheap metrics — the
+    * actual FILTER a pretraining pipeline applies (metrics alone are
+    * diagnostics). Empty documents are dropped outright (the ratio
+    * denominators would be 0/NULL). Pure map-side boolean.
+    */
+  def qualityKeep(text: Column, minTokens: Int = 5, maxTokens: Int = 100000,
+      minAlphaRatio: Double = 0.5, minStopwordRatio: Double = 0.01): Column = {
+    val t = tokens(text)
+    val n = size(t)
+    val alpha = length(regexp_replace(text, "[^A-Za-z]", "")).cast("double") /
+      length(text).cast("double")
+    val stop = size(filter(t, x => lower(x).isin(Stopwords: _*))).cast("double") /
+      n.cast("double")
+    (n >= minTokens) && (n <= maxTokens) &&
+      (length(text) > 0) && (alpha >= minAlphaRatio) &&
+      (stop >= minStopwordRatio)
+  }
+
   /** Marker-stopword language ID (the n-gram-profile heuristic reduced
     * to its highest-signal features: closed-class marker words). Score
     * per language = number of tokens in that language's marker set;

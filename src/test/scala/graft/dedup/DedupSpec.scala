@@ -26,6 +26,16 @@ class DedupSpec extends SparkSpec {
     assert(pairs.exists { case (a, b, j) => a == 1L && b == 2L && j == 1.0 })
   }
 
+  test("clusters: hash-to-min propagation finds component minima (multi-hop chains)") {
+    // components: {1,2,3} triangle-ish, {5,6} pair, {8,9,10,11} a
+    // 3-hop chain — the chain forces multiple propagation rounds
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L),
+      (8L, 9L), (9L, 10L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = Dedup.clusters(pairs).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L,
+      8L -> 8L, 9L -> 8L, 10L -> 8L, 11L -> 8L))
+  }
+
   test("exact dedup on hashed keys == grouping by normalized text") {
     val docs = Seq(
       (1L, "Hello World"), (2L, "  hello world  "), (3L, "HELLO WORLD"),
