@@ -19,6 +19,8 @@ object SimQueries {
   private val Planes = 8
   private val Seed = 42L
   private val Dims = 64
+  private val Stride = 50
+  private val NProbe = 3
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_topk_brute" -> { (s, dir) =>
@@ -30,6 +32,11 @@ object SimQueries {
       val e = Tables(s, dir, "embeddings")
       Ann.lshTopK(e, e.filter(col("vec_id") < NQueries),
         "vec_id", "embedding", K, TablesL, Planes, Seed, Dims)
+    },
+    "q_sim_topk_ivf" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      Ann.ivfTopK(e, e.filter(col("vec_id") < NQueries),
+        "vec_id", "embedding", K, centroidStride = Stride, nProbe = NProbe)
     }
   )
 
@@ -73,6 +80,28 @@ object SimQueries {
          |  FROM b c JOIN (SELECT * FROM b WHERE vec_id < $NQueries) q
          |    ON c.tbl = q.tbl AND c.bkt = q.bkt AND c.vec_id <> q.vec_id),
          |scored AS (SELECT id_q, id_n, ${cosSql("vq", "vn")} AS cos FROM cand)
+         |SELECT id_q, id_n, cos, CAST(rnk AS INT) AS rnk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY id_q ORDER BY cos DESC, id_n) AS rnk
+         |  FROM scored)
+         |WHERE rnk <= $K""".stripMargin,
+
+    "q_sim_topk_ivf" ->
+      s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % $Stride = 0),
+         |ascore AS (SELECT e.vec_id AS id_n, e.v AS vn, c.cid,
+         |    ${cosSql("e.v", "c.cv")} AS ccos
+         |  FROM e CROSS JOIN c),
+         |cells AS (SELECT id_n, vn, cid FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY id_n ORDER BY ccos DESC, cid) AS rn
+         |  FROM ascore) WHERE rn = 1),
+         |pscore AS (SELECT q.vec_id AS id_q, q.v AS vq, c.cid,
+         |    ${cosSql("q.v", "c.cv")} AS ccos
+         |  FROM (SELECT * FROM e WHERE vec_id < $NQueries) q CROSS JOIN c),
+         |probes AS (SELECT id_q, vq, cid FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY id_q ORDER BY ccos DESC, cid) AS rn
+         |  FROM pscore) WHERE rn <= $NProbe),
+         |scored AS (SELECT id_q, id_n, ${cosSql("vq", "vn")} AS cos
+         |  FROM probes JOIN cells USING (cid) WHERE id_n <> id_q)
          |SELECT id_q, id_n, cos, CAST(rnk AS INT) AS rnk FROM (
          |  SELECT *, row_number() OVER (PARTITION BY id_q ORDER BY cos DESC, id_n) AS rnk
          |  FROM scored)

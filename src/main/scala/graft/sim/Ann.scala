@@ -80,6 +80,56 @@ object Ann {
         bucket(col(vecCol), t, planesPerTable, seed, dims)): _*))
         .as(Seq("_table", "_bucket")))
 
+  private def cosine(a: Column, b: Column): Column =
+    NativeExpressions.dotF(a, b) /
+      (sqrt(NativeExpressions.dotF(a, a)) * sqrt(NativeExpressions.dotF(b, b)))
+
+  /** IVF (inverted-file) approximate top-k — the cell-probe scheme:
+    * a small centroid table partitions the corpus into cells
+    * (assignment = max-cosine centroid, ties to the smaller centroid
+    * id); a query probes only its `nProbe` best cells, so candidate
+    * generation is an equi-join on the centroid id, linear in probed
+    * cell load.
+    *
+    * The coarse quantizer here is a deterministic data sample —
+    * centroids are the corpus vectors with id ≡ 0 (mod
+    * `centroidStride`) — which keeps the whole operator reproducible
+    * and SQL-oracle-checkable with no model fit; swapping in k-means
+    * centroids changes the (broadcast) centroid table, not the plan.
+    * Centroids are broadcast twice (assignment + probe); the corpus
+    * is scanned once for assignment, once for candidate ranking.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, centroidStride: Int = 50, nProbe: Int = 3)
+      : DataFrame = {
+    val cents = corpus.filter(pmod(col(idCol), lit(centroidStride)) === 0)
+      .select(col(idCol).as("_cid"), col(vecCol).as("_cv"))
+    val wAssign = Window.partitionBy(col("id_n"))
+      .orderBy(col("_ccos").desc, col("_cid").asc)
+    val cells = corpus.select(col(idCol).as("id_n"), col(vecCol).as("_vn"))
+      .crossJoin(broadcast(cents))
+      .withColumn("_ccos", cosine(col("_vn"), col("_cv")))
+      .withColumn("_crn", row_number().over(wAssign))
+      .filter(col("_crn") === 1)
+      .select(col("id_n"), col("_vn"), col("_cid"))
+    val wProbe = Window.partitionBy(col("id_q"))
+      .orderBy(col("_ccos").desc, col("_cid").asc)
+    val probes = queries.select(col(idCol).as("id_q"), col(vecCol).as("_vq"))
+      .crossJoin(broadcast(cents))
+      .withColumn("_ccos", cosine(col("_vq"), col("_cv")))
+      .withColumn("_crn", row_number().over(wProbe))
+      .filter(col("_crn") <= nProbe)
+      .select(col("id_q"), col("_vq"), col("_cid"))
+    val w = Window.partitionBy(col("id_q"))
+      .orderBy(col("cos").desc, col("id_n").asc)
+    cells.join(broadcast(probes), Seq("_cid"))
+      .filter(col("id_n") =!= col("id_q"))
+      .withColumn("cos", cosine(col("_vq"), col("_vn")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("id_q", "id_n", "cos", "rnk")
+  }
+
   /** Approximate top-k: candidates share an LSH bucket in at least one
     * of `tables` hash tables; exact cosine ranks the candidates.
     * Equi-join on (table, bucket) — never all-pairs.
