@@ -103,6 +103,21 @@ object EventLogQueries {
         .withColumnRenamed("n_prior", "n_prior_clicks")
     },
 
+    // Backward as-of join (ops/AsOf): for each purchase, the latest
+    // click at-or-before it by the same user — union-window plan, one
+    // key shuffle, no range join. Oracle = DuckDB's native ASOF JOIN.
+    "q_asof_last_click" -> { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"))
+      graft.ops.AsOf.backward(purchases, clicks,
+          keyCol = "user_id", idCol = "purchase_id", tsCol = "ts")
+        .withColumnRenamed("asof_ts", "last_click_ts")
+        .drop("ts")
+    },
+
     // Batch sessionization: split each user's stream on 12h inactivity
     // gaps; one window shuffle on the case key.
     "q_sessionize" -> { (s, dir) =>
@@ -249,6 +264,13 @@ object EventLogQueries {
         |LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id
         |GROUP BY 1, 2""".stripMargin,
+    "q_asof_last_click" ->
+      """SELECT p.user_id, p.event_id AS purchase_id, c.ts AS last_click_ts
+        |FROM (SELECT user_id, event_id, ts FROM events
+        |      WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT user_id, ts FROM events
+        |      WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND c.ts <= p.ts""".stripMargin,
     "q_sessionize" ->
       """WITH flagged AS (
         |  SELECT user_id, ts, event_id,
