@@ -207,38 +207,70 @@ object Dedup {
     * turns pairwise similarity into canonical-document selection (keep
     * one doc per cluster, drop the rest).
     *
-    * Algorithm: iterative hash-to-min label propagation — each round,
-    * a node's label becomes the min of its own and its neighbors'
-    * labels; converges in O(diameter) rounds (near-dup components are
-    * shallow in practice: most are pairs/triangles, so 2-3 rounds).
-    * Each round is one equi-join + partial-agg shuffle on the node
-    * id — no driver-side graph, scales with |pairs|. The driver loop
-    * is control flow only (a `changed == 0` fixpoint probe);
-    * `localCheckpoint` truncates the growing lineage each round.
+    * Adaptive: pair lists at or under `driverMaxEdges` (the common
+    * case — the similarity threshold already reduced the corpus to
+    * near-dup edges) run a bounded driver union-find; larger graphs
+    * run iterative hash-to-min label propagation — each round one
+    * equi-join + partial-agg shuffle on the node id, min label
+    * converging in O(component diameter) rounds (near-dup components
+    * are shallow: mostly pairs/triangles). The driver loop there is
+    * control flow only (a `changed == 0` fixpoint probe);
+    * `localCheckpoint` truncates the growing lineage each round. Both
+    * paths produce identical labels (component min).
     */
-  def clusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b")
-      : DataFrame = {
-    val edges = pairs.select(col(idA).as("a"), col(idB).as("b"))
-    val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
-      .localCheckpoint()
-    var labels = sym.select(col("a").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint()
-    var changed = 1L
-    while (changed > 0) {
-      val nbr = labels.select(col("node").as("_b"), col("label").as("_nl"))
-      val neighborMin = sym.join(nbr, sym("b") === nbr("_b"))
-        .groupBy(col("a").as("node"))
-        .agg(min(col("_nl")).as("_minNl"))
-      val next = labels.join(neighborMin, Seq("node"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("_minNl"), col("label"))).as("label"),
-          (col("_minNl").isNotNull && col("_minNl") < col("label")).as("_chg"))
-      val materialized = next.localCheckpoint()
-      changed = materialized.filter(col("_chg")).count()
-      labels = materialized.drop("_chg")
+  def clusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+      driverMaxEdges: Long = 1L << 22): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val edges = pairs.select(col(idA).cast("long").as("a"),
+      col(idB).cast("long").as("b")).localCheckpoint()
+    val nEdges = edges.count()
+    if (nEdges <= driverMaxEdges) {
+      // Near-dup PAIR lists are tiny relative to the corpus (the
+      // similarity threshold already did the reduction), so the common
+      // case is a bounded driver union-find: ≤2^22 edges ≈ 64 MB —
+      // an explicit, documented bound, same pattern as Alpha's
+      // |activities|² driver step. The distributed loop below is the
+      // path for genuinely huge pair lists.
+      val es = edges.as[(Long, Long)].collect()
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { // union by MIN root ⇒ cluster id = component min
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+      nodes.map(n => (n, find(n))).toSeq.toDF("doc_id", "cluster_id")
+    } else {
+      val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
+        .localCheckpoint()
+      var labels = sym.select(col("a").as("node")).distinct()
+        .withColumn("label", col("node"))
+        .localCheckpoint()
+      var changed = 1L
+      while (changed > 0) {
+        val nbr = labels.select(col("node").as("_b"), col("label").as("_nl"))
+        val neighborMin = sym.join(nbr, sym("b") === nbr("_b"))
+          .groupBy(col("a").as("node"))
+          .agg(min(col("_nl")).as("_minNl"))
+        val next = labels.join(neighborMin, Seq("node"), "left")
+          .select(col("node"),
+            least(col("label"), coalesce(col("_minNl"), col("label"))).as("label"),
+            (col("_minNl").isNotNull && col("_minNl") < col("label")).as("_chg"))
+        val materialized = next.localCheckpoint()
+        changed = materialized.filter(col("_chg")).count()
+        labels = materialized.drop("_chg")
+      }
+      labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
     }
-    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
 
   /** Embedding-cosine near-dup pairs >= tau. This is the BRUTE-FORCE

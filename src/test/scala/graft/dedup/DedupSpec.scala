@@ -31,9 +31,15 @@ class DedupSpec extends SparkSpec {
     // 3-hop chain — the chain forces multiple propagation rounds
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L),
       (8L, 9L), (9L, 10L), (10L, 11L)).toDF("id_a", "id_b")
-    val got = Dedup.clusters(pairs).as[(Long, Long)].collect().toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L,
-      8L -> 8L, 9L -> 8L, 10L -> 8L, 11L -> 8L))
+    val expect = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L,
+      8L -> 8L, 9L -> 8L, 10L -> 8L, 11L -> 8L)
+    // driver union-find path (default threshold)
+    val small = Dedup.clusters(pairs).as[(Long, Long)].collect().toMap
+    assert(small == expect)
+    // distributed propagation path (threshold forced to 0)
+    val dist = Dedup.clusters(pairs, driverMaxEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(dist == expect)
   }
 
   test("exact dedup on hashed keys == grouping by normalized text") {
