@@ -53,6 +53,15 @@ object TextQueries {
         TextOps.qualityKeep(col("text")).as("keep"))
     },
 
+    // Decontamination: test set = doc_id < 20, train = the rest;
+    // pairs sharing >= 3 fingerprint hashes (inverted-index join).
+    "q_text_contamination" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      TextOps.contaminationPairs(
+        docs.filter(col("doc_id") >= 20), docs.filter(col("doc_id") < 20),
+        "doc_id", "text", k = 8, p = 8, minShared = 3)
+    },
+
     // Winnowing-style mod-p fingerprint sketch per document, reduced
     // to scalars (sketch size + order-fold digest): the driver's
     // comparator hashes cells pandas-side and cannot sort array cells.
@@ -117,6 +126,18 @@ object TextQueries {
          |   AND CAST(len([t for t in $toksSql if list_contains(${markersSql(TextOps.Stopwords)}, lower(t))]) AS DOUBLE)
          |       / CAST(len($toksSql) AS DOUBLE) >= 0.01) AS keep
          |FROM documents""".stripMargin,
+
+    "q_text_contamination" -> {
+      val fold = Portable.charHashSql("substr(text, i+1, 8)")
+      s"""WITH fp AS (SELECT doc_id, list_distinct([h for h in
+         |    [$fold for i in generate_series(0, length(text)-8)] if h % 8 = 0]) AS f
+         |  FROM documents),
+         |ex AS (SELECT doc_id, unnest(f) AS h FROM fp)
+         |SELECT tr.doc_id AS train_id, te.doc_id AS test_id, count(*) AS n_shared
+         |FROM (SELECT * FROM ex WHERE doc_id >= 20) tr
+         |JOIN (SELECT * FROM ex WHERE doc_id < 20) te ON tr.h = te.h
+         |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin
+    },
 
     "q_text_fingerprint" -> {
       val fold = Portable.charHashSql("substr(text, i+1, 8)")

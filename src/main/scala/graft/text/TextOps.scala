@@ -138,6 +138,26 @@ object TextOps {
     array_sort(array_distinct(filter(hashes, h => h % p === 0)))
   }
 
+  /** Train↔test contamination check (decontamination): pairs of
+    * documents sharing at least `minShared` winnowing fingerprint
+    * hashes, with the shared count. Inverted-index equi-join on the
+    * hash — never an all-pairs array intersect — so the plan is the
+    * same shape as the dedup candidate generators and survives corpus
+    * scale; the ~1/p sampling of the fingerprint keeps the index a
+    * fraction of the corpus. */
+  def contaminationPairs(train: org.apache.spark.sql.DataFrame,
+      test: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      k: Int = 8, p: Int = 8, minShared: Int = 3)
+      : org.apache.spark.sql.DataFrame = {
+    def index(df: org.apache.spark.sql.DataFrame, as: String) =
+      df.select(col(idCol).as(as),
+        explode(fingerprint(col(textCol), k, p)).as("_h"))
+    index(train, "train_id").join(index(test, "test_id"), "_h")
+      .groupBy("train_id", "test_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Scalar digest of a fingerprint sketch: order-sensitive fold
     * (d*131 + h) % P over the sorted hashes, seed 7 — one BIGINT the
     * driver's comparator can hash (its pandas sorter cannot handle

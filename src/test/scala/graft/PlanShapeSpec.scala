@@ -44,10 +44,40 @@ class PlanShapeSpec extends SparkSpec {
 
   test("dedup pair generation contains no cartesian product") {
     Seq("q_dedup_jaccard", "q_dedup_minhash_lsh", "q_dedup_simhash",
-      "q_dedup_embedding_lsh").foreach { q =>
+      "q_dedup_embedding_lsh", "q_text_contamination").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join")
     }
+  }
+
+  test("funnel joins on the time-bucketed key, never bare user_id") {
+    val p = plan("q_funnel")
+    // the equi-join key list must include the bucket column _b
+    assert(p.contains("_b"), p.take(1200))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("as-of join is one exchange on the key — no range join, no cartesian") {
+    val p = plan("q_asof_last_click")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1200))
+    // union-window plan: a Window over user_id, not a join at all
+    assert(p.contains("Window"), p.take(1200))
+    assert(!p.contains("SortMergeJoin"), "as-of must not be a join")
+  }
+
+  test("exact dedup shuffles digests once: no join-back, no second exchange") {
+    val p = plan("q_dedup_exact")
+    assert(!p.contains("Join"), "exact dedup must be agg+explode, not a join")
+    // exactly one shuffle exchange (the groupBy on the digest)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 exchange, plan has $exchanges")
+  }
+
+  test("IVF candidate generation is an equi-join on the centroid id") {
+    val p = plan("q_sim_topk_ivf")
+    assert(p.contains("_cid"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), "corpus×query must not be cartesian")
   }
 }
