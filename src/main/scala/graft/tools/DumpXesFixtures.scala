@@ -29,6 +29,8 @@ object DumpXesFixtures {
       s"$out/xes_book_events.parquet")
     writeSingle(XesQueries.queries("q_xes_log_stats")(spark, ""),
       s"$out/xes_book_log_stats.parquet")
+    writeSingle(XesQueries.queries("q_xes_quarantine")(spark, ""),
+      s"$out/xes_quarantine.parquet")
     spark.stop()
   }
 

@@ -41,6 +41,15 @@ class XesFixtureSpec extends SparkSpec {
     }
   }
 
+  test("quarantine fixture covers the whole non_parsing corpus, one row per file") {
+    val q = spark.read.parquet(s"$fixtures/xes_quarantine.parquet")
+      .as[(String, String)].collect()
+    val corpusFiles = new java.io.File("/root/reference/static/xes/non_parsing")
+      .listFiles().filter(_.getName.endsWith(".xes")).map(_.getName).toSet
+    assert(q.map(_._1).toSet == corpusFiles)       // every file quarantined
+    assert(q.forall(_._2.nonEmpty))                // with a real error message
+  }
+
   test("fixture equals a fresh distributed parse (reader ↔ fixture round trip)") {
     val fresh = graft.queries.XesQueries.queries("q_xes_read_events")(spark, "")
     val fixture = spark.read.parquet(s"$fixtures/xes_book_events.parquet")
