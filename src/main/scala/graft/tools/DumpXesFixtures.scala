@@ -31,6 +31,8 @@ object DumpXesFixtures {
       s"$out/xes_book_log_stats.parquet")
     writeSingle(XesQueries.queries("q_xes_quarantine")(spark, ""),
       s"$out/xes_quarantine.parquet")
+    writeSingle(XesQueries.queries("q_xes_validate")(spark, ""),
+      s"$out/xes_validate.parquet")
     spark.stop()
   }
 

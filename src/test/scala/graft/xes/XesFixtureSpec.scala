@@ -50,6 +50,16 @@ class XesFixtureSpec extends SparkSpec {
     assert(q.forall(_._2.nonEmpty))                // with a real error message
   }
 
+  test("validate fixture surfaces data-plane violations from the non_validating corpus") {
+    val v = spark.read.parquet(s"$fixtures/xes_validate.parquet")
+    assert(v.count() > 0L)
+    val kinds = v.select("kind").distinct().as[String].collect().toSet
+    // witness classes the corpus is built around
+    assert(kinds.contains("missing_global"), kinds)
+    val files = v.select("file").distinct().as[String].collect().toSet
+    assert(files.contains("globals_violation_type.xes"), files)
+  }
+
   test("fixture equals a fresh distributed parse (reader ↔ fixture round trip)") {
     val fresh = graft.queries.XesQueries.queries("q_xes_read_events")(spark, "")
     val fixture = spark.read.parquet(s"$fixtures/xes_book_events.parquet")
