@@ -108,12 +108,15 @@ object XesReader {
   }
 
   /** One-time conversion to the at-scale layout: events + traces
-    * parquet, partitioned-ready (repartition by file so downstream
-    * per-log work is co-located). */
+    * parquet, PARTITIONED by source file — per-log queries prune to
+    * one directory, and each log's rows are co-located for the
+    * (file, traceIdx) joins downstream. */
   def toParquet(spark: SparkSession, xesPath: String, outDir: String): Unit = {
-    readEvents(spark, xesPath).write.mode("overwrite")
+    readEvents(spark, xesPath).repartition(col("file"))
+      .write.mode("overwrite").partitionBy("file")
       .parquet(s"$outDir/events.parquet")
-    readTraces(spark, xesPath).write.mode("overwrite")
+    readTraces(spark, xesPath).repartition(col("file"))
+      .write.mode("overwrite").partitionBy("file")
       .parquet(s"$outDir/traces.parquet")
   }
 }

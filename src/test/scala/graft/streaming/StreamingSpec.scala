@@ -94,6 +94,30 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming per-case stats converge to the batch answer on the same data") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = (1L to 40L).flatMap(c => (0 until 3).map(i => (c, c * 100 + i)))
+    val input = MemoryStream[(Long, Long)]
+    val df = input.toDS().toDF("case_id", "t")
+      .withColumn("ts", timestamp_micros(col("t")))
+    val query = StreamingStats.perCase(df, "case_id", "ts").writeStream
+      .format("memory").queryName("percase_eq")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      // feed in two arbitrary chunks — incremental state must not care
+      input.addData(rows.take(70): _*)
+      query.processAllAvailable()
+      input.addData(rows.drop(70): _*)
+      query.processAllAvailable()
+      val streaming = spark.table("percase_eq")
+        .select("case_id", "n_events").as[(Long, Long)].collect().toMap
+      val batch = rows.toDF("case_id", "t")
+        .groupBy("case_id").agg(count(lit(1)).as("n"))
+        .as[(Long, Long)].collect().toMap
+      assert(streaming == batch) // incremental == one-shot
+    } finally query.stop()
+  }
+
   test("streaming dedup drops duplicates within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Long)]

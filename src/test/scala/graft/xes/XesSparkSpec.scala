@@ -60,4 +60,21 @@ class XesSparkSpec extends SparkSpec {
     val reparsed = XesParser.parseString("L1.xes", rendered("L1.xes"))
     assert(reparsed.counts == Seq(6L, 23L, 23L))
   }
+
+  test("toParquet writes the file-partitioned at-scale layout and reads back whole") {
+    val out = java.nio.file.Files.createTempDirectory("xes2pq").toString
+    XesReader.toParquet(spark, s"$book/*.xes", out)
+    // hive-style partition dirs per source log → per-log pruning
+    val dirs = new java.io.File(s"$out/events.parquet").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs.contains("file=L1.xes") && dirs.contains("file=bigger-example.xes"))
+    val ev = spark.read.parquet(s"$out/events.parquet")
+    assert(ev.count() == 9402L)
+    // partition pruning reaches the scan for a per-log query
+    val pruned = ev.filter(col("file") === "L1.xes")
+    assert(pruned.count() == 23L)
+    val tr = spark.read.parquet(s"$out/traces.parquet")
+    assert(tr.count() == 1391L + 13L + 4L + 147L + 14L + 6L +
+      55L + 50L + 200L + 11L + 8L + 6L + 87L)
+  }
 }
