@@ -1,0 +1,90 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.multimodal.Ppm
+
+/** Randomized property tests for the pure-JVM kernels, against
+  * independent naive reference implementations written here (NOT the
+  * kernels' own code paths). Seeded — fully deterministic.
+  */
+class KernelPropertySpec extends AnyFunSuite {
+
+  private val P = Portable.P
+  private val rnd = new scala.util.Random(20260812L)
+
+  private def randString(maxLen: Int): String = {
+    val pools = Seq(
+      () => ('a' + rnd.nextInt(26)).toChar.toString,
+      () => (' ' + rnd.nextInt(94)).toChar.toString,      // printable ASCII
+      () => Seq("é", "Ü", "ß", "語", "λ", "ж")(rnd.nextInt(6)),
+      () => new String(Character.toChars(0x1F600 + rnd.nextInt(16))))  // non-BMP
+    (0 until rnd.nextInt(maxLen)).map(_ => pools(rnd.nextInt(pools.length))())
+      .mkString
+  }
+
+  /** Independent O(len·k) reference: fold each window of code points. */
+  private def naiveFingerprint(s: String, k: Int, p: Int): Seq[Long] = {
+    val cps = s.codePoints().toArray
+    if (cps.length < k) Seq.empty
+    else (0 to cps.length - k).map { i =>
+      var h = 7L
+      (i until i + k).foreach(j => h = (h * Portable.CharMul + cps(j)) % P)
+      h
+    }.filter(_ % p == 0).distinct.sorted
+  }
+
+  test("rolling fingerprint == naive per-window fold on 300 random unicode strings") {
+    (1 to 300).foreach { _ =>
+      val s = randString(120)
+      val k = 2 + rnd.nextInt(9)
+      val p = 2 + rnd.nextInt(15)
+      val got = Native.fingerprint(UTF8String.fromString(s), k, p)
+        .toLongArray().toSeq
+      assert(got == naiveFingerprint(s, k, p), s"k=$k p=$p s=${s.take(40)}")
+    }
+  }
+
+  test("charHash == naive code-point fold") {
+    (1 to 200).foreach { _ =>
+      val s = randString(80)
+      var h = 7L
+      s.codePoints().forEach(cp => h = (h * Portable.CharMul + cp) % P)
+      assert(Native.charHash(UTF8String.fromString(s), 7L) == h)
+    }
+  }
+
+  test("ppm encode/decode is the identity for random rasters; resize preserves shape") {
+    (1 to 100).foreach { _ =>
+      val w = 1 + rnd.nextInt(16)
+      val h = 1 + rnd.nextInt(16)
+      val ch = if (rnd.nextBoolean()) 3 else 1
+      val px = Array.fill[Byte](w * h * ch)(rnd.nextInt(256).toByte)
+      val img = Ppm.Image(w, h, ch, px)
+      val rt = Ppm.decode(Ppm.encode(img)).get
+      assert(rt.width == w && rt.height == h && rt.channels == ch)
+      assert(rt.pixels.toSeq == px.toSeq)
+      val (nw, nh) = (1 + rnd.nextInt(16), 1 + rnd.nextInt(16))
+      val rs = Ppm.resize(img, nw, nh)
+      assert(rs.pixels.length == nw * nh * ch)
+      // corner pixel is exact under nearest-neighbor
+      assert(rs.pixels(0) == px(0))
+      assert(Ppm.gray(img).length == w * h)
+    }
+  }
+
+  test("NCName: strings of valid chars validate; one invalid char anywhere breaks it") {
+    val validStart = Seq("a", "Z", "_", "Ü", "é", "語")
+    val validRest = validStart ++ Seq("0", "9", ".", "-", "·")
+    (1 to 200).foreach { _ =>
+      val s = validStart(rnd.nextInt(validStart.length)) +
+        (0 until rnd.nextInt(12)).map(_ => validRest(rnd.nextInt(validRest.length))).mkString
+      assert(graft.xes.XmlLexical.isNcName(s), s)
+      val bad = Seq(":", " ", "#", "<")(rnd.nextInt(4))
+      val pos = rnd.nextInt(s.length + 1)
+      assert(!graft.xes.XmlLexical.isNcName(s.take(pos) + bad + s.drop(pos)))
+    }
+  }
+}
