@@ -53,6 +53,21 @@ object TextQueries {
         TextOps.qualityKeep(col("text")).as("keep"))
     },
 
+    // Within-document repetition (Gopher-style boilerplate filters).
+    "q_text_repetition" -> { (s, dir) =>
+      val m = TextOps.repetitionMetrics(col("text"))
+      Tables(s, dir, "documents")
+        .select(col("doc_id") +: m.map { case (n, c) => c.as(n) }: _*)
+    },
+
+    // PII pass: detection counts + redacted text.
+    "q_text_pii" -> { (s, dir) =>
+      val m = TextOps.piiCounts(col("text"))
+      Tables(s, dir, "documents").select(
+        (col("doc_id") +: m.map { case (n, c) => c.as(n) }) :+
+          TextOps.piiRedact(col("text")).as("redacted"): _*)
+    },
+
     // Decontamination: test set = doc_id < 20, train = the rest;
     // pairs sharing >= 3 fingerprint hashes (inverted-index join).
     "q_text_contamination" -> { (s, dir) =>
@@ -125,6 +140,30 @@ object TextQueries {
          |       / CAST(length(text) AS DOUBLE) >= 0.5
          |   AND CAST(len([t for t in $toksSql if list_contains(${markersSql(TextOps.Stopwords)}, lower(t))]) AS DOUBLE)
          |       / CAST(len($toksSql) AS DOUBLE) >= 0.01) AS keep
+         |FROM documents""".stripMargin,
+
+    "q_text_repetition" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN len(lines) = 0 THEN 0.0 ELSE
+         |    CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
+         |      / CAST(len(lines) AS DOUBLE) END AS dup_line_frac,
+         |  CASE WHEN len(grams) = 0 THEN 0.0 ELSE
+         |    CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
+         |      / CAST(len(grams) AS DOUBLE) END AS dup_2gram_frac
+         |FROM (
+         |  SELECT doc_id,
+         |    [l for l in string_split(text, chr(10)) if len(l) > 0] AS lines,
+         |    CASE WHEN len(t) < 2 THEN [] ELSE
+         |      [t[i+1] || ' ' || t[i+2] for i in generate_series(0, len(t)-2)]
+         |    END AS grams
+         |  FROM (SELECT doc_id, text, $toksSql AS t FROM documents))""".stripMargin,
+
+    "q_text_pii" ->
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '${TextOps.EmailRe}')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '${TextOps.DigitRunRe}')) AS BIGINT) AS n_digit_runs,
+         |  regexp_replace(regexp_replace(text, '${TextOps.EmailRe}', '<EMAIL>', 'g'),
+         |    '${TextOps.DigitRunRe}', '<NUMBER>', 'g') AS redacted
          |FROM documents""".stripMargin,
 
     "q_text_contamination" -> {

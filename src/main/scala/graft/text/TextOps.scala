@@ -64,6 +64,39 @@ object TextOps {
           length(text).cast("double")))
   }
 
+  /** Repetition metrics (the Gopher-style within-document repetition
+    * filters): fraction of duplicate lines and fraction of duplicate
+    * word 2-grams — high values mark boilerplate/spam. Map-side array
+    * arithmetic, zero shuffle. Empty docs → 0.0 (no repetition).
+    */
+  def repetitionMetrics(text: Column): Seq[(String, Column)] = {
+    val lines = filter(split(text, "\n"), l => length(l) > 0)
+    val nLines = size(lines)
+    val grams = shingles(text, 2)
+    val nGrams = size(grams)
+    def dupFrac(xs: Column, n: Column): Column =
+      when(n === 0, lit(0.0)).otherwise(
+        (n - size(array_distinct(xs))).cast("double") / n.cast("double"))
+    Seq(
+      "dup_line_frac" -> dupFrac(lines, nLines),
+      "dup_2gram_frac" -> dupFrac(grams, nGrams))
+  }
+
+  /** PII detection: email and long-digit-run (phone/id-like) counts,
+    * plus the text with both classes redacted — the scrub step before
+    * training. Conservative, regex-only (a real pipeline chains model
+    * scrubbers after this cheap pass). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val DigitRunRe = "[0-9][0-9 ()+.-]{7,}[0-9]"
+
+  def piiCounts(text: Column): Seq[(String, Column)] = Seq(
+    "n_emails" -> size(regexp_extract_all(text, lit(EmailRe))).cast("long"),
+    "n_digit_runs" -> size(regexp_extract_all(text, lit(DigitRunRe))).cast("long"))
+
+  def piiRedact(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"),
+      DigitRunRe, "<NUMBER>")
+
   /** Quality keep/drop decision composing the cheap metrics — the
     * actual FILTER a pretraining pipeline applies (metrics alone are
     * diagnostics). Empty documents are dropped outright (the ratio
