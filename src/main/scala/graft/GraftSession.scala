@@ -13,6 +13,8 @@ object GraftSession {
       .appName("graft")
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")
+      // native kernels callable from pure SQL (GraftExtensions)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // events.parquet stores TIMESTAMP(NANOS) which Spark has no type
