@@ -78,5 +78,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       case Seq(a) => FoldHashExpr(a, 7L)
       case Seq(a, seed) => FoldHashExpr(a, litL(seed, "seed"))
     }
+    register(ext, "graft_minhash_union",
+      "graft_minhash_union(sig) - aggregate: element-wise min = signature of the set union") {
+      case Seq(a) => graft.functions.MinHashUnionAgg(a)
+    }
   }
 }

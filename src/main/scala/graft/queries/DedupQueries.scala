@@ -43,6 +43,22 @@ object DedupQueries {
     "q_dedup_clusters" -> { (s, dir) =>
       Dedup.clusters(Dedup.jaccardPairs(Tables(s, dir, "documents"),
         "doc_id", "text", k = 3, tau = 0.8))
+    },
+
+    // Sketch algebra: per-language UNION MinHash signature via the
+    // custom TypedImperativeAggregate (element-wise min — the
+    // signature of the union of all that language's shingle sets),
+    // digested to one scalar per group.
+    "q_dedup_lang_sigs" -> { (s, dir) =>
+      import graft.functions.{MinHashUnionAgg, NativeExpressions}
+      Tables(s, dir, "documents")
+        .select(col("lang"), Dedup.shingleHashes(col("text"), 3).as("_sh"))
+        .filter(size(col("_sh")) > 0)
+        .select(col("lang"),
+          Dedup.minhashSignature(col("_sh"), 32, 42L).as("_sig"))
+        .groupBy("lang")
+        .agg(NativeExpressions.foldHash(
+          MinHashUnionAgg.minhashUnion(col("_sig")), 7L).as("sig_digest"))
     }
   )
 
@@ -92,6 +108,25 @@ object DedupQueries {
          |  SELECT e.a, r.label FROM e JOIN reach r ON e.b = r.node)
          |SELECT node AS doc_id, min(label) AS cluster_id
          |FROM reach GROUP BY node""".stripMargin,
+
+    "q_dedup_lang_sigs" -> {
+      val seed = 42L
+      val aI = s"((2654435761*(2*i+1)+$seed) % $P)"
+      val bI = s"((2654435761*(i+7)+${seed * 31}) % $P)"
+      s"""WITH tk AS (SELECT doc_id, lang, $toks AS t FROM documents),
+         |sh AS (SELECT doc_id, lang, $shingleHashes AS s FROM tk),
+         |sig AS (SELECT lang,
+         |  [list_min([(($aI*(x % $P) + $bI) % $P) for x in s])
+         |   for i in generate_series(0, 31)] AS sg
+         |  FROM sh WHERE len(s) > 0),
+         |ex AS (SELECT lang, g.i AS i, sg[g.i] AS v
+         |  FROM sig, generate_series(1, 32) g(i)),
+         |mins AS (SELECT lang, i, min(v) AS mv FROM ex GROUP BY 1, 2),
+         |u AS (SELECT lang, list(mv ORDER BY i) AS uu FROM mins GROUP BY lang)
+         |SELECT lang, list_reduce(list_prepend(CAST(7 AS BIGINT), uu),
+         |  (d,h) -> (d*131+h) % $P) AS sig_digest
+         |FROM u""".stripMargin
+    },
 
     "q_dedup_minhash_lsh" -> {
       val seed = 42L

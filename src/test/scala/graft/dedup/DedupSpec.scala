@@ -42,6 +42,26 @@ class DedupSpec extends SparkSpec {
     assert(dist == expect)
   }
 
+  test("minhash-union aggregate == signature of the unioned shingle sets") {
+    import graft.functions.{MinHashUnionAgg, Native}
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val texts = Seq("alpha beta gamma delta", "gamma delta epsilon zeta",
+      "zeta eta theta iota kappa")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+      .select(Dedup.minhashSignature(
+        Dedup.shingleHashes(col("text"), 2), 16, 42L).as("sig"))
+    val union = df.agg(MinHashUnionAgg.minhashUnion(col("sig")))
+      .as[Seq[Long]].head()
+    // signature of the union of all shingle sets, computed directly
+    val allShingles = texts.flatMap(t =>
+      Native.shingleHashes(UTF8String.fromString(t), 2).toLongArray()).distinct
+    val direct = Native.minhashSig(
+      new GenericArrayData(allShingles.toArray), 16, 42L).toLongArray().toSeq
+    assert(union == direct)
+  }
+
   test("exact dedup on hashed keys == grouping by normalized text") {
     val docs = Seq(
       (1L, "Hello World"), (2L, "  hello world  "), (3L, "HELLO WORLD"),
