@@ -73,6 +73,29 @@ object Dfg {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Heuristics-miner dependency measure over the DFG (the classic
+    * Weijters formula): for a ≠ b,
+    * `dep(a,b) = (|a>b| − |b>a|) / (|a>b| + |b>a| + 1)`; for loops,
+    * `dep(a,a) = |a>a| / (|a>a| + 1)`. Emitted for every observed
+    * directly-follows pair. One self-join of the (tiny) edge list on
+    * the reversed pair — the heavy lifting stays in [[edges]]' one
+    * case-key shuffle.
+    */
+  def dependencyMeasures(events: DataFrame, caseCol: String,
+      activityCol: String, tsCol: String, tieBreak: String): DataFrame = {
+    val e = edges(events, caseCol, activityCol, tsCol, tieBreak)
+    val rev = e.select(col("act_from").as("act_to"),
+      col("act_to").as("act_from"), col("n").as("_n_rev"))
+    e.join(rev, Seq("act_from", "act_to"), "left")
+      .select(col("act_from"), col("act_to"),
+        when(col("act_from") === col("act_to"),
+          col("n").cast("double") / (col("n") + 1).cast("double"))
+        .otherwise(
+          (col("n") - coalesce(col("_n_rev"), lit(0L))).cast("double") /
+            (col("n") + coalesce(col("_n_rev"), lit(0L)) + 1).cast("double"))
+        .as("dependency"))
+  }
+
   def endActivities(events: DataFrame, caseCol: String, activityCol: String,
       tsCol: String, tieBreak: String): DataFrame = {
     val w = Window.partitionBy(col(caseCol))

@@ -159,6 +159,13 @@ object EventLogQueries {
         tsCol = "ts", tieBreak = "event_id")
     },
 
+    // Heuristics-miner dependency matrix from the DFG.
+    "q_dfg_dependency" -> { (s, dir) =>
+      Dfg.dependencyMeasures(Tables(s, dir, "events"),
+        caseCol = "user_id", activityCol = "event_type",
+        tsCol = "ts", tieBreak = "event_id")
+    },
+
     // Skew-guarded aggregation (ops/Skew): two-stage salted count —
     // bit-identical to a plain GROUP BY, bounded reducer load at any
     // key skew.
@@ -230,6 +237,21 @@ object EventLogQueries {
         |  FROM events) WHERE rn = 1 GROUP BY 1""".stripMargin,
     "q_skew_salted_counts" ->
       "SELECT event_type, count(*) AS count FROM events GROUP BY event_type",
+    "q_dfg_dependency" ->
+      """WITH e AS (
+        |  SELECT act_from, act_to, count(*) AS n FROM (
+        |    SELECT event_type AS act_from,
+        |      lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS act_to
+        |    FROM events)
+        |  WHERE act_to IS NOT NULL
+        |  GROUP BY 1, 2)
+        |SELECT e.act_from, e.act_to,
+        |  CASE WHEN e.act_from = e.act_to
+        |    THEN CAST(e.n AS DOUBLE) / CAST(e.n + 1 AS DOUBLE)
+        |    ELSE CAST(e.n - coalesce(r.n, 0) AS DOUBLE)
+        |       / CAST(e.n + coalesce(r.n, 0) + 1 AS DOUBLE) END AS dependency
+        |FROM e LEFT JOIN e r
+        |  ON e.act_from = r.act_to AND e.act_to = r.act_from""".stripMargin,
     "q_case_durations" ->
       """SELECT user_id, count(*) AS n_events,
         |  epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us

@@ -78,6 +78,14 @@ class OpsSpec extends SparkSpec {
       .as[(String, Long)].collect().toSet
     assert(ends == Set(("c", 1L), ("b", 1L)))
 
+    // heuristics-miner dependency: a>b unopposed = 1/2; b>c opposed by
+    // c>b = 0 (Weijters formula)
+    val dep = Dfg.dependencyMeasures(events, "case", "act", "ts", "t")
+      .as[(String, String, Double)].collect()
+      .map { case (a, b, d) => (a, b) -> d }.toMap
+    assert(dep(("a", "b")) == 0.5 && dep(("a", "c")) == 0.5)
+    assert(dep(("b", "c")) == 0.0 && dep(("c", "b")) == 0.0)
+
     val fp = Dfg.footprint(events, "case", "act", "ts", "t")
       .as[(String, String, String)].collect()
       .map { case (x, y, r) => (x, y) -> r }.toMap
