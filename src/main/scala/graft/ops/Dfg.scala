@@ -96,6 +96,35 @@ object Dfg {
         .as("dependency"))
   }
 
+  /** Eventually-follows graph: for each activity pair (a,b), the
+    * number of (event of a, later event of b) pairs within the same
+    * case — the performance-spectrum companion of the DFG.
+    *
+    * Scale shape: NOT a per-case self-join (quadratic in case length —
+    * one mega-case melts a reducer). Each event is paired with each
+    * alphabet activity `a` (|A| copies — the activity alphabet is
+    * small and bounded, and this bound is the documented cost), then
+    * one window per (case, a) accumulates the running count of `a`
+    * strictly before the row; summing that prefix per (a, row-activity)
+    * yields exactly the pair counts. Work is O(|events|·|A|), linear
+    * per case.
+    */
+  def eventuallyFollows(events: DataFrame, caseCol: String,
+      activityCol: String, tsCol: String, tieBreak: String): DataFrame = {
+    val acts = events.select(col(activityCol).as("_a")).distinct()
+    val w = Window.partitionBy(col(caseCol), col("_a"))
+      .orderBy(col(tsCol), col(tieBreak))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .select(col(caseCol), col(activityCol), col(tsCol), col(tieBreak))
+      .crossJoin(broadcast(acts))
+      .withColumn("_prefix",
+        sum(when(col(activityCol) === col("_a"), 1L).otherwise(0L)).over(w))
+      .groupBy(col("_a").as("act_from"), col(activityCol).as("act_to"))
+      .agg(sum(coalesce(col("_prefix"), lit(0L))).as("n"))
+      .filter(col("n") > 0)
+  }
+
   def endActivities(events: DataFrame, caseCol: String, activityCol: String,
       tsCol: String, tieBreak: String): DataFrame = {
     val w = Window.partitionBy(col(caseCol))

@@ -159,6 +159,14 @@ object EventLogQueries {
         tsCol = "ts", tieBreak = "event_id")
     },
 
+    // Eventually-follows graph (performance-spectrum companion of the
+    // DFG) — see Dfg.eventuallyFollows for the linear-per-case shape.
+    "q_dfg_eventually_follows" -> { (s, dir) =>
+      Dfg.eventuallyFollows(Tables(s, dir, "events"),
+        caseCol = "user_id", activityCol = "event_type",
+        tsCol = "ts", tieBreak = "event_id")
+    },
+
     // Heuristics-miner dependency matrix from the DFG.
     "q_dfg_dependency" -> { (s, dir) =>
       Dfg.dependencyMeasures(Tables(s, dir, "events"),
@@ -237,6 +245,13 @@ object EventLogQueries {
         |  FROM events) WHERE rn = 1 GROUP BY 1""".stripMargin,
     "q_skew_salted_counts" ->
       "SELECT event_type, count(*) AS count FROM events GROUP BY event_type",
+    "q_dfg_eventually_follows" ->
+      """SELECT a.event_type AS act_from, b.event_type AS act_to,
+        |  count(*) AS n
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))
+        |GROUP BY 1, 2""".stripMargin,
     "q_dfg_dependency" ->
       """WITH e AS (
         |  SELECT act_from, act_to, count(*) AS n FROM (

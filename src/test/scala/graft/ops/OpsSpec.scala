@@ -78,6 +78,13 @@ class OpsSpec extends SparkSpec {
       .as[(String, Long)].collect().toSet
     assert(ends == Set(("c", 1L), ("b", 1L)))
 
+    // eventually-follows: all later pairs, not just direct successors
+    val ef = Dfg.eventuallyFollows(events, "case", "act", "ts", "t")
+      .as[(String, String, Long)].collect()
+      .map { case (a, b, n) => (a, b) -> n }.toMap
+    assert(ef == Map(("a", "b") -> 2L, ("a", "c") -> 2L,
+      ("b", "c") -> 1L, ("c", "b") -> 1L))
+
     // heuristics-miner dependency: a>b unopposed = 1/2; b>c opposed by
     // c>b = 0 (Weijters formula)
     val dep = Dfg.dependencyMeasures(events, "case", "act", "ts", "t")
