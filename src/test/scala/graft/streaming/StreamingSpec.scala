@@ -53,6 +53,43 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming DFG edges == batch Dfg.edges under out-of-order arrival") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[TraceAssembly.InEvent]
+    val events = input.toDS()
+      .withColumn("ts", timestamp_micros(col("tsMicros")))
+      .withWatermark("ts", "10 seconds")
+      .as[TraceAssembly.InEvent]
+    val query = StreamingDfg.edges(spark, events, gapSeconds = 30)
+      .writeStream.format("memory").queryName("stream_dfg")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val data = Seq(
+        TraceAssembly.InEvent("A", "x", sec(10)),
+        TraceAssembly.InEvent("A", "z", sec(30)),   // out of order
+        TraceAssembly.InEvent("A", "y", sec(20)),
+        TraceAssembly.InEvent("B", "x", sec(11)),
+        TraceAssembly.InEvent("B", "y", sec(21)))
+      input.addData(data: _*)
+      query.processAllAvailable()
+      input.addData(TraceAssembly.InEvent("C", "w", sec(500)))
+      query.processAllAvailable()
+      input.addData(TraceAssembly.InEvent("C", "w2", sec(501)))
+      query.processAllAvailable()
+      val streamed = spark.table("stream_dfg")
+        .as[(String, String)].collect().groupBy(identity).view.mapValues(_.length).toMap
+      // batch reference on the same (closed) cases
+      val batch = data.map(e => (e.caseId, e.activity, e.tsMicros))
+        .toDF("case", "act", "t")
+        .withColumn("ts", timestamp_micros(col("t")))
+      val expect = graft.ops.Dfg.edges(batch, "case", "act", "ts", "t")
+        .as[(String, String, Long)].collect()
+        .map { case (a, b, n) => (a, b) -> n.toInt }.toMap
+      assert(streamed.map { case ((a, b), n) => (a, b) -> n } == expect)
+      assert(expect(("x", "y")) == 2) // non-vacuous, includes the reordered edge
+    } finally query.stop()
+  }
+
   test("running stats update incrementally (stats.rs as stateful agg)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Long)]
