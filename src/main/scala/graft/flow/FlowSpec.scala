@@ -78,11 +78,12 @@ object FlowSpec {
     * x}` typed values (plugin.rs Parameters encoding). Bare scalars
     * are accepted too. */
   private def parseAttributes(n: JsonNode): Map[String, Any] =
-    n.fields().asScala.map { e =>
+    n.properties().iterator().asScala.map { e =>
       val v = e.getValue
       val value: Any =
         if (v.isObject) {
-          val (t, inner) = v.fields().asScala.map(f => f.getKey -> f.getValue).toSeq.head
+          val (t, inner) = v.properties().iterator().asScala
+            .map(f => f.getKey -> f.getValue).toSeq.head
           t match {
             case "String" => inner.asText
             case "Int" => inner.asLong
