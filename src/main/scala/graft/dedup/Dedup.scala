@@ -273,6 +273,18 @@ object Dedup {
     }
   }
 
+  /** Applies dedup decisions: keeps one canonical document per
+    * cluster (the min-id member) plus every unclustered document —
+    * "the deduped corpus", the operation every upstream pair/cluster
+    * stage exists to serve. One anti-join against the (small)
+    * non-canonical id list. */
+  def canonicalize(docs: DataFrame, idCol: String,
+      clusters: DataFrame): DataFrame = {
+    val dupIds = clusters.filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as(idCol))
+    docs.join(dupIds, Seq(idCol), "left_anti")
+  }
+
   /** Embedding-cosine near-dup pairs >= tau. This is the BRUTE-FORCE
     * verifier (all-pairs) — correct at any size but quadratic; the
     * scale path buckets by random-hyperplane LSH first

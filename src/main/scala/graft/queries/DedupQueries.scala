@@ -45,6 +45,16 @@ object DedupQueries {
         "doc_id", "text", k = 3, tau = 0.8))
     },
 
+    // The deduped corpus: one canonical doc per near-dup cluster plus
+    // all unclustered docs — what the pair/cluster stages exist for.
+    "q_dedup_canonical" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      Dedup.canonicalize(docs, "doc_id",
+          Dedup.clusters(Dedup.jaccardPairs(docs, "doc_id", "text",
+            k = 3, tau = 0.8)))
+        .select("doc_id")
+    },
+
     // Sketch algebra: per-language UNION MinHash signature via the
     // custom TypedImperativeAggregate (element-wise min — the
     // signature of the union of all that language's shingle sets),
@@ -108,6 +118,19 @@ object DedupQueries {
          |  SELECT e.a, r.label FROM e JOIN reach r ON e.b = r.node)
          |SELECT node AS doc_id, min(label) AS cluster_id
          |FROM reach GROUP BY node""".stripMargin,
+
+    "q_dedup_canonical" ->
+      s"""WITH RECURSIVE pr AS ($jaccardPairsSql),
+         |e AS (SELECT id_a AS a, id_b AS b FROM pr
+         |      UNION SELECT id_b, id_a FROM pr),
+         |reach(node, label) AS (
+         |  SELECT a, a FROM e
+         |  UNION
+         |  SELECT e.a, r.label FROM e JOIN reach r ON e.b = r.node),
+         |dups AS (SELECT node FROM reach GROUP BY node
+         |         HAVING node <> min(label))
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT node FROM dups)""".stripMargin,
 
     "q_dedup_lang_sigs" -> {
       val seed = 42L

@@ -53,6 +53,18 @@ object TextQueries {
         TextOps.qualityKeep(col("text")).as("keep"))
     },
 
+    // One-row corpus profile (the dataset card numbers): doc count,
+    // token/char totals, mean doc length — one scan, map-side partials.
+    "q_corpus_profile" -> { (s, dir) =>
+      val nTok = TextOps.tokenCount(col("text")).cast("long")
+      Tables(s, dir, "documents").agg(
+        count(lit(1)).as("n_docs"),
+        sum(nTok).as("total_tokens"),
+        sum(length(col("text")).cast("long")).as("total_chars"),
+        (sum(nTok).cast("double") / count(lit(1)).cast("double"))
+          .as("mean_doc_tokens"))
+    },
+
     // Within-document repetition (Gopher-style boilerplate filters).
     "q_text_repetition" -> { (s, dir) =>
       val m = TextOps.repetitionMetrics(col("text"))
@@ -140,6 +152,14 @@ object TextQueries {
          |       / CAST(length(text) AS DOUBLE) >= 0.5
          |   AND CAST(len([t for t in $toksSql if list_contains(${markersSql(TextOps.Stopwords)}, lower(t))]) AS DOUBLE)
          |       / CAST(len($toksSql) AS DOUBLE) >= 0.01) AS keep
+         |FROM documents""".stripMargin,
+
+    "q_corpus_profile" ->
+      s"""SELECT count(*) AS n_docs,
+         |  CAST(sum(len($toksSql)) AS BIGINT) AS total_tokens,
+         |  CAST(sum(length(text)) AS BIGINT) AS total_chars,
+         |  CAST(sum(len($toksSql)) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         |    AS mean_doc_tokens
          |FROM documents""".stripMargin,
 
     "q_text_repetition" ->
