@@ -38,6 +38,10 @@ object Multimodal {
   case class Frame(mediaId: Long, frameIdx: Int, offsetMs: Long,
     offsetBytes: Long)
 
+  /** Decoded-audio summary (the WAV analogue of [[Decoded]]). */
+  case class DecodedAudio(mediaId: Long, sampleRate: Int, channels: Int,
+    nSamples: Long, durationMs: Long, rms: Double, decoded: Boolean)
+
   case class MediaFeature(mediaId: Long, feature: Seq[Float])
 
   /** The codec boundary: PGM/PPM decode for real; anything else gets
@@ -82,14 +86,24 @@ object Multimodal {
         case "video" =>
           val nFrames = 2 + (id % 3).toInt
           (0L until nFrames.toLong).toArray.flatMap(f => Ppm.encode(frame(f)))
+        case "audio" =>
+          // real 16-bit PCM WAV: deterministic sawtooth-ish signal
+          val rate = 8000
+          val n = rate / 10 + (id % 7).toInt * 100 // 100ms-ish
+          Wav.encode(Wav.Audio(rate, 1,
+            Array.tabulate[Short](n)(i =>
+              (((id + 3) * 2654435761L + i * 977L) % 20001 - 10000).toShort)))
         case _ =>
           val len = 64 + (id * 37 % 192).toInt
           Array.tabulate[Byte](len)(i =>
             (((id + 7) * 2654435761L + i * 131L) % 251).toByte)
       }
-      MediaRow(id, kind, content,
-        MediaMeta(kind, w, h, 16000, durationMs,
-          if (kind == "image" || kind == "video") "ppm" else "raw"))
+      val fmt = kind match {
+        case "image" | "video" => "ppm"
+        case "audio" => "wav"
+        case _ => "raw"
+      }
+      MediaRow(id, kind, content, MediaMeta(kind, w, h, 8000, durationMs, fmt))
     }
   }
 
@@ -104,21 +118,48 @@ object Multimodal {
   }
 
   /** Feature extraction: 32-bin normalized histogram per media row —
-    * over decoded LUMA pixels when the container parses, over raw
-    * bytes otherwise. Deterministic and usable by the ANN/near-dup
-    * operators downstream. */
+    * over decoded LUMA pixels (raster), absolute-amplitude high bytes
+    * (PCM audio), or raw bytes (fallback). Deterministic and usable by
+    * the ANN/near-dup operators downstream. */
   def features(media: Dataset[MediaRow]): Dataset[MediaFeature] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.map { row =>
-        val data = Ppm.decode(row.content) match {
+        val data: Array[Byte] = Ppm.decode(row.content) match {
           case Some(img) => Ppm.gray(img)
-          case None => row.content
+          case None => Wav.decode(row.content) match {
+            case Some(a) => a.samples.map(s => (math.abs(s.toInt) >> 7).toByte)
+            case None => row.content
+          }
         }
         val hist = new Array[Float](32)
         data.foreach(b => hist((b & 0xff) / 8) += 1f)
         val n = math.max(1, data.length).toFloat
         MediaFeature(row.mediaId, hist.toSeq.map(_ / n))
+      }
+    }
+  }
+
+  /** Audio decode stage: real WAV parse (sample rate, channel count,
+    * duration from the container bytes; RMS amplitude) with a labeled
+    * fallback for unknown containers. */
+  def decodeAudio(media: Dataset[MediaRow]): Dataset[DecodedAudio] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { row =>
+        Wav.decode(row.content) match {
+          case Some(a) =>
+            val rms =
+              if (a.samples.isEmpty) 0.0
+              else math.sqrt(a.samples.foldLeft(0.0)((s, x) =>
+                s + x.toDouble * x) / a.samples.length)
+            DecodedAudio(row.mediaId, a.sampleRate, a.channels,
+              a.samples.length.toLong, a.durationMs, rms, decoded = true)
+          case None =>
+            DecodedAudio(row.mediaId, row.meta.sampleRate, 0,
+              row.content.length.toLong, row.meta.durationMs, 0.0,
+              decoded = false)
+        }
       }
     }
   }
@@ -160,9 +201,18 @@ object Multimodal {
           case ((off, _), i) if i.toLong * frameMs % strideMs < frameMs =>
             Frame(row.mediaId, i, i.toLong * frameMs, off.toLong)
         }
-      } else {
-        val n = (row.meta.durationMs / strideMs).toInt
-        (0 until n).map(i => Frame(row.mediaId, i, i * strideMs, -1L))
+      } else Wav.decode(row.content) match {
+        case Some(a) if a.durationMs > 0 =>
+          // real PCM windows: byte offset of each stride start inside
+          // the data chunk
+          val n = ((a.durationMs + strideMs - 1) / strideMs).toInt
+          val bytesPerStride = (a.sampleRate * strideMs / 1000).toInt *
+            a.channels * 2
+          (0 until n).map(i => Frame(row.mediaId, i, i * strideMs,
+            a.dataOffset.toLong + bytesPerStride.toLong * i))
+        case _ =>
+          val n = (row.meta.durationMs / strideMs).toInt
+          (0 until n).map(i => Frame(row.mediaId, i, i * strideMs, -1L))
       }
     }
   }

@@ -76,6 +76,50 @@ class MultimodalSpec extends SparkSpec {
     assert(blobFrames.length == 10 && blobFrames.forall(_.offsetBytes == -1L))
   }
 
+  test("wav codec: encode/decode round trip, chunk walking, rms frames") {
+    val a = Wav.Audio(8000, 2,
+      Array.tabulate[Short](1600)(i => ((i * 37) % 20001 - 10000).toShort))
+    val rt = Wav.decode(Wav.encode(a)).get
+    assert(rt.sampleRate == 8000 && rt.channels == 2)
+    assert(rt.samples.toSeq == a.samples.toSeq)
+    assert(rt.durationMs == 100L) // 1600 samples / 2 ch / 8000 Hz
+    // an extra unknown chunk before data is skipped
+    val extra = Wav.encode(a)
+    val withJunk = extra.take(12) ++
+      "LIST".getBytes ++ Array[Byte](4, 0, 0, 0, 1, 2, 3, 4) ++ extra.drop(12)
+    val rt2 = Wav.decode(withJunk).get
+    assert(rt2.samples.toSeq == a.samples.toSeq)
+    assert(rt2.dataOffset == rt.dataOffset + 12)
+    // rms of a constant signal equals the constant
+    val const = Wav.Audio(8000, 1, Array.fill[Short](800)(1000))
+    assert(Wav.rmsFrames(const, 50).forall(r => math.abs(r - 1000.0) < 1e-9))
+    // refuse non-wav
+    assert(Wav.decode("not audio at all".getBytes).isEmpty)
+  }
+
+  test("audio decode parses the real container; frame offsets hit the data chunk") {
+    val media = Multimodal.syntheticMedia(spark, 8, kind = "audio")
+    val d = Multimodal.decodeAudio(media).collect().sortBy(_.mediaId)
+    assert(d.forall(_.decoded))
+    assert(d.forall(x => x.sampleRate == 8000 && x.channels == 1 && x.rms > 0))
+    // duration comes from the container, not metadata
+    assert(d.forall(x => x.durationMs == x.nSamples * 1000 / 8000))
+    // frame sampling with real byte offsets inside the data chunk
+    val frames = Multimodal.sampleFrames(media, strideMs = 25).collect()
+    assert(frames.nonEmpty && frames.forall(_.offsetBytes >= 44L))
+    val row0 = media.filter(_.mediaId == 0L).collect().head
+    val audio0 = Wav.decode(row0.content).get
+    frames.filter(_.mediaId == 0L).foreach { f =>
+      assert(f.offsetBytes < row0.content.length)
+      assert((f.offsetBytes - audio0.dataOffset) % 2 == 0) // sample-aligned
+    }
+    // features path uses decoded amplitudes and stays unit-scale
+    val sums = Multimodal.featureFrame(media)
+      .select(aggregate(col("embedding"), lit(0.0d),
+        (s, x) => s + x.cast("double")).as("s")).as[Double].collect()
+    assert(sums.forall(s => math.abs(s - 1.0) < 1e-5))
+  }
+
   test("features are unit-scale LUMA histograms usable by ANN top-k") {
     val media = Multimodal.syntheticMedia(spark, 50)
     val feats = Multimodal.featureFrame(media)
