@@ -211,6 +211,21 @@ object FlowRunner {
         seg.streamSender.foreach(ch => emitStreams(Map(ch -> in)))
         in
 
+      // Beyond the reference registry (its builtins never consume
+      // artifacts — receivers are generic plugin plumbing,
+      // plugin.rs:38-45): a dev-util-flavored consumer in the spirit
+      // of the reference's consistency testers (dev_util.rs) that
+      // makes the artifact-delivery path observable — gates the pipe
+      // on statistics received from another pipe.
+      case "AssertStats" =>
+        val minTraces = long(seg.attributes.getOrElse("min_traces", 0L))
+        received.collect { case (ch, s: Statistics) =>
+          if (s.nTraces < minTraces)
+            throw new IllegalStateException(
+              s"AssertStats: channel '$ch' has ${s.nTraces} traces < $minTraces")
+        }
+        in
+
       case other =>
         throw new IllegalArgumentException(s"unknown segment '$other'")
     }

@@ -157,6 +157,25 @@ class FlowRunnerSpec extends SparkSpec {
     assert(result.artifacts("stats_b").asInstanceOf[FlowRunner.Statistics]
       .counts == Seq(13L, 80L, 80L))
 
+    // a received artifact is actually DELIVERED and usable: AssertStats
+    // passes on a satisfied bound and fails the flow on a violated one
+    def assertFlow(minTraces: Int): String =
+      s"""{"pipes": [
+         |  {"name": "P",
+         |   "source": {"name": "XesReader", "attributes":
+         |     {"path": {"String": "/root/reference/static/xes/book/L1.xes"}}},
+         |   "streams": [{"name": "Statistics", "artifact_sender": ["s1"]}]},
+         |  {"name": "C",
+         |   "source": {"name": "XesReader", "attributes":
+         |     {"path": {"String": "/root/reference/static/xes/book/L2.xes"}}},
+         |   "streams": [{"name": "AssertStats", "artifact_receiver": ["s1"],
+         |     "attributes": {"min_traces": {"Int": $minTraces}}}]}
+         |]}""".stripMargin
+    FlowRunner.runJson(spark, assertFlow(6))  // L1 has exactly 6 traces
+    val violated = intercept[IllegalStateException](
+      FlowRunner.runJson(spark, assertFlow(7)))
+    assert(violated.getMessage.contains("6 traces < 7"))
+
     // a receiver on a channel nobody produces is a detected deadlock
     val bad =
       """{"pipes": [{"name": "P",
