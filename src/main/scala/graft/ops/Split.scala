@@ -79,6 +79,28 @@ object Split {
     events.withColumn("is_train",
       bucket(keyColumn(events, caseCol), seed) < lit(trainPermille))
 
+  /** Three-way split at case granularity: adds a `split` column in
+    * {train, val, test} from the same deterministic bucket —
+    * bucket < trainPermille → train, < trainPermille+valPermille →
+    * val, else test. The standard ML-pipeline extension of the
+    * reference's two-way Split. */
+  def assign3(events: DataFrame, caseCol: String, trainPermille: Int,
+      valPermille: Int, seed: Long): DataFrame = {
+    val b = bucket(keyColumn(events, caseCol), seed)
+    events.withColumn("split",
+      when(b < lit(trainPermille), lit("train"))
+        .when(b < lit(trainPermille + valPermille), lit("val"))
+        .otherwise(lit("test")))
+  }
+
+  /** Oracle SQL for [[assign3]]'s split column. */
+  def oracleSplit3Sql(caseCol: String, trainPermille: Int, valPermille: Int,
+      seed: Long): String = {
+    val b = oracleBucketSql(caseCol, seed)
+    s"CASE WHEN $b < $trainPermille THEN 'train' " +
+      s"WHEN $b < ${trainPermille + valPermille} THEN 'val' ELSE 'test' END"
+  }
+
   /** The `Split` operator proper: (train, test) DataFrames. Both are
     * lazy views over the same scan — cache upstream if both sides are
     * consumed (the reference's Duplicator note, SURVEY.md §4).

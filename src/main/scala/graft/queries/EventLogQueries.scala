@@ -79,6 +79,16 @@ object EventLogQueries {
         .groupBy("user_id").agg(count(lit(1)).as("n_events"))
     },
 
+    // Three-way split (train/val/test) at case granularity — same
+    // deterministic bucket, per-split case and event counts.
+    "q_split_three_way" -> { (s, dir) =>
+      Split.assign3(Tables(s, dir, "events"), caseCol = "user_id",
+          trainPermille = 800, valPermille = 100, seed = 42)
+        .groupBy("split")
+        .agg(countDistinct(col("user_id")).as("n_cases"),
+          count(lit(1)).as("n_events"))
+    },
+
     // DFG miner (lib.rs:11-22 aspiration): directly-follows pairs per
     // case, one window pass + partial-agg count.
     "q_dfg_edges" -> { (s, dir) =>
@@ -226,6 +236,10 @@ object EventLogQueries {
       s"""SELECT user_id, count(*) AS n_events FROM events
          |WHERE ${Split.oracleTrainPredicate("user_id", 800, 42)}
          |GROUP BY user_id""".stripMargin,
+    "q_split_three_way" ->
+      s"""SELECT ${Split.oracleSplit3Sql("user_id", 800, 100, 42)} AS split,
+         |  count(DISTINCT user_id) AS n_cases, count(*) AS n_events
+         |FROM events GROUP BY 1""".stripMargin,
     "q_dfg_edges" ->
       """SELECT act_from, act_to, count(*) AS n FROM (
         |  SELECT event_type AS act_from,
