@@ -112,6 +112,25 @@ object Split {
      flagged.filter(!col("is_train")).drop("is_train"))
   }
 
+  /** Stratified down-sampling to BALANCE strata: every stratum is
+    * sampled at permille ⌊min_count·1000 / stratum_count⌋ with the
+    * same deterministic key bucket, so the output has ≈ the smallest
+    * stratum's size per stratum (the usual language/domain rebalance
+    * before training). Two phases: a count aggregation (tiny result,
+    * broadcast back), then one map-side filtered scan — no shuffle of
+    * the data itself. */
+  def stratifiedBalance(df: DataFrame, stratumCol: String, keyCol: String,
+      seed: Long): DataFrame = {
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("_n"))
+    val target = counts.agg(min(col("_n")).as("_tgt"))
+    val thresholds = counts.crossJoin(broadcast(target))
+      .select(col(stratumCol),
+        floor(col("_tgt") * lit(1000) / col("_n")).cast("long").as("_pm"))
+    df.join(broadcast(thresholds), Seq(stratumCol))
+      .filter(bucket(keyColumn(df, keyCol), seed) < col("_pm"))
+      .drop("_pm")
+  }
+
   /** `Sample` = Split with a Void test sink (split.rs:121-144). */
   def sample(events: DataFrame, caseCol: String, keepPermille: Int,
       seed: Long): DataFrame =

@@ -53,6 +53,14 @@ object TextQueries {
         TextOps.qualityKeep(col("text")).as("keep"))
     },
 
+    // Stratified rebalance: every language sampled down to ≈ the
+    // smallest language's count with the deterministic key bucket.
+    "q_stratified_sample" -> { (s, dir) =>
+      graft.ops.Split.stratifiedBalance(Tables(s, dir, "documents"),
+          stratumCol = "lang", keyCol = "doc_id", seed = 7L)
+        .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
+    },
+
     // One-row corpus profile (the dataset card numbers): doc count,
     // token/char totals, mean doc length — one scan, map-side partials.
     "q_corpus_profile" -> { (s, dir) =>
@@ -153,6 +161,16 @@ object TextQueries {
          |   AND CAST(len([t for t in $toksSql if list_contains(${markersSql(TextOps.Stopwords)}, lower(t))]) AS DOUBLE)
          |       / CAST(len($toksSql) AS DOUBLE) >= 0.01) AS keep
          |FROM documents""".stripMargin,
+
+    "q_stratified_sample" ->
+      s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+         |t AS (SELECT min(n) AS tgt FROM c),
+         |th AS (SELECT lang, CAST(floor(tgt * 1000 / n) AS BIGINT) AS pm
+         |       FROM c, t)
+         |SELECT d.lang, count(*) AS n_sampled
+         |FROM documents d JOIN th ON d.lang = th.lang
+         |WHERE ${graft.ops.Split.oracleBucketSql("doc_id", 7L)} < pm
+         |GROUP BY d.lang""".stripMargin,
 
     "q_corpus_profile" ->
       s"""SELECT count(*) AS n_docs,
