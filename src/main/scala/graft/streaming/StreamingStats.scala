@@ -36,6 +36,20 @@ object StreamingStats {
   def dedup(events: DataFrame, idCols: Seq[String]): DataFrame =
     events.dropDuplicatesWithinWatermark(idCols)
 
+  /** Per-case session aggregates via Spark's BUILT-IN session window
+    * (gap-based, watermark-closed) — the declarative counterpart of
+    * [[TraceAssembly]]: use this when per-session aggregates suffice
+    * (counts, bounds), and the custom state op when the closed trace
+    * itself (ordered activities) is the product. */
+  def sessionStats(events: DataFrame, caseCol: String, tsCol: String,
+      gapSeconds: Long): DataFrame =
+    events.groupBy(
+      session_window(col(tsCol), s"$gapSeconds seconds"),
+      col(caseCol))
+      .agg(count(lit(1)).as("n_events"),
+        min(col(tsCol)).as("t_start"), max(col(tsCol)).as("t_end"))
+      .select(col(caseCol), col("n_events"), col("t_start"), col("t_end"))
+
   /** Windowed event rates: tumbling-window counts per activity —
     * the standard watermark + window aggregation. */
   def windowedRates(events: DataFrame, tsCol: String, activityCol: String,

@@ -174,6 +174,32 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("builtin session_window stats agree with TraceAssembly's session closes") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val df = input.toDS().toDF("case_id", "t")
+      .withColumn("ts", timestamp_micros(col("t")))
+      .withWatermark("ts", "5 seconds")
+    val query = StreamingStats.sessionStats(df, "case_id", "ts", gapSeconds = 30)
+      .writeStream.format("memory").queryName("session_stats")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // case A: two sessions separated by > gap; case B: one session
+      input.addData(("A", sec(10)), ("A", sec(20)), ("B", sec(15)),
+        ("A", sec(100)), ("A", sec(110)))
+      query.processAllAvailable()
+      input.addData(("C", sec(500)))
+      query.processAllAvailable()
+      input.addData(("C", sec(501)))
+      query.processAllAvailable()
+      val rows = spark.table("session_stats")
+        .select("case_id", "n_events").as[(String, Long)].collect().toSeq
+      assert(rows.count(_._1 == "A") == 2)            // two closed A-sessions
+      assert(rows.filter(_._1 == "A").map(_._2).sorted == Seq(2L, 2L))
+      assert(rows.filter(_._1 == "B").map(_._2) == Seq(1L))
+    } finally query.stop()
+  }
+
   test("windowed activity rates with watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[TraceAssembly.InEvent]
