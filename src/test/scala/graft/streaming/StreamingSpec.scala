@@ -174,6 +174,42 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming near-dup: planted near-duplicates collide, unique docs do not") {
+    implicit val sqlCtx = spark.sqlContext
+    // long doc: one changed word leaves nearly all shingles intact, so
+    // at least one of the 8 LSH bands provably stays identical
+    val near = ("alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo sierra " +
+      "tango uniform victor whiskey xray yankee zulu one two three four " +
+      "five six seven eight nine ten lazy eleven twelve thirteen")
+    val input = MemoryStream[StreamingNearDup.Doc]
+    val hits = StreamingNearDup.bucketHits(spark, input.toDS(),
+        k = 3, numHashes = 32, bands = 8, seed = 42L)
+      .withColumn("ts", timestamp_micros(col("tsMicros")))
+      .withWatermark("ts", "10 seconds")
+      .as[StreamingNearDup.BucketHit]
+    val query = StreamingNearDup.collisions(spark, hits, ttlSeconds = 600L)
+      .writeStream.format("memory").queryName("near_dup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        StreamingNearDup.Doc(1L, near, sec(10)),
+        StreamingNearDup.Doc(2L, "completely different content about spark engines", sec(11)))
+      query.processAllAvailable()
+      // a near-copy of doc 1 arrives later (one word changed)
+      input.addData(
+        StreamingNearDup.Doc(3L, near.replace("lazy", "sleepy"), sec(20)),
+        StreamingNearDup.Doc(4L, "yet another unrelated piece of text entirely", sec(21)))
+      query.processAllAvailable()
+      val coll = spark.table("near_dup")
+        .as[StreamingNearDup.Collision].collect()
+      assert(coll.nonEmpty)
+      assert(coll.forall(c => c.docId == 3L && c.firstDocId == 1L),
+        coll.mkString(", "))      // only the planted near-dup collides
+      assert(coll.map(_.band).distinct.length >= 1)
+    } finally query.stop()
+  }
+
   test("builtin session_window stats agree with TraceAssembly's session closes") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Long)]
