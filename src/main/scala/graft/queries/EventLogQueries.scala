@@ -128,6 +128,20 @@ object EventLogQueries {
         .drop("ts")
     },
 
+    // Interval (range) join: per purchase, how many users' activity
+    // intervals contain its timestamp — concurrency via bucketed
+    // containment (ops/RangeJoin), never a nested-loop join.
+    "q_range_join_active" -> { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("ts"))
+      val intervals = ev.groupBy(col("user_id"))
+        .agg(min(col("ts")).as("t_start"), max(col("ts")).as("t_end"))
+      graft.ops.RangeJoin.containmentCounts(purchases, intervals,
+        idCol = "purchase_id", tsCol = "ts",
+        startCol = "t_start", endCol = "t_end", bucketUs = 3600000000L)
+    },
+
     // Batch sessionization: split each user's stream on 12h inactivity
     // gaps; one window shuffle on the case key.
     "q_sessionize" -> { (s, dir) =>
@@ -315,6 +329,13 @@ object EventLogQueries {
         |LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id
         |GROUP BY 1, 2""".stripMargin,
+    "q_range_join_active" ->
+      """SELECT p.event_id AS purchase_id, count(*) AS n_containing
+        |FROM (SELECT event_id, ts FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT user_id, min(ts) AS t_start, max(ts) AS t_end
+        |      FROM events GROUP BY user_id) i
+        |  ON p.ts BETWEEN i.t_start AND i.t_end
+        |GROUP BY 1""".stripMargin,
     "q_asof_last_click" ->
       """SELECT p.user_id, p.event_id AS purchase_id, c.ts AS last_click_ts
         |FROM (SELECT user_id, event_id, ts FROM events

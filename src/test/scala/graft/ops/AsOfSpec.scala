@@ -8,6 +8,28 @@ class AsOfSpec extends SparkSpec {
 
   import spark.implicits._
 
+  test("range join: bucketed containment == naive BETWEEN join, edges inclusive") {
+    val dayUs = 86400000000L
+    val points = Seq(("p1", 5L), ("p2", 10L), ("p3", 100L), ("p4", 250L))
+      .toDF("id", "t").withColumn("ts", timestamp_micros(col("t") * 1000000L))
+    val intervals = Seq((0L, 10L), (8L, 120L), (300L, 400L))
+      .toDF("s", "e")
+      .withColumn("t_start", timestamp_micros(col("s") * 1000000L))
+      .withColumn("t_end", timestamp_micros(col("e") * 1000000L))
+    val got = RangeJoin.containmentCounts(points, intervals,
+        "id", "ts", "t_start", "t_end", bucketUs = 7L * 1000000L)
+      .as[(String, Long)].collect().toMap
+    // p1∈[0,10]; p2∈[0,10] (inclusive end) and [8,120]; p3∈[8,120];
+    // p4 in nothing (dropped, inner semantics)
+    assert(got == Map("p1" -> 1L, "p2" -> 2L, "p3" -> 1L))
+    // equality with the naive quadratic join
+    val naive = points.crossJoin(intervals)
+      .filter(col("ts") >= col("t_start") && col("ts") <= col("t_end"))
+      .groupBy("id").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(got == naive)
+  }
+
   test("backward as-of: greatest right ts <= left ts, inclusive, null when none") {
     val purchases = Seq((1L, "p50", 50L), (1L, "p150", 150L), (1L, "p200", 200L),
         (2L, "lonely", 500L))
