@@ -35,6 +35,8 @@ object StreamingNearDup {
   def bucketHits(spark: SparkSession, docs: Dataset[Doc], k: Int,
       numHashes: Int, bands: Int, seed: Long): Dataset[BucketHit] = {
     import spark.implicits._
+    require(bands > 0 && numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes)")
     val r = numHashes / bands
     docs.flatMap { d =>
       val sh = Native.shingleHashes(UTF8String.fromString(d.text), k)
