@@ -33,6 +33,44 @@ object Sessionize {
       .drop("_prev", "_new_session")
   }
 
+  /** Per-case variant strings — the shared first stage of the variant
+    * family: one partition-level sort (window) + once-per-case
+    * collect_list, no interpreted comparators. */
+  def caseVariants(events: DataFrame, caseCol: String, activityCol: String,
+      tsCol: String, tieBreak: String): DataFrame = {
+    val w = Window.partitionBy(col(caseCol))
+      .orderBy(col(tsCol), col(tieBreak))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    events
+      .select(col(caseCol),
+        array_join(collect_list(col(activityCol)).over(w), ">").as("variant"))
+      .groupBy(col(caseCol)).agg(first(col("variant")).as("variant"))
+  }
+
+  /** Variant log: one representative case per distinct variant (the
+    * min case id) with its frequency — the standard reduction of a
+    * huge log to its unique behaviors. */
+  def variantRepresentatives(events: DataFrame, caseCol: String,
+      activityCol: String, tsCol: String, tieBreak: String): DataFrame =
+    caseVariants(events, caseCol, activityCol, tsCol, tieBreak)
+      .groupBy("variant")
+      .agg(min(col(caseCol)).as("rep_case"), count(lit(1)).as("n_cases"))
+
+  /** Keeps only the events of cases whose variant is among the k most
+    * frequent (count desc, variant string tiebreak — total order).
+    * The dominant-behavior filter: a broadcast semi-join cascade, same
+    * shape as the trace-filter cascade. */
+  def filterTopKVariants(events: DataFrame, caseCol: String,
+      activityCol: String, tsCol: String, tieBreak: String, k: Int): DataFrame = {
+    val cv = caseVariants(events, caseCol, activityCol, tsCol, tieBreak)
+    val top = cv.groupBy("variant").agg(count(lit(1)).as("_n"))
+      .withColumn("_rnk", row_number().over(
+        Window.orderBy(col("_n").desc, col("variant").asc)))
+      .filter(col("_rnk") <= k).select("variant")
+    val keepCases = cv.join(broadcast(top), "variant").select(col(caseCol))
+    events.join(broadcast(keepCases), Seq(caseCol), "left_semi")
+  }
+
   /** Trace variants: the ordered activity sequence per case, counted.
     * The sequence string is the trace's classifier identity.
     *
@@ -46,15 +84,8 @@ object Sessionize {
     * partitioning, so the whole reshape is one exchange on the case
     * key plus one on the (small) variant string. */
   def variants(events: DataFrame, caseCol: String, activityCol: String,
-      tsCol: String, tieBreak: String): DataFrame = {
-    val w = Window.partitionBy(col(caseCol))
-      .orderBy(col(tsCol), col(tieBreak))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    events
-      .select(col(caseCol),
-        array_join(collect_list(col(activityCol)).over(w), ">").as("variant"))
-      .groupBy(col(caseCol)).agg(first(col("variant")).as("variant"))
+      tsCol: String, tieBreak: String): DataFrame =
+    caseVariants(events, caseCol, activityCol, tsCol, tieBreak)
       .groupBy("variant")
       .agg(count(lit(1)).as("n_cases"))
-  }
 }

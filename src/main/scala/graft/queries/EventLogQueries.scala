@@ -159,6 +159,20 @@ object EventLogQueries {
         "event_type", "ts", tieBreak = "event_id")
     },
 
+    // Variant log: one representative case per distinct behavior.
+    "q_variant_reps" -> { (s, dir) =>
+      Sessionize.variantRepresentatives(Tables(s, dir, "events"),
+        "user_id", "event_type", "ts", tieBreak = "event_id")
+    },
+
+    // Dominant-behavior filter: events of the 3 most frequent
+    // variants only, profiled by activity.
+    "q_variant_topk_events" -> { (s, dir) =>
+      Sessionize.filterTopKVariants(Tables(s, dir, "events"),
+          "user_id", "event_type", "ts", tieBreak = "event_id", k = 3)
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+    },
+
     // Semi-structured props: JSON field extraction + typed aggregation
     // (the reference's open attribute map ⇒ JSON escape hatch,
     // SURVEY.md §1.3). get_json_object is codegen'd; at scale prefer
@@ -363,6 +377,23 @@ object EventLogQueries {
       """SELECT variant, count(*) AS n_cases FROM (
         |  SELECT user_id, string_agg(event_type, '>' ORDER BY ts, event_id) AS variant
         |  FROM events GROUP BY user_id)
-        |GROUP BY variant""".stripMargin
+        |GROUP BY variant""".stripMargin,
+    "q_variant_reps" ->
+      """SELECT variant, min(user_id) AS rep_case, count(*) AS n_cases FROM (
+        |  SELECT user_id, string_agg(event_type, '>' ORDER BY ts, event_id) AS variant
+        |  FROM events GROUP BY user_id)
+        |GROUP BY variant""".stripMargin,
+    "q_variant_topk_events" ->
+      """WITH cv AS (
+        |  SELECT user_id, string_agg(event_type, '>' ORDER BY ts, event_id) AS variant
+        |  FROM events GROUP BY user_id),
+        |top AS (SELECT variant FROM (
+        |  SELECT variant, row_number() OVER (
+        |    ORDER BY count(*) DESC, variant) AS rnk
+        |  FROM cv GROUP BY variant) WHERE rnk <= 3),
+        |keep AS (SELECT user_id FROM cv JOIN top USING (variant))
+        |SELECT event_type, count(*) AS n
+        |FROM events JOIN keep USING (user_id)
+        |GROUP BY 1""".stripMargin
   )
 }
