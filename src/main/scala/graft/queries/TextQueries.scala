@@ -8,9 +8,12 @@ import graft.functions.Portable
 import graft.text.TextOps
 
 /** Text-analysis surface over the `documents` table: token counting,
-  * quality scoring, language ID, fingerprinting. All map-side-only
-  * plans (zero shuffle — see TextOps scaladoc), so at 100 TB they cost
-  * exactly one scan.
+  * quality scoring + filtering, language ID, repetition metrics, PII
+  * scrub, fingerprinting, contamination, stratified rebalance, corpus
+  * profile. The per-document scorers are map-side-only (one scan at
+  * any scale); the corpus-level ops (token_freq, contamination,
+  * stratified, profile) add exactly the one keyed shuffle or broadcast
+  * their semantics require — documented per op in TextOps/Split.
   */
 object TextQueries {
 
