@@ -1,6 +1,6 @@
 package graft.flow
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Portable
@@ -34,7 +34,14 @@ object FlowRunner {
   }
 
   case class FlowResult(artifacts: Map[String, Any],
-    streams: Map[String, XesReader.XLog])
+    streams: Map[String, XesReader.XLog],
+    cached: Seq[Dataset[_]] = Nil) {
+    /** Releases executor storage pinned by fan-out segments
+      * (Duplicator caches at the tee); call when the flow's outputs
+      * are no longer needed so repeated runs in one long-lived
+      * session don't accumulate cached blocks. */
+    def unpersist(): Unit = cached.foreach(_.unpersist())
+  }
 
   def runJson(spark: SparkSession, json: String): FlowResult =
     run(spark, FlowSpec.parseJson(json))
@@ -51,6 +58,7 @@ object FlowRunner {
   def run(spark: SparkSession, flow: Flow): FlowResult = {
     var artifacts = Map.empty[String, Any]
     var namedStreams = Map.empty[String, XesReader.XLog]
+    val cached = Seq.newBuilder[Dataset[_]]
 
     // Dependency order: run pipes whose stream receivers AND artifact
     // receivers are all available (the reference acquires artifact
@@ -72,17 +80,19 @@ object FlowRunner {
             s"channels ${waits.distinct.mkString(", ")}")
       }
       ready.foreach { pipe =>
-        val (arts, streams) = runPipe(spark, pipe, namedStreams, artifacts)
+        val (arts, streams) = runPipe(spark, pipe, namedStreams, artifacts,
+          cached += _)
         artifacts ++= arts
         namedStreams ++= streams
       }
       pending = blocked
     }
-    FlowResult(artifacts, namedStreams)
+    FlowResult(artifacts, namedStreams, cached.result())
   }
 
   private def runPipe(spark: SparkSession, pipe: Pipe,
-      named: Map[String, XesReader.XLog], globalArtifacts: Map[String, Any])
+      named: Map[String, XesReader.XLog], globalArtifacts: Map[String, Any],
+      registerCached: Dataset[_] => Unit)
       : (Map[String, Any], Map[String, XesReader.XLog]) = {
     var artifacts = Map.empty[String, Any]
     var streams = Map.empty[String, XesReader.XLog]
@@ -100,7 +110,7 @@ object FlowRunner {
     (pipe.streams ++ pipe.sink.toSeq).zipWithIndex.foreach { case (seg, i) =>
       val received = seg.artifactReceiver.map(ch => ch -> globalArtifacts(ch)).toMap
       current = applySegment(spark, seg, i, current, received,
-        a => artifacts ++= a, s => streams ++= s)
+        a => artifacts ++= a, s => streams ++= s, registerCached)
     }
     (artifacts, streams)
   }
@@ -123,7 +133,8 @@ object FlowRunner {
   private def applySegment(spark: SparkSession, seg: Segment, segIndex: Int,
       in: XesReader.XLog, received: Map[String, Any],
       emitArtifacts: Map[String, Any] => Unit,
-      emitStreams: Map[String, XesReader.XLog] => Unit): XesReader.XLog = {
+      emitStreams: Map[String, XesReader.XLog] => Unit,
+      registerCached: Dataset[_] => Unit): XesReader.XLog = {
     import spark.implicits._
     seg.name match {
       case "Void" => in
@@ -136,6 +147,8 @@ object FlowRunner {
         // consumers share one parse (the Buffer subsumption, SURVEY
         // §7.5).
         val shared = in.copy(traces = in.traces.cache(), events = in.events.cache())
+        registerCached(shared.traces)
+        registerCached(shared.events)
         seg.streamSender.foreach(ch => emitStreams(Map(ch -> shared)))
         shared
 

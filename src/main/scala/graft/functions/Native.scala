@@ -205,16 +205,22 @@ object Native {
   }
 
   /** Order-sensitive fold digest of a long array:
-    * d = fold(xs, seed, (d,x) -> (d*131 + x) % P) — collapses an
-    * array column to one scalar the driver's comparator can hash.
-    * Oracle: list_reduce(list_prepend(seed, xs), (d,x)->(d*131+x)%P).
+    * d = floorMod(d*131 + floorMod(x, P), P) — collapses an array
+    * column to one scalar the driver's comparator can hash. The
+    * digest is always a non-negative representative in [0, P), so
+    * `graft_fold_hash` is well-defined over arbitrary bigint arrays.
+    * For inputs already in [0, P) (every fingerprint/minhash array we
+    * produce) this is bit-equal to the DuckDB oracle
+    * list_reduce(list_prepend(seed, xs), (d,x)->(d*131+x)%P).
     */
   def foldHash(xs: ArrayData, seed: Long): Long = {
     val n = xs.numElements()
     var d = seed
     var i = 0
     while (i < n) {
-      d = (d * Portable.CharMul + xs.getLong(i) % P) % P
+      val x = xs.getLong(i) % P
+      d = (d * Portable.CharMul + x) % P
+      if (d < 0) d += P
       i += 1
     }
     d

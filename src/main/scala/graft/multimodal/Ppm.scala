@@ -40,17 +40,21 @@ object Ppm {
         else i += 1
       }
       if (i >= bytes.length || !Character.isDigit(bytes(i))) return None
-      var x = 0
+      // accumulate in Long: a crafted header like "P6 2000000 2000000 255"
+      // must not overflow Int and sneak past the raster bounds check
+      var x = 0L
       while (i < bytes.length && Character.isDigit(bytes(i))) {
         x = x * 10 + (bytes(i) - '0'); i += 1
+        if (x > Int.MaxValue) return None
       }
-      vals(v) = x; v += 1
+      vals(v) = x.toInt; v += 1
     }
     val Array(w, h, maxval) = vals
     if (w <= 0 || h <= 0 || maxval <= 0 || maxval > 255) return None
     i += 1 // the single whitespace byte after maxval
-    val n = w * h * channels
-    if (i + n > bytes.length) return None
+    val nL = w.toLong * h * channels
+    if (i.toLong + nL > bytes.length) return None
+    val n = nL.toInt
     Some((Image(w, h, channels, java.util.Arrays.copyOfRange(bytes, i, i + n)),
       i + n))
   }

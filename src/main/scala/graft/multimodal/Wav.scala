@@ -36,7 +36,9 @@ object Wav {
     while (off + 8 <= bytes.length) {
       val id = new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
       val size = le32(bytes, off + 4)
-      if (size < 0 || off + 8 + size > bytes.length) return None
+      // Long arithmetic: off + 8 + size can overflow Int for crafted
+      // chunk sizes near 2^31 and bypass the bounds check
+      if (size < 0 || off.toLong + 8 + size > bytes.length) return None
       id match {
         case "fmt " =>
           if (size < 16) return None

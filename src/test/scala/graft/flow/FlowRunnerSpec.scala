@@ -134,6 +134,14 @@ class FlowRunnerSpec extends SparkSpec {
     val copy = result.artifacts("copy_stats").asInstanceOf[FlowRunner.Statistics]
     assert(orig.counts == Seq(6L, 23L, 23L))
     assert(copy.counts == orig.counts)
+
+    // the fan-out cache is tracked and releasable: long-lived sessions
+    // running many flows must not accumulate executor storage
+    assert(result.cached.nonEmpty)
+    assert(result.cached.forall(_.storageLevel.useMemory))
+    result.unpersist()
+    assert(result.cached.forall(ds =>
+      ds.storageLevel == org.apache.spark.storage.StorageLevel.NONE))
   }
 
   test("artifact receivers gate pipe scheduling (segment.rs:35-102, pipe.rs:119-131)") {

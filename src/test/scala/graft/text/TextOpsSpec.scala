@@ -59,4 +59,24 @@ class TextOpsSpec extends SparkSpec {
       .select(TextOps.fingerprintDigest(col("fp"))).as[Long].head()
     assert(empty == 7L)
   }
+
+  test("foldHash is well-defined (non-negative, in [0,P)) for arbitrary bigint input") {
+    // graft_fold_hash is registered as a general SQL function — negative
+    // and >=P elements must still produce a canonical representative
+    val nasty = Seq(
+      Seq(-1L, Long.MinValue, Long.MaxValue, Portable.P, Portable.P + 5L),
+      Seq(-999999999999L, 0L, -7L),
+      Seq.range(-50L, 50L))
+    nasty.foreach { xs =>
+      val digest = Seq(Tuple1(xs)).toDF("fp")
+        .select(TextOps.fingerprintDigest(col("fp"))).as[Long].head()
+      assert(digest >= 0L && digest < Portable.P, s"$xs -> $digest")
+    }
+    // in-range inputs are unchanged by the normalization (oracle parity)
+    val inRange = Array(16L, 4096L, 123456L, 999999000L)
+    val expect = inRange.foldLeft(7L)((d, x) => (d * Portable.CharMul + x) % Portable.P)
+    val got = Seq(Tuple1(inRange.toSeq)).toDF("fp")
+      .select(TextOps.fingerprintDigest(col("fp"))).as[Long].head()
+    assert(got == expect)
+  }
 }
