@@ -60,14 +60,39 @@ object Dedup {
   def shingleHashes(text: Column, k: Int): Column =
     NativeExpressions.shingleHashes(text, k)
 
-  /** All pairs with shingle-set Jaccard >= tau, via inverted-index
-    * equi-join on the shingle hash. `maxDf` drops shingles present in
-    * more than that many documents (skew guard; None = keep all).
-    * With `maxDf` set, BOTH the intersection and the set sizes are
-    * computed over the df-filtered shingle universe, so the reported
-    * jaccard is internally consistent (numerator and denominator see
-    * the same sets) rather than a systematic underestimate that could
-    * push true near-dups below tau.
+  /** Shared candidate generator of every LSH/inverted-index family:
+    * unordered (id_a < id_b) pairs of rows sharing a bucket key, via
+    * ONE shuffle on the key (groupBy + collect_list) and two
+    * codegen'd generators (explode × explode) — instead of a
+    * self-join, which shuffles the index twice AND re-evaluates the
+    * upstream kernel (shingles/signatures/fingerprints) once per
+    * side. Emits one row per (bucket, pair): callers count them
+    * (intersection size) or `.distinct()` them (candidate set).
+    *
+    * Skew note: the per-bucket array is bounded by the caller's df
+    * cutoff (`maxDf` / band design). A bucket hot enough to overflow
+    * an array here would ALSO have produced a fatal n² pair blowup
+    * under the self-join form — the cutoff, not the join strategy, is
+    * the scale guard.
+    */
+  private def bucketPairs(keyed: DataFrame, key: Seq[String],
+      idC: String): DataFrame = {
+    val grouped = keyed.groupBy(key.map(col): _*)
+      .agg(collect_list(col(idC)).as("_ids"))
+    grouped.select(explode(col("_ids")).as("id_a"), col("_ids"))
+      .select(col("id_a"), explode(col("_ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+  }
+
+  /** All pairs with shingle-set Jaccard >= tau, via an inverted index
+    * on the shingle hash ([[bucketPairs]] — one shuffle, no
+    * self-join). `maxDf` drops shingles present in more than that
+    * many documents (skew guard; None = keep all). With `maxDf` set,
+    * BOTH the intersection and the set sizes are computed over the
+    * df-filtered shingle universe, so the reported jaccard is
+    * internally consistent (numerator and denominator see the same
+    * sets) rather than a systematic underestimate that could push
+    * true near-dups below tau.
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int, tau: Double, maxDf: Option[Long] = None): DataFrame = {
@@ -83,9 +108,7 @@ object Dedup {
       case None =>
         (inv0, sh.select(col("_id"), size(col("_sh")).as("_n")))
     }
-    val a = inv.select(col("_id").as("id_a"), col("_s"))
-    val b = inv.select(col("_id").as("id_b"), col("_s"))
-    a.join(b, a("_s") === b("_s") && col("id_a") < col("id_b"))
+    bucketPairs(inv, Seq("_s"), "_id")
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("_inter"))
       .join(broadcast(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("_n", "_na")), "id_a")
       .join(broadcast(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("_n", "_nb")), "id_b")
@@ -127,13 +150,9 @@ object Dedup {
     val banded = sig.select(col("_id"),
       posexplode(array((0 until bands).map(b =>
         bandHash(col("_sig"), b, r)): _*)).as(Seq("_band", "_bh")))
-    val a = banded.select(col("_id").as("id_a"), col("_band"), col("_bh"))
-    val b = banded.select(col("_id").as("id_b"), col("_band"), col("_bh"))
     // candidates deduped on bare ids BEFORE touching the shingle
     // arrays; each unique pair then verifies exactly once.
-    val cand = a.join(b, Seq("_band", "_bh"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    val cand = bucketPairs(banded, Seq("_band", "_bh"), "_id").distinct()
     val inter = size(array_intersect(col("_sha"), col("_shb")))
     cand
       .join(sh.select(col("_id").as("id_a"), col("_sh").as("_sha")), "id_a")
@@ -161,18 +180,21 @@ object Dedup {
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
     val fp = docs.select(col(idCol).as("_id"), simhash(col(textCol)).as("_fp"))
-    val banded = fp.select(col("_id"), col("_fp"),
+    // (id, fp) travels as one 16-byte struct through the bucket
+    // grouping — the fingerprint is cheap enough to carry inline, so
+    // verification needs no join back (cf. minhashLshPairs, which
+    // joins the heavy shingle arrays back per unique candidate).
+    val banded = fp.select(struct(col("_id"), col("_fp")).as("_it"),
       posexplode(array((0 until 4).map(i =>
         shiftright(col("_fp"), i * 8).bitwiseAND(lit(255L))): _*))
         .as(Seq("_band", "_key")))
-    val a = banded.select(col("_id").as("id_a"), col("_fp").as("_fa"),
-      col("_band"), col("_key"))
-    val b = banded.select(col("_id").as("id_b"), col("_fp").as("_fb"),
-      col("_band"), col("_key"))
-    a.join(b, Seq("_band", "_key"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("_fa").bitwiseXOR(col("_fb"))).cast("long").as("hamming"))
+    banded.groupBy("_band", "_key").agg(collect_list(col("_it")).as("_items"))
+      .select(explode(col("_items")).as("_a"), col("_items"))
+      .select(col("_a"), explode(col("_items")).as("_b"))
+      .filter(col("_a")("_id") < col("_b")("_id"))
+      .select(col("_a")("_id").as("id_a"), col("_b")("_id").as("id_b"),
+        bit_count(col("_a")("_fp").bitwiseXOR(col("_b")("_fp")))
+          .cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
@@ -187,13 +209,16 @@ object Dedup {
       seed: Long = 42L, dims: Int = 64): DataFrame = {
     val b = graft.sim.Ann.lshBuckets(embs, idCol, vecCol, tables,
       planesPerTable, seed, dims)
-    val l = b.select(col(idCol).as("id_a"), col(vecCol).as("_va"),
-      col("_table"), col("_bucket"))
-    val r = b.select(col(idCol).as("id_b"), col(vecCol).as("_vb"),
-      col("_table"), col("_bucket"))
-    l.join(r, Seq("_table", "_bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "_va", "_vb").distinct()
+    // candidates on bare ids (vectors stay out of the bucket arrays);
+    // each unique pair fetches its two vectors once for the exact
+    // cosine verify — same shape as minhashLshPairs.
+    val cand = bucketPairs(
+      b.select(col(idCol).as("_id"), col("_table"), col("_bucket")),
+      Seq("_table", "_bucket"), "_id").distinct()
+    val v = embs.select(col(idCol), col(vecCol))
+    cand
+      .join(v.select(col(idCol).as("id_a"), col(vecCol).as("_va")), "id_a")
+      .join(v.select(col(idCol).as("id_b"), col(vecCol).as("_vb")), "id_b")
       .withColumn("cos",
         NativeExpressions.dotF(col("_va"), col("_vb")) /
           (sqrt(NativeExpressions.dotF(col("_va"), col("_va"))) *
