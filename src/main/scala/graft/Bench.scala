@@ -28,15 +28,21 @@ object Bench {
       }
       name -> times.min
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"agg":"min"}"""
-    println(json)
-    // sbt prefixes stdout with [info] which the driver's JSON parse can
-    // trip over — also drop the line in a file it can read directly
+    def line(fmt: Double => String): String = {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      val total = fmt(results.map(_._2).sum)
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"agg":"min"}"""
+    }
+    // The driver captures only the LAST 2000 chars of stdout and parses
+    // the JSON line out of that window — a full-precision per-query map
+    // (~3.5 KB) scrolls its own head out of the window and the parse
+    // fails (BENCH_r02 "parsed": null). Print a 2-decimal line (~1.6 KB,
+    // fits with headroom) and keep full precision in the file.
+    println(line(v => f"$v%.2f"))
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
+      line(_.toString) + "\n")
     catch { case _: Throwable => () }
     spark.stop()
   }

@@ -195,8 +195,11 @@ object Dedup {
       .select(col("_a")("_id").as("id_a"), col("_b")("_id").as("id_b"),
         bit_count(col("_a")("_fp").bitwiseXOR(col("_b")("_fp")))
           .cast("long").as("hamming"))
-      .distinct()
+      // verify BEFORE distinct: hamming is deterministic per pair, and
+      // most candidate pairs fail it, so the dedup shuffle carries the
+      // few survivors instead of every band collision
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** LSH-bucketed embedding near-dup: candidates share a

@@ -135,4 +135,52 @@ object Dfg {
       .groupBy(col(activityCol).as("activity"))
       .agg(count(lit(1)).as("n"))
   }
+
+  /** Performance-annotated DFG (the waiting-time view every
+    * process-mining tool layers over the frequency DFG): per
+    * directly-follows edge, the count and the sum/min/max of the
+    * gap between the two events, in integer microseconds so the
+    * result is bit-exact (means are a trivial downstream division).
+    *
+    * Same plan as [[edges]] — ONE case-key shuffle, partial-agg pair
+    * rollup; the gap is map-side window arithmetic.
+    */
+  def edgePerformance(events: DataFrame, caseCol: String,
+      activityCol: String, tsCol: String, tieBreak: String): DataFrame = {
+    val w = Window.partitionBy(col(caseCol)).orderBy(col(tsCol), col(tieBreak))
+    events
+      .select(col(caseCol), col(activityCol), col(tsCol), col(tieBreak))
+      .withColumn("act_to", lead(col(activityCol), 1).over(w))
+      .withColumn("_wait_us",
+        unix_micros(lead(col(tsCol), 1).over(w)) - unix_micros(col(tsCol)))
+      .filter(col("act_to").isNotNull)
+      .groupBy(col(activityCol).as("act_from"), col("act_to"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("_wait_us")).as("sum_wait_us"),
+        min(col("_wait_us")).as("min_wait_us"),
+        max(col("_wait_us")).as("max_wait_us"))
+  }
+
+  /** Model simplification (the frequency-threshold slider of
+    * Disco-style DFG tools): keep activities whose total event count
+    * is ≥ `minActivityN`, then edges between two kept activities with
+    * count ≥ `minEdgeN`. The activity profile is alphabet-sized, so
+    * both threshold joins broadcast; the heavy pass is still the one
+    * [[edges]] shuffle.
+    */
+  def simplify(events: DataFrame, caseCol: String, activityCol: String,
+      tsCol: String, tieBreak: String, minActivityN: Long,
+      minEdgeN: Long): DataFrame = {
+    val kept = events.groupBy(col(activityCol).as("_act"))
+      .agg(count(lit(1)).as("_cnt"))
+      .filter(col("_cnt") >= minActivityN)
+      .select(col("_act"))
+    edges(events, caseCol, activityCol, tsCol, tieBreak)
+      .filter(col("n") >= minEdgeN)
+      .join(broadcast(kept.select(col("_act").as("act_from"))), Seq("act_from"),
+        "left_semi")
+      .join(broadcast(kept.select(col("_act").as("act_to"))), Seq("act_to"),
+        "left_semi")
+      .select("act_from", "act_to", "n")
+  }
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.dsl.{Concept, Time}
-import graft.ops.{Dfg, LogStats, Sessionize, Split}
+import graft.ops.{Dfg, LogStats, Rework, Sessionize, Split}
 
 /** Event-log (process-mining) surface on the `events` table, mapping
   * the reference's XES semantics (SURVEY.md §1-2) onto a flat event
@@ -236,6 +236,53 @@ object EventLogQueries {
         .agg(
           count(lit(1)).as("n_events"),
           (unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))).as("duration_us"))
+    },
+
+    // Performance-annotated DFG: waiting time per directly-follows
+    // edge, integer micros — the bottleneck view over the same one
+    // case-key shuffle as q_dfg_edges.
+    "q_dfg_performance" -> { (s, dir) =>
+      Dfg.edgePerformance(Tables(s, dir, "events"),
+        caseCol = "user_id", activityCol = "event_type",
+        tsCol = "ts", tieBreak = "event_id")
+    },
+
+    // Frequency-threshold model simplification (the Disco slider):
+    // DFG restricted to frequent activities and frequent edges.
+    "q_dfg_simplified" -> { (s, dir) =>
+      Dfg.simplify(Tables(s, dir, "events"),
+        caseCol = "user_id", activityCol = "event_type",
+        tsCol = "ts", tieBreak = "event_id",
+        minActivityN = 100L, minEdgeN = 50L)
+    },
+
+    // Rework diagnostics: per activity, repeat-execution profile.
+    "q_rework" -> { (s, dir) =>
+      Rework.perActivity(Tables(s, dir, "events"),
+        caseCol = "user_id", activityCol = "event_type")
+    },
+
+    // Same-case co-occurrence (Org.workingTogether generalized to any
+    // label): activity pairs sharing a case, counted by cases shared.
+    // The org-mining metric itself is spec-gated on the multi-resource
+    // extension_full.xes corpus file (OrgMiningSpec) — the reference
+    // corpus's book logs carry a single UNDEFINED resource, so the
+    // activity instantiation is the non-degenerate driver query.
+    "q_cooccurrence" -> { (s, dir) =>
+      graft.dsl.Org.workingTogether(Tables(s, dir, "events"),
+        caseCol = "user_id", labelCol = "event_type")
+    },
+
+    // Throughput-time histogram: case durations bucketed by hour —
+    // integer buckets, bit-exact (the percentile view without FP
+    // interpolation drift).
+    "q_throughput_histogram" -> { (s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg((unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+          .as("_dur_us"))
+        .groupBy(floor(col("_dur_us") / 3600000000L).cast("long").as("hours"))
+        .agg(count(lit(1)).as("n_cases"))
     }
   )
 
@@ -394,6 +441,54 @@ object EventLogQueries {
         |keep AS (SELECT user_id FROM cv JOIN top USING (variant))
         |SELECT event_type, count(*) AS n
         |FROM events JOIN keep USING (user_id)
+        |GROUP BY 1""".stripMargin,
+    "q_dfg_performance" ->
+      """SELECT act_from, act_to, count(*) AS n,
+        |  CAST(sum(wait_us) AS BIGINT) AS sum_wait_us,
+        |  min(wait_us) AS min_wait_us,
+        |  max(wait_us) AS max_wait_us
+        |FROM (
+        |  SELECT event_type AS act_from,
+        |    lead(event_type) OVER w AS act_to,
+        |    epoch_us(lead(ts) OVER w) - epoch_us(ts) AS wait_us
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |WHERE act_to IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin,
+    "q_dfg_simplified" ->
+      """WITH kept AS (
+        |  SELECT event_type AS act FROM events
+        |  GROUP BY 1 HAVING count(*) >= 100)
+        |SELECT act_from, act_to, count(*) AS n FROM (
+        |  SELECT event_type AS act_from,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS act_to
+        |  FROM events)
+        |WHERE act_to IS NOT NULL
+        |  AND act_from IN (SELECT act FROM kept)
+        |  AND act_to IN (SELECT act FROM kept)
+        |GROUP BY 1, 2 HAVING count(*) >= 50""".stripMargin,
+    "q_rework" ->
+      """SELECT activity, count(*) AS n_cases,
+        |  CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_rework_cases,
+        |  CAST(sum(k - 1) AS BIGINT) AS n_excess,
+        |  max(k) AS max_per_case
+        |FROM (
+        |  SELECT user_id, event_type AS activity, count(*) AS k
+        |  FROM events GROUP BY 1, 2)
+        |GROUP BY activity""".stripMargin,
+    "q_cooccurrence" ->
+      """WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
+        |SELECT a.event_type AS label_a, b.event_type AS label_b,
+        |  count(*) AS n_cases
+        |FROM d a JOIN d b
+        |  ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |GROUP BY 1, 2""".stripMargin,
+    "q_throughput_histogram" ->
+      """SELECT CAST(floor(dur_us / 3600000000) AS BIGINT) AS hours,
+        |  count(*) AS n_cases
+        |FROM (
+        |  SELECT user_id, epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us
+        |  FROM events GROUP BY user_id)
         |GROUP BY 1""".stripMargin
   )
 }

@@ -14,6 +14,7 @@ import graft.sim.Ann
 object SimQueries {
 
   private val K = 5
+  private val KGraph = 3
   private val NQueries = 10
   private val TablesL = 4
   private val Planes = 8
@@ -37,6 +38,14 @@ object SimQueries {
       val e = Tables(s, dir, "embeddings")
       Ann.ivfTopK(e, e.filter(col("vec_id") < NQueries),
         "vec_id", "embedding", K, centroidStride = Stride, nProbe = NProbe)
+    },
+    // Full-corpus k-NN graph (every vector is a query) — the batch
+    // graph build behind dedup clustering and diversity sampling.
+    // Same multi-table LSH equi-join; candidate volume is linear in
+    // bucket collisions, never |corpus|².
+    "q_sim_knn_graph" -> { (s, dir) =>
+      Ann.knnGraph(Tables(s, dir, "embeddings"), "vec_id", "embedding",
+        KGraph, TablesL, Planes, Seed, Dims)
     }
   )
 
@@ -84,6 +93,23 @@ object SimQueries {
          |  SELECT *, row_number() OVER (PARTITION BY id_q ORDER BY cos DESC, id_n) AS rnk
          |  FROM scored)
          |WHERE rnk <= $K""".stripMargin,
+
+    "q_sim_knn_graph" ->
+      s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+         |b AS (SELECT vec_id, v, gt.tbl AS tbl,
+         |  CAST(list_sum([CASE WHEN $planeDotSql > 0
+         |    THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END
+         |    for p in generate_series(0, ${Planes - 1})]) AS BIGINT) AS bkt
+         |  FROM e, generate_series(0, ${TablesL - 1}) gt(tbl)),
+         |cand AS (SELECT DISTINCT q.vec_id AS id_q, q.v AS vq,
+         |    c.vec_id AS id_n, c.v AS vn
+         |  FROM b c JOIN b q
+         |    ON c.tbl = q.tbl AND c.bkt = q.bkt AND c.vec_id <> q.vec_id),
+         |scored AS (SELECT id_q, id_n, ${cosSql("vq", "vn")} AS cos FROM cand)
+         |SELECT id_q, id_n, cos, CAST(rnk AS INT) AS rnk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY id_q ORDER BY cos DESC, id_n) AS rnk
+         |  FROM scored)
+         |WHERE rnk <= $KGraph""".stripMargin,
 
     "q_sim_topk_ivf" ->
       s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),

@@ -155,4 +155,40 @@ object Ann {
       .filter(col("rnk") <= k)
       .select("id_q", "id_n", "cos", "rnk")
   }
+
+  /** Full-corpus k-NN graph: every vector is a query. Unlike
+    * [[lshTopK]] (which broadcasts a small probe set and carries both
+    * vectors through the candidate dedup), this is the symmetric
+    * scale shape: candidates are generated as bare DIRECTED id pairs
+    * by ONE shuffle — bucket grouping + double explode, the
+    * [[graft.dedup.Dedup]] candidate pattern — deduped as ids only,
+    * and each unique pair fetches its two vectors once for the exact
+    * cosine. No broadcast of the corpus, no vector payload in the
+    * dedup shuffle.
+    */
+  def knnGraph(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+      tables: Int = 4, planesPerTable: Int = 8, seed: Long = 42L,
+      dims: Int = 64): DataFrame = {
+    val b = lshBuckets(corpus, idCol, vecCol, tables, planesPerTable, seed, dims)
+      .select(col(idCol).as("_id"), col("_table"), col("_bucket"))
+    val cand = b.groupBy("_table", "_bucket")
+      .agg(collect_list(col("_id")).as("_ids"))
+      .select(explode(col("_ids")).as("id_q"), col("_ids"))
+      .select(col("id_q"), explode(col("_ids")).as("id_n"))
+      .filter(col("id_q") =!= col("id_n"))
+      .distinct()
+    val v = corpus.select(col(idCol), col(vecCol))
+    val w = Window.partitionBy(col("id_q"))
+      .orderBy(col("cos").desc, col("id_n").asc)
+    cand
+      .join(v.select(col(idCol).as("id_q"), col(vecCol).as("_vq")), "id_q")
+      .join(v.select(col(idCol).as("id_n"), col(vecCol).as("_vn")), "id_n")
+      .withColumn("cos",
+        NativeExpressions.dotF(col("_vq"), col("_vn")) /
+          (sqrt(NativeExpressions.dotF(col("_vq"), col("_vq"))) *
+           sqrt(NativeExpressions.dotF(col("_vn"), col("_vn")))))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("id_q", "id_n", "cos", "rnk")
+  }
 }
