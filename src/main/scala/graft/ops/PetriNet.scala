@@ -13,19 +13,19 @@ case class PetriNet(
     finalMarking: Map[String, Int]) {
 
   /** inputs/outputs per transition id, precomputed. */
-  private lazy val inputsOf: Map[String, Seq[String]] = {
+  private[ops] lazy val inputsOf: Map[String, Seq[String]] = {
     val t = transitions.map(_.id).toSet
     arcs.filter(a => t(a._2)).groupBy(_._2).view.mapValues(_.map(_._1)).toMap
   }
-  private lazy val outputsOf: Map[String, Seq[String]] = {
+  private[ops] lazy val outputsOf: Map[String, Seq[String]] = {
     val t = transitions.map(_.id).toSet
     arcs.filter(a => t(a._1)).groupBy(_._1).view.mapValues(_.map(_._2)).toMap
   }
 
-  private def enabled(m: Map[String, Int], t: String): Boolean =
+  private[ops] def enabled(m: Map[String, Int], t: String): Boolean =
     inputsOf.getOrElse(t, Nil).forall(p => m.getOrElse(p, 0) > 0)
 
-  private def fire(m: Map[String, Int], t: String): Map[String, Int] = {
+  private[ops] def fire(m: Map[String, Int], t: String): Map[String, Int] = {
     val afterIn = inputsOf.getOrElse(t, Nil).foldLeft(m)((mm, p) =>
       mm.updated(p, mm(p) - 1))
     outputsOf.getOrElse(t, Nil).foldLeft(afterIn)((mm, p) =>
