@@ -109,6 +109,15 @@ object TextQueries {
         col("doc_id"),
         size(fp).cast("long").as("fp_size"),
         TextOps.fingerprintDigest(fp).as("fp_digest"))
+    },
+
+    // Temperature-scaled language mixture weights (α = 0.5): the
+    // pretraining sampling scheme — upweight tail languages toward
+    // uniform. One corpus shuffle to the per-language profile.
+    "q_mix_weights" -> { (s, dir) =>
+      graft.text.Mixture.groupWeights(Tables(s, dir, "documents"),
+          groupCol = "lang", sizeCol = col("n_chars"), alpha = 0.5)
+        .withColumnRenamed("grp", "lang")
     }
   )
 
@@ -229,6 +238,25 @@ object TextQueries {
          |  SELECT doc_id, list_sort(list_distinct([h for h in
          |    [$fold for i in generate_series(0, length(text)-8)] if h % 8 = 0])) AS fp
          |  FROM documents)""".stripMargin
-    }
+    },
+
+    // Denominator = sequential fold of the SORTED √p list — the
+    // repo's portable FP-reduction order (sqrt/div are IEEE-exact;
+    // pow would not be bit-portable).
+    "q_mix_weights" ->
+      """WITH g AS (
+        |  SELECT lang, count(*) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS n_units
+        |  FROM documents GROUP BY 1),
+        |t AS (
+        |  SELECT *, CAST(n_units AS DOUBLE) /
+        |    CAST((SELECT CAST(sum(n_units) AS BIGINT) FROM g) AS DOUBLE) AS p
+        |  FROM g),
+        |w AS (SELECT *, sqrt(p) AS pa FROM t),
+        |d AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |  list_sort(list(pa))), (a, x) -> a + x) AS denom FROM w)
+        |SELECT lang, n_docs, n_units, p,
+        |  pa / denom AS w, (pa / denom) / p AS boost
+        |FROM w, d""".stripMargin
   )
 }
