@@ -63,6 +63,56 @@ object Inductive {
       tsCol: String, tieBreak: String): ProcessTree =
     mineGraph(collectGraph(events, caseCol, activityCol, tsCol, tieBreak))
 
+  /** Weighted abstraction for the noise-filtered variant (IMf-d):
+    * edge/start/end frequencies kept so infrequent behavior can be
+    * thresholded out before the cut search. Same distributed pass as
+    * [[collectGraph]]. */
+  case class WeightedGraph(
+      activities: Set[String],
+      edges: Map[(String, String), Long],
+      starts: Map[String, Long],
+      ends: Map[String, Long])
+
+  def collectWeightedGraph(events: DataFrame, caseCol: String,
+      activityCol: String, tsCol: String, tieBreak: String): WeightedGraph = {
+    val e = Dfg.edges(events, caseCol, activityCol, tsCol, tieBreak)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val acts = events.select(col(activityCol)).distinct()
+      .collect().map(_.getString(0)).toSet
+    val st = Dfg.startActivities(events, caseCol, activityCol, tsCol, tieBreak)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val en = Dfg.endActivities(events, caseCol, activityCol, tsCol, tieBreak)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    WeightedGraph(acts, e, st, en)
+  }
+
+  /** The IMf relative-noise filter (Leemans et al., IMf family): drop
+    * edge a→b when its frequency is below `eta` × the strongest edge
+    * leaving a; starts/ends filtered against their own maxima the
+    * same way. Activities always survive — only relations thin out.
+    */
+  def filterNoise(g: WeightedGraph, eta: Double): Graph = {
+    val maxOut = g.edges.groupBy(_._1._1).view.mapValues(_.values.max).toMap
+    // filter + keySet, NOT collect-to-pairs: Map.collect rebuilding
+    // (source, target) tuples re-keys by source and silently keeps one
+    // edge per activity
+    val edges = g.edges.filter {
+      case ((a, _), n) => n.toDouble >= eta * maxOut(a)
+    }.keySet
+    def keep(m: Map[String, Long]): Set[String] =
+      if (m.isEmpty) Set.empty
+      else { val mx = m.values.max
+        m.filter { case (_, n) => n.toDouble >= eta * mx }.keySet }
+    Graph(g.activities, edges, keep(g.starts), keep(g.ends))
+  }
+
+  /** Noise-tolerant mining: threshold the weighted DFG, then the
+    * standard cut search. `eta` ∈ [0,1]; 0 = plain [[mine]]. */
+  def mineFiltered(events: DataFrame, caseCol: String, activityCol: String,
+      tsCol: String, tieBreak: String, eta: Double): ProcessTree =
+    mineGraph(filterNoise(
+      collectWeightedGraph(events, caseCol, activityCol, tsCol, tieBreak), eta))
+
   def mineGraph(g: Graph): ProcessTree = {
     if (g.activities.isEmpty) return Tau
     if (g.activities.size == 1) {

@@ -80,4 +80,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("_cid"), p.take(1200))
     assert(!p.contains("CartesianProduct"), "corpus×query must not be cartesian")
   }
+
+  test("kNN graph: bucket-grouped candidates, no cartesian, no query broadcast of the corpus") {
+    val p = plan("q_sim_knn_graph")
+    assert(!p.contains("CartesianProduct"), "knn graph must not be cartesian")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+    // candidate generation is the one-shuffle bucket grouping
+    assert(p.contains("collect_list"), p.take(1200))
+  }
+
+  test("performance DFG shares the frequency DFG's one case-key window pass") {
+    val p = plan("q_dfg_performance")
+    assert(p.contains("Window"), p.take(800))
+    assert(!p.contains("Join"), "edgePerformance must not join")
+  }
+
+  test("DFG simplification thresholds via broadcast semi-joins") {
+    val p = plan("q_dfg_simplified")
+    assert(p.contains("LeftSemi"), p.take(1200))
+    assert(!p.contains("SortMergeJoin"),
+      "alphabet-sized kept-set must broadcast, not shuffle-join")
+  }
+
+  test("co-occurrence self-join is co-located on the case key") {
+    val p = plan("q_cooccurrence")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+  }
 }

@@ -76,6 +76,37 @@ class InductiveSpec extends SparkSpec {
     assert(fn.accepts(Seq.empty) && fn.accepts(Seq("z", "z", "x", "y")))
   }
 
+  test("noise filtering (IMf-d): a polluted log recovers the textbook tree") {
+    import spark.implicits._
+    // 10× each L1 variant + ONE noisy trace with an extra c (c>c loop)
+    val clean = Seq(Seq("a", "b", "c", "d"), Seq("a", "c", "b", "d"),
+      Seq("a", "e", "d"))
+    val rows =
+      (for {
+        (v, vi) <- clean.zipWithIndex
+        c <- 0 until 10
+        (act, i) <- v.zipWithIndex
+      } yield (s"c${vi}_$c", act, i.toLong, i.toLong)) ++
+        Seq("a", "b", "c", "c", "d").zipWithIndex.map {
+          case (act, i) => ("noise", act, i.toLong, i.toLong)
+        }
+    val log = rows.toDF("case_id", "activity", "ts", "seq")
+      .withColumn("ts", org.apache.spark.sql.functions
+        .timestamp_micros(org.apache.spark.sql.functions.col("ts") * 1000000L))
+
+    // unfiltered: the c self-loop blocks the clean and-cut
+    val dirty = Inductive.mine(log, "case_id", "activity", "ts", "seq")
+    assert(dirty.render != "seq(a,xor(and(b,c),e),d)", dirty.render)
+    // eta = 0.2 drops the frequency-1 c>c edge (max out of c is 11)
+    val clean20 = Inductive.mineFiltered(log, "case_id", "activity", "ts",
+      "seq", eta = 0.2)
+    assert(clean20.render == "seq(a,xor(and(b,c),e),d)", clean20.render)
+    // eta = 0 keeps everything: identical to the unfiltered result
+    val eta0 = Inductive.mineFiltered(log, "case_id", "activity", "ts",
+      "seq", eta = 0.0)
+    assert(eta0.render == dirty.render)
+  }
+
   test("IMd on the full event table stays alphabet-bounded and fits") {
     // the synthetic events table: 5 activity types, unordered behavior
     // -> IM degrades gracefully (flower-ish), still accepts observed
