@@ -37,4 +37,44 @@ object Org {
       .groupBy(col("_l").as("label_a"), col("_r").as("label_b"))
       .agg(count(lit(1)).as("n_cases"))
   }
+
+  /** Similar-task social network (the second classic org-mining
+    * metric): cosine similarity between actors' task profiles — how
+    * alike two resources' work is, regardless of whether they share
+    * cases. Generic in the same way as [[workingTogether]]: any
+    * (actor, task) label pair works.
+    *
+    * Scale shape: profile = one (actor, task) partial-agg shuffle;
+    * dot products come from an inverted-index equi-join ON THE TASK
+    * KEY (pairs meet only through tasks they both perform — never an
+    * all-actor cross join), so cost is Σ_task m_task², bounded by the
+    * per-task actor fan-out, with the usual `maxDf`-style guard left
+    * to the caller for degenerate hub tasks. All sums stay in exact
+    * Long arithmetic; floating point enters only in the final
+    * per-pair scalar, so results are bit-stable under any partial-agg
+    * order.
+    */
+  def similarTask(df: DataFrame, actorCol: String,
+      taskCol: String): DataFrame = {
+    val prof = df.groupBy(col(actorCol).as("_actor"), col(taskCol).as("_task"))
+      .agg(count(lit(1)).as("_n"))
+    val norms = prof.groupBy("_actor")
+      .agg(sum(col("_n") * col("_n")).as("_ss"))
+    val a = prof.select(col("_task"), col("_actor").as("actor_a"),
+      col("_n").as("_na"))
+    val b = prof.select(col("_task"), col("_actor").as("actor_b"),
+      col("_n").as("_nb"))
+    a.join(b, "_task")
+      .filter(col("actor_a") < col("actor_b"))
+      .groupBy("actor_a", "actor_b")
+      .agg(sum(col("_na") * col("_nb")).as("_dot"))
+      .join(broadcast(norms.select(col("_actor").as("actor_a"),
+        col("_ss").as("_ssa"))), Seq("actor_a"))
+      .join(broadcast(norms.select(col("_actor").as("actor_b"),
+        col("_ss").as("_ssb"))), Seq("actor_b"))
+      .select(col("actor_a"), col("actor_b"),
+        (col("_dot").cast("double") /
+          (sqrt(col("_ssa").cast("double")) * sqrt(col("_ssb").cast("double"))))
+          .as("cosine"))
+  }
 }

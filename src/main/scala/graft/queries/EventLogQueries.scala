@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.dsl.{Concept, Time}
-import graft.ops.{Dfg, LogStats, Rework, Sessionize, Split}
+import graft.ops.{Declare, Dfg, Heuristics, LogStats, Rework, Sessionize, Split}
 
 /** Event-log (process-mining) surface on the `events` table, mapping
   * the reference's XES semantics (SURVEY.md §1-2) onto a flat event
@@ -262,6 +262,24 @@ object EventLogQueries {
         caseCol = "user_id", activityCol = "event_type")
     },
 
+    // Heuristics-miner causal net: dependency/L2-loop thresholds plus
+    // the all-tasks-connected best-successor heuristic (ops/Heuristics).
+    "q_heuristics_net" -> { (s, dir) =>
+      Heuristics.net(Tables(s, dir, "events"),
+        caseCol = "user_id", activityCol = "event_type",
+        tsCol = "ts", tieBreak = "event_id",
+        depThreshold = 0.05, minEdgeN = 50L)
+    },
+
+    // DECLARE constraint discovery: 8 declarative templates with
+    // per-template applicable/satisfied counts and support, all from
+    // one per-case activity-profile pass (ops/Declare).
+    "q_declare_constraints" -> { (s, dir) =>
+      Declare.constraints(Tables(s, dir, "events"),
+        caseCol = "user_id", activityCol = "event_type",
+        tsCol = "ts", tieBreak = "event_id")
+    },
+
     // Same-case co-occurrence (Org.workingTogether generalized to any
     // label): activity pairs sharing a case, counted by cases shared.
     // The org-mining metric itself is spec-gated on the multi-resource
@@ -476,6 +494,116 @@ object EventLogQueries {
         |  SELECT user_id, event_type AS activity, count(*) AS k
         |  FROM events GROUP BY 1, 2)
         |GROUP BY activity""".stripMargin,
+    "q_heuristics_net" ->
+      """WITH e AS (
+        |  SELECT act_from, act_to, count(*) AS n FROM (
+        |    SELECT event_type AS act_from,
+        |      lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS act_to
+        |    FROM events)
+        |  WHERE act_to IS NOT NULL GROUP BY 1, 2),
+        |dep AS (
+        |  SELECT e.act_from, e.act_to, e.n,
+        |    CASE WHEN e.act_from = e.act_to
+        |      THEN CAST(e.n AS DOUBLE) / CAST(e.n + 1 AS DOUBLE)
+        |      ELSE CAST(e.n - coalesce(r.n, 0) AS DOUBLE)
+        |         / CAST(e.n + coalesce(r.n, 0) + 1 AS DOUBLE) END AS dependency
+        |  FROM e LEFT JOIN e r
+        |    ON e.act_from = r.act_to AND e.act_to = r.act_from),
+        |l2 AS (
+        |  SELECT act_from, act_to, count(*) AS n_aba FROM (
+        |    SELECT event_type AS act_from,
+        |      lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS act_to,
+        |      lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS n2
+        |    FROM events)
+        |  WHERE n2 = act_from AND act_to <> act_from GROUP BY 1, 2),
+        |l2sym AS (
+        |  SELECT act_from, act_to, sum(n_aba) AS l2n FROM (
+        |    SELECT act_from, act_to, n_aba FROM l2
+        |    UNION ALL SELECT act_to, act_from, n_aba FROM l2)
+        |  GROUP BY 1, 2),
+        |nonself AS (SELECT * FROM dep WHERE act_from <> act_to),
+        |bestout AS (
+        |  SELECT act_from, act_to FROM (
+        |    SELECT act_from, act_to, row_number() OVER (
+        |      PARTITION BY act_from ORDER BY dependency DESC, act_to) AS r
+        |    FROM nonself) WHERE r = 1),
+        |bestin AS (
+        |  SELECT act_from, act_to FROM (
+        |    SELECT act_from, act_to, row_number() OVER (
+        |      PARTITION BY act_to ORDER BY dependency DESC, act_from) AS r
+        |    FROM nonself) WHERE r = 1)
+        |SELECT * FROM (
+        |  SELECT d.act_from, d.act_to, d.n, d.dependency,
+        |    CASE WHEN d.dependency >= 0.05 AND d.n >= 50 THEN 'dep'
+        |         WHEN CAST(s.l2n AS DOUBLE) / CAST(s.l2n + 1 AS DOUBLE) >= 0.05
+        |           THEN 'l2'
+        |         WHEN bo.act_from IS NOT NULL OR bi.act_from IS NOT NULL
+        |           THEN 'best' END AS reason
+        |  FROM dep d
+        |  LEFT JOIN l2sym s
+        |    ON d.act_from = s.act_from AND d.act_to = s.act_to
+        |  LEFT JOIN bestout bo
+        |    ON d.act_from = bo.act_from AND d.act_to = bo.act_to
+        |  LEFT JOIN bestin bi
+        |    ON d.act_from = bi.act_from AND d.act_to = bi.act_to)
+        |WHERE reason IS NOT NULL""".stripMargin,
+    "q_declare_constraints" ->
+      """WITH pos AS (
+        |  SELECT user_id AS c, event_type AS a,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p
+        |  FROM events),
+        |prof AS (
+        |  SELECT c, a, count(*) AS n, min(p) AS fp, max(p) AS lp
+        |  FROM pos GROUP BY c, a),
+        |clen AS (SELECT c, max(lp) AS len FROM prof GROUP BY c),
+        |ncases AS (SELECT count(*) AS n_cases FROM clen),
+        |unary AS (
+        |  SELECT prof.a, count(*) AS n_has,
+        |    sum(CASE WHEN prof.n <= 1 THEN 1 ELSE 0 END) AS n_le1,
+        |    sum(CASE WHEN prof.fp = 1 THEN 1 ELSE 0 END) AS n_init,
+        |    sum(CASE WHEN prof.lp = clen.len THEN 1 ELSE 0 END) AS n_last
+        |  FROM prof JOIN clen ON prof.c = clen.c GROUP BY prof.a),
+        |joint AS (
+        |  SELECT x.a AS aa, y.a AS bb, count(*) AS n_joint,
+        |    sum(CASE WHEN y.lp > x.lp THEN 1 ELSE 0 END) AS n_resp,
+        |    sum(CASE WHEN x.fp < y.fp THEN 1 ELSE 0 END) AS n_prec,
+        |    sum(CASE WHEN y.lp > x.lp AND x.fp < y.fp THEN 1 ELSE 0 END) AS n_succ
+        |  FROM prof x JOIN prof y ON x.c = y.c AND x.a <> y.a
+        |  GROUP BY 1, 2),
+        |base AS (
+        |  SELECT p.a AS aa, p.n_has AS na, q.a AS bb, q.n_has AS nb,
+        |    coalesce(j.n_joint, 0) AS n_joint, coalesce(j.n_resp, 0) AS n_resp,
+        |    coalesce(j.n_prec, 0) AS n_prec, coalesce(j.n_succ, 0) AS n_succ
+        |  FROM unary p JOIN unary q ON p.a <> q.a
+        |  LEFT JOIN joint j ON j.aa = p.a AND j.bb = q.a),
+        |longform AS (
+        |  SELECT 'existence' AS template, a AS act_a, '' AS act_b,
+        |    (SELECT n_cases FROM ncases) AS n_applicable,
+        |    CAST(n_has AS BIGINT) AS n_satisfied FROM unary
+        |  UNION ALL
+        |  SELECT 'absence2', a, '',
+        |    (SELECT n_cases FROM ncases),
+        |    CAST(n_le1 + (SELECT n_cases FROM ncases) - n_has AS BIGINT) FROM unary
+        |  UNION ALL
+        |  SELECT 'init', a, '', (SELECT n_cases FROM ncases),
+        |    CAST(n_init AS BIGINT) FROM unary
+        |  UNION ALL
+        |  SELECT 'last', a, '', (SELECT n_cases FROM ncases),
+        |    CAST(n_last AS BIGINT) FROM unary
+        |  UNION ALL
+        |  SELECT 'responded_existence', aa, bb, na,
+        |    CAST(n_joint AS BIGINT) FROM base
+        |  UNION ALL
+        |  SELECT 'response', aa, bb, na, CAST(n_resp AS BIGINT) FROM base
+        |  UNION ALL
+        |  SELECT 'precedence', aa, bb, nb, CAST(n_prec AS BIGINT) FROM base
+        |  UNION ALL
+        |  SELECT 'succession', aa, bb, na + nb - n_joint,
+        |    CAST(n_succ AS BIGINT) FROM base)
+        |SELECT template, act_a, act_b,
+        |  CAST(n_applicable AS BIGINT) AS n_applicable, n_satisfied,
+        |  CAST(n_satisfied AS DOUBLE) / CAST(n_applicable AS DOUBLE) AS support
+        |FROM longform WHERE n_applicable > 0""".stripMargin,
     "q_cooccurrence" ->
       """WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
         |SELECT a.event_type AS label_a, b.event_type AS label_b,

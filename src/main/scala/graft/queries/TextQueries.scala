@@ -76,6 +76,17 @@ object TextQueries {
           .as("mean_doc_tokens"))
     },
 
+    // Similar-task org-mining metric (dsl/Org.similarTask)
+    // instantiated on the corpus: cosine similarity between sources'
+    // language profiles — inverted-index dot products, exact Long
+    // sums, FP only in the final scalar.
+    "q_profile_similarity" -> { (s, dir) =>
+      graft.dsl.Org.similarTask(Tables(s, dir, "documents"),
+        actorCol = "source", taskCol = "lang")
+        .withColumnRenamed("actor_a", "source_a")
+        .withColumnRenamed("actor_b", "source_b")
+    },
+
     // Within-document repetition (Gopher-style boilerplate filters).
     "q_text_repetition" -> { (s, dir) =>
       val m = TextOps.repetitionMetrics(col("text"))
@@ -191,6 +202,24 @@ object TextQueries {
          |  CAST(sum(len($toksSql)) AS DOUBLE) / CAST(count(*) AS DOUBLE)
          |    AS mean_doc_tokens
          |FROM documents""".stripMargin,
+
+    "q_profile_similarity" ->
+      """WITH prof AS (
+        |  SELECT source AS actor, lang AS task, count(*) AS n
+        |  FROM documents GROUP BY 1, 2),
+        |norms AS (SELECT actor, sum(n * n) AS ss FROM prof GROUP BY actor),
+        |dots AS (
+        |  SELECT a.actor AS source_a, b.actor AS source_b,
+        |    sum(a.n * b.n) AS dot
+        |  FROM prof a JOIN prof b ON a.task = b.task AND a.actor < b.actor
+        |  GROUP BY 1, 2)
+        |SELECT d.source_a, d.source_b,
+        |  CAST(d.dot AS DOUBLE)
+        |    / (sqrt(CAST(na.ss AS DOUBLE)) * sqrt(CAST(nb.ss AS DOUBLE)))
+        |    AS cosine
+        |FROM dots d
+        |JOIN norms na ON na.actor = d.source_a
+        |JOIN norms nb ON nb.actor = d.source_b""".stripMargin,
 
     "q_text_repetition" ->
       s"""SELECT doc_id,

@@ -31,4 +31,32 @@ class OrgMiningSpec extends SparkSpec {
     // never across traces
     assert(!pairs.contains(("A", "D")) && !pairs.contains(("C", "D")))
   }
+
+  test("similarTask: cosine of task profiles, sparse (zero-dot pairs absent)") {
+    // r1: {x:2, y:1}, r2: {x:1}, r3: {y:3} — r2/r3 share no task.
+    val df = Seq(
+      ("r1", "x"), ("r1", "x"), ("r1", "y"),
+      ("r2", "x"),
+      ("r3", "y"), ("r3", "y"), ("r3", "y")
+    ).toDF("res", "task")
+    val out = Org.similarTask(df, "res", "task")
+      .as[(String, String, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+
+    assert(math.abs(out(("r1", "r2")) - 2.0 / math.sqrt(5.0)) < 1e-12)
+    assert(math.abs(out(("r1", "r3")) - 3.0 / (math.sqrt(5.0) * 3.0)) < 1e-12)
+    // inverted index: the no-shared-task pair is never materialized
+    assert(!out.contains(("r2", "r3")) && out.size == 2)
+  }
+
+  test("similarTask on extension_full: fully disjoint profiles yield no pairs") {
+    // Every resource in extension_full performs exactly one activity
+    // unique to it, so no two profiles share a task — the sparse
+    // inverted-index formulation must emit nothing (not zeros).
+    val ev = XesReader.readEvents(spark,
+      "/root/reference/static/xes/test/extension_full.xes").toDF()
+    val st = Org.similarTask(ev, "resource", "activity")
+      .as[(String, String, Double)].collect()
+    assert(st.isEmpty)
+  }
 }
