@@ -37,10 +37,17 @@ object Bench {
     // The driver captures only the LAST 2000 chars of stdout and parses
     // the JSON line out of that window — a full-precision per-query map
     // (~3.5 KB) scrolls its own head out of the window and the parse
-    // fails (BENCH_r02 "parsed": null). Print a 2-decimal line (~1.6 KB,
-    // fits with headroom) and keep full precision in the file.
-    println(line(v => f"$v%.2f"))
+    // fails (BENCH_r02 "parsed": null). Print a 2-decimal line while it
+    // fits with headroom; once the query count grows it past the
+    // window, drop the per-query map from STDOUT (full precision is
+    // always in the file either way).
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json")
+    val compact = line(v => f"$v%.2f")
+    if (compact.length <= 1900) println(compact)
+    else {
+      val total = results.map(_._2).sum
+      println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","sf":"$sfDir","runs":$runs,"agg":"min","queries_in":"$out"}""")
+    }
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
       line(_.toString) + "\n")
     catch { case _: Throwable => () }

@@ -6,7 +6,8 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.dsl.{Concept, Time}
-import graft.ops.{Declare, Dfg, Heuristics, LogStats, Rework, Sessionize, Split}
+import graft.ops.{Declare, Dfg, Drift, Features, Heuristics, LogStats, Rework,
+  Sessionize, Split, TraceCluster}
 
 /** Event-log (process-mining) surface on the `events` table, mapping
   * the reference's XES semantics (SURVEY.md §1-2) onto a flat event
@@ -262,6 +263,40 @@ object EventLogQueries {
         caseCol = "user_id", activityCol = "event_type")
     },
 
+    // Trace clustering: families of similar session behavior by edit
+    // distance (sound length-band blocking + connected components,
+    // ops/TraceCluster). Sessions (12 h gap) are the clustering
+    // universe — full per-user histories in this log are hundreds of
+    // edits apart, sessions actually share shapes. The packed session
+    // key (user·10⁵ + idx) is valid while idx < 10⁵ (max here: 28).
+    "q_trace_clusters" -> { (s, dir) =>
+      val sess = Sessionize.byGap(Tables(s, dir, "events"),
+          caseCol = "user_id", tsCol = "ts", tieBreak = "event_id",
+          gapSeconds = 43200L)
+        .withColumn("session_key",
+          col("user_id") * 100000L + col("session_idx"))
+      TraceCluster.clusterVariants(sess, caseCol = "session_key",
+        activityCol = "event_type", tsCol = "ts", tieBreak = "event_id",
+        maxDist = 5)
+    },
+
+    // Concept drift: weekly activity-mix L1 distance vs the global
+    // profile, exact integer internals (ops/Drift).
+    "q_log_drift" -> { (s, dir) =>
+      Drift.activityDrift(Tables(s, dir, "events"),
+        activityCol = "event_type", tsCol = "ts", granularity = "week")
+        .select(unix_micros(col("period")).as("period_start_us"),
+          col("n_events"), col("l1_x2_vs_global"))
+    },
+
+    // Prefix features: leakage-free per-event training rows for
+    // remaining-time / next-activity prediction (ops/Features).
+    "q_prefix_features" -> { (s, dir) =>
+      Features.prefixFeatures(Tables(s, dir, "events"),
+        caseCol = "user_id", activityCol = "event_type",
+        tsCol = "ts", tieBreak = "event_id")
+    },
+
     // Heuristics-miner causal net: dependency/L2-loop thresholds plus
     // the all-tasks-connected best-successor heuristic (ops/Heuristics).
     "q_heuristics_net" -> { (s, dir) =>
@@ -494,6 +529,79 @@ object EventLogQueries {
         |  SELECT user_id, event_type AS activity, count(*) AS k
         |  FROM events GROUP BY 1, 2)
         |GROUP BY activity""".stripMargin,
+    "q_trace_clusters" ->
+      """WITH RECURSIVE s AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    sum(CASE WHEN prev IS NULL THEN 0
+        |             WHEN epoch_us(ts) - epoch_us(prev)
+        |               > CAST(43200 AS BIGINT) * 1000000 THEN 1
+        |             ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sidx
+        |  FROM (SELECT *, lag(ts) OVER (
+        |          PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |        FROM events)),
+        |cv AS (
+        |  SELECT user_id * 100000 + sidx AS ck,
+        |    string_agg(event_type, '>' ORDER BY ts, event_id) AS variant
+        |  FROM s GROUP BY user_id, sidx),
+        |reps AS (
+        |  SELECT variant, min(ck) AS vid, count(*) AS n_cases
+        |  FROM cv GROUP BY variant),
+        |pr AS (
+        |  SELECT a.vid AS va, b.vid AS vb
+        |  FROM reps a JOIN reps b
+        |    ON a.vid < b.vid
+        |   AND abs(length(a.variant) - length(b.variant)) <= 5
+        |   AND levenshtein(a.variant, b.variant) <= 5),
+        |e AS (SELECT va AS a, vb AS b FROM pr UNION SELECT vb, va FROM pr),
+        |reach(node, label) AS (
+        |  SELECT a, a FROM e
+        |  UNION
+        |  SELECT e.a, r.label FROM e JOIN reach r ON e.b = r.node)
+        |SELECT reps.variant, CAST(reps.vid AS BIGINT) AS vid,
+        |  CAST(coalesce(m.cluster_id, reps.vid) AS BIGINT) AS cluster_id,
+        |  reps.n_cases
+        |FROM reps LEFT JOIN (
+        |  SELECT node, min(label) AS cluster_id FROM reach GROUP BY node) m
+        |  ON reps.vid = m.node""".stripMargin,
+    "q_log_drift" ->
+      """WITH pp AS (
+        |  SELECT date_trunc('week', ts) AS period, event_type AS a,
+        |    count(*) AS n_pa
+        |  FROM events GROUP BY 1, 2),
+        |pt AS (SELECT period, sum(n_pa) AS n_p FROM pp GROUP BY period),
+        |ga AS (SELECT a, sum(n_pa) AS g_a FROM pp GROUP BY a),
+        |base AS (
+        |  SELECT pt.period, pt.n_p, ga.a, ga.g_a,
+        |    (SELECT sum(g_a) FROM ga) AS g,
+        |    coalesce(pp.n_pa, 0) AS n_pa
+        |  FROM pt CROSS JOIN ga
+        |  LEFT JOIN pp ON pp.period = pt.period AND pp.a = ga.a)
+        |SELECT epoch_us(period) AS period_start_us,
+        |  CAST(n_p AS BIGINT) AS n_events,
+        |  CAST(sum(abs(n_pa * g - g_a * n_p)) AS DOUBLE)
+        |    / CAST(n_p * g AS DOUBLE) AS l1_x2_vs_global
+        |FROM base GROUP BY period, n_p, g""".stripMargin,
+    "q_prefix_features" ->
+      """SELECT user_id,
+        |  CAST(row_number() OVER w AS INTEGER) AS position,
+        |  event_type,
+        |  epoch_us(ts) - first_value(epoch_us(ts)) OVER w AS elapsed_us,
+        |  coalesce(epoch_us(ts) - epoch_us(lag(ts) OVER w), -1)
+        |    AS since_prev_us,
+        |  CAST(count(*) OVER (PARTITION BY user_id, event_type
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT)
+        |    AS n_repeats_so_far,
+        |  last_value(epoch_us(ts)) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |    - epoch_us(ts) AS remaining_us,
+        |  CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT)
+        |    - row_number() OVER w AS remaining_events,
+        |  coalesce(lead(event_type) OVER w, '') AS next_activity
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
     "q_heuristics_net" ->
       """WITH e AS (
         |  SELECT act_from, act_to, count(*) AS n FROM (

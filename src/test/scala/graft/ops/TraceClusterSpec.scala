@@ -1,0 +1,52 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+
+/** Edit-distance trace clustering against hand-computed variants,
+  * including a pair that straddles a length-band boundary (the
+  * soundness case for the blocking scheme).
+  */
+class TraceClusterSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // case 1: a b c  ("a>b>c", len 5)
+  // case 2: a b    ("a>b",   len 3)
+  // case 3: x y z q ("x>y>z>q", len 7)
+  // case 4: a b c  (same variant as case 1)
+  // case 5: a bb c ("a>bb>c", len 6 — bucket boundary vs case 1 at w=3)
+  private def log = Seq(
+    (1L, Seq("a", "b", "c")), (2L, Seq("a", "b")),
+    (3L, Seq("x", "y", "z", "q")), (4L, Seq("a", "b", "c")),
+    (5L, Seq("a", "bb", "c"))
+  ).flatMap { case (c, acts) =>
+    acts.zipWithIndex.map { case (a, i) =>
+      (c, a, new Timestamp(i * 1000L), c * 100 + i)
+    }
+  }.toDF("case_id", "activity", "ts", "event_id")
+
+  test("editPairs: banding finds all pairs within maxDist, none beyond") {
+    val reps = Sessionize.variantRepresentatives(log, "case_id", "activity",
+      "ts", "event_id")
+    val pairs = TraceCluster.editPairs(reps, maxDist = 2)
+      .as[(Long, Long, Int)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // lev(a>b>c, a>b) = 2; lev(a>b>c, a>bb>c) = 1 (cross-bucket);
+    // lev(a>b, a>bb>c) = 3 > 2; x>y>z>q matches nothing.
+    assert(pairs == Map((1L, 2L) -> 2, (1L, 5L) -> 1))
+  }
+
+  test("clusterVariants: components labeled by min rep; singletons keep own id") {
+    val out = TraceCluster.clusterVariants(log, "case_id", "activity",
+      "ts", "event_id", maxDist = 2)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out == Map(
+      "a>b>c" -> ((1L, 1L, 2L)),   // cases 1 and 4
+      "a>b" -> ((2L, 1L, 1L)),
+      "a>bb>c" -> ((5L, 1L, 1L)),
+      "x>y>z>q" -> ((3L, 3L, 1L))))
+  }
+}
