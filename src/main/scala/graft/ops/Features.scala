@@ -9,10 +9,11 @@ import org.apache.spark.sql.functions._
   * example per event prefix, with leakage-free features (everything
   * computable at that point in the case) and the standard labels.
   *
-  * Scale shape: one case-key window shuffle serves every feature and
-  * label except the repeat counter, which re-partitions on the finer
-  * (case, activity) key — two exchanges total, no joins, nothing on
-  * the driver.
+  * Scale shape: ONE case-key shuffle serves everything — the repeat
+  * counter's finer (case, activity) window is satisfied by the case
+  * partitioning (clustered-distribution subsumption), so Spark adds
+  * only a partition-local re-sort, not a second exchange. No joins,
+  * nothing on the driver (PlanShapeSpec pins the single exchange).
   */
 object Features {
 

@@ -48,4 +48,33 @@ object LogStats {
       count(lit(1)).as("tot")).head()
     Statistics(r.getLong(0), r.getLong(1), r.getLong(2))
   }
+
+  /** Work-in-progress curve: per period, cases arriving (first event
+    * in that bucket), cases completing (last event), and the open-case
+    * count at period end — the load view every process dashboard
+    * draws.
+    *
+    * Scale shape: one (case) agg for the intervals, one tiny
+    * period-sized rollup; the running sum's single-partition window
+    * is over period rows only (bounded by the time horizon, not the
+    * log — a century of days is 36 525 rows), all in exact Longs.
+    */
+  def wipCurve(events: DataFrame, caseCol: String, tsCol: String,
+      granularity: String = "day"): DataFrame = {
+    val spans = events.filter(col(caseCol).isNotNull)
+      .groupBy(col(caseCol))
+      .agg(date_trunc(granularity, min(col(tsCol))).as("_start"),
+        date_trunc(granularity, max(col(tsCol))).as("_end"))
+    val deltas = spans.select(col("_start").as("period"), lit(1L).as("_arr"),
+        lit(0L).as("_cmp"))
+      .unionByName(spans.select(col("_end").as("period"), lit(0L).as("_arr"),
+        lit(1L).as("_cmp")))
+      .groupBy("period")
+      .agg(sum("_arr").as("n_arrived"), sum("_cmp").as("n_completed"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("period"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    deltas.select(col("period"), col("n_arrived"), col("n_completed"),
+      (sum(col("n_arrived")).over(w) - sum(col("n_completed")).over(w))
+        .as("wip_end"))
+  }
 }

@@ -6,8 +6,8 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.dsl.{Concept, Time}
-import graft.ops.{Declare, Dfg, Drift, Features, Heuristics, LogStats, Rework,
-  Sessionize, Split, TraceCluster}
+import graft.ops.{Decision, Declare, Dfg, Drift, Features, Heuristics,
+  LogStats, Rework, Sessionize, Split, TraceCluster}
 
 /** Event-log (process-mining) surface on the `events` table, mapping
   * the reference's XES semantics (SURVEY.md §1-2) onto a flat event
@@ -261,6 +261,25 @@ object EventLogQueries {
     "q_rework" -> { (s, dir) =>
       Rework.perActivity(Tables(s, dir, "events"),
         caseCol = "user_id", activityCol = "event_type")
+    },
+
+    // Work-in-progress curve: arrivals, completions, and open-case
+    // count per day (ops/LogStats.wipCurve).
+    "q_wip_curve" -> { (s, dir) =>
+      LogStats.wipCurve(Tables(s, dir, "events"),
+        caseCol = "user_id", tsCol = "ts", granularity = "day")
+        .select(unix_micros(col("period")).as("period_start_us"),
+          col("n_arrived"), col("n_completed"), col("wip_end"))
+    },
+
+    // Decision-point mining: branch probabilities, Gini impurity, and
+    // the exact-integer attribute signature per DFG branch
+    // (ops/Decision).
+    "q_decision_points" -> { (s, dir) =>
+      Decision.branchProfiles(Tables(s, dir, "events"),
+        caseCol = "user_id", activityCol = "event_type",
+        tsCol = "ts", tieBreak = "event_id",
+        attr = get_json_object(col("props"), "$.k"))
     },
 
     // Trace clustering: families of similar session behavior by edit
@@ -529,6 +548,47 @@ object EventLogQueries {
         |  SELECT user_id, event_type AS activity, count(*) AS k
         |  FROM events GROUP BY 1, 2)
         |GROUP BY activity""".stripMargin,
+    "q_wip_curve" ->
+      """WITH spans AS (
+        |  SELECT user_id, date_trunc('day', min(ts)) AS s,
+        |    date_trunc('day', max(ts)) AS e
+        |  FROM events GROUP BY user_id),
+        |deltas AS (
+        |  SELECT period, sum(arr) AS n_arrived, sum(cmp) AS n_completed
+        |  FROM (
+        |    SELECT s AS period, 1 AS arr, 0 AS cmp FROM spans
+        |    UNION ALL
+        |    SELECT e, 0, 1 FROM spans)
+        |  GROUP BY period)
+        |SELECT epoch_us(period) AS period_start_us,
+        |  CAST(n_arrived AS BIGINT) AS n_arrived,
+        |  CAST(n_completed AS BIGINT) AS n_completed,
+        |  CAST(sum(n_arrived) OVER w - sum(n_completed) OVER w AS BIGINT)
+        |    AS wip_end
+        |FROM deltas
+        |WINDOW w AS (ORDER BY period
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+    "q_decision_points" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS attr,
+        |    lead(event_type) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS act_to
+        |  FROM events),
+        |e AS (
+        |  SELECT event_type AS act_from, act_to, count(*) AS n,
+        |    CAST(sum(attr) AS BIGINT) AS sum_attr, count(attr) AS n_attr,
+        |    min(attr) AS min_attr, max(attr) AS max_attr
+        |  FROM ev WHERE act_to IS NOT NULL
+        |  GROUP BY 1, 2)
+        |SELECT act_from, act_to, n,
+        |  CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY act_from) AS DOUBLE)
+        |    AS p_branch,
+        |  1.0 - CAST(sum(n * n) OVER (PARTITION BY act_from) AS DOUBLE)
+        |    / CAST(sum(n) OVER (PARTITION BY act_from)
+        |         * sum(n) OVER (PARTITION BY act_from) AS DOUBLE) AS gini,
+        |  sum_attr, n_attr, min_attr, max_attr
+        |FROM e""".stripMargin,
     "q_trace_clusters" ->
       """WITH RECURSIVE s AS (
         |  SELECT user_id, ts, event_id, event_type,

@@ -107,4 +107,40 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p.take(1200))
   }
+
+  test("prefix features: pure window plan — no joins, ONE exchange") {
+    // hashpartitioning(case) satisfies the (case, activity) window's
+    // clustered distribution, so the finer window adds a sort but NO
+    // second shuffle.
+    val p = plan("q_prefix_features")
+    assert(!p.contains("Join"), "prefix features must not join")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges")
+  }
+
+  test("DECLARE discovery: per-case pair join is an equi-join, never cartesian") {
+    val p = plan("q_declare_constraints")
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
+  test("trace clustering: banded candidate join is an equi-join on the bucket") {
+    val reps = graft.ops.Sessionize.variantRepresentatives(
+      Tables(spark, dir, "events"), "user_id", "event_type", "ts", "event_id")
+    val p = graft.ops.TraceCluster.editPairs(reps, 5)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+    assert(p.contains("_bucket"), "blocking key missing from the join")
+  }
+
+  test("drift: alphabet/period rollup only — no cartesian beyond 1-row broadcasts") {
+    val p = plan("q_log_drift")
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
+  test("similar-task: inverted-index equi-join on the task key") {
+    val p = plan("q_profile_similarity")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+  }
 }
