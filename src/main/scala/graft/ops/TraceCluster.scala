@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.dedup.Dedup
@@ -14,41 +14,180 @@ import graft.dedup.Dedup
   * smallest representative case id.
   *
   * Scale shape: variants (not cases!) are the clustering universe —
-  * the variant inventory is orders of magnitude smaller than the log.
-  * Candidate pairs come from SOUND length-band blocking: with band
-  * width `maxDist + 1`, each variant lands in two buckets and every
-  * pair within distance `maxDist` is guaranteed to share one (edit
-  * distance ≥ length difference), so the verify step never misses a
-  * true pair. The expensive `levenshtein` runs once per deduplicated
-  * candidate pair, and components reuse [[Dedup.clusters]] (bounded
-  * driver union-find below 2²² edges, distributed hash-to-min above).
+  * the variant inventory is orders of magnitude smaller than the log —
+  * and candidate generation is segment-pigeonhole (PassJoin-style)
+  * blocking, an EQUI-join whose output tracks the number of TRUE
+  * near-duplicate pairs. Plain length-band blocking degenerates to
+  * all-pairs within a length class (measured here: 101 s at sf0.1,
+  * quadratic death at a million variants); the pigeonhole join does
+  * not. Components reuse [[Dedup.clusters]] (bounded driver
+  * union-find below 2²² edges, distributed hash-to-min above).
   */
 object TraceCluster {
+
+  /** Character bins for the histogram counting filter: disjoint ASCII
+    * groups; characters outside every bin don't count, which only
+    * weakens the (still sound) L1/2 lower bound. Counts come from
+    * `length(s) − length(translate(s, bin, ''))` — pure codegen.
+    */
+  private val HistBinChars: Seq[String] = Seq(
+    "abcd", "efgh", "ijkl", "mnop", "qrst", "uvwx", "yz0123456789", ">_- ")
+  private val HistBins = HistBinChars.length
 
   /** Candidate pairs within edit distance `maxDist`:
     * `(vid_a, vid_b, dist)` over a variant inventory shaped like
     * [[Sessionize.variantRepresentatives]] (`variant`, `rep_case`,
-    * `n_cases`).
+    * `n_cases`). `vid_a &lt; vid_b` in the output.
+    *
+    * Blocking is the segment-pigeonhole scheme: split every string
+    * into `d+1` contiguous disjoint segments (even partition, short
+    * segments first). An edit script of ≤ d operations edits
+    * characters of at most d segments, so SOME segment of the shorter
+    * string survives untouched — and its image in the longer string
+    * is an EXACT substring displaced by at most d positions (each
+    * insertion/deletion shifts it by one). Candidates are therefore
+    * the equi-join of
+    *
+    *  - index side: `(i, segment i of s, |s|)` — k rows per string;
+    *  - probe side: `(i, substring of t with the length-l scheme's
+    *    segment length, starting within ±d of the scheme position,
+    *    l)` for every partner length `l ∈ [|t|−d, |t|], l > d`.
+    *
+    * Probe fan-out is O(d²·(d+1)) short keys per string — constant in
+    * the inventory size — and the index side broadcasts. Strings of
+    * length ≤ d carry no nonempty-segment guarantee and go through a
+    * single short-string bucket instead (truly bounded: at most
+    * |Σ|^d distinct such strings exist). `levenshtein` runs once per
+    * deduplicated candidate pair.
     */
   def editPairs(variants: DataFrame, maxDist: Int): DataFrame = {
-    val w = maxDist + 1
-    val v = variants.select(col("variant"),
-      col("rep_case").cast("long").as("vid"),
-      length(col("variant")).as("_len"))
-    val banded = v.withColumn("_bucket",
-      explode(array(floor(col("_len") / w), floor(col("_len") / w) + 1)))
-    val a = banded.select(col("_bucket"), col("variant").as("_va"),
-      col("vid").as("vid_a"), col("_len").as("_la"))
-    val b = banded.select(col("_bucket"), col("variant").as("_vb"),
-      col("vid").as("vid_b"), col("_len").as("_lb"))
-    a.join(b, Seq("_bucket"))
-      .filter(col("vid_a") < col("vid_b") &&
-        abs(col("_la") - col("_lb")) <= maxDist)
-      .select("vid_a", "vid_b", "_va", "_vb").distinct()
+    val v = withHists(variants)
+    verifyPairs(v, rawCandidates(variants, maxDist).distinct(), maxDist)
+  }
+
+  private def withHists(variants: DataFrame): DataFrame =
+    variants.select(
+      (Seq(col("variant"), col("rep_case").cast("long").as("vid"),
+        length(col("variant")).as("_len")) ++
+        HistBinChars.zipWithIndex.map { case (bin, b) =>
+          (length(col("variant")) -
+            length(translate(col("variant"), bin, ""))).cast("int").as(s"_h$b")
+        }): _*)
+
+  private def rawCandidates(variants: DataFrame, maxDist: Int): DataFrame = {
+    val d = maxDist
+    val k = d + 1
+    val v = withHists(variants)
+
+    // Even-partition arithmetic for a string of length `l` and
+    // segment index `i` (both Columns): the last (l mod k) segments
+    // are one char longer than base.
+    def base(l: Column): Column = floor(l / k).cast("int")
+    def shortCount(l: Column): Column = lit(k) - pmod(l, lit(k))
+    def segLen(l: Column, i: Column): Column =
+      base(l) + when(i >= shortCount(l), 1).otherwise(0)
+    def segPos(l: Column, i: Column): Column = // 0-based start
+      i * base(l) + greatest(lit(0), i - shortCount(l))
+
+    // ---- long-string path (length > d) ----
+    val long = v.filter(col("_len") > d)
+
+    val index = long.select(
+      (Seq(col("vid").as("vid_x"), col("_len").as("_lx"),
+        explode(array((0 until k).map { i =>
+          struct(lit(i).as("segIdx"),
+            col("variant").substr(one(segPos(col("_len"), lit(i))),
+              segLen(col("_len"), lit(i))).as("seg"))
+        }: _*)).as("s")) ++
+        (0 until HistBins).map(b => col(s"_h$b").as(s"_h${b}x"))): _*)
+      .select((Seq(col("vid_x"), col("_lx").as("_lp"),
+        col("s.segIdx").as("segIdx"), col("s.seg").as("seg")) ++
+        (0 until HistBins).map(b => col(s"_h${b}x"))): _*)
+
+    // Probe rows via chained generators — every scalar computation
+    // stays in whole-stage codegen (no interpreted array-of-struct
+    // HOFs). The start window uses the first-intact-segment bound: if
+    // segment i is the FIRST intact one, each earlier segment absorbed
+    // >= 1 edit, so at most d-i edits follow it and the net-indel
+    // shift after it obeys |delta - shift| <= d-i; clamped to the
+    // generic +/-d displacement and to string bounds.
+    val m = col("_len")
+    val probe = long
+      .select((Seq(col("vid").as("vid_y"), m.as("_ly"), col("variant"),
+        explode(sequence(greatest(m - d, lit(d + 1)).cast("int"),
+          m.cast("int"))).as("_lp")) ++
+        (0 until HistBins).map(b => col(s"_h$b"))): _*)
+      .select((Seq(col("vid_y"), col("_ly"), col("variant"), col("_lp"),
+        explode(array((0 until k).map(i => lit(i)): _*)).as("segIdx")) ++
+        (0 until HistBins).map(b => col(s"_h$b").as(s"_h${b}y"))): _*)
+      .withColumn("_sl", segLen(col("_lp"), col("segIdx")))
+      .withColumn("_p", segPos(col("_lp"), col("segIdx")))
+      .withColumn("_delta", col("_ly") - col("_lp"))
+      .withColumn("_lo", greatest(
+        col("_p") + col("_delta") - (lit(d) - col("segIdx")),
+        col("_p") - d, lit(0)))
+      .withColumn("_hi", least(
+        col("_p") + col("_delta") + (lit(d) - col("segIdx")),
+        col("_p") + d, col("_ly") - col("_sl")))
+      .filter(col("_hi") >= col("_lo"))
+      .select((Seq(col("vid_y"), col("_ly"), col("_lp"), col("segIdx"),
+        col("variant"), col("_sl"),
+        explode(sequence(col("_lo"), col("_hi"))).as("_st")) ++
+        (0 until HistBins).map(b => col(s"_h${b}y"))): _*)
+      .select((Seq(col("vid_y"), col("_ly"), col("_lp"), col("segIdx"),
+        col("variant").substr(one(col("_st")), col("_sl")).as("seg")) ++
+        (0 until HistBins).map(b => col(s"_h${b}y"))): _*)
+
+    // The join output pays for hub segments (low-entropy alphabets
+    // repeat segment strings across many variants), so a second SOUND
+    // filter prunes it in codegen before the distinct: one edit moves
+    // the character histogram's L1 norm by at most 2, hence
+    // edit >= L1/2 (bins that drop characters only weaken the bound).
+    val histL1 = (0 until HistBins)
+      .map(b => abs(col(s"_h${b}x") - col(s"_h${b}y"))).reduce(_ + _)
+    val longCands = probe
+      .join(broadcast(index), Seq("_lp", "segIdx", "seg"))
+      // orientation: index side is the no-longer string; equal lengths
+      // dedup by vid order (also removes self-pairs).
+      .filter((col("_lp") < col("_ly") ||
+        (col("_lp") === col("_ly") && col("vid_x") < col("vid_y"))) &&
+        histL1 <= 2 * d)
+      .select(col("vid_x").as("vid_a"), col("vid_y").as("vid_b"))
+
+    // ---- short-string path (length ≤ d) ----
+    // Broadcast nested-loop against the short side — legitimate here
+    // and only here: at most |Σ|^d strings of length ≤ d exist, so the
+    // build side is alphabet-bounded regardless of corpus size.
+    val short = v.filter(col("_len") <= d)
+      .select(col("vid").as("vid_x"), col("_len").as("_lx"))
+    val partners = v.filter(col("_len") <= 2 * d)
+      .select(col("vid").as("vid_y"), col("_len").as("_ly"))
+    val shortCands = partners.crossJoin(broadcast(short))
+      .filter(col("_ly") - col("_lx") <= d &&
+        (col("_lx") < col("_ly") ||
+          (col("_lx") === col("_ly") && col("vid_x") < col("vid_y"))))
+      .select(col("vid_x").as("vid_a"), col("vid_y").as("vid_b"))
+
+    longCands.unionByName(shortCands)
+  }
+
+  /** Pre-distinct candidate stream (exposed for stage profiling). */
+  private[graft] def debugCandidates(variants: DataFrame,
+      maxDist: Int): DataFrame = rawCandidates(variants, maxDist)
+
+  private def verifyPairs(v: DataFrame, candidates: DataFrame,
+      maxDist: Int): DataFrame = {
+    val sa = v.select(col("vid").as("vid_a"), col("variant").as("_va"))
+    val sb = v.select(col("vid").as("vid_b"), col("variant").as("_vb"))
+    candidates.join(sa, "vid_a").join(sb, "vid_b")
       .withColumn("dist", levenshtein(col("_va"), col("_vb")))
       .filter(col("dist") <= maxDist)
-      .select("vid_a", "vid_b", "dist")
+      .select(least(col("vid_a"), col("vid_b")).as("vid_a"),
+        greatest(col("vid_a"), col("vid_b")).as("vid_b"), col("dist"))
   }
+
+  /** 1-based position for `Column.substr`. */
+  private def one(zeroBased: Column): Column = zeroBased + 1
 
   /** Full pipeline: `(variant, vid, cluster_id, n_cases)` — singleton
     * variants keep their own id as `cluster_id`.
@@ -56,8 +195,13 @@ object TraceCluster {
   def clusterVariants(events: DataFrame, caseCol: String,
       activityCol: String, tsCol: String, tieBreak: String,
       maxDist: Int): DataFrame = {
+    // The variant inventory feeds many plan branches (index, probe,
+    // short bucket, verify join-back, final labeling) — cache it so
+    // the event-mass window aggregation runs once, not per branch.
+    // CacheManager dedups identical plans, so repeated invocations
+    // share one entry (variant tables are inventory-sized).
     val reps = Sessionize.variantRepresentatives(events, caseCol,
-      activityCol, tsCol, tieBreak)
+      activityCol, tsCol, tieBreak).cache()
     val comp = Dedup.clusters(editPairs(reps, maxDist), "vid_a", "vid_b")
       .select(col("doc_id").as("_vid"), col("cluster_id"))
     reps

@@ -123,14 +123,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(1200))
   }
 
-  test("trace clustering: banded candidate join is an equi-join on the bucket") {
+  test("trace clustering: pigeonhole candidates are an equi-join on (len, segIdx, seg)") {
     val reps = graft.ops.Sessionize.variantRepresentatives(
       Tables(spark, dir, "events"), "user_id", "event_type", "ts", "event_id")
     val p = graft.ops.TraceCluster.editPairs(reps, 5)
       .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"), p.take(1200))
-    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1200))
-    assert(p.contains("_bucket"), "blocking key missing from the join")
+    assert(p.contains("segIdx"), "pigeonhole key missing from the join")
+    // Exactly ONE nested-loop join is legitimate: the short-string
+    // bucket (strings of length <= d), whose build side is provably
+    // alphabet-bounded (at most |alphabet|^d such strings exist).
+    // The main candidate join must stay a hash join.
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnlj <= 1, s"unexpected nested-loop joins: $bnlj")
   }
 
   test("drift: alphabet/period rollup only — no cartesian beyond 1-row broadcasts") {

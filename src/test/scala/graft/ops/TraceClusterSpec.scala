@@ -2,6 +2,8 @@ package graft.ops
 
 import java.sql.Timestamp
 
+import org.apache.spark.sql.functions.lit
+
 import graft.SparkSpec
 
 /** Edit-distance trace clustering against hand-computed variants,
@@ -36,6 +38,42 @@ class TraceClusterSpec extends SparkSpec {
     // lev(a>b>c, a>b) = 2; lev(a>b>c, a>bb>c) = 1 (cross-bucket);
     // lev(a>b, a>bb>c) = 3 > 2; x>y>z>q matches nothing.
     assert(pairs == Map((1L, 2L) -> 2, (1L, 5L) -> 1))
+  }
+
+  test("editPairs equals brute-force levenshtein on randomized inventories") {
+    // Deterministic pseudo-random inventory over a tiny alphabet so
+    // near-duplicates are common; includes lengths straddling the
+    // short-string bucket (<= d) and every segment-scheme remainder.
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = dp(0); dp(0) = j
+        for (i <- 1 to a.length) {
+          val cur = dp(i)
+          dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(a.length)
+    }
+    val rnd = new scala.util.Random(7)
+    val words = (0 until 70).map { i =>
+      val len = 1 + rnd.nextInt(14)
+      (i.toLong, (0 until len).map(_ => "abc".charAt(rnd.nextInt(3))).mkString)
+    }.distinctBy(_._2)
+    for (d <- Seq(1, 3)) {
+      val expected = (for {
+        (ia, va) <- words; (ib, vb) <- words
+        if ia < ib && lev(va, vb) <= d
+      } yield (ia, ib, lev(va, vb))).toSet
+      val reps = words.toDF("rep_case", "variant")
+        .withColumn("n_cases", lit(1L))
+      val got = TraceCluster.editPairs(reps, d)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(got == expected,
+        s"d=$d missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+    }
   }
 
   test("clusterVariants: components labeled by min rep; singletons keep own id") {
