@@ -21,6 +21,13 @@ object GraftSession {
       // for; read as long nanos, Tables converts to micros (same
       // truncation DuckDB applies).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Executors here have 128 GiB for 32 threads; Spark's 10 MB
+      // broadcast ceiling is tuned for far smaller heaps. 64 MB lets
+      // AQE's RUNTIME size measurements broadcast mid-size fact
+      // tables (orders at small sf) while genuinely large inputs
+      // still shuffle — the decision stays data-driven, only the
+      // ceiling is sized to the hardware.
+      .config("spark.sql.autoBroadcastJoinThreshold", s"${64 * 1024 * 1024}")
 
   def get(cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession = {
     val s = builder(cores).getOrCreate()
