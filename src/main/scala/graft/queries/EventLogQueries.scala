@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.dsl.{Concept, Time}
 import graft.ops.{Decision, Declare, Dfg, Drift, Features, Heuristics,
-  LogStats, Rework, Sessionize, Split, TraceCluster}
+  IncrementalDfg, LogStats, Rework, Sessionize, Split, TraceCluster}
 
 /** Event-log (process-mining) surface on the `events` table, mapping
   * the reference's XES semantics (SURVEY.md §1-2) onto a flat event
@@ -263,6 +263,20 @@ object EventLogQueries {
         caseCol = "user_id", activityCol = "event_type")
     },
 
+    // Incremental DFG maintenance: fold the log in two append-only
+    // halves (split mid-month) through ops/IncrementalDfg; the result
+    // must equal the monolithic DFG — which is exactly what the
+    // oracle computes, so the equivalence itself is hash-gated.
+    "q_dfg_incremental" -> { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+      val cut = to_timestamp(lit("2024-01-16 00:00:00"))
+      val s0 = IncrementalDfg.init(ev, "user_id", "event_type", "ts", "event_id")
+      val s1 = IncrementalDfg.update(s0, ev.filter(col("ts") < cut),
+        "user_id", "event_type", "ts", "event_id")
+      IncrementalDfg.update(s1, ev.filter(col("ts") >= cut),
+        "user_id", "event_type", "ts", "event_id").edges
+    },
+
     // Work-in-progress curve: arrivals, completions, and open-case
     // count per day (ops/LogStats.wipCurve).
     "q_wip_curve" -> { (s, dir) =>
@@ -388,6 +402,15 @@ object EventLogQueries {
          |  count(DISTINCT user_id) AS n_cases, count(*) AS n_events
          |FROM events GROUP BY 1""".stripMargin,
     "q_dfg_edges" ->
+      """SELECT act_from, act_to, count(*) AS n FROM (
+        |  SELECT event_type AS act_from,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS act_to
+        |  FROM events)
+        |WHERE act_to IS NOT NULL
+        |GROUP BY act_from, act_to""".stripMargin,
+    // Incremental maintenance must reproduce the monolithic DFG —
+    // the oracle IS the monolithic computation.
+    "q_dfg_incremental" ->
       """SELECT act_from, act_to, count(*) AS n FROM (
         |  SELECT event_type AS act_from,
         |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS act_to
