@@ -65,9 +65,85 @@ case class PetriNet(
     }
     false
   }
+
+  /** Classical workflow-net soundness via explicit state-space
+    * exploration (nets here are model-sized — alphabet-scale — so the
+    * reachability graph is small; `maxStates` guards degenerate
+    * inputs, reporting `bounded = false` instead of looping).
+    *
+    *  - `optionToComplete`: from every reachable marking the final
+    *    marking is reachable;
+    *  - `properCompletion`: no reachable marking strictly covers the
+    *    final marking;
+    *  - `deadTransitions`: transitions enabled in no reachable
+    *    marking.
+    *
+    * `sound` = all three (and bounded).
+    */
+  def soundness(maxStates: Int = 100000): PetriNet.Soundness = {
+    type M = Map[String, Int]
+    def pos(m: M): M = m.filter(_._2 > 0)
+    val target = pos(finalMarking)
+
+    val start = pos(initialMarking)
+    val seen = scala.collection.mutable.Set[M](start)
+    val queue = scala.collection.mutable.Queue(start)
+    val preds = scala.collection.mutable.Map.empty[M, List[M]]
+    val fired = scala.collection.mutable.Set.empty[String]
+    var bounded = true
+    var proper = true
+    while (queue.nonEmpty && bounded) {
+      val m = queue.dequeue()
+      // proper completion: no reachable marking strictly covers final
+      if (target.nonEmpty && m != target &&
+          target.forall { case (p, n) => m.getOrElse(p, 0) >= n })
+        proper = false
+      transitions.foreach { t =>
+        if (enabled(m, t.id)) {
+          fired += t.id
+          val next = pos(fire(m, t.id))
+          preds(next) = m :: preds.getOrElse(next, Nil)
+          if (seen.add(next)) {
+            if (seen.size > maxStates) bounded = false
+            else queue.enqueue(next)
+          }
+        }
+      }
+    }
+
+    if (!bounded)
+      PetriNet.Soundness(bounded = false, optionToComplete = false,
+        properCompletion = false, deadTransitions = Set.empty)
+    else {
+      // reverse reachability from the final marking
+      val canFinish = scala.collection.mutable.Set.empty[M]
+      if (seen.contains(target)) {
+        val bq = scala.collection.mutable.Queue(target)
+        canFinish += target
+        while (bq.nonEmpty) {
+          val m = bq.dequeue()
+          preds.getOrElse(m, Nil).foreach { p =>
+            if (canFinish.add(p)) bq.enqueue(p)
+          }
+        }
+      }
+      PetriNet.Soundness(
+        bounded = true,
+        optionToComplete = seen.forall(canFinish.contains),
+        properCompletion = proper,
+        deadTransitions = transitions.map(_.id).toSet -- fired)
+    }
+  }
 }
 
 object PetriNet {
+
+  /** Result of [[PetriNet.soundness]]. */
+  case class Soundness(bounded: Boolean, optionToComplete: Boolean,
+      properCompletion: Boolean, deadTransitions: Set[String]) {
+    def sound: Boolean =
+      bounded && optionToComplete && properCompletion && deadTransitions.isEmpty
+  }
   case class Transition(id: String, label: Option[String])
 
   /** Compiles a process tree into a workflow net via the standard
