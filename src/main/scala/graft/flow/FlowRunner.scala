@@ -239,10 +239,79 @@ object FlowRunner {
         }
         in
 
+      // ---- the reference's ASPIRATIONAL miner plugins ----
+      // lib.rs:3-27 sketches `… > Log | InductiveMiner`,
+      // `DFGGenerator | HeuristicMiner`, `FootprintGenerator |
+      // AlphaMiner`, and a `TokenReplay` observer in its application
+      // scenarios, but none exist in its code (the structs in
+      // lib.rs:11-22 are name-only). Here they run for real over the
+      // engine's ops, emitting driver-side model artifacts in the
+      // reference's artifact idiom (models are alphabet-sized).
+
+      case "DFGGenerator" =>
+        val edges = graft.ops.Dfg.edges(minerEvents(in),
+          "_case", "activity", "tsMicros", "seq")
+          .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+          .toSeq
+        seg.artifactSender.foreach(ch => emitArtifacts(Map(ch -> edges)))
+        in
+
+      case "FootprintGenerator" =>
+        val fp = graft.ops.Dfg.footprint(minerEvents(in),
+          "_case", "activity", "tsMicros", "seq")
+          .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+          .toSeq
+        seg.artifactSender.foreach(ch => emitArtifacts(Map(ch -> fp)))
+        in
+
+      case "AlphaMiner" =>
+        val net = graft.ops.Alpha.mine(minerEvents(in),
+          "_case", "activity", "tsMicros", "seq")
+        seg.artifactSender.foreach(ch => emitArtifacts(Map(ch -> net)))
+        in
+
+      case "HeuristicMiner" =>
+        val theta = seg.attributes.getOrElse("dependency_threshold", 0.9) match {
+          case d: Double => d; case l: Long => l.toDouble
+          case n: Number => n.doubleValue()
+        }
+        val minN = long(seg.attributes.getOrElse("min_edge_n", 1L))
+        val net = graft.ops.Heuristics.net(minerEvents(in),
+          "_case", "activity", "tsMicros", "seq", theta, minN)
+          .collect()
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+            r.getDouble(3), r.getString(4))).toSeq
+        seg.artifactSender.foreach(ch => emitArtifacts(Map(ch -> net)))
+        in
+
+      case "InductiveMiner" =>
+        val tree = graft.ops.Inductive.mine(minerEvents(in),
+          "_case", "activity", "tsMicros", "seq")
+        seg.artifactSender.foreach(ch => emitArtifacts(Map(ch -> tree)))
+        in
+
+      case "TokenReplay" =>
+        val net = received.values.collectFirst {
+          case n: graft.ops.Alpha.WorkflowNet => n
+        }.getOrElse(throw new IllegalArgumentException(
+          "TokenReplay needs a WorkflowNet artifact on a receiver channel"))
+        val fitness = graft.ops.Replay.logFitness(
+          graft.ops.Replay.variantFitness(spark, minerEvents(in),
+            "_case", "activity", "tsMicros", "seq", net))
+        seg.artifactSender.foreach(ch => emitArtifacts(Map(ch -> fitness)))
+        in
+
       case other =>
         throw new IllegalArgumentException(s"unknown segment '$other'")
     }
   }
+
+  /** Event view for the miner segments: in-trace events keyed by the
+    * (file, trace) case identity. */
+  private def minerEvents(in: XesReader.XLog): DataFrame =
+    in.events.toDF()
+      .filter(col("traceIdx").isNotNull)
+      .withColumn("_case", concat_ws("#", col("file"), col("traceIdx")))
 
   /** The user seed salted with the segment's position in the pipe.
     * Two sampling segments with the same user seed must draw
