@@ -238,4 +238,83 @@ object Native {
     }
     s
   }
+
+  /** IVF coarse assignment: id of the max-cosine centroid for `v`,
+    * ties to the smaller centroid id. `cents` MUST be in ascending
+    * `centIds` order — the strict `>` then keeps the first (smallest
+    * id) among cosine ties. The arithmetic is the same double fold as
+    * `dotF(v,c) / (sqrt(dotF(v,v)) * sqrt(dotF(c,c)))`, so the result
+    * is bit-identical to the former crossJoin+window argmax and the
+    * DuckDB oracle. O(|cents|·dims) per row, zero shuffle.
+    */
+  def ivfAssign(v: ArrayData, centIds: Array[Long],
+      cents: Array[Array[Float]]): Long = {
+    val n = v.numElements()
+    var vv = 0.0
+    var i = 0
+    while (i < n) { val x = v.getFloat(i).toDouble; vv += x * x; i += 1 }
+    val nv = math.sqrt(vv)
+    var best = -1L
+    var bestCos = Double.NegativeInfinity
+    var ci = 0
+    while (ci < cents.length) {
+      val c = cents(ci)
+      var d = 0.0
+      var cc = 0.0
+      var j = 0
+      while (j < n) {
+        val x = c(j).toDouble
+        d += v.getFloat(j).toDouble * x
+        cc += x * x
+        j += 1
+      }
+      val cos = d / (nv * math.sqrt(cc))
+      if (cos > bestCos) { bestCos = cos; best = centIds(ci) }
+      ci += 1
+    }
+    best
+  }
+
+  /** Top-`nProbe` centroid ids for `v`, ordered (cosine desc, id asc).
+    * Same ascending-id + stable-insertion contract as [[ivfAssign]];
+    * map-side replacement for the probe-side crossJoin+window. */
+  def ivfProbes(v: ArrayData, centIds: Array[Long],
+      cents: Array[Array[Float]], nProbe: Int): ArrayData = {
+    val n = v.numElements()
+    var vv = 0.0
+    var i = 0
+    while (i < n) { val x = v.getFloat(i).toDouble; vv += x * x; i += 1 }
+    val nv = math.sqrt(vv)
+    val m = math.min(nProbe, cents.length)
+    val topCos = new Array[Double](m)
+    val topId = new Array[Long](m)
+    var filled = 0
+    var ci = 0
+    while (ci < cents.length) {
+      val c = cents(ci)
+      var d = 0.0
+      var cc = 0.0
+      var j = 0
+      while (j < n) {
+        val x = c(j).toDouble
+        d += v.getFloat(j).toDouble * x
+        cc += x * x
+        j += 1
+      }
+      val cos = d / (nv * math.sqrt(cc))
+      // first slot this strictly beats; equal cosines stay ahead, so
+      // ascending-id iteration yields id-asc among ties
+      var pos = filled
+      while (pos > 0 && cos > topCos(pos - 1)) pos -= 1
+      if (pos < m) {
+        var k = math.min(filled, m - 1)
+        while (k > pos) { topCos(k) = topCos(k - 1); topId(k) = topId(k - 1); k -= 1 }
+        topCos(pos) = cos
+        topId(pos) = centIds(ci)
+        if (filled < m) filled += 1
+      }
+      ci += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(topId, filled))
+  }
 }

@@ -118,6 +118,44 @@ object NativeExpressions {
       copy(child = newChild)
   }
 
+  /** Map-side IVF coarse assignment: the centroid table rides along as
+    * ONE reference object in the generated code (`addReferenceObj`),
+    * not a join input — so cell assignment is a zero-shuffle scan.
+    * Centroid arrays must be in ascending-id order (tie contract of
+    * [[Native.ivfAssign]]). */
+  case class IvfAssignExpr(child: Expression, centIds: Array[Long],
+      cents: Array[Array[Float]]) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_ivf_assign"
+    override protected def nullSafeEval(input: Any): Any =
+      Native.ivfAssign(input.asInstanceOf[ArrayData], centIds, cents)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ids = ctx.addReferenceObj("centIds", centIds, "long[]")
+      val cs = ctx.addReferenceObj("cents", cents, "float[][]")
+      defineCodeGen(ctx, ev, c => s"graft.functions.Native.ivfAssign($c, $ids, $cs)")
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Top-`nProbe` centroid ids (cos desc, id asc) — the probe-side
+    * twin of [[IvfAssignExpr]], also zero-shuffle. */
+  case class IvfProbesExpr(child: Expression, centIds: Array[Long],
+      cents: Array[Array[Float]], nProbe: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_ivf_probes"
+    override protected def nullSafeEval(input: Any): Any =
+      Native.ivfProbes(input.asInstanceOf[ArrayData], centIds, cents, nProbe)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ids = ctx.addReferenceObj("centIds", centIds, "long[]")
+      val cs = ctx.addReferenceObj("cents", cents, "float[][]")
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.Native.ivfProbes($c, $ids, $cs, $nProbe)")
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   case class DotFExpr(left: Expression, right: Expression)
       extends BinaryExpression {
     override def dataType: DataType = DoubleType
@@ -145,5 +183,9 @@ object NativeExpressions {
   def fingerprint(text: Column, k: Int, p: Int): Column =
     c(FingerprintExpr(e(text), k, p))
   def foldHash(xs: Column, seed: Long): Column = c(FoldHashExpr(e(xs), seed))
+  def ivfAssign(v: Column, centIds: Array[Long], cents: Array[Array[Float]]): Column =
+    c(IvfAssignExpr(e(v), centIds, cents))
+  def ivfProbes(v: Column, centIds: Array[Long], cents: Array[Array[Float]],
+      nProbe: Int): Column = c(IvfProbesExpr(e(v), centIds, cents, nProbe))
   def charHash(s: Column, seed: Long): Column = c(CharHashExpr(e(s), seed))
 }

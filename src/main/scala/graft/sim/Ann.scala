@@ -84,42 +84,63 @@ object Ann {
     NativeExpressions.dotF(a, b) /
       (sqrt(NativeExpressions.dotF(a, a)) * sqrt(NativeExpressions.dotF(b, b)))
 
+  /** Stride-sample coarse quantizer: centroids are the corpus vectors
+    * with id ≡ 0 (mod `stride`), collected driver-side in ascending-id
+    * order (the tie contract of [[graft.functions.Native.ivfAssign]]).
+    * The collect is the centroid table itself — C·dims floats, the
+    * same payload ANY IVF implementation must ship to every task; C is
+    * the quantizer size (fixed or ~√N by construction), never
+    * corpus-scale. Deterministic and SQL-oracle-checkable with no
+    * model fit; swapping in k-means centroids ([[Kmeans.fit]]) changes
+    * only these two arrays, not the plan.
+    */
+  def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      stride: Int): (Array[Long], Array[Array[Float]]) = {
+    val rows = corpus.filter(pmod(col(idCol), lit(stride)) === 0)
+      .select(col(idCol).cast("long"), col(vecCol))
+      .orderBy(col(idCol))
+      .collect()
+    (rows.map(_.getLong(0)), rows.map(_.getSeq[Float](1).toArray))
+  }
+
+  /** Cell assignment as a ZERO-SHUFFLE scan: one projection whose
+    * argmax-cosine kernel folds over the centroid arrays carried as a
+    * codegen reference object — no join, no window, no exchange.
+    * (The former shape — crossJoin(broadcast(cents)) + row_number
+    * window — expanded the corpus C-fold and shuffled ALL N·C rows to
+    * pick the max; at 100 TB that exchange is the whole job.)
+    */
+  def ivfAssignments(corpus: DataFrame, idCol: String, vecCol: String,
+      centIds: Array[Long], cents: Array[Array[Float]]): DataFrame =
+    corpus.select(col(idCol).as("id_n"), col(vecCol).as("_vn"),
+      NativeExpressions.ivfAssign(col(vecCol), centIds, cents).as("_cid"))
+
   /** IVF (inverted-file) approximate top-k — the cell-probe scheme:
     * a small centroid table partitions the corpus into cells
     * (assignment = max-cosine centroid, ties to the smaller centroid
     * id); a query probes only its `nProbe` best cells, so candidate
     * generation is an equi-join on the centroid id, linear in probed
-    * cell load.
-    *
-    * The coarse quantizer here is a deterministic data sample —
-    * centroids are the corpus vectors with id ≡ 0 (mod
-    * `centroidStride`) — which keeps the whole operator reproducible
-    * and SQL-oracle-checkable with no model fit; swapping in k-means
-    * centroids changes the (broadcast) centroid table, not the plan.
-    * Centroids are broadcast twice (assignment + probe); the corpus
-    * is scanned once for assignment, once for candidate ranking.
+    * cell load. Both assignment and probe selection are map-side
+    * native kernels over the driver-collected centroid arrays; the
+    * only exchanges left are the broadcast of the probe set and the
+    * final per-query top-k window over candidates.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, centroidStride: Int = 50, nProbe: Int = 3)
       : DataFrame = {
-    val cents = corpus.filter(pmod(col(idCol), lit(centroidStride)) === 0)
-      .select(col(idCol).as("_cid"), col(vecCol).as("_cv"))
-    val wAssign = Window.partitionBy(col("id_n"))
-      .orderBy(col("_ccos").desc, col("_cid").asc)
-    val cells = corpus.select(col(idCol).as("id_n"), col(vecCol).as("_vn"))
-      .crossJoin(broadcast(cents))
-      .withColumn("_ccos", cosine(col("_vn"), col("_cv")))
-      .withColumn("_crn", row_number().over(wAssign))
-      .filter(col("_crn") === 1)
-      .select(col("id_n"), col("_vn"), col("_cid"))
-    val wProbe = Window.partitionBy(col("id_q"))
-      .orderBy(col("_ccos").desc, col("_cid").asc)
-    val probes = queries.select(col(idCol).as("id_q"), col(vecCol).as("_vq"))
-      .crossJoin(broadcast(cents))
-      .withColumn("_ccos", cosine(col("_vq"), col("_cv")))
-      .withColumn("_crn", row_number().over(wProbe))
-      .filter(col("_crn") <= nProbe)
-      .select(col("id_q"), col("_vq"), col("_cid"))
+    val (centIds, centVecs) = ivfCentroids(corpus, idCol, vecCol, centroidStride)
+    ivfTopKWith(corpus, queries, idCol, vecCol, k, centIds, centVecs, nProbe)
+  }
+
+  /** [[ivfTopK]] against an explicit centroid table (stride sample or
+    * [[Kmeans.fit]] output). */
+  def ivfTopKWith(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, centIds: Array[Long],
+      centVecs: Array[Array[Float]], nProbe: Int): DataFrame = {
+    val cells = ivfAssignments(corpus, idCol, vecCol, centIds, centVecs)
+    val probes = queries.select(col(idCol).as("id_q"), col(vecCol).as("_vq"),
+      explode(NativeExpressions.ivfProbes(col(vecCol), centIds, centVecs, nProbe))
+        .as("_cid"))
     val w = Window.partitionBy(col("id_q"))
       .orderBy(col("cos").desc, col("id_n").asc)
     cells.join(broadcast(probes), Seq("_cid"))

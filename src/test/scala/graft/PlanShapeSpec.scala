@@ -79,6 +79,20 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("q_sim_topk_ivf")
     assert(p.contains("_cid"), p.take(1200))
     assert(!p.contains("CartesianProduct"), "corpus×query must not be cartesian")
+    // the ONLY shuffle is the final per-query top-k window; assignment
+    // and probe selection are map-side kernels
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 exchange (top-k window), got $exchanges")
+  }
+
+  test("IVF assignment stage is a zero-exchange scan (no join, no window)") {
+    val e = Tables(spark, dir, "embeddings")
+    val (ids, cents) = graft.sim.Ann.ivfCentroids(e, "vec_id", "embedding", 50)
+    val p = graft.sim.Ann.ivfAssignments(e, "vec_id", "embedding", ids, cents)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p.take(800))
+    assert(!p.contains("Join"), "assignment must not join")
+    assert(!p.contains("Window"), "assignment must not window")
   }
 
   test("kNN graph: bucket-grouped candidates, no cartesian, no query broadcast of the corpus") {
