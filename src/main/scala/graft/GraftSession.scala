@@ -32,6 +32,13 @@ object GraftSession {
   def get(cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession = {
     val s = builder(cores).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // FileStreamSink.hasMetadata WARN-logs a full FileNotFoundException
+    // stack for every glob path handed to a batch file source (the
+    // "_spark_metadata" probe) — benign, but it makes every bench/verify
+    // artifact look broken. The probe result is unaffected by logging.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.streaming.sinks.FileStreamSink",
+      org.apache.logging.log4j.Level.ERROR)
     s
   }
 }

@@ -153,7 +153,7 @@ object FlowRunner {
         shared
 
       case "Repair" =>
-        in.copy(metas = in.metas.map(repairMeta))
+        in.withMetas(in.metas.map(repairMeta))
 
       case "Validator" =>
         // Meta-level checks run driver-side; the data-plane checks run

@@ -1,0 +1,139 @@
+package graft.xes
+
+import java.io.{IOException, ObjectInputStream, ObjectOutputStream}
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.hadoop.mapreduce.Job
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
+import org.apache.spark.sql.execution.datasources.{FileFormat, OutputWriterFactory, PartitionedFile}
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
+import org.apache.spark.sql.types.StructType
+
+import XesModel._
+
+/** `spark.read.format("xes")` — the XES event log as a first-class
+  * Spark file source (reference surface: the XES plugin entries,
+  * `/root/reference/src/stream/xes.rs:799-856`; SURVEY.md §2.2).
+  *
+  * Returns the flat events schema ([[XesModel.XesEvent]]). The file
+  * format's one real job beyond the `binaryFile`+`flatMap` path it
+  * replaces is PUSHDOWN: Catalyst hands `buildReader` the pruned
+  * `requiredSchema`, which maps to an attribute-key [[XesParser.Keep]]
+  * set pushed into the StAX loop — a query touching (file, activity)
+  * parses every element for validation fidelity but materializes ONLY
+  * `concept:name`, skipping the per-event attribute-tree allocation
+  * that dominates full-fidelity parsing. `attrs` in the projection
+  * disables pruning (full parse).
+  *
+  * Options: `tolerant=true` drops files that fail to parse (the
+  * quarantine read pairs it with the error-side scan in
+  * [[XesReader.readEventsTolerant]]).
+  *
+  * XML has no splittable structure, so `isSplitable` is false and
+  * parallelism is per file — inherent to the format; steady-state
+  * queries should convert once via [[XesReader.toParquet]].
+  */
+class XesFileFormat extends FileFormat with DataSourceRegister with Serializable {
+
+  override def shortName(): String = "xes"
+  override def toString: String = "XES"
+
+  override def inferSchema(sparkSession: SparkSession,
+      options: Map[String, String],
+      files: Seq[org.apache.hadoop.fs.FileStatus]): Option[StructType] =
+    Some(XesFileFormat.eventsSchema)
+
+  override def prepareWrite(sparkSession: SparkSession, job: Job,
+      options: Map[String, String], dataSchema: StructType): OutputWriterFactory =
+    throw new UnsupportedOperationException(
+      "XES writing goes through graft.xes.XesWriter (cogrouped render)")
+
+  override def isSplitable(sparkSession: SparkSession,
+      options: Map[String, String], path: Path): Boolean = false
+
+  override def buildReader(sparkSession: SparkSession, dataSchema: StructType,
+      partitionSchema: StructType, requiredSchema: StructType,
+      filters: Seq[Filter], options: Map[String, String],
+      hadoopConf: Configuration): PartitionedFile => Iterator[InternalRow] = {
+    val confB = sparkSession.sparkContext.broadcast(
+      new XesFileFormat.SerializableHadoopConf(hadoopConf))
+    val keep = XesFileFormat.keepFor(requiredSchema)
+    val tolerant = options.getOrElse("tolerant", "false").toBoolean
+    (pf: PartitionedFile) => {
+      val path = pf.toPath
+      val fs = path.getFileSystem(confB.value.value)
+      val in = fs.open(path)
+      val bytes =
+        try {
+          val b = new Array[Byte](pf.length.toInt)
+          in.readFully(0, b)
+          b
+        } finally in.close()
+      val name = path.getName
+      val events =
+        try XesParser.parse(name, bytes, keep).events
+        catch { case _: XesParseException if tolerant => Seq.empty[XesEvent] }
+      val ser = XesFileFormat.encoder.createSerializer()
+      val proj = XesFileFormat.projectionFor(requiredSchema)
+      events.iterator.map(e => proj(ser(e)))
+    }
+  }
+}
+
+object XesFileFormat {
+
+  /** Full events schema — field order is the [[XesEvent]] declaration
+    * order, identical to `Dataset[XesEvent].toDF()`. */
+  lazy val encoder: ExpressionEncoder[XesEvent] = ExpressionEncoder[XesEvent]()
+  lazy val eventsSchema: StructType = encoder.schema
+
+  /** Promoted column → the XES standard-extension key it reads. */
+  private val promotedKeys: Map[String, String] = Map(
+    "activity" -> "concept:name",
+    "instance" -> "concept:instance",
+    "lifecycle" -> "lifecycle:transition",
+    "resource" -> "org:resource",
+    "role" -> "org:role",
+    "group" -> "org:group",
+    "tsMicros" -> "time:timestamp",
+    "tzOffsetMin" -> "time:timestamp")
+
+  /** Pruned projection → attribute keys the StAX loop must
+    * materialize. `attrs` in the projection means full fidelity. */
+  def keepFor(requiredSchema: StructType): XesParser.Keep =
+    if (requiredSchema.fieldNames.contains("attrs")) XesParser.Keep.All
+    else XesParser.Keep(
+      requiredSchema.fieldNames.iterator.flatMap(promotedKeys.get).toSet,
+      all = false)
+
+  /** Plucks `requiredSchema`'s fields (by name) out of the
+    * full-schema serialized row. */
+  def projectionFor(requiredSchema: StructType): UnsafeProjection =
+    UnsafeProjection.create(requiredSchema.fields.toIndexedSeq.map { f =>
+      val i = eventsSchema.fieldIndex(f.name)
+      BoundReference(i, eventsSchema(i).dataType, eventsSchema(i).nullable)
+    })
+
+  /** Minimal public-API twin of Spark's SerializableConfiguration
+    * (which is `private[spark]`): ships the Hadoop conf to executors
+    * via its own `write`/`readFields`. */
+  final class SerializableHadoopConf(@transient var value: Configuration)
+      extends Serializable {
+    @throws(classOf[IOException])
+    private def writeObject(out: ObjectOutputStream): Unit = {
+      out.defaultWriteObject()
+      value.write(out)
+    }
+    @throws(classOf[IOException])
+    private def readObject(in: ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      value = new Configuration(false)
+      value.readFields(in)
+    }
+  }
+}

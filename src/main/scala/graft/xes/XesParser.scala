@@ -35,6 +35,21 @@ import XesModel._
   */
 object XesParser {
 
+  /** Attribute-key projection pushed into the StAX loop (SURVEY.md §4:
+    * the one XES-specific pushdown worth having). With `all = true`
+    * every attribute is materialized (full-fidelity parse). Otherwise
+    * only event attributes whose key is in `keys` are allocated —
+    * everything else is still WALKED AND VALIDATED element-for-element,
+    * so a file parses or fails identically in both modes; the pruning
+    * removes only the Node/XAttr materialization, which at 100 TB of
+    * XES is the difference between parsing every attribute of every
+    * event and touching just the columns the query reads.
+    */
+  final case class Keep(keys: Set[String], all: Boolean) {
+    def mat(key: String): Boolean = all || keys.contains(key)
+  }
+  object Keep { val All: Keep = Keep(Set.empty, all = true) }
+
   private val factory: XMLInputFactory = {
     val f = XMLInputFactory.newInstance()
     f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
@@ -43,9 +58,12 @@ object XesParser {
     f
   }
 
-  def parse(file: String, bytes: Array[Byte]): ParsedLog = {
+  def parse(file: String, bytes: Array[Byte]): ParsedLog =
+    parse(file, bytes, Keep.All)
+
+  def parse(file: String, bytes: Array[Byte], keep: Keep): ParsedLog = {
     val r = factory.createXMLStreamReader(new ByteArrayInputStream(bytes))
-    try parseRoot(file, r)
+    try parseRoot(file, r, keep)
     catch {
       case e: XesParseException => throw e
       case e: Exception =>
@@ -76,7 +94,8 @@ object XesParser {
     XMLStreamConstants.END_DOCUMENT
   }
 
-  private def parseRoot(file: String, r: XMLStreamReader): ParsedLog = {
+  private def parseRoot(file: String, r: XMLStreamReader,
+      keep: Keep = Keep.All): ParsedLog = {
     // Find the root element; anything other than <log> is an error.
     var ev = r.getEventType
     while (ev != XMLStreamConstants.START_ELEMENT) {
@@ -128,11 +147,11 @@ object XesParser {
           skipElement(file, r)
         case "trace" =>
           payloadSeen = true
-          parseTrace(file, r, traces.size.toLong, payloadPos, traces, events)
+          parseTrace(file, r, traces.size.toLong, payloadPos, traces, events, keep)
           payloadPos += 1
         case "event" =>
           payloadSeen = true
-          events += parseEvent(file, r, None, payloadPos, standaloneSeq)
+          events += parseEvent(file, r, None, payloadPos, standaloneSeq, keep)
           standaloneSeq += 1
           payloadPos += 1
         case t if Types.contains(t) =>
@@ -150,7 +169,7 @@ object XesParser {
 
   private def parseTrace(file: String, r: XMLStreamReader, idx: Long,
       filePos: Long, traces: ArrayBuffer[XesTrace],
-      events: ArrayBuffer[XesEvent]): Unit = {
+      events: ArrayBuffer[XesEvent], keep: Keep = Keep.All): Unit = {
     val attrs = ArrayBuffer[XAttr]()
     var nEvents = 0L
     var tag = nextTag(r)
@@ -159,10 +178,13 @@ object XesParser {
         fail(file, "unexpected end of document inside <trace>")
       r.getLocalName match {
         case "event" =>
-          events += parseEvent(file, r, Some(idx), filePos, nEvents)
+          events += parseEvent(file, r, Some(idx), filePos, nEvents, keep)
           nEvents += 1
         case t if Types.contains(t) =>
-          attrs += toDepth0(parseAttrNode(file, r, 0))
+          // trace-level attributes feed the traces table only; a pruned
+          // (events-projection) parse walks + validates them unmaterialized
+          val n = parseAttrNode(file, r, 0, keep.all)
+          if (keep.all) attrs += toDepth0(n)
         case other => fail(file, s"unexpected element <$other> in <trace>")
       }
       tag = nextTag(r)
@@ -173,7 +195,8 @@ object XesParser {
   }
 
   private def parseEvent(file: String, r: XMLStreamReader,
-      traceIdx: Option[Long], filePos: Long, seq: Long): XesEvent = {
+      traceIdx: Option[Long], filePos: Long, seq: Long,
+      keep: Keep = Keep.All): XesEvent = {
     val attrs = ArrayBuffer[XAttr]()
     var tag = nextTag(r)
     // <event/> empty element: StAX still reports END_ELEMENT next.
@@ -182,7 +205,12 @@ object XesParser {
         fail(file, "unexpected end of document inside <event>")
       r.getLocalName match {
         case t if Types.contains(t) =>
-          attrs += toDepth0(parseAttrNode(file, r, 0))
+          // decide materialization by key BEFORE descending; a missing
+          // key still fails inside parseAttrNode exactly as before
+          val key = r.getAttributeValue(null, "key")
+          val m = keep.mat(if (key == null) "" else key)
+          val n = parseAttrNode(file, r, 0, m)
+          if (m) attrs += toDepth0(n)
         case other => fail(file, s"unexpected element <$other> in <event>")
       }
       tag = nextTag(r)
@@ -233,8 +261,12 @@ object XesParser {
 
   /** Parses one typed attribute element (cursor on its start tag),
     * including nested children and, for `list`, the `<values>` block.
-    * Consumes through the matching end tag. */
-  private def parseAttrNode(file: String, r: XMLStreamReader, depth: Int): Node = {
+    * Consumes through the matching end tag. With `mat = false` the
+    * subtree is walked and validated identically but nothing is
+    * allocated (returns null — callers only dereference when `mat`).
+    */
+  private def parseAttrNode(file: String, r: XMLStreamReader, depth: Int,
+      mat: Boolean = true): Node = {
     if (depth > 2) fail(file, "attribute nesting deeper than 3 levels is not supported")
     val xtype = r.getLocalName
     val a = attrMap(r)
@@ -244,7 +276,7 @@ object XesParser {
       case _ => a.getOrElse("value", fail(file, s"<$xtype> without value"))
     }
     validateValue(file, xtype, value)
-    val children = ArrayBuffer[Node]()
+    val children = if (mat) ArrayBuffer[Node]() else null
     var tag = nextTag(r)
     while (!(tag == XMLStreamConstants.END_ELEMENT && r.getLocalName == xtype)) {
       if (tag != XMLStreamConstants.START_ELEMENT)
@@ -258,16 +290,18 @@ object XesParser {
               fail(file, "unexpected end of document inside <values>")
             if (!Types.contains(r.getLocalName))
               fail(file, s"unexpected element <${r.getLocalName}> in <values>")
-            children += parseAttrNode(file, r, depth + 1)
+            val n = parseAttrNode(file, r, depth + 1, mat)
+            if (mat) children += n
             vt = nextTag(r)
           }
         case t if Types.contains(t) =>
-          children += parseAttrNode(file, r, depth + 1)
+          val n = parseAttrNode(file, r, depth + 1, mat)
+          if (mat) children += n
         case other => fail(file, s"unexpected element <$other> in <$xtype>")
       }
       tag = nextTag(r)
     }
-    Node(key, xtype, value, children.toSeq)
+    if (mat) Node(key, xtype, value, children.toSeq) else null
   }
 
   /** Skip to the end of the current element, failing on any child. */

@@ -23,9 +23,24 @@ import XesModel._
   */
 object XesReader {
 
-  /** A log handle: driver-side metas + distributed traces/events. */
-  case class XLog(metas: Seq[XesMeta], traces: Dataset[XesTrace],
+  /** A log handle: lazy per-file metas + distributed traces/events.
+    * `metaDs` is a plan, not a collection — nothing is materialized
+    * driver-side until a meta-consuming operator (writer, validator,
+    * repair) actually runs, and `metaFor` brings exactly one file's
+    * header. `metas` collects them all — bounded by the file count a
+    * flow writes/validates, never forced by event-plane queries. */
+  case class XLog(metaDs: Dataset[XesMeta], traces: Dataset[XesTrace],
       events: Dataset[XesEvent]) {
+    lazy val metas: Seq[XesMeta] = metaDs.collect().toSeq
+    /** One file's header, driver-side — the millions-of-files path. */
+    def metaFor(file: String): Option[XesMeta] =
+      metaDs.filter(_.file == file).collect().headOption
+    /** Replaces the metas with a driver-transformed set (repair). */
+    def withMetas(ms: Seq[XesMeta]): XLog = {
+      val s = metaDs.sparkSession
+      import s.implicits._
+      copy(metaDs = s.createDataset(ms))
+    }
     /** Events with a timestamp column usable by the Time DSL. */
     def eventsDf: DataFrame =
       events.withColumn("ts", timestamp_micros(col("tsMicros")))
@@ -40,10 +55,13 @@ object XesReader {
 
   private def shortName(p: String): String = p.substring(p.lastIndexOf('/') + 1)
 
+  /** Events through the registered `xes` file source — Catalyst's
+    * column pruning reaches the StAX loop via
+    * [[XesFileFormat.keepFor]], so a 2-column query never
+    * materializes unreferenced attributes. */
   def readEvents(spark: SparkSession, path: String): Dataset[XesEvent] = {
     import spark.implicits._
-    binary(spark, path).flatMap { case (p, c) =>
-      XesParser.parse(shortName(p), c).events }
+    spark.read.format("xes").load(path).as[XesEvent]
   }
 
   def readTraces(spark: SparkSession, path: String): Dataset[XesTrace] = {
@@ -52,16 +70,16 @@ object XesReader {
       XesParser.parse(shortName(p), c).traces }
   }
 
-  /** Metas only — parses each file on executors, collects the (small)
-    * headers to the driver. */
-  def readMetas(spark: SparkSession, path: String): Seq[XesMeta] = {
+  /** Metas as a lazy plan — parses headers on executors; collect is
+    * the caller's explicit choice ([[XLog.metas]] / [[XLog.metaFor]]). */
+  def metas(spark: SparkSession, path: String): Dataset[XesMeta] = {
     import spark.implicits._
     binary(spark, path).map { case (p, c) =>
-      XesParser.parse(shortName(p), c).meta }.collect().toSeq
+      XesParser.parse(shortName(p), c).meta }
   }
 
   def read(spark: SparkSession, path: String): XLog =
-    XLog(readMetas(spark, path), readTraces(spark, path),
+    XLog(metas(spark, path), readTraces(spark, path),
       readEvents(spark, path))
 
   /** Fault-tolerant directory read: files that fail to parse land in a
@@ -74,10 +92,8 @@ object XesReader {
   def readEventsTolerant(spark: SparkSession, path: String)
       : (Dataset[XesEvent], Dataset[(String, String)]) = {
     import spark.implicits._
-    val events = binary(spark, path).flatMap { case (p, c) =>
-      try XesParser.parse(shortName(p), c).events
-      catch { case _: XesParseException => Seq.empty[XesEvent] }
-    }
+    val events = spark.read.format("xes").option("tolerant", "true")
+      .load(path).as[XesEvent]
     val quarantine = binary(spark, path).flatMap { case (p, c) =>
       try { XesParser.parse(shortName(p), c); Seq.empty[(String, String)] }
       catch { case e: XesParseException => Seq((shortName(p), e.message)) }
