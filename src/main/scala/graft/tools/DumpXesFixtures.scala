@@ -33,6 +33,12 @@ object DumpXesFixtures {
       s"$out/xes_quarantine.parquet")
     writeSingle(XesQueries.queries("q_xes_validate")(spark, ""),
       s"$out/xes_validate.parquet")
+    // events-level dump of the committed synthetic lifecycle log — the
+    // oracle recomputes service times from these rows in SQL
+    writeSingle(
+      graft.xes.XesReader.readEvents(spark, s"$out/lifecycle.xes").toDF()
+        .select("file", "traceIdx", "seq", "activity", "lifecycle", "tsMicros"),
+      s"$out/xes_lifecycle_events.parquet")
     spark.stop()
   }
 
