@@ -44,12 +44,18 @@ object Multimodal {
 
   case class MediaFeature(mediaId: Long, feature: Seq[Float])
 
-  /** The codec boundary: PGM/PPM decode for real; anything else gets
-    * the labeled byte-summary fallback (dims from metadata, mean over
-    * raw bytes). */
+  /** The codec boundary: PGM/PPM decode for real, then any
+    * ImageIO-registered container (JPEG/PNG/GIF/BMP/TIFF — JDK
+    * builtin, [[ImageIo]]); anything else gets the labeled
+    * byte-summary fallback (dims from metadata, mean over raw
+    * bytes). */
   object Codec extends Serializable {
+    /** Raster decode across every real codec this engine carries. */
+    def raster(bytes: Array[Byte]): Option[Ppm.Image] =
+      Ppm.decode(bytes).orElse(ImageIo.decode(bytes))
+
     def decode(row: MediaRow): Decoded =
-      Ppm.decode(row.content) match {
+      raster(row.content) match {
         case Some(img) =>
           val px = img.pixels
           var s = 0L
@@ -125,7 +131,7 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.map { row =>
-        val data: Array[Byte] = Ppm.decode(row.content) match {
+        val data: Array[Byte] = Codec.raster(row.content) match {
           case Some(img) => Ppm.gray(img)
           case None => Wav.decode(row.content) match {
             case Some(a) => a.samples.map(s => (math.abs(s.toInt) >> 7).toByte)
@@ -165,8 +171,10 @@ object Multimodal {
   }
 
   /** Real resize for parseable rasters: nearest-neighbor resample,
-    * re-encoded, metadata updated. Unparseable content passes through
-    * with metadata-only update (documented fallback). */
+    * re-encoded in the source family (Netpbm stays Netpbm; ImageIO
+    * containers re-encode lossless PNG), metadata updated.
+    * Unparseable content passes through with metadata-only update
+    * (documented fallback). */
   def resize(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
     media.map { r =>
@@ -174,7 +182,12 @@ object Multimodal {
         case Some(img) =>
           r.copy(content = Ppm.encode(Ppm.resize(img, w, h)),
             meta = r.meta.copy(width = w, height = h))
-        case None => r.copy(meta = r.meta.copy(width = w, height = h))
+        case None => ImageIo.decode(r.content) match {
+          case Some(img) =>
+            r.copy(content = ImageIo.encodePng(Ppm.resize(img, w, h)),
+              meta = r.meta.copy(width = w, height = h, format = "png"))
+          case None => r.copy(meta = r.meta.copy(width = w, height = h))
+        }
       }
     }
   }
