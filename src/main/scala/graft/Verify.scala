@@ -37,6 +37,18 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // normalized physical-plan digests for the expensive queries —
+    // tools/check.py diffs them against the reviewed pins so a plan
+    // regression fails the gate, not just the bench
+    val digests = graft.tools.PlanPin.Pinned
+      .filter(n => only.forall(_.contains(n)))
+      .map { n =>
+        val p = SparkEntry.queries(n)(spark, sfDir)
+          .queryExecution.executedPlan.toString
+        s"${q(n)}: ${q(graft.tools.PlanPin.digest(p))}"
+      }
+    Files.writeString(Paths.get(s"$outDir/plan_digests.json"),
+      digests.mkString("{", ",", "}"))
     spark.stop()
   }
 }

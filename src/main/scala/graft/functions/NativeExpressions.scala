@@ -134,6 +134,10 @@ object NativeExpressions {
       val cs = ctx.addReferenceObj("cents", cents, "float[][]")
       defineCodeGen(ctx, ev, c => s"graft.functions.Native.ivfAssign($c, $ids, $cs)")
     }
+    // default toString would print the arrays' identity hashes —
+    // run-variant noise in plan strings (breaks plan-digest pinning)
+    override def toString: String =
+      s"graft_ivf_assign($child, C=${centIds.length})"
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
   }
@@ -152,6 +156,8 @@ object NativeExpressions {
       defineCodeGen(ctx, ev, c =>
         s"graft.functions.Native.ivfProbes($c, $ids, $cs, $nProbe)")
     }
+    override def toString: String =
+      s"graft_ivf_probes($child, C=${centIds.length}, nProbe=$nProbe)"
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
   }

@@ -70,6 +70,29 @@ def main(sf_dir, out_dir):
         else:
             print(f"ok   {name}: {len(gr)} rows")
     print(f"{len(oracles) - failures}/{len(oracles)} queries match")
+
+    # plan-digest gate: physical plans of the expensive queries must
+    # match the reviewed pins (update tools/plan_digests.json
+    # DELIBERATELY after an intentional plan change)
+    import os
+    pin_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "plan_digests.json")
+    got_path = f"{out_dir}/plan_digests.json"
+    if os.path.exists(pin_path) and os.path.exists(got_path):
+        pins = json.load(open(pin_path))
+        got = json.load(open(got_path))
+        plan_fail = 0
+        for name, want in sorted(pins.items()):
+            if name not in got:
+                continue  # filtered single-query run
+            if got[name] != want:
+                print(f"FAIL {name}: plan digest drift "
+                      f"(got {got[name][:12]}…, pinned {want[:12]}…) — "
+                      f"explain it; if intentional, re-pin tools/plan_digests.json")
+                plan_fail += 1
+        checked = sum(1 for n in pins if n in got)
+        print(f"{checked - plan_fail}/{checked} plan digests match")
+        failures += plan_fail
     return 1 if failures else 0
 
 if __name__ == "__main__":
