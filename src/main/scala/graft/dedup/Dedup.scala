@@ -320,6 +320,39 @@ object Dedup {
     * Norms are precomputed once per vector (one extra column, not one
     * per pair).
     */
+  /** SemDeDup-style semantic deduplication: partition the embedding
+    * space with the IVF coarse quantizer (map-side argmax assignment —
+    * zero shuffle, the [[graft.sim.Ann.ivfAssignments]] kernel), then
+    * within each cell drop every vector that has a smaller-id neighbor
+    * at cosine ≥ `tau`; the survivor set keeps exactly one
+    * representative (the min id) per within-cell near-dup group.
+    * Output: one row per vector — (id, cell_id, keep).
+    *
+    * Scale shape: the only join is the within-cell self-equi-join on
+    * the cell id, so candidate volume is Σ load² over cells — bounded
+    * by the quantizer (C ≈ n / targetLoad keeps loads constant as the
+    * corpus grows), never corpus². Cross-cell near-dups are missed by
+    * construction (the SemDeDup trade: recall for linearity).
+    */
+  def semantic(embs: DataFrame, idCol: String, vecCol: String,
+      centIds: Array[Long], cents: Array[Array[Float]], tau: Double): DataFrame = {
+    val cells = embs.select(col(idCol).as("_id"), col(vecCol).as("_v"),
+      sqrt(NativeExpressions.dotF(col(vecCol), col(vecCol))).as("_nrm"),
+      NativeExpressions.ivfAssign(col(vecCol), centIds, cents).as("cell_id"))
+    val a = cells.select(col("cell_id"), col("_id").as("_ida"),
+      col("_v").as("_va"), col("_nrm").as("_nrma"))
+    val b = cells.select(col("cell_id"), col("_id").as("_idb"),
+      col("_v").as("_vb"), col("_nrm").as("_nrmb"))
+    val dropped = a.join(b, Seq("cell_id"))
+      .filter(col("_idb") < col("_ida"))
+      .filter(NativeExpressions.dotF(col("_va"), col("_vb"))
+        / (col("_nrma") * col("_nrmb")) >= tau)
+      .select(col("_ida").as("_id")).distinct()
+    cells.join(dropped.withColumn("_drop", lit(true)), Seq("_id"), "left")
+      .select(col("_id").as(idCol), col("cell_id"),
+        not(coalesce(col("_drop"), lit(false))).as("keep"))
+  }
+
   def cosinePairs(embs: DataFrame, idCol: String, vecCol: String,
       tau: Double): DataFrame = {
     val n = embs.select(col(idCol).as("_id"), col(vecCol).as("_v"),

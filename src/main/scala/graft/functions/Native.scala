@@ -317,4 +317,72 @@ object Native {
     }
     new GenericArrayData(java.util.Arrays.copyOf(topId, filled))
   }
+
+  /** Product-quantization encode: for each subspace m (covering dims
+    * [m·sub, (m+1)·sub) where sub = dims / codebooks.length), the
+    * 0-based index of the L2²-nearest codeword, ties to the smaller
+    * index (strict `<` keeps the first). O(M·K·sub) = O(K·dims) per
+    * row, zero shuffle — the codebooks ride along as a codegen
+    * reference object. Output codes are M small ints: the 100 TB point
+    * of PQ is that downstream scans read M bytes of code instead of
+    * dims·4 bytes of raw vector.
+    */
+  def pqEncode(v: ArrayData, codebooks: Array[Array[Array[Float]]]): ArrayData = {
+    val m = codebooks.length
+    val out = new Array[Int](m)
+    var mi = 0
+    var off = 0
+    while (mi < m) {
+      val cb = codebooks(mi)
+      val sub = cb(0).length
+      var best = -1
+      var bestD = Double.PositiveInfinity
+      var k = 0
+      while (k < cb.length) {
+        val c = cb(k)
+        var d = 0.0
+        var j = 0
+        while (j < sub) {
+          val diff = v.getFloat(off + j).toDouble - c(j).toDouble
+          d += diff * diff
+          j += 1
+        }
+        if (d < bestD) { bestD = d; best = k }
+        k += 1
+      }
+      out(mi) = best
+      off += sub
+      mi += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** ADC (asymmetric distance computation) score: cosine of query
+    * `qid`'s raw vector against the RECONSTRUCTION of `code`, via
+    * per-query lookup tables — O(M) adds per pair instead of O(dims).
+    * `tables(qi)(m)(k)` = per-subspace dot of query qi's subvector and
+    * codeword k (dim-order fold); `qNorm2`/`cNorm2` are the matching
+    * per-subspace self-dot sums, all accumulated in ascending-m order
+    * (the SQL oracle mirrors exactly this fold structure). `qIds` must
+    * be sorted ascending (binary-search lookup). Unknown qid → -2.0
+    * (below any cosine) rather than an executor-killing throw.
+    */
+  def pqAdc(qid: Long, code: ArrayData, qIds: Array[Long],
+      tables: Array[Array[Array[Double]]], qNorm2: Array[Double],
+      cNorm2: Array[Array[Double]]): Double = {
+    val qi = java.util.Arrays.binarySearch(qIds, qid)
+    if (qi < 0) return -2.0
+    val t = tables(qi)
+    val m = t.length
+    var dot = 0.0
+    var n2 = 0.0
+    var mi = 0
+    while (mi < m) {
+      val k = code.getInt(mi)
+      dot += t(mi)(k)
+      n2 += cNorm2(mi)(k)
+      mi += 1
+    }
+    dot / (math.sqrt(qNorm2(qi)) * math.sqrt(n2))
+  }
 }

@@ -162,6 +162,50 @@ object NativeExpressions {
       copy(child = newChild)
   }
 
+  /** Map-side PQ encode — codebooks as ONE reference object, so
+    * quantization is a zero-shuffle scan (the [[IvfAssignExpr]]
+    * pattern). */
+  case class PqEncodeExpr(child: Expression,
+      codebooks: Array[Array[Array[Float]]]) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def prettyName: String = "graft_pq_encode"
+    override protected def nullSafeEval(input: Any): Any =
+      Native.pqEncode(input.asInstanceOf[ArrayData], codebooks)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cbs = ctx.addReferenceObj("codebooks", codebooks, "float[][][]")
+      defineCodeGen(ctx, ev, c => s"graft.functions.Native.pqEncode($c, $cbs)")
+    }
+    override def toString: String =
+      s"graft_pq_encode($child, M=${codebooks.length}, K=${codebooks(0).length})"
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** ADC scoring against per-query lookup tables (reference objects):
+    * O(M) per (query, code) pair. */
+  case class PqAdcExpr(left: Expression, right: Expression,
+      qIds: Array[Long], tables: Array[Array[Array[Double]]],
+      qNorm2: Array[Double], cNorm2: Array[Array[Double]])
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "graft_pq_adc"
+    override protected def nullSafeEval(qid: Any, code: Any): Any =
+      Native.pqAdc(qid.asInstanceOf[Long], code.asInstanceOf[ArrayData],
+        qIds, tables, qNorm2, cNorm2)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ids = ctx.addReferenceObj("qIds", qIds, "long[]")
+      val ts = ctx.addReferenceObj("tables", tables, "double[][][]")
+      val qn = ctx.addReferenceObj("qNorm2", qNorm2, "double[]")
+      val cn = ctx.addReferenceObj("cNorm2", cNorm2, "double[][]")
+      defineCodeGen(ctx, ev, (a, b) =>
+        s"graft.functions.Native.pqAdc($a, $b, $ids, $ts, $qn, $cn)")
+    }
+    override def toString: String =
+      s"graft_pq_adc($left, $right, Q=${qIds.length}, M=${cNorm2.length})"
+    override protected def withNewChildrenInternal(newLeft: Expression,
+        newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+  }
+
   case class DotFExpr(left: Expression, right: Expression)
       extends BinaryExpression {
     override def dataType: DataType = DoubleType
@@ -194,4 +238,10 @@ object NativeExpressions {
   def ivfProbes(v: Column, centIds: Array[Long], cents: Array[Array[Float]],
       nProbe: Int): Column = c(IvfProbesExpr(e(v), centIds, cents, nProbe))
   def charHash(s: Column, seed: Long): Column = c(CharHashExpr(e(s), seed))
+  def pqEncode(v: Column, codebooks: Array[Array[Array[Float]]]): Column =
+    c(PqEncodeExpr(e(v), codebooks))
+  def pqAdc(qid: Column, code: Column, qIds: Array[Long],
+      tables: Array[Array[Array[Double]]], qNorm2: Array[Double],
+      cNorm2: Array[Array[Double]]): Column =
+    c(PqAdcExpr(e(qid), e(code), qIds, tables, qNorm2, cNorm2))
 }

@@ -1,39 +1,89 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Interval containment join — for every point, the intervals that
-  * contain it (`start ≤ t ≤ end`) — the general range join the brief
-  * names next to as-of (Spark's only native answer is a
-  * BroadcastNestedLoopJoin or cartesian + filter, both quadratic).
+/** Interval containment-COUNT join — for every point, how many
+  * intervals contain it (`start ≤ t ≤ end`). Spark's only native
+  * answer to the general range join is a BroadcastNestedLoopJoin or
+  * cartesian + filter, both quadratic.
   *
-  * Scale shape: time is tiled into fixed buckets; every interval
-  * explodes to the buckets it covers (rows ∝ span/bucket — linear in
-  * total covered time), every point maps to one bucket, and the match
-  * becomes an equi-join on the bucket id with a residual containment
-  * filter. Pick `bucketUs` near the typical interval length: shorter
-  * buckets inflate the interval expansion, longer ones inflate
-  * per-bucket candidates.
+  * Scale shape — stab-count, NOT pair materialization. Because the
+  * result is a count, no (point, interval) pair ever needs to exist:
+  *
+  *   n_containing(t) = #{starts ≤ t} − #{ends < t}
+  *
+  * Each side is a distributed rank: union the marks (interval
+  * endpoints) with the points, tile time into `bucketUs` buckets, and
+  * take a bucket-partitioned running sum of marks (one exchange,
+  * partitions balanced by time density); a tiny bucket-level cumsum
+  * (one row per occupied bucket) carries counts across buckets and is
+  * broadcast back. Work is O((|points| + |intervals|) per side — linear
+  * in the inputs regardless of overlap density. The former shape
+  * (explode intervals to covered buckets + equi-join on bucket)
+  * materialized every candidate pair, which on dense overlaps (every
+  * interval spanning most points) is quadratic — measured 45× runtime
+  * at 10× data on the two-point scale bench; this shape re-measured at
+  * ~linear.
+  *
+  * Tie semantics (both checked against the BETWEEN oracle): a point AT
+  * an interval start is contained (starts sort before points at equal
+  * ts), a point AT an interval end is contained (points sort before
+  * ends at equal ts, so the end is not yet counted by `#ends < t`).
+  *
+  * Contract: point ids must be unique (each output row is one point).
+  * Points contained by nothing are dropped (inner semantics),
+  * mirroring the plain SQL `JOIN … ON t BETWEEN start AND end`.
   */
 object RangeJoin {
 
+  /** Rank each point against a stream of mark timestamps: for every
+    * point row, the number of marks at-or-before it (`marksFirstOnTie`
+    * = true → `#marks ≤ t`; false → `#marks < t`). `pts` must carry
+    * (`idCol`, `_t_us`); `marks` carries (`_t_us`). */
+  private def rankAgainstMarks(pts: DataFrame, idCol: String,
+      marks: DataFrame, bucketUs: Long, marksFirstOnTie: Boolean,
+      outCol: String): DataFrame = {
+    val p = pts.select(col(idCol), col("_t_us"), lit(0L).as("_m"), lit(1).as("_isp"))
+    val m = marks.select(lit(null).cast(pts.schema(idCol).dataType).as(idCol),
+      col("_t_us"), lit(1L).as("_m"), lit(0).as("_isp"))
+    val u = p.unionByName(m)
+      .withColumn("_b", floor(col("_t_us") / bucketUs).cast("long"))
+    val tieOrd = if (marksFirstOnTie) col("_isp").asc else col("_isp").desc
+    val w = Window.partitionBy(col("_b")).orderBy(col("_t_us").asc, tieOrd)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = u.withColumn("_within", sum(col("_m")).over(w))
+      .filter(col("_isp") === 1)
+    // marks in buckets strictly before _b: one row per occupied bucket
+    // (span/bucketUs rows — bounded, broadcastable), cumsum'd once
+    val totals = u.filter(col("_isp") === 0).groupBy(col("_b"))
+      .agg(sum(col("_m")).as("_n"))
+    val wc = Window.orderBy(col("_b").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = u.select(col("_b")).distinct()
+      .join(totals, Seq("_b"), "left")
+      .withColumn("_cum", coalesce(sum(col("_n")).over(wc), lit(0L)))
+      .select(col("_b"), col("_cum"))
+    ranked.join(broadcast(cum), Seq("_b"))
+      .select(col(idCol), (col("_within") + col("_cum")).as(outCol))
+  }
+
   /** Count of containing intervals per point: `points(idCol, tsCol)` ×
-    * `intervals(startCol, endCol)` → (idCol, n_containing). Points
-    * contained by nothing are dropped (inner semantics), mirroring the
-    * plain SQL `JOIN … ON t BETWEEN start AND end`. */
+    * `intervals(startCol, endCol)` → (idCol, n_containing). */
   def containmentCounts(points: DataFrame, intervals: DataFrame,
       idCol: String, tsCol: String, startCol: String, endCol: String,
       bucketUs: Long): DataFrame = {
-    val p = points.select(col(idCol), col(tsCol).as("_t"))
-      .withColumn("_b", floor(unix_micros(col("_t")) / bucketUs).cast("long"))
-    val iv = intervals.select(col(startCol).as("_s"), col(endCol).as("_e"))
-      .withColumn("_b", explode(sequence(
-        floor(unix_micros(col("_s")) / bucketUs).cast("long"),
-        floor(unix_micros(col("_e")) / bucketUs).cast("long"))))
-    p.join(iv, Seq("_b"))
-      .filter(col("_t") >= col("_s") && col("_t") <= col("_e"))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_containing"))
+    val pts = points.select(col(idCol), unix_micros(col(tsCol)).as("_t_us"))
+    val starts = intervals.select(unix_micros(col(startCol)).as("_t_us"))
+    val ends = intervals.select(unix_micros(col(endCol)).as("_t_us"))
+    val nStart = rankAgainstMarks(pts, idCol, starts, bucketUs,
+      marksFirstOnTie = true, outCol = "_n_start_le")
+    val nEnd = rankAgainstMarks(pts, idCol, ends, bucketUs,
+      marksFirstOnTie = false, outCol = "_n_end_lt")
+    nStart.join(nEnd, Seq(idCol))
+      .withColumn("n_containing", col("_n_start_le") - col("_n_end_lt"))
+      .filter(col("n_containing") > 0)
+      .select(col(idCol), col("n_containing"))
   }
 }

@@ -38,6 +38,14 @@ object DedupQueries {
       Dedup.cosinePairsLsh(Tables(s, dir, "embeddings"), "vec_id", "embedding",
         tau = 0.4)
     },
+    // SemDeDup: IVF-cell partition (map-side argmax, stride-sample
+    // quantizer) + within-cell min-id representative selection; the
+    // only join is the within-cell self-equi-join.
+    "q_dedup_semantic" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val (cids, cvecs) = graft.sim.Ann.ivfCentroids(e, "vec_id", "embedding", 50)
+      Dedup.semantic(e, "vec_id", "embedding", cids, cvecs, tau = 0.4)
+    },
     // Near-dup pairs → connected components → canonical doc per
     // cluster (the dedup endgame: keep min-id, drop the rest).
     "q_dedup_clusters" -> { (s, dir) =>
@@ -217,6 +225,31 @@ object DedupQueries {
          |  ${dot("va", "vb")} / (sqrt(${dot("va", "va")}) * sqrt(${dot("vb", "vb")})) AS cos
          |FROM cand
          |WHERE ${dot("va", "vb")} / (sqrt(${dot("va", "va")}) * sqrt(${dot("vb", "vb")})) >= 0.4""".stripMargin
+    },
+
+    // Assignment CTE identical to the IVF oracle (argmax cosine, ties
+    // to the smaller centroid id); drop rule = smaller-id within-cell
+    // neighbor at cos >= tau.
+    "q_dedup_semantic" -> {
+      def dot(a: String, b: String) =
+        s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+          s"[CAST($a[i] AS DOUBLE)*CAST($b[i] AS DOUBLE) " +
+          s"for i in generate_series(1, len($a))]), (s, v) -> s + v)"
+      def cos(a: String, b: String) =
+        s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+      s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 50 = 0),
+         |ascore AS (SELECT e.vec_id, e.v, c.cid, ${cos("e.v", "c.cv")} AS ccos
+         |  FROM e CROSS JOIN c),
+         |cells AS (SELECT vec_id, v, cid FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+         |  FROM ascore) WHERE rn = 1),
+         |n AS (SELECT vec_id, v, cid, sqrt(${dot("v", "v")}) AS nrm FROM cells),
+         |drp AS (SELECT DISTINCT a.vec_id FROM n a JOIN n b
+         |  ON a.cid = b.cid AND b.vec_id < a.vec_id
+         |  WHERE ${dot("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.4)
+         |SELECT n.vec_id, n.cid AS cell_id, drp.vec_id IS NULL AS keep
+         |FROM n LEFT JOIN drp ON n.vec_id = drp.vec_id""".stripMargin
     },
 
     "q_dedup_embedding" -> {

@@ -22,6 +22,13 @@ object SimQueries {
   private val Dims = 64
   private val Stride = 50
   private val NProbe = 3
+  private val PqM = 8 // PQ subspaces over Dims=64 → 8 dims each
+  private val TargetLoad = 16
+  // The correctness gate runs at sf0.01 (TESTDATA.md): embeddings there
+  // has 500 rows, so knnGraphAuto resolves autoPlanes(500, 16) = 5 and
+  // the static oracle SQL pins that value. AnnSpec asserts the
+  // resolution so a testdata change fails loudly, not silently.
+  private val AutoPlanesSf001 = Ann.autoPlanes(500, TargetLoad)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_topk_brute" -> { (s, dir) =>
@@ -39,6 +46,15 @@ object SimQueries {
       Ann.ivfTopK(e, e.filter(col("vec_id") < NQueries),
         "vec_id", "embedding", K, centroidStride = Stride, nProbe = NProbe)
     },
+    // Product-quantization top-k: corpus compressed map-side to M-byte
+    // codes (codebooks = the same deterministic stride sample as IVF),
+    // scored by ADC table lookups. The 100 TB scan reads codes, not
+    // raw vectors.
+    "q_sim_topk_pq" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      Ann.pqTopK(e, e.filter(col("vec_id") < NQueries),
+        "vec_id", "embedding", K, stride = Stride, m = PqM)
+    },
     // Full-corpus k-NN graph (every vector is a query) — the batch
     // graph build behind dedup clustering and diversity sampling.
     // Same multi-table LSH equi-join; candidate volume is linear in
@@ -46,6 +62,15 @@ object SimQueries {
     "q_sim_knn_graph" -> { (s, dir) =>
       Ann.knnGraph(Tables(s, dir, "embeddings"), "vec_id", "embedding",
         KGraph, TablesL, Planes, Seed, Dims)
+    },
+    // k-NN graph with planes auto-sized from the corpus count — the
+    // parameter scaling that keeps bucket load (and so candidate
+    // volume per bucket) constant as the corpus grows. The fixed-plane
+    // variant above is the fixed-parameter correctness anchor; this is
+    // the 100 TB shape.
+    "q_sim_knn_graph_auto" -> { (s, dir) =>
+      Ann.knnGraphAuto(Tables(s, dir, "embeddings"), "vec_id", "embedding",
+        KGraph, TablesL, Seed, Dims, targetLoad = TargetLoad)
     }
   )
 
@@ -57,15 +82,65 @@ object SimQueries {
   private def cosSql(a: String, b: String) =
     s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
 
-  /** Projection of v on global plane (l*Planes+p), dims 1-based i. */
-  private val planeDotSql = {
-    val w = Ann.weightSql(s"(tbl*$Planes + p)", "i", Seed, Dims)
+  /** Projection of v on global plane (l*planes+p), dims 1-based i. */
+  private def planeDotSqlFor(planes: Int) = {
+    val w = Ann.weightSql(s"(tbl*$planes + p)", "i", Seed, Dims)
     s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
       s"[CAST(v[i] AS DOUBLE) * $w for i in generate_series(1, $Dims)]), " +
       s"(s, x) -> s + x)"
   }
+  private val planeDotSql = planeDotSqlFor(Planes)
+
+  /** Per-subspace fold over subspace `mExpr` (0-based): dims are the
+    * 1-based parquet-list positions mExpr*Sub+i, i in 1..Sub — the
+    * exact dim-order double fold of [[graft.functions.Native.pqEncode]]
+    * / `pqAdc`'s table construction. */
+  private def pqDotSql(a: String, b: String, mExpr: String) = {
+    val sub = Dims / PqM
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"[CAST($a[$mExpr*$sub+i] AS DOUBLE)*CAST($b[$mExpr*$sub+i] AS DOUBLE) " +
+      s"for i in generate_series(1, $sub)]), (s, x) -> s + x)"
+  }
+
+  private def pqL2Sql(a: String, b: String, mExpr: String) = {
+    val sub = Dims / PqM
+    val diff = s"(CAST($a[$mExpr*$sub+i] AS DOUBLE) - CAST($b[$mExpr*$sub+i] AS DOUBLE))"
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"[$diff * $diff for i in generate_series(1, $sub)]), (s, x) -> s + x)"
+  }
 
   def oracle: Map[String, String] = Map(
+    // PQ: codebook = stride sample (kidx = ascending-id rank), encode =
+    // per-(vector, subspace) L2² argmin (ties to smaller kidx), score =
+    // ADC cosine with per-subspace folds summed in m order (ordered
+    // list fold — GROUP-BY SUM order would not be deterministic).
+    "q_sim_topk_pq" ->
+      s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+         |cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS kidx, v AS cv
+         |  FROM e WHERE vec_id % $Stride = 0),
+         |enc AS (SELECT vec_id, m, kidx FROM (
+         |  SELECT n.vec_id, gm.m, cb.kidx,
+         |    row_number() OVER (PARTITION BY n.vec_id, gm.m
+         |      ORDER BY ${pqL2Sql("n.v", "cb.cv", "gm.m")}, cb.kidx) AS rn
+         |  FROM e n CROSS JOIN generate_series(0, ${PqM - 1}) gm(m) CROSS JOIN cb)
+         |  WHERE rn = 1),
+         |pair AS (SELECT q.vec_id AS id_q, enc.vec_id AS id_n, enc.m,
+         |    ${pqDotSql("q.v", "cb.cv", "enc.m")} AS dm,
+         |    ${pqDotSql("cb.cv", "cb.cv", "enc.m")} AS cn2,
+         |    ${pqDotSql("q.v", "q.v", "enc.m")} AS qn2
+         |  FROM (SELECT * FROM e WHERE vec_id < $NQueries) q
+         |  JOIN enc ON enc.vec_id <> q.vec_id
+         |  JOIN cb ON cb.kidx = enc.kidx),
+         |agg AS (SELECT id_q, id_n,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(dm ORDER BY m)), (s, x) -> s + x) AS dots,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(cn2 ORDER BY m)), (s, x) -> s + x) AS cn2s,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(qn2 ORDER BY m)), (s, x) -> s + x) AS qn2s
+         |  FROM pair GROUP BY id_q, id_n),
+         |scored AS (SELECT id_q, id_n, dots / (sqrt(qn2s) * sqrt(cn2s)) AS cos FROM agg)
+         |SELECT id_q, id_n, cos, CAST(rnk AS INT) AS rnk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY id_q ORDER BY cos DESC, id_n) AS rnk
+         |  FROM scored)
+         |WHERE rnk <= $K""".stripMargin,
     "q_sim_topk_brute" ->
       s"""WITH n AS (SELECT vec_id, embedding AS v FROM embeddings),
          |scored AS (
@@ -110,6 +185,27 @@ object SimQueries {
          |  SELECT *, row_number() OVER (PARTITION BY id_q ORDER BY cos DESC, id_n) AS rnk
          |  FROM scored)
          |WHERE rnk <= $KGraph""".stripMargin,
+
+    // Same construction as q_sim_knn_graph with planes = 5: the value
+    // knnGraphAuto resolves at the sf0.01 gate (autoPlanes(500, 16)).
+    "q_sim_knn_graph_auto" -> {
+      val pd = planeDotSqlFor(AutoPlanesSf001)
+      s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+         |b AS (SELECT vec_id, v, gt.tbl AS tbl,
+         |  CAST(list_sum([CASE WHEN $pd > 0
+         |    THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END
+         |    for p in generate_series(0, ${AutoPlanesSf001 - 1})]) AS BIGINT) AS bkt
+         |  FROM e, generate_series(0, ${TablesL - 1}) gt(tbl)),
+         |cand AS (SELECT DISTINCT q.vec_id AS id_q, q.v AS vq,
+         |    c.vec_id AS id_n, c.v AS vn
+         |  FROM b c JOIN b q
+         |    ON c.tbl = q.tbl AND c.bkt = q.bkt AND c.vec_id <> q.vec_id),
+         |scored AS (SELECT id_q, id_n, ${cosSql("vq", "vn")} AS cos FROM cand)
+         |SELECT id_q, id_n, cos, CAST(rnk AS INT) AS rnk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY id_q ORDER BY cos DESC, id_n) AS rnk
+         |  FROM scored)
+         |WHERE rnk <= $KGraph""".stripMargin
+    },
 
     "q_sim_topk_ivf" ->
       s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),

@@ -94,6 +94,14 @@ object TextQueries {
         .select(col("doc_id") +: m.map { case (n, c) => c.as(n) }: _*)
     },
 
+    // Corpus-level boilerplate: fraction of each doc's distinct word
+    // 3-grams shared by >= 5 documents (cross-document counterpart of
+    // q_text_repetition). One gram-df shuffle + broadcast semi-join.
+    "q_text_boilerplate" -> { (s, dir) =>
+      TextOps.boilerplate(Tables(s, dir, "documents"), "doc_id", "text",
+        n = 3, minDf = 5)
+    },
+
     // PII pass: detection counts + redacted text.
     "q_text_pii" -> { (s, dir) =>
       val m = TextOps.piiCounts(col("text"))
@@ -129,6 +137,15 @@ object TextQueries {
       graft.text.Mixture.groupWeights(Tables(s, dir, "documents"),
           groupCol = "lang", sizeCol = col("n_chars"), alpha = 0.5)
         .withColumnRenamed("grp", "lang")
+    },
+
+    // Budget-driven deterministic sampling: α=0.5 mixture weights →
+    // per-language permille rates for a 60k-char budget → portable
+    // hash-bucket selection; realized kept counts per language.
+    "q_mix_sample" -> { (s, dir) =>
+      graft.text.Mixture.sampleToBudget(Tables(s, dir, "documents"),
+        groupCol = "lang", sizeCol = col("n_chars"), keyCol = "doc_id",
+        budgetUnits = 60000L, alpha = 0.5, seed = 42L)
     }
   )
 
@@ -237,6 +254,26 @@ object TextQueries {
          |    END AS grams
          |  FROM (SELECT doc_id, text, $toksSql AS t FROM documents))""".stripMargin,
 
+    // Same distinct word-3-gram hashes as the dedup oracles (charHash
+    // of the space-joined gram); df counted over per-doc distinct
+    // grams; docs with < 3 tokens keep 0 grams and frac 0.
+    "q_text_boilerplate" ->
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |sh AS (SELECT doc_id, list_distinct([
+         |    ${Portable.charHashSql("concat_ws(' ', t[i+1], t[i+2], t[i+3])")}
+         |    for i in generate_series(0, len(t)-3)]) AS s FROM tk),
+         |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         |hot AS (SELECT g FROM ex GROUP BY g HAVING count(*) >= 5),
+         |com AS (SELECT ex.doc_id, count(*) AS n_common
+         |  FROM ex JOIN hot USING (g) GROUP BY 1)
+         |SELECT sh.doc_id,
+         |  CAST(len(sh.s) AS BIGINT) AS n_grams,
+         |  CAST(coalesce(com.n_common, 0) AS BIGINT) AS n_common,
+         |  CASE WHEN len(sh.s) = 0 THEN 0.0
+         |       ELSE CAST(coalesce(com.n_common, 0) AS DOUBLE)
+         |            / CAST(len(sh.s) AS DOUBLE) END AS common_frac
+         |FROM sh LEFT JOIN com ON sh.doc_id = com.doc_id""".stripMargin,
+
     "q_text_pii" ->
       s"""SELECT doc_id,
          |  CAST(len(regexp_extract_all(text, '${TextOps.EmailRe}')) AS BIGINT) AS n_emails,
@@ -268,6 +305,31 @@ object TextQueries {
          |    [$fold for i in generate_series(0, length(text)-8)] if h % 8 = 0])) AS fp
          |  FROM documents)""".stripMargin
     },
+
+    // Same weight CTEs as q_mix_weights, then: rate_pm = min(1000,
+    // floor(w·budget/n_units·1000)) and the portable hash-bucket
+    // selection (Split.oracleBucketSql — identical arithmetic to
+    // Split.bucket).
+    "q_mix_sample" ->
+      s"""WITH g AS (
+         |  SELECT lang, count(*) AS n_docs,
+         |    CAST(sum(n_chars) AS BIGINT) AS n_units
+         |  FROM documents GROUP BY 1),
+         |t AS (
+         |  SELECT *, CAST(n_units AS DOUBLE) /
+         |    CAST((SELECT CAST(sum(n_units) AS BIGINT) FROM g) AS DOUBLE) AS p
+         |  FROM g),
+         |w AS (SELECT *, sqrt(p) AS pa FROM t),
+         |d AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |  list_sort(list(pa))), (a, x) -> a + x) AS denom FROM w),
+         |r AS (SELECT lang,
+         |  CAST(least(1000, floor(pa / denom * 60000 / n_units * 1000)) AS INT) AS rate_pm
+         |  FROM w, d)
+         |SELECT doc.lang, r.rate_pm, count(*) AS n_docs_kept,
+         |  CAST(sum(doc.n_chars) AS BIGINT) AS n_units_kept
+         |FROM documents doc JOIN r ON doc.lang = r.lang
+         |WHERE ${graft.ops.Split.oracleBucketSql("doc.doc_id", 42L)} < r.rate_pm
+         |GROUP BY 1, 2""".stripMargin,
 
     // Denominator = sequential fold of the SORTED √p list — the
     // repo's portable FP-reduction order (sqrt/div are IEEE-exact;

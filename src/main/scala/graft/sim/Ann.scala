@@ -151,6 +151,74 @@ object Ann {
       .select("id_q", "id_n", "cos", "rnk")
   }
 
+  /** Per-subspace PQ codebooks from the same deterministic stride
+    * sample as [[ivfCentroids]]: codeword k of subspace m is the m-th
+    * subvector of the k-th sampled corpus vector (ascending-id order,
+    * so codeword indices are reproducible by the SQL oracle's
+    * row_number). Shape: M × K × (dims/M). */
+  def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+      stride: Int, m: Int): Array[Array[Array[Float]]] = {
+    val vecs = corpus.filter(pmod(col(idCol), lit(stride)) === 0)
+      .select(col(idCol).cast("long"), col(vecCol))
+      .orderBy(col(idCol))
+      .collect()
+      .map(_.getSeq[Float](1).toArray)
+    val sub = vecs(0).length / m
+    Array.tabulate(m)(mi =>
+      vecs.map(v => java.util.Arrays.copyOfRange(v, mi * sub, (mi + 1) * sub)))
+  }
+
+  /** Product-quantization top-k — the compressed-scan ANN scheme: the
+    * corpus is encoded map-side into M-byte codes (nearest codeword
+    * per subspace; codebooks ride as a codegen reference object, zero
+    * shuffle), and each (query, candidate) pair is scored by ADC —
+    * O(M) table lookups against per-query tables precomputed from the
+    * (small, collected) query set. At 100 TB the scan reads the code
+    * column only: dims·4 bytes of raw vector become M bytes, and no
+    * raw-vector payload moves after encode. Exactness: score is the
+    * true cosine of query vs code RECONSTRUCTION (standard PQ
+    * approximation; recall grows with K and M).
+    *
+    * All folds are per-subspace in dim order, summed in ascending-m
+    * order — the contract the DuckDB oracle replicates fold-for-fold.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, stride: Int = 50, m: Int = 8): DataFrame = {
+    val cbs = pqCodebooks(corpus, idCol, vecCol, stride, m)
+    val sub = cbs(0)(0).length
+    val q = queries.select(col(idCol).cast("long"), col(vecCol))
+      .orderBy(col(idCol)).collect()
+    val qIds = q.map(_.getLong(0))
+    val qVecs = q.map(_.getSeq[Float](1).toArray)
+    def dotSub(a: Array[Float], aOff: Int, b: Array[Float]): Double = {
+      var s = 0.0; var j = 0
+      while (j < b.length) { s += a(aOff + j).toDouble * b(j).toDouble; j += 1 }
+      s
+    }
+    val tables = qVecs.map(v =>
+      Array.tabulate(m)(mi => cbs(mi).map(c => dotSub(v, mi * sub, c))))
+    val qNorm2 = qVecs.map { v =>
+      var s = 0.0; var mi = 0
+      while (mi < m) {
+        s += dotSub(v, mi * sub, java.util.Arrays.copyOfRange(v, mi * sub, (mi + 1) * sub))
+        mi += 1
+      }
+      s
+    }
+    val cNorm2 = Array.tabulate(m)(mi => cbs(mi).map(c => dotSub(c, 0, c)))
+    val codes = corpus.select(col(idCol).as("id_n"),
+      NativeExpressions.pqEncode(col(vecCol), cbs).as("_code"))
+    val w = Window.partitionBy(col("id_q"))
+      .orderBy(col("cos").desc, col("id_n").asc)
+    codes.crossJoin(broadcast(queries.select(col(idCol).cast("long").as("id_q"))))
+      .filter(col("id_n") =!= col("id_q"))
+      .withColumn("cos",
+        NativeExpressions.pqAdc(col("id_q"), col("_code"), qIds, tables, qNorm2, cNorm2))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("id_q", "id_n", "cos", "rnk")
+  }
+
   /** Approximate top-k: candidates share an LSH bucket in at least one
     * of `tables` hash tables; exact cosine ranks the candidates.
     * Equi-join on (table, bucket) — never all-pairs.
@@ -175,6 +243,30 @@ object Ann {
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select("id_q", "id_n", "cos", "rnk")
+  }
+
+  /** LSH planes-per-table sized to the corpus: enough hyperplanes that
+    * the expected bucket load is ~`targetLoad` (2^planes ≈ n /
+    * targetLoad). Candidate volume per bucket is quadratic in load, so
+    * FIXED planes on growing data is quadratic by construction — the
+    * two-point scale bench measured 24× runtime at 10× data for the
+    * fixed-8-plane graph; with planes scaled by this rule the bucket
+    * load (and so per-bucket pair count) stays constant and total
+    * candidate volume grows linearly with n. */
+  def autoPlanes(n: Long, targetLoad: Int = 16): Int = {
+    val raw = math.ceil(math.log((n.toDouble / targetLoad).max(1.0)) / math.log(2.0)).toInt
+    math.min(48, math.max(2, raw))
+  }
+
+  /** [[knnGraph]] with planes auto-sized from the corpus count (one
+    * cheap count job) — the parameter-scaling that keeps the graph
+    * build linear at 100 TB. */
+  def knnGraphAuto(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, tables: Int = 4, seed: Long = 42L, dims: Int = 64,
+      targetLoad: Int = 16): DataFrame = {
+    val n = corpus.count()
+    knnGraph(corpus, idCol, vecCol, k, tables, autoPlanes(n, targetLoad),
+      seed, dims)
   }
 
   /** Full-corpus k-NN graph: every vector is a query. Unlike

@@ -45,4 +45,33 @@ object Mixture {
       .withColumn("boost", col("w") / col("p"))
       .drop("_pa", "_denom")
   }
+
+  /** Deterministic budget-driven sampler on top of [[groupWeights]]:
+    * target units for group g = w_g · `budgetUnits`; per-group keep
+    * rate = min(1, target / n_units_g), quantized to permille and
+    * applied via the repo's portable key-hash bucket
+    * ([[graft.ops.Split.bucket]]) — so the same document set is
+    * selected on any cluster, on re-runs, and by the SQL oracle.
+    * Output per group: the applied rate and realized kept doc/unit
+    * counts; groups whose rate rounds to 0 permille drop out (inner
+    * semantics).
+    *
+    * Scale shape: one group-profile shuffle (inside groupWeights) + a
+    * broadcast of the alphabet-sized rate table; the selection itself
+    * is a map-side hash filter, then one aggregation shuffle on the
+    * group key. No sort, no global sample(). */
+  def sampleToBudget(docs: DataFrame, groupCol: String, sizeCol: Column,
+      keyCol: String, budgetUnits: Long, alpha: Double, seed: Long): DataFrame = {
+    val rates = groupWeights(docs, groupCol, sizeCol, alpha)
+      .select(col("grp"),
+        least(lit(1000L),
+          floor(col("w") * lit(budgetUnits.toDouble)
+            / col("n_units").cast("double") * lit(1000.0))).cast("int").as("rate_pm"))
+    docs.join(broadcast(rates), docs(groupCol) === rates("grp"))
+      .filter(graft.ops.Split.bucket(
+        graft.ops.Split.keyColumn(docs, keyCol), seed) < col("rate_pm"))
+      .groupBy(col(groupCol), col("rate_pm"))
+      .agg(count(lit(1)).as("n_docs_kept"),
+        sum(sizeCol).cast("long").as("n_units_kept"))
+  }
 }

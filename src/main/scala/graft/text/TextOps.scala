@@ -197,4 +197,37 @@ object TextOps {
     * array cells). */
   def fingerprintDigest(fp: Column): Column =
     NativeExpressions.foldHash(fp, 7L)
+
+  /** Corpus-level boilerplate signal (the cross-document counterpart
+    * of [[repetitionMetrics]], RefinedWeb/CCNet-style): per document,
+    * the fraction of its DISTINCT word n-grams that are "common" —
+    * appearing in at least `minDf` documents. Templated/boilerplate
+    * docs score high and get filtered before training.
+    *
+    * Scale shape: gram extraction is the native [[NativeExpressions
+    * .shingleHashes]] kernel (map-side, distinct within doc, so the
+    * groupBy counts document frequency directly); ONE shuffle
+    * aggregates gram df; the hot-gram set (df ≥ minDf) is bounded by
+    * total-gram-volume / minDf — small by construction — so the
+    * join-back is a broadcast semi-join. No doc-to-doc pairs ever
+    * materialize, unlike a naive pairwise-overlap formulation.
+    */
+  def boilerplate(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, n: Int = 3, minDf: Int = 5)
+      : org.apache.spark.sql.DataFrame = {
+    val grams = docs.select(col(idCol),
+      explode(NativeExpressions.shingleHashes(col(textCol), n)).as("_g"))
+    val hot = grams.groupBy(col("_g"))
+      .agg(count(lit(1)).as("_df"))
+      .filter(col("_df") >= minDf)
+    val tot = docs.select(col(idCol),
+      size(NativeExpressions.shingleHashes(col(textCol), n)).cast("long").as("n_grams"))
+    val com = grams.join(broadcast(hot.select(col("_g"))), Seq("_g"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_common"))
+    tot.join(com, Seq(idCol), "left")
+      .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
+      .withColumn("common_frac",
+        when(col("n_grams") === 0, lit(0.0))
+          .otherwise(col("n_common").cast("double") / col("n_grams").cast("double")))
+  }
 }

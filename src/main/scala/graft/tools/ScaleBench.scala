@@ -1,0 +1,147 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{GraftSession, SparkEntry, Tables}
+
+/** Two-point scale validation (VERDICT r3 item 6): replicate sf0.1
+  * tenfold into a scratch dir and time the bench top-10 (the
+  * `PlanPin.Pinned` set) at both scale points, so the 100 TB scaling
+  * story is *measured*, not argued from plans. A query whose runtime
+  * grows much faster than the data is a plan defect no matter how good
+  * its sf0.1 number looks.
+  *
+  * Inflation must not change the data's *density* properties, only its
+  * volume — naive row replication would make every document an exact
+  * 10-way duplicate and every embedding a 10-way collision, turning the
+  * similarity queries quadratic BY CONSTRUCTION (a data artifact, not
+  * an engine property). Each copy is therefore decorrelated from the
+  * others while preserving within-copy structure exactly:
+  *
+  *  - events: key offset per copy (`user_id`, `event_id`). Trace
+  *    bodies are unchanged, so variant structure per copy is identical;
+  *    cases grow 10x. (The trace-cluster core is variant-bounded — the
+  *    x10 point exercises the scan/variant-extraction stages.)
+  *  - documents: per-copy character bijection (vowel rotation via
+  *    `translate`). A bijection maps shingle sets injectively, so every
+  *    within-copy Jaccard similarity is *exactly* preserved — dup
+  *    density per copy is unchanged — while cross-copy shingles
+  *    (almost all contain a vowel) diverge.
+  *  - embeddings: per-copy circular dimension rotation. A coordinate
+  *    permutation is orthogonal, so within-copy cosines are exactly
+  *    preserved; cross-copy vectors decorrelate and spread across
+  *    LSH/IVF buckets like fresh data.
+  *
+  * Copy 0 is byte-identical to the source, so sf0.1 results are a
+  * subset of the inflated corpus's structure.
+  *
+  * Output: one JSON line (and `SPARK_GRAFT_SCALE_OUT`, default
+  * `/root/repo/bench_scale.json`) with per-query {base, x10, ratio}.
+  * Ratio ~<= copies means at-most-linear scaling in data volume.
+  */
+object ScaleBench {
+
+  val Copies = 10
+
+  private val Vowels = "aeiouAEIOU"
+
+  /** Rotate the vowel alphabet by `i` positions (lower/upper rotate in
+    * lockstep so case structure is preserved). i=0 is the identity. */
+  private def vowelMap(i: Int): String = {
+    val lo = "aeiou"; val hi = "AEIOU"; val k = i % 5
+    (lo.drop(k) + lo.take(k)) + (hi.drop(k) + hi.take(k))
+  }
+
+  private def inflateEvents(spark: SparkSession, src: String, dst: String): Unit = {
+    val ev = Tables(spark, src, "events")
+    val out = (0 until Copies).map { i =>
+      ev.withColumn("user_id", col("user_id") + lit(i.toLong * 100000000L))
+        .withColumn("event_id", col("event_id") + lit(i.toLong * 10000000000L))
+    }.reduce(_ unionAll _)
+    out.repartition(32).write.mode("overwrite").parquet(s"$dst/events.parquet")
+  }
+
+  private def inflateDocuments(spark: SparkSession, src: String, dst: String): Unit = {
+    val docs = Tables(spark, src, "documents")
+    val out = (0 until Copies).map { i =>
+      val txt = if (i % 5 == 0) col("text")
+                else translate(col("text"), Vowels, vowelMap(i))
+      docs.withColumn("doc_id", col("doc_id") + lit(i.toLong * 100000000L))
+        // copies 5..9 would repeat copies 0..4's bijection; shift a
+        // consonant pair too so all 10 copies are pairwise decorrelated
+        .withColumn("text", if (i < 5) txt else translate(txt, "tnTN", "ntNT"))
+    }.reduce(_ unionAll _)
+    out.repartition(32).write.mode("overwrite").parquet(s"$dst/documents.parquet")
+  }
+
+  private def inflateEmbeddings(spark: SparkSession, src: String, dst: String): Unit = {
+    val emb = Tables(spark, src, "embeddings")
+    val dim = emb.selectExpr("size(embedding)").head().getInt(0)
+    val out = (0 until Copies).map { i =>
+      val rot = (i * dim) / Copies // spread rotations across the dim range
+      val rotated =
+        if (rot == 0) col("embedding")
+        else expr(s"concat(slice(embedding, ${rot + 1}, ${dim - rot}), slice(embedding, 1, $rot))")
+      emb.withColumn("vec_id", col("vec_id") + lit(i.toLong * 100000000L))
+        .withColumn("embedding", rotated)
+    }.reduce(_ unionAll _)
+    out.repartition(32).write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+  }
+
+  /** Copy the remaining (unreferenced-by-the-top-10) tables verbatim so
+    * the inflated dir is a complete, loadable sfDir. */
+  private def linkRest(spark: SparkSession, src: String, dst: String): Unit =
+    for (t <- Tables.all if !Set("events", "documents", "embeddings").contains(t))
+      Tables(spark, src, t).write.mode("overwrite").parquet(s"$dst/$t.parquet")
+
+  def inflate(spark: SparkSession, src: String, dst: String): Unit = {
+    inflateEvents(spark, src, dst)
+    inflateDocuments(spark, src, dst)
+    inflateEmbeddings(spark, src, dst)
+    linkRest(spark, src, dst)
+  }
+
+  private def timeQuery(spark: SparkSession, name: String, dir: String, runs: Int): Double = {
+    val fn = SparkEntry.queries(name)
+    (1 to runs).map { _ =>
+      val t0 = System.nanoTime()
+      fn(spark, dir).count()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val scaled = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_sf1")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
+    val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "/root/repo/bench_scale.json")
+    val spark = GraftSession.get(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$scaled/embeddings.parquet"))
+        || args.contains("--rebuild")) {
+      println(s"inflating $base x$Copies -> $scaled")
+      inflate(spark, base, scaled)
+    }
+
+    // warmup (scheduler, codegen, parquet reader init)
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+    Tables(spark, base, "region").count()
+
+    val rows = PlanPin.Pinned.map { name =>
+      val b = timeQuery(spark, name, base, runs)
+      val s = timeQuery(spark, name, scaled, runs)
+      println(f"$name%-28s base=$b%6.2fs x$Copies%d=$s%6.2fs ratio=${s / b}%5.2f")
+      (name, b, s)
+    }
+    val json = rows.map { case (n, b, s) =>
+      f""""$n":{"base":$b%.3f,"x$Copies":$s%.3f,"ratio":${s / b}%.2f}"""
+    }.mkString("{", ",", "}")
+    val line =
+      s"""{"metric":"scale_ratio","copies":$Copies,"runs":$runs,"base":"$base","scaled":"$scaled","queries":$json}"""
+    println(line)
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+    catch { case _: Throwable => () }
+    spark.stop()
+  }
+}

@@ -21,6 +21,25 @@ class KnnGraphSpec extends SparkSpec {
     assert(ref.exceptAll(g).count() == 0L)
   }
 
+  test("autoPlanes: constant bucket load as n grows; clamped; oracle pin") {
+    // 2^planes ≈ n / targetLoad, so load stays ~targetLoad at any n
+    assert(Ann.autoPlanes(500, 16) == 5)   // the sf0.01 gate value the
+                                           // q_sim_knn_graph_auto oracle pins
+    assert(Ann.autoPlanes(2000, 16) == 7)
+    assert(Ann.autoPlanes(20000, 16) == 11)
+    assert(Ann.autoPlanes(1, 16) == 2)     // lower clamp
+    assert(Ann.autoPlanes(Long.MaxValue, 1) == 48) // upper clamp
+  }
+
+  test("knnGraphAuto equals knnGraph with explicitly resolved planes") {
+    val e = Tables(spark, sf, "embeddings")
+    val planes = Ann.autoPlanes(e.count(), 16)
+    val auto = Ann.knnGraphAuto(e, "vec_id", "embedding", 3, targetLoad = 16)
+    val ref = Ann.knnGraph(e, "vec_id", "embedding", 3, planesPerTable = planes)
+    assert(auto.exceptAll(ref).count() == 0L)
+    assert(ref.exceptAll(auto).count() == 0L)
+  }
+
   test("knnGraph emits at most k directed neighbors per vector, no self-edges") {
     val e = Tables(spark, sf, "embeddings")
     val g = Ann.knnGraph(e, "vec_id", "embedding", 3).cache()
