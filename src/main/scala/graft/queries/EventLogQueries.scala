@@ -1,8 +1,12 @@
 package graft.queries
 
+import java.util.concurrent.atomic.AtomicInteger
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
 
 import graft.Tables
 import graft.dsl.{Concept, Time}
@@ -22,7 +26,51 @@ import graft.ops.{Decision, Declare, Dfg, Drift, Features, Heuristics,
   */
 object EventLogQueries {
 
+  private val sessRun = new AtomicInteger(0)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Streaming ↔ batch sessionization parity under the hash gate:
+    // the events table fed through MemoryStream → watermark →
+    // session_window aggregation (StreamingStats.sessionStats), run to
+    // completion; the oracle re-derives the same per-session rows with
+    // the batch gap construction. Boundary semantics: session_window
+    // windows are [ts, ts+gap) merged on OVERLAP, so a gap of exactly
+    // `gapSeconds` starts a NEW session — the oracle flags with >=.
+    // MemoryStream is driver-fed by construction (harness input, not
+    // an operator collect).
+    "q_stream_sessionize_parity" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val batch = Tables(s, dir, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("tsMicros"))
+        .as[(Long, Long)].collect()
+      val input = MemoryStream[(Long, Long)]
+      val ev = input.toDS().toDF("user_id", "tsMicros")
+        .withColumn("ts", timestamp_micros(col("tsMicros")))
+        .withWatermark("ts", "10 seconds")
+      val name = s"stream_sess_parity_${sessRun.incrementAndGet()}"
+      val q = graft.streaming.StreamingStats
+        .sessionStats(ev, "user_id", "ts", gapSeconds = 43200L)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        input.addData(batch.toSeq)
+        q.processAllAvailable()
+        // two far-future sentinel batches: the first advances the
+        // watermark past every open session's gap, the second lets the
+        // event-time timers fire; the sentinel user is filtered out.
+        val maxTs = batch.map(_._2).max
+        input.addData((-1L, maxTs + 86400L * 1000000L))
+        q.processAllAvailable()
+        input.addData((-1L, maxTs + 2L * 86400L * 1000000L))
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(name).filter(col("user_id") =!= -1L)
+        .select(col("user_id"), col("n_events"),
+          unix_micros(col("t_start")).as("t_start_us"),
+          unix_micros(col("t_end")).as("t_end_us"))
+    },
+
     // StatsCollector (reference stats.rs:63-141): [n_traces, n_events].
     "q_log_stats" -> { (s, dir) =>
       LogStats.stats(Tables(s, dir, "events"), caseCol = "user_id")
@@ -499,6 +547,26 @@ object EventLogQueries {
         |ASOF LEFT JOIN (SELECT user_id, ts FROM events
         |      WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND c.ts <= p.ts""".stripMargin,
+    // Same gap construction as q_sessionize but with the
+    // session_window boundary (diff >= gap starts a new session) and
+    // per-session rows instead of indexed sessions — the multiset the
+    // streaming session_window aggregation emits.
+    "q_stream_sessionize_parity" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL THEN 0
+        |         WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) >= CAST(43200 AS BIGINT)*1000000 THEN 1
+        |         ELSE 0 END AS ns
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT user_id, ts,
+        |    sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged)
+        |SELECT user_id, count(*) AS n_events,
+        |  epoch_us(min(ts)) AS t_start_us, epoch_us(max(ts)) AS t_end_us
+        |FROM sessions GROUP BY user_id, sid""".stripMargin,
+
     "q_sessionize" ->
       """WITH flagged AS (
         |  SELECT user_id, ts, event_id,

@@ -55,6 +55,14 @@ object SimQueries {
       Ann.pqTopK(e, e.filter(col("vec_id") < NQueries),
         "vec_id", "embedding", K, stride = Stride, m = PqM)
     },
+    // IVF+PQ: cell-probe candidate pruning + compressed-code ADC
+    // scoring — after the one build scan no raw corpus vector is read
+    // or shipped again.
+    "q_sim_topk_ivfpq" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      Ann.ivfpqTopK(e, e.filter(col("vec_id") < NQueries),
+        "vec_id", "embedding", K, stride = Stride, m = PqM, nProbe = NProbe)
+    },
     // Full-corpus k-NN graph (every vector is a query) — the batch
     // graph build behind dedup clustering and diversity sampling.
     // Same multi-table LSH equi-join; candidate volume is linear in
@@ -206,6 +214,50 @@ object SimQueries {
          |  FROM scored)
          |WHERE rnk <= $KGraph""".stripMargin
     },
+
+    // IVF assignment/probe CTEs from the q_sim_topk_ivf oracle +
+    // encode/ADC CTEs from the q_sim_topk_pq oracle, composed: score
+    // only (probe-cell, member) pairs, by reconstruction cosine.
+    "q_sim_topk_ivfpq" ->
+      s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % $Stride = 0),
+         |ascore AS (SELECT e.vec_id AS id_n, c.cid, ${cosSql("e.v", "c.cv")} AS ccos
+         |  FROM e CROSS JOIN c),
+         |cells AS (SELECT id_n, cid FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY id_n ORDER BY ccos DESC, cid) AS rn
+         |  FROM ascore) WHERE rn = 1),
+         |pscore AS (SELECT q.vec_id AS id_q, c.cid, ${cosSql("q.v", "c.cv")} AS ccos
+         |  FROM (SELECT * FROM e WHERE vec_id < $NQueries) q CROSS JOIN c),
+         |probes AS (SELECT id_q, cid FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY id_q ORDER BY ccos DESC, cid) AS rn
+         |  FROM pscore) WHERE rn <= $NProbe),
+         |cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS kidx, v AS kv
+         |  FROM e WHERE vec_id % $Stride = 0),
+         |enc AS (SELECT vec_id, m, kidx FROM (
+         |  SELECT n.vec_id, gm.m, cb.kidx,
+         |    row_number() OVER (PARTITION BY n.vec_id, gm.m
+         |      ORDER BY ${pqL2Sql("n.v", "cb.kv", "gm.m")}, cb.kidx) AS rn
+         |  FROM e n CROSS JOIN generate_series(0, ${PqM - 1}) gm(m) CROSS JOIN cb)
+         |  WHERE rn = 1),
+         |pair AS (SELECT p.id_q, cells.id_n, enc.m,
+         |    ${pqDotSql("q.v", "cb.kv", "enc.m")} AS dm,
+         |    ${pqDotSql("cb.kv", "cb.kv", "enc.m")} AS cn2,
+         |    ${pqDotSql("q.v", "q.v", "enc.m")} AS qn2
+         |  FROM probes p
+         |  JOIN cells ON cells.cid = p.cid AND cells.id_n <> p.id_q
+         |  JOIN e q ON q.vec_id = p.id_q
+         |  JOIN enc ON enc.vec_id = cells.id_n
+         |  JOIN cb ON cb.kidx = enc.kidx),
+         |agg AS (SELECT id_q, id_n,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(dm ORDER BY m)), (s, x) -> s + x) AS dots,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(cn2 ORDER BY m)), (s, x) -> s + x) AS cn2s,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(qn2 ORDER BY m)), (s, x) -> s + x) AS qn2s
+         |  FROM pair GROUP BY id_q, id_n),
+         |scored AS (SELECT id_q, id_n, dots / (sqrt(qn2s) * sqrt(cn2s)) AS cos FROM agg)
+         |SELECT id_q, id_n, cos, CAST(rnk AS INT) AS rnk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY id_q ORDER BY cos DESC, id_n) AS rnk
+         |  FROM scored)
+         |WHERE rnk <= $K""".stripMargin,
 
     "q_sim_topk_ivf" ->
       s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),

@@ -168,6 +168,69 @@ object Ann {
       vecs.map(v => java.util.Arrays.copyOfRange(v, mi * sub, (mi + 1) * sub)))
   }
 
+  private def dotSub(a: Array[Float], aOff: Int, b: Array[Float]): Double = {
+    var s = 0.0; var j = 0
+    while (j < b.length) { s += a(aOff + j).toDouble * b(j).toDouble; j += 1 }
+    s
+  }
+
+  /** Per-query ADC lookup tables + the matching per-subspace norm
+    * sums, all folds in the order [[graft.functions.Native.pqAdc]]
+    * (and the SQL oracle) expect: dim order within a subspace,
+    * ascending-m across subspaces. */
+  private def adcTables(qVecs: Array[Array[Float]],
+      cbs: Array[Array[Array[Float]]])
+      : (Array[Array[Array[Double]]], Array[Double], Array[Array[Double]]) = {
+    val m = cbs.length
+    val sub = cbs(0)(0).length
+    val tables = qVecs.map(v =>
+      Array.tabulate(m)(mi => cbs(mi).map(c => dotSub(v, mi * sub, c))))
+    val qNorm2 = qVecs.map { v =>
+      var s = 0.0; var mi = 0
+      while (mi < m) {
+        s += dotSub(v, mi * sub, java.util.Arrays.copyOfRange(v, mi * sub, (mi + 1) * sub))
+        mi += 1
+      }
+      s
+    }
+    val cNorm2 = Array.tabulate(m)(mi => cbs(mi).map(c => dotSub(c, 0, c)))
+    (tables, qNorm2, cNorm2)
+  }
+
+  /** Lloyd's refinement of the PQ codebooks, all M subspaces per
+    * iteration in ONE corpus scan: [[NativeExpressions.pqEncode]]
+    * assigns every subspace map-side, posexplode keys rows by
+    * (subspace, codeword), and re-centering is a partial-aggregated
+    * groupBy whose exchange moves only M·K rows of per-dim sums.
+    * Init = the deterministic stride sample ([[pqCodebooks]]), so the
+    * fit is seedless and reproducible; empty codewords keep their
+    * previous centroid. Same recall-vs-oracle-friendliness trade as
+    * [[Kmeans.fit]] for the IVF coarse quantizer — the query plan is
+    * unchanged, only the reference arrays differ (PqSpec measures the
+    * recall gain). */
+  def pqCodebooksKmeans(corpus: DataFrame, idCol: String, vecCol: String,
+      stride: Int, m: Int, iters: Int): Array[Array[Array[Float]]] = {
+    var cbs = pqCodebooks(corpus, idCol, vecCol, stride, m)
+    val sub = cbs(0)(0).length
+    val subSums = (1 to sub).map(i =>
+      sum(element_at(col("_sv"), i).cast("double")).as(s"_s$i"))
+    for (_ <- 1 to iters) {
+      val rows = corpus.select(col(vecCol).as("_v"),
+          posexplode(NativeExpressions.pqEncode(col(vecCol), cbs)).as(Seq("_m", "_k")))
+        .withColumn("_sv", expr(s"slice(_v, _m * $sub + 1, $sub)"))
+        .groupBy(col("_m"), col("_k"))
+        .agg(count(lit(1)).as("_n"), subSums: _*)
+        .collect()
+      val byKey = rows.map(r => (r.getInt(0), r.getInt(1)) -> r).toMap
+      cbs = Array.tabulate(m)(mi => Array.tabulate(cbs(mi).length)(k =>
+        byKey.get((mi, k)).map { r =>
+          val cnt = r.getLong(2).toDouble
+          Array.tabulate(sub)(d => (r.getDouble(d + 3) / cnt).toFloat)
+        }.getOrElse(cbs(mi)(k))))
+    }
+    cbs
+  }
+
   /** Product-quantization top-k — the compressed-scan ANN scheme: the
     * corpus is encoded map-side into M-byte codes (nearest codeword
     * per subspace; codebooks ride as a codegen reference object, zero
@@ -183,34 +246,68 @@ object Ann {
     * order — the contract the DuckDB oracle replicates fold-for-fold.
     */
   def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, stride: Int = 50, m: Int = 8): DataFrame = {
-    val cbs = pqCodebooks(corpus, idCol, vecCol, stride, m)
-    val sub = cbs(0)(0).length
+      vecCol: String, k: Int, stride: Int = 50, m: Int = 8): DataFrame =
+    pqTopKWith(corpus, queries, idCol, vecCol, k,
+      pqCodebooks(corpus, idCol, vecCol, stride, m))
+
+  /** [[pqTopK]] against explicit codebooks (stride sample or
+    * [[pqCodebooksKmeans]] output) — plan identical, arrays differ. */
+  def pqTopKWith(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, cbs: Array[Array[Array[Float]]]): DataFrame = {
     val q = queries.select(col(idCol).cast("long"), col(vecCol))
       .orderBy(col(idCol)).collect()
     val qIds = q.map(_.getLong(0))
     val qVecs = q.map(_.getSeq[Float](1).toArray)
-    def dotSub(a: Array[Float], aOff: Int, b: Array[Float]): Double = {
-      var s = 0.0; var j = 0
-      while (j < b.length) { s += a(aOff + j).toDouble * b(j).toDouble; j += 1 }
-      s
-    }
-    val tables = qVecs.map(v =>
-      Array.tabulate(m)(mi => cbs(mi).map(c => dotSub(v, mi * sub, c))))
-    val qNorm2 = qVecs.map { v =>
-      var s = 0.0; var mi = 0
-      while (mi < m) {
-        s += dotSub(v, mi * sub, java.util.Arrays.copyOfRange(v, mi * sub, (mi + 1) * sub))
-        mi += 1
-      }
-      s
-    }
-    val cNorm2 = Array.tabulate(m)(mi => cbs(mi).map(c => dotSub(c, 0, c)))
+    val (tables, qNorm2, cNorm2) = adcTables(qVecs, cbs)
     val codes = corpus.select(col(idCol).as("id_n"),
       NativeExpressions.pqEncode(col(vecCol), cbs).as("_code"))
     val w = Window.partitionBy(col("id_q"))
       .orderBy(col("cos").desc, col("id_n").asc)
     codes.crossJoin(broadcast(queries.select(col(idCol).cast("long").as("id_q"))))
+      .filter(col("id_n") =!= col("id_q"))
+      .withColumn("cos",
+        NativeExpressions.pqAdc(col("id_q"), col("_code"), qIds, tables, qNorm2, cNorm2))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("id_q", "id_n", "cos", "rnk")
+  }
+
+  /** IVF+PQ top-k — the standard composed ANN index (inverted cell
+    * lists for candidate pruning, product-quantized codes for
+    * scoring): the corpus build is ONE zero-shuffle scan emitting
+    * (id, cell, code) — both kernels fold over driver-collected
+    * reference arrays — and the query path joins the broadcast probe
+    * set on the cell id and scores candidates by ADC table lookups.
+    * After the build scan, no raw corpus vector is ever read or
+    * shipped again: candidate generation touches `nProbe` cells'
+    * lists, scoring touches M-byte codes. That is the 100 TB shape —
+    * IVF bounds candidates, PQ bounds bytes.
+    *
+    * Codes quantize the raw vectors (not cell residuals): same
+    * accuracy trade as [[pqTopK]], and the SQL oracle replicates both
+    * stages verbatim. Scores are the cosine of the query vs the code
+    * reconstruction, so they match [[pqTopK]]'s scores exactly on the
+    * candidates both consider.
+    */
+  def ivfpqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, stride: Int = 50, m: Int = 8,
+      nProbe: Int = 3): DataFrame = {
+    val (centIds, centVecs) = ivfCentroids(corpus, idCol, vecCol, stride)
+    val cbs = pqCodebooks(corpus, idCol, vecCol, stride, m)
+    val q = queries.select(col(idCol).cast("long"), col(vecCol))
+      .orderBy(col(idCol)).collect()
+    val qIds = q.map(_.getLong(0))
+    val qVecs = q.map(_.getSeq[Float](1).toArray)
+    val (tables, qNorm2, cNorm2) = adcTables(qVecs, cbs)
+    val coded = corpus.select(col(idCol).as("id_n"),
+      NativeExpressions.ivfAssign(col(vecCol), centIds, centVecs).as("_cid"),
+      NativeExpressions.pqEncode(col(vecCol), cbs).as("_code"))
+    val probes = queries.select(col(idCol).cast("long").as("id_q"),
+      explode(NativeExpressions.ivfProbes(col(vecCol), centIds, centVecs, nProbe))
+        .as("_cid"))
+    val w = Window.partitionBy(col("id_q"))
+      .orderBy(col("cos").desc, col("id_n").asc)
+    coded.join(broadcast(probes), Seq("_cid"))
       .filter(col("id_n") =!= col("id_q"))
       .withColumn("cos",
         NativeExpressions.pqAdc(col("id_q"), col("_code"), qIds, tables, qNorm2, cNorm2))

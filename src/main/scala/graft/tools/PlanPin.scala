@@ -26,6 +26,7 @@ object PlanPin {
     "q_dedup_embedding",
     "q_sim_topk_ivf",
     "q_sim_topk_pq",
+    "q_sim_topk_ivfpq",
     "q_sim_knn_graph",
     "q_sim_knn_graph_auto",
     "q_range_join_active",
