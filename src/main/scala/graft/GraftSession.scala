@@ -39,6 +39,13 @@ object GraftSession {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.streaming.sinks.FileStreamSink",
       org.apache.logging.log4j.Level.ERROR)
+    // WindowExec warns on every unpartitioned window; ours are the
+    // documented bucket-/group-level cumsums (bounded row counts:
+    // occupied time buckets, language groups), so the warning is
+    // noise repeated hundreds of times per bench run.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     s
   }
 }

@@ -33,20 +33,28 @@ object Split {
     */
   private val P = 1000000007L
 
-  def bucket(caseId: Column, seed: Long): Column = {
+  def bucket(caseId: Column, seed: Long): Column = bucketN(caseId, seed, 1000)
+
+  /** [[bucket]] generalized to `n` buckets (shard assignment etc.);
+    * permille splits are the n = 1000 case. */
+  def bucketN(caseId: Column, seed: Long, n: Int): Column = {
     val a = (2 * seed + 40503L) % P
     val h1 = (pmod(caseId, lit(P)) + lit(seed % P)) * lit(2654435761L) % lit(P)
     val h2 = (h1 * lit(a) + lit(seed % P)) % lit(P)
-    pmod(h2, lit(1000))
+    pmod(h2, lit(n))
   }
 
   /** Same arithmetic as [[bucket]] in portable ANSI SQL (for oracles). */
-  def oracleBucketSql(caseCol: String, seed: Long): String = {
+  def oracleBucketSql(caseCol: String, seed: Long): String =
+    oracleBucketNSql(caseCol, seed, 1000)
+
+  /** [[oracleBucketSql]] for [[bucketN]]. */
+  def oracleBucketNSql(caseCol: String, seed: Long, n: Int): String = {
     val a = (2 * seed + 40503L) % P
     val x0 = s"((($caseCol % $P) + $P) % $P)"
     val h1 = s"((($x0 + ${seed % P}) * 2654435761) % $P)"
     val h2 = s"((($h1 * $a) + ${seed % P}) % $P)"
-    s"((($h2 % 1000) + 1000) % 1000)"
+    s"((($h2 % $n) + $n) % $n)"
   }
 
   def oracleTrainPredicate(caseCol: String, trainPermille: Int, seed: Long): String =

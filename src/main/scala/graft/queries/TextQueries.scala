@@ -139,6 +139,35 @@ object TextQueries {
         .withColumnRenamed("grp", "lang")
     },
 
+    // The end-to-end corpus-prep pipeline as ONE composed plan —
+    // quality gate (map-side) → exact dedup (one digest shuffle,
+    // min-id canonical) → corpus-boilerplate gate (gram-df shuffle +
+    // broadcast semi-join, df computed on the DEDUPED corpus) →
+    // budget-driven mixture sampling (map-side hash filter) →
+    // per-language realized totals. Every stage is an operator gated
+    // on its own elsewhere; this query pins their composition.
+    "q_pipeline_corpus" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val quality = docs.filter(TextOps.qualityKeep(col("text")))
+      val canonical = graft.dedup.Dedup.exact(quality, "doc_id", "text")
+        .filter(!col("is_dup")).select("doc_id")
+      val deduped = quality.join(canonical, Seq("doc_id"), "left_semi")
+      val keepBp = TextOps.boilerplate(deduped, "doc_id", "text", n = 3, minDf = 5)
+        .filter(col("common_frac") <= 0.5).select("doc_id")
+      val clean = deduped.join(keepBp, Seq("doc_id"), "left_semi")
+      graft.text.Mixture.sampleToBudget(clean, groupCol = "lang",
+        sizeCol = col("n_chars"), keyCol = "doc_id",
+        budgetUnits = 40000L, alpha = 0.5, seed = 42L)
+    },
+
+    // Training-shard manifest: deterministic 16-way hash sharding of
+    // the corpus + per-shard doc/char totals (the export layout's
+    // planning table). One aggregation on the shard key.
+    "q_shard_manifest" -> { (s, dir) =>
+      graft.text.Shards.manifest(Tables(s, dir, "documents"),
+        keyCol = "doc_id", sizeCol = col("n_chars"), nShards = 16, seed = 42L)
+    },
+
     // Budget-driven deterministic sampling: α=0.5 mixture weights →
     // per-language permille rates for a 60k-char budget → portable
     // hash-bucket selection; realized kept counts per language.
@@ -305,6 +334,59 @@ object TextQueries {
          |    [$fold for i in generate_series(0, length(text)-8)] if h % 8 = 0])) AS fp
          |  FROM documents)""".stripMargin
     },
+
+    // Stage-for-stage composition of the q_text_quality_filter,
+    // q_dedup_exact, q_text_boilerplate, and q_mix_sample oracles,
+    // each CTE feeding the next (boilerplate df over the DEDUPED
+    // corpus; weights/rates over the CLEAN corpus).
+    "q_pipeline_corpus" ->
+      s"""WITH quality AS (
+         |  SELECT * FROM documents
+         |  WHERE len($toksSql) >= 5 AND len($toksSql) <= 100000
+         |    AND length(text) > 0
+         |    AND CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+         |        / CAST(length(text) AS DOUBLE) >= 0.5
+         |    AND CAST(len([t for t in $toksSql if list_contains(${markersSql(TextOps.Stopwords)}, lower(t))]) AS DOUBLE)
+         |        / CAST(len($toksSql) AS DOUBLE) >= 0.01),
+         |dedup AS (
+         |  SELECT * EXCLUDE (canon) FROM (
+         |    SELECT *, min(doc_id) OVER (PARTITION BY lower(trim(text))) AS canon
+         |    FROM quality) WHERE doc_id = canon),
+         |tkp AS (SELECT doc_id, $toksSql AS t FROM dedup),
+         |shp AS (SELECT doc_id, list_distinct([
+         |    ${Portable.charHashSql("concat_ws(' ', t[i+1], t[i+2], t[i+3])")}
+         |    for i in generate_series(0, len(t)-3)]) AS sgl FROM tkp),
+         |exp AS (SELECT doc_id, unnest(sgl) AS g FROM shp),
+         |hotp AS (SELECT g FROM exp GROUP BY g HAVING count(*) >= 5),
+         |comp AS (SELECT exp.doc_id, count(*) AS n_common
+         |  FROM exp JOIN hotp USING (g) GROUP BY 1),
+         |bp AS (SELECT shp.doc_id FROM shp LEFT JOIN comp ON shp.doc_id = comp.doc_id
+         |  WHERE (CASE WHEN len(shp.sgl) = 0 THEN 0.0
+         |         ELSE CAST(coalesce(comp.n_common, 0) AS DOUBLE)
+         |              / CAST(len(shp.sgl) AS DOUBLE) END) <= 0.5),
+         |clean AS (SELECT d.* FROM dedup d JOIN bp ON d.doc_id = bp.doc_id),
+         |gp AS (SELECT lang, count(*) AS n_docs,
+         |    CAST(sum(n_chars) AS BIGINT) AS n_units
+         |  FROM clean GROUP BY 1),
+         |tp AS (SELECT *, CAST(n_units AS DOUBLE) /
+         |    CAST((SELECT CAST(sum(n_units) AS BIGINT) FROM gp) AS DOUBLE) AS p
+         |  FROM gp),
+         |wp AS (SELECT *, sqrt(p) AS pa FROM tp),
+         |dp AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |  list_sort(list(pa))), (a, x) -> a + x) AS denom FROM wp),
+         |rp AS (SELECT lang,
+         |  CAST(least(1000, floor(pa / denom * 40000 / n_units * 1000)) AS INT) AS rate_pm
+         |  FROM wp, dp)
+         |SELECT c.lang, rp.rate_pm, count(*) AS n_docs_kept,
+         |  CAST(sum(c.n_chars) AS BIGINT) AS n_units_kept
+         |FROM clean c JOIN rp ON c.lang = rp.lang
+         |WHERE ${graft.ops.Split.oracleBucketSql("c.doc_id", 42L)} < rp.rate_pm
+         |GROUP BY 1, 2""".stripMargin,
+
+    "q_shard_manifest" ->
+      s"""SELECT CAST(${graft.ops.Split.oracleBucketNSql("doc_id", 42L, 16)} AS INT) AS shard,
+         |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_units
+         |FROM documents GROUP BY 1""".stripMargin,
 
     // Same weight CTEs as q_mix_weights, then: rate_pm = min(1000,
     // floor(w·budget/n_units·1000)) and the portable hash-bucket

@@ -30,6 +30,34 @@ class AsOfSpec extends SparkSpec {
     assert(got == naive)
   }
 
+  test("range join: stab-count == naive BETWEEN join on 20 random instances (ties included)") {
+    val rnd = new scala.util.Random(20260813L)
+    (1 to 20).foreach { _ =>
+      val nP = 1 + rnd.nextInt(60)
+      val nI = 1 + rnd.nextInt(40)
+      // coarse second grid → frequent exact ties with interval endpoints
+      val pts = (0 until nP).map(i => (s"p$i", rnd.nextInt(200).toLong))
+      val ivs = (0 until nI).map { _ =>
+        val a = rnd.nextInt(200).toLong; val b = a + rnd.nextInt(50)
+        (a, b.toLong)
+      }
+      val points = pts.toDF("id", "t")
+        .withColumn("ts", timestamp_micros(col("t") * 1000000L))
+      val intervals = ivs.toDF("s", "e")
+        .withColumn("t_start", timestamp_micros(col("s") * 1000000L))
+        .withColumn("t_end", timestamp_micros(col("e") * 1000000L))
+      val bucket = (1 + rnd.nextInt(30)).toLong * 1000000L
+      val got = RangeJoin.containmentCounts(points, intervals,
+          "id", "ts", "t_start", "t_end", bucketUs = bucket)
+        .as[(String, Long)].collect().toMap
+      val naive = points.crossJoin(intervals)
+        .filter(col("ts") >= col("t_start") && col("ts") <= col("t_end"))
+        .groupBy("id").agg(count(lit(1)).as("n"))
+        .as[(String, Long)].collect().toMap
+      assert(got == naive, s"bucketUs=$bucket pts=$pts ivs=$ivs")
+    }
+  }
+
   test("backward as-of: greatest right ts <= left ts, inclusive, null when none") {
     val purchases = Seq((1L, "p50", 50L), (1L, "p150", 150L), (1L, "p200", 200L),
         (2L, "lonely", 500L))
