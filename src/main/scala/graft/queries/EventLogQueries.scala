@@ -54,13 +54,13 @@ object EventLogQueries {
         .writeStream.format("memory").queryName(name)
         .outputMode(OutputMode.Append()).start()
       try {
-        input.addData(batch.toSeq)
-        q.processAllAvailable()
-        // two far-future sentinel batches: the first advances the
-        // watermark past every open session's gap, the second lets the
-        // event-time timers fire; the sentinel user is filtered out.
+        // the first far-future sentinel rides IN the data batch (the
+        // watermark only advances at the batch boundary, so no data
+        // event is ever late); the second batch lets the closed
+        // sessions emit. Two micro-batches total. The sentinel user is
+        // filtered out below.
         val maxTs = batch.map(_._2).max
-        input.addData((-1L, maxTs + 86400L * 1000000L))
+        input.addData(batch.toSeq :+ ((-1L, maxTs + 86400L * 1000000L)))
         q.processAllAvailable()
         input.addData((-1L, maxTs + 2L * 86400L * 1000000L))
         q.processAllAvailable()
