@@ -173,9 +173,12 @@ object Dedup {
   def simhash(text: Column): Column = NativeExpressions.simhash(text)
 
   /** SimHash near-dup pairs: candidates share at least one of four
-    * 8-bit bands (pigeonhole: any pair within hamming distance 3 of a
-    * 32-bit fingerprint shares an unchanged band); verified with
-    * bit_count(xor) <= maxHamming.
+    * 15-bit bands of the 60-bit fingerprint (pigeonhole: ≤ 3 flipped
+    * bits touch ≤ 3 of 4 bands, so one band is unchanged); verified
+    * with bit_count(xor) <= maxHamming. 15-bit bands give 32768
+    * buckets per band — bucket count scales with KEY WIDTH, not
+    * corpus size, so per-bucket candidate load stays bounded where
+    * 8-bit bands (256 buckets) went quadratic on corpus growth.
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
@@ -186,7 +189,7 @@ object Dedup {
     // joins the heavy shingle arrays back per unique candidate).
     val banded = fp.select(struct(col("_id"), col("_fp")).as("_it"),
       posexplode(array((0 until 4).map(i =>
-        shiftright(col("_fp"), i * 8).bitwiseAND(lit(255L))): _*))
+        shiftright(col("_fp"), i * 15).bitwiseAND(lit(32767L))): _*))
         .as(Seq("_band", "_key")))
     banded.groupBy("_band", "_key").agg(collect_list(col("_it")).as("_items"))
       .select(explode(col("_items")).as("_a"), col("_items"))
@@ -229,6 +232,18 @@ object Dedup {
       .filter(col("cos") >= tau)
       .select("id_a", "id_b", "cos")
   }
+
+  /** [[cosinePairsLsh]] with planes auto-sized from the corpus count
+    * ([[graft.sim.Ann.autoPlanes]]): fixed planes on growing data
+    * collapse the bucket space (the all-query scale audit measured the
+    * fixed-8-plane variant at 9.7× runtime on 10× data — bucket load,
+    * and so candidate pairs per bucket, grow with the corpus); sizing
+    * 2^planes ≈ n / targetLoad keeps per-bucket load constant. */
+  def cosinePairsLshAuto(embs: DataFrame, idCol: String, vecCol: String,
+      tau: Double, tables: Int = 4, seed: Long = 42L, dims: Int = 64,
+      targetLoad: Int = 16): DataFrame =
+    cosinePairsLsh(embs, idCol, vecCol, tau, tables,
+      graft.sim.Ann.autoPlanes(embs.count(), targetLoad), seed, dims)
 
   /** Connected components over a near-dup pair list: every node gets
     * `cluster_id` = the smallest id in its component — the step that

@@ -114,17 +114,29 @@ object Native {
     new GenericArrayData(out)
   }
 
-  /** 30-bit SimHash over token hashes (duplicates weighted). */
+  /** 60-bit SimHash over token hashes (duplicates weighted): bits
+    * 0-29 vote on the token hash's bits, bits 30-59 on an independent
+    * second hash h2 = (h·131 + 7) % P — both stay under 2^63 in every
+    * intermediate, so the SQL oracle replicates them in plain BIGINT
+    * arithmetic. The width is a SCALE property: bands of the
+    * fingerprint are the candidate buckets, and 15-bit bands (32768
+    * buckets/band) keep bucket load bounded where the former 30-bit
+    * fingerprint's 8-bit bands (256 buckets) collapsed quadratically
+    * on corpus growth. */
   def simhash(text: UTF8String): Long = {
     val th = tokenHashes(text)
     val n = th.numElements()
+    val h2 = new Array[Long](n)
+    var j = 0
+    while (j < n) { h2(j) = (th.getLong(j) * 131L + 7L) % P; j += 1 }
     var fp = 0L
     var b = 0
-    while (b < 30) {
+    while (b < 60) {
       var vote = 0L
-      var j = 0
+      j = 0
       while (j < n) {
-        vote += ((th.getLong(j) >> b) & 1L) * 2L - 1L
+        val src = if (b < 30) th.getLong(j) >> b else h2(j) >> (b - 30)
+        vote += (src & 1L) * 2L - 1L
         j += 1
       }
       if (vote > 0) fp |= 1L << b

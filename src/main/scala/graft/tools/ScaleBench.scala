@@ -128,7 +128,12 @@ object ScaleBench {
     spark.range(1000000L).selectExpr("sum(id)").collect()
     Tables(spark, base, "region").count()
 
-    val rows = PlanPin.Pinned.map { name =>
+    // default: the pinned expensive set; --all audits EVERY gated query
+    // (XES queries ignore sfDir — fixed corpus — and report ratio ~1)
+    val names =
+      if (args.contains("--all")) SparkEntry.queries.keys.toSeq.sorted
+      else PlanPin.Pinned
+    val rows = names.map { name =>
       val b = timeQuery(spark, name, base, runs)
       val s = timeQuery(spark, name, scaled, runs)
       println(f"$name%-28s base=$b%6.2fs x$Copies%d=$s%6.2fs ratio=${s / b}%5.2f")
