@@ -17,6 +17,9 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
     val spark = GraftSession.get(cpus)
+    // bench-only: the documented bounded cumsums would otherwise WARN
+    // hundreds of times into the bench artifact
+    GraftSession.quietWindowWarnings()
     // session warmup: scheduler, codegen, parquet reader init
     spark.range(1000000L).selectExpr("sum(id)").collect()
     Tables(spark, sfDir, "region").count()

@@ -39,13 +39,22 @@ object GraftSession {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.streaming.sinks.FileStreamSink",
       org.apache.logging.log4j.Level.ERROR)
-    // WindowExec warns on every unpartitioned window; ours are the
+    // WindowExec warns on every unpartitioned window. Ours are the
     // documented bucket-/group-level cumsums (bounded row counts:
-    // occupied time buckets, language groups), so the warning is
-    // noise repeated hundreds of times per bench run.
+    // occupied time buckets, language groups), so in BENCH runs the
+    // warning is noise repeated hundreds of times per artifact — but
+    // globally it is a genuinely useful scale smell, so suppression is
+    // opt-in (Bench/ScaleBench set it; sessions and tests keep WARN).
+    if (sys.env.get("SPARK_GRAFT_QUIET_WINDOWS").contains("1"))
+      quietWindowWarnings()
+    s
+  }
+
+  /** Silence WindowExec's unpartitioned-window WARN — bench mains only
+    * (the repeated warning drowns the bench artifact); everywhere else
+    * an unpartitioned window should stay loud. */
+  def quietWindowWarnings(): Unit =
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.window.WindowExec",
       org.apache.logging.log4j.Level.ERROR)
-    s
-  }
 }

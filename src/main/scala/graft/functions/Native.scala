@@ -377,7 +377,10 @@ object Native {
     * per-subspace self-dot sums, all accumulated in ascending-m order
     * (the SQL oracle mirrors exactly this fold structure). `qIds` must
     * be sorted ascending (binary-search lookup). Unknown qid → -2.0
-    * (below any cosine) rather than an executor-killing throw.
+    * (below any cosine) rather than an executor-killing throw; a
+    * zero-norm query or reconstruction also scores -2.0 — the NaN a
+    * 0/0 cosine would produce sorts ABOVE every double in Spark, so a
+    * zero vector would otherwise take rank 1 in every top-k.
     */
   def pqAdc(qid: Long, code: ArrayData, qIds: Array[Long],
       tables: Array[Array[Array[Double]]], qNorm2: Array[Double],
@@ -395,6 +398,7 @@ object Native {
       n2 += cNorm2(mi)(k)
       mi += 1
     }
+    if (n2 == 0.0 || qNorm2(qi) == 0.0) return -2.0
     dot / (math.sqrt(qNorm2(qi)) * math.sqrt(n2))
   }
 }

@@ -70,7 +70,15 @@ object RangeJoin {
   }
 
   /** Count of containing intervals per point: `points(idCol, tsCol)` ×
-    * `intervals(startCol, endCol)` → (idCol, n_containing). */
+    * `intervals(startCol, endCol)` → (idCol, n_containing).
+    *
+    * Caller contract on `bucketUs`: the cross-bucket cumsum has one
+    * row per occupied bucket, runs in a single-partition window, and
+    * is broadcast — so span/bucketUs must stay driver-small. A fixed
+    * bucketUs under a growing time span silently breaks that; derive
+    * it from the observed span ([[containmentCountsAuto]], or
+    * [[autoBucketUs]] when the span is known) unless the span is
+    * fixed by construction. */
   def containmentCounts(points: DataFrame, intervals: DataFrame,
       idCol: String, tsCol: String, startCol: String, endCol: String,
       bucketUs: Long): DataFrame = {
@@ -85,5 +93,30 @@ object RangeJoin {
       .withColumn("n_containing", col("_n_start_le") - col("_n_end_lt"))
       .filter(col("n_containing") > 0)
       .select(col(idCol), col("n_containing"))
+  }
+
+  /** Bucket width sized to the observed span: bucketUs =
+    * ceil(span/targetBuckets), so the cross-bucket cumsum is at most
+    * `targetBuckets` rows however long the span — the count-derived
+    * parameter scaling ([[graft.sim.Ann.autoPlanes]] pattern) that
+    * keeps the single-partition cumsum and its broadcast bounded at
+    * any scale. */
+  def autoBucketUs(minUs: Long, maxUs: Long, targetBuckets: Int = 4096): Long =
+    math.max(1L, (maxUs - minUs) / targetBuckets + 1L)
+
+  /** [[containmentCounts]] with `bucketUs` derived from the observed
+    * span of points and interval endpoints (one cheap min/max agg
+    * job). Result is bucketUs-invariant (AsOfSpec proves it across
+    * widths), so this only changes the plan's constant, never the
+    * answer. */
+  def containmentCountsAuto(points: DataFrame, intervals: DataFrame,
+      idCol: String, tsCol: String, startCol: String, endCol: String,
+      targetBuckets: Int = 4096): DataFrame = {
+    val spans = points.select(unix_micros(col(tsCol)).as("_t"))
+      .unionByName(intervals.select(unix_micros(col(startCol)).as("_t")))
+      .unionByName(intervals.select(unix_micros(col(endCol)).as("_t")))
+      .agg(min(col("_t")), max(col("_t"))).head()
+    containmentCounts(points, intervals, idCol, tsCol, startCol, endCol,
+      autoBucketUs(spans.getLong(0), spans.getLong(1), targetBuckets))
   }
 }

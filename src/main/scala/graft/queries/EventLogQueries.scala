@@ -37,7 +37,13 @@ object EventLogQueries {
     // windows are [ts, ts+gap) merged on OVERLAP, so a gap of exactly
     // `gapSeconds` starts a NEW session — the oracle flags with >=.
     // MemoryStream is driver-fed by construction (harness input, not
-    // an operator collect).
+    // an operator collect) — the input collect is bounded by the gate
+    // table (sf0.01 events ≈ 60k rows of two longs), and the result
+    // collect by the session count (≤ #users); both are parity-harness
+    // costs, not operator shapes. The memory sink registers a temp
+    // view per invocation; it is dropped after materialization so
+    // repeated runs (ScaleBench --all, runs ≥ 2) don't accumulate
+    // sink tables in driver memory.
     "q_stream_sessionize_parity" -> { (s, dir) =>
       import s.implicits._
       implicit val sqlCtx = s.sqlContext
@@ -65,10 +71,14 @@ object EventLogQueries {
         input.addData((-1L, maxTs + 2L * 86400L * 1000000L))
         q.processAllAvailable()
       } finally q.stop()
-      s.table(name).filter(col("user_id") =!= -1L)
+      val res = s.table(name).filter(col("user_id") =!= -1L)
         .select(col("user_id"), col("n_events"),
           unix_micros(col("t_start")).as("t_start_us"),
           unix_micros(col("t_end")).as("t_end_us"))
+      val rows = res.collect()
+      val out = s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+      s.catalog.dropTempView(name)
+      out
     },
 
     // StatsCollector (reference stats.rs:63-141): [n_traces, n_events].

@@ -25,10 +25,12 @@ object SimQueries {
   private val PqM = 8 // PQ subspaces over Dims=64 → 8 dims each
   private val TargetLoad = 16
   // The correctness gate runs at sf0.01 (TESTDATA.md): embeddings there
-  // has 500 rows, so knnGraphAuto resolves autoPlanes(500, 16) = 5 and
-  // the static oracle SQL pins that value. AnnSpec asserts the
-  // resolution so a testdata change fails loudly, not silently.
+  // has 500 rows, so knnGraphAuto resolves autoPlanes(500, 16) = 5,
+  // pqTopKAuto resolves autoStride(500, 256) = 2, and the static
+  // oracle SQL pins those values. AnnSpec asserts the resolutions so a
+  // testdata change fails loudly, not silently.
   private val AutoPlanesSf001 = Ann.autoPlanes(500, TargetLoad)
+  private val AutoStrideSf001 = Ann.autoStride(500)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_topk_brute" -> { (s, dir) =>
@@ -54,6 +56,15 @@ object SimQueries {
       val e = Tables(s, dir, "embeddings")
       Ann.pqTopK(e, e.filter(col("vec_id") < NQueries),
         "vec_id", "embedding", K, stride = Stride, m = PqM)
+    },
+    // PQ with the stride auto-sized from the corpus count: the
+    // codebook is capped at 256 codewords however large the corpus —
+    // fixed stride above is the oracle anchor, this is the 100 TB
+    // parameter scaling (same rule as q_sim_knn_graph_auto's planes).
+    "q_sim_topk_pq_auto" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      Ann.pqTopKAuto(e, e.filter(col("vec_id") < NQueries),
+        "vec_id", "embedding", K, m = PqM)
     },
     // IVF+PQ: cell-probe candidate pruning + compressed-code ADC
     // scoring — after the one build scan no raw corpus vector is read
@@ -117,15 +128,16 @@ object SimQueries {
       s"[$diff * $diff for i in generate_series(1, $sub)]), (s, x) -> s + x)"
   }
 
-  def oracle: Map[String, String] = Map(
-    // PQ: codebook = stride sample (kidx = ascending-id rank), encode =
-    // per-(vector, subspace) L2² argmin (ties to smaller kidx), score =
-    // ADC cosine with per-subspace folds summed in m order (ordered
-    // list fold — GROUP-BY SUM order would not be deterministic).
-    "q_sim_topk_pq" ->
-      s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
-         |cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS kidx, v AS cv
-         |  FROM e WHERE vec_id % $Stride = 0),
+  // PQ: codebook = stride sample (kidx = ascending-id rank), encode =
+  // per-(vector, subspace) L2² argmin (ties to smaller kidx), score =
+  // ADC cosine with per-subspace folds summed in m order (ordered
+  // list fold — GROUP-BY SUM order would not be deterministic).
+  // Parameterized by the stride so the fixed (oracle-anchor) and
+  // count-derived (auto) variants share one construction.
+  private def pqOracleFor(stride: Int) =
+    s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+       |cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS kidx, v AS cv
+       |  FROM e WHERE vec_id % $stride = 0),
          |enc AS (SELECT vec_id, m, kidx FROM (
          |  SELECT n.vec_id, gm.m, cb.kidx,
          |    row_number() OVER (PARTITION BY n.vec_id, gm.m
@@ -144,11 +156,16 @@ object SimQueries {
          |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(cn2 ORDER BY m)), (s, x) -> s + x) AS cn2s,
          |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(qn2 ORDER BY m)), (s, x) -> s + x) AS qn2s
          |  FROM pair GROUP BY id_q, id_n),
-         |scored AS (SELECT id_q, id_n, dots / (sqrt(qn2s) * sqrt(cn2s)) AS cos FROM agg)
-         |SELECT id_q, id_n, cos, CAST(rnk AS INT) AS rnk FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY id_q ORDER BY cos DESC, id_n) AS rnk
-         |  FROM scored)
-         |WHERE rnk <= $K""".stripMargin,
+       |scored AS (SELECT id_q, id_n, dots / (sqrt(qn2s) * sqrt(cn2s)) AS cos FROM agg)
+       |SELECT id_q, id_n, cos, CAST(rnk AS INT) AS rnk FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY id_q ORDER BY cos DESC, id_n) AS rnk
+       |  FROM scored)
+       |WHERE rnk <= $K""".stripMargin
+
+  def oracle: Map[String, String] = Map(
+    "q_sim_topk_pq" -> pqOracleFor(Stride),
+    // autoStride(500, 256) = 2 at the sf0.01 gate (pin: AnnSpec).
+    "q_sim_topk_pq_auto" -> pqOracleFor(AutoStrideSf001),
     "q_sim_topk_brute" ->
       s"""WITH n AS (SELECT vec_id, embedding AS v FROM embeddings),
          |scored AS (

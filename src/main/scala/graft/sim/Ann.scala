@@ -155,7 +155,15 @@ object Ann {
     * sample as [[ivfCentroids]]: codeword k of subspace m is the m-th
     * subvector of the k-th sampled corpus vector (ascending-id order,
     * so codeword indices are reproducible by the SQL oracle's
-    * row_number). Shape: M × K × (dims/M). */
+    * row_number). Shape: M × K × (dims/M).
+    *
+    * K = ceil(n/stride), so a FIXED stride on growing data grows the
+    * codebook with the corpus — [[Native.pqEncode]] is O(K·dims) per
+    * row (quadratic total), the driver collect is K full vectors, and
+    * codes stop being one byte per subspace past K = 256. Callers that
+    * don't need the fixed-parameter oracle anchor should derive the
+    * stride from the corpus count ([[autoStride]], used by
+    * [[pqTopKAuto]]/[[ivfpqTopKAuto]]) so K stays capped. */
   def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
       stride: Int, m: Int): Array[Array[Array[Float]]] = {
     val vecs = corpus.filter(pmod(col(idCol), lit(stride)) === 0)
@@ -315,6 +323,32 @@ object Ann {
       .filter(col("rnk") <= k)
       .select("id_q", "id_n", "cos", "rnk")
   }
+
+  /** Sample stride that caps the quantizer/codebook size at `maxK`
+    * entries regardless of corpus size: stride = ceil(n/maxK), the
+    * count-derived twin of [[autoPlanes]]. With the default maxK = 256
+    * every PQ code stays one byte per subspace, the per-row encode
+    * cost is a constant 256·dims, and the driver-side codebook collect
+    * is a constant 256 vectors — the parameter scaling that keeps PQ
+    * linear at 100 TB. */
+  def autoStride(n: Long, maxK: Int = 256): Int =
+    math.max(1, math.ceil(n.toDouble / maxK).toInt)
+
+  /** [[pqTopK]] with the stride auto-sized from the corpus count (one
+    * cheap count job) so the codebook is capped at `maxK` codewords —
+    * the 100 TB shape; the fixed-stride variant is the oracle anchor. */
+  def pqTopKAuto(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, m: Int = 8, maxK: Int = 256): DataFrame =
+    pqTopK(corpus, queries, idCol, vecCol, k,
+      autoStride(corpus.count(), maxK), m)
+
+  /** [[ivfpqTopK]] with the stride auto-sized from the corpus count —
+    * caps both the coarse quantizer and the PQ codebooks at `maxK`. */
+  def ivfpqTopKAuto(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, m: Int = 8, nProbe: Int = 3,
+      maxK: Int = 256): DataFrame =
+    ivfpqTopK(corpus, queries, idCol, vecCol, k,
+      autoStride(corpus.count(), maxK), m, nProbe)
 
   /** Approximate top-k: candidates share an LSH bucket in at least one
     * of `tables` hash tables; exact cosine ranks the candidates.

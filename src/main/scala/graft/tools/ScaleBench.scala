@@ -117,6 +117,7 @@ object ScaleBench {
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
     val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "/root/repo/bench_scale.json")
     val spark = GraftSession.get(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    GraftSession.quietWindowWarnings() // bench-only (see GraftSession)
 
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$scaled/embeddings.parquet"))
         || args.contains("--rebuild")) {

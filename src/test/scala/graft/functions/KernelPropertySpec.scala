@@ -87,4 +87,27 @@ class KernelPropertySpec extends AnyFunSuite {
       assert(!graft.xes.XmlLexical.isNcName(s.take(pos) + bad + s.drop(pos)))
     }
   }
+
+  test("pqAdc: zero-norm query or reconstruction scores the -2.0 sentinel, never NaN") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val qIds = Array(1L, 2L)
+    val code = new GenericArrayData(Array(0, 0))
+    // M=2 subspaces, K=1 codeword each; codeword dot products all zero
+    // for query 1 (zero vector), non-zero for query 2
+    val tables = Array(
+      Array(Array(0.0), Array(0.0)),   // query 1 vs codewords
+      Array(Array(0.5), Array(0.5)))   // query 2
+    val qNorm2 = Array(0.0, 1.0)       // query 1 is the zero vector
+    val cNormPos = Array(Array(1.0), Array(1.0))
+    val cNormZero = Array(Array(0.0), Array(0.0)) // zero reconstruction
+    // zero-norm query → sentinel (a NaN would sort ABOVE every cosine)
+    assert(Native.pqAdc(1L, code, qIds, tables, qNorm2, cNormPos) == -2.0)
+    // zero-norm reconstruction → sentinel
+    assert(Native.pqAdc(2L, code, qIds, tables, qNorm2, cNormZero) == -2.0)
+    // healthy pair still scores a real cosine
+    val ok = Native.pqAdc(2L, code, qIds, tables, qNorm2, cNormPos)
+    assert(!ok.isNaN && ok > -2.0 && ok <= 1.0)
+    // unknown qid keeps its sentinel
+    assert(Native.pqAdc(99L, code, qIds, tables, qNorm2, cNormPos) == -2.0)
+  }
 }

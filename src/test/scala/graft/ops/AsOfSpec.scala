@@ -58,6 +58,27 @@ class AsOfSpec extends SparkSpec {
     }
   }
 
+  test("range join auto: span-derived bucket width matches explicit buckets and bounds the cumsum") {
+    val points = Seq(("p1", 5L), ("p2", 10L), ("p3", 100L), ("p4", 250L))
+      .toDF("id", "t").withColumn("ts", timestamp_micros(col("t") * 1000000L))
+    val intervals = Seq((0L, 10L), (8L, 120L), (300L, 400L))
+      .toDF("s", "e")
+      .withColumn("t_start", timestamp_micros(col("s") * 1000000L))
+      .withColumn("t_end", timestamp_micros(col("e") * 1000000L))
+    val auto = RangeJoin.containmentCountsAuto(points, intervals,
+        "id", "ts", "t_start", "t_end", targetBuckets = 16)
+      .as[(String, Long)].collect().toMap
+    assert(auto == Map("p1" -> 1L, "p2" -> 2L, "p3" -> 1L))
+    // the derived width really caps the bucket count at targetBuckets
+    // regardless of span units (seconds here, could be years)
+    val spanUs = 400L * 1000000L - 0L
+    val b = RangeJoin.autoBucketUs(0L, spanUs, targetBuckets = 16)
+    assert(spanUs / b + 1 <= 16)
+    // degenerate span (all marks at one instant) still yields a
+    // positive width
+    assert(RangeJoin.autoBucketUs(42L, 42L, 16) == 1L)
+  }
+
   test("backward as-of: greatest right ts <= left ts, inclusive, null when none") {
     val purchases = Seq((1L, "p50", 50L), (1L, "p150", 150L), (1L, "p200", 200L),
         (2L, "lonely", 500L))

@@ -82,4 +82,29 @@ class PqSpec extends SparkSpec {
       stride = Stride, m = M).collect()
     assert(r1.map(_.toString).sorted.sameElements(r2.map(_.toString).sorted))
   }
+
+  test("autoStride caps the codebook at maxK for any corpus size") {
+    // the parameter-scaling rule: K = ceil(n/stride) ≤ maxK always
+    Seq(1L, 100L, 500L, 10000L, 1000000L, 100000000000L).foreach { n =>
+      val st = Ann.autoStride(n)
+      assert(st >= 1)
+      val k = math.ceil(n.toDouble / st)
+      assert(k <= 256, s"n=$n stride=$st K=$k")
+    }
+    // the sf0.01 gate resolution pinned by the q_sim_topk_pq_auto oracle
+    assert(Ann.autoStride(500) == 2)
+  }
+
+  test("pqTopKAuto == pqTopK at the count-derived stride") {
+    val e = Tables(spark, sf, "embeddings")
+    val q = e.filter(col("vec_id") < 10)
+    val auto = Ann.pqTopKAuto(e, q, "vec_id", "embedding", k = 5, m = M)
+      .collect().map(_.toString).sorted
+    val st = Ann.autoStride(e.count())
+    val fixed = Ann.pqTopK(e, q, "vec_id", "embedding", k = 5,
+      stride = st, m = M).collect().map(_.toString).sorted
+    assert(auto.sameElements(fixed))
+    // K actually capped: the derived codebook has ≤ 256 codewords
+    assert(Ann.pqCodebooks(e, "vec_id", "embedding", st, M)(0).length <= 256)
+  }
 }
