@@ -20,7 +20,8 @@ object SparkEntry {
       (TextQueries.queries, TextQueries.oracle),
       (DedupQueries.queries, DedupQueries.oracle),
       (SimQueries.queries, SimQueries.oracle),
-      (XesQueries.queries, XesQueries.oracle)
+      (XesQueries.queries, XesQueries.oracle),
+      (MinerQueries.queries, MinerQueries.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
