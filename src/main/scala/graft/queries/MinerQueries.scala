@@ -30,6 +30,15 @@ object MinerQueries {
   private def bookEvents(s: SparkSession, name: String) =
     XesReader.read(s, s"$book/$name.xes").eventsDf
 
+  /** Mining fans one tiny events DF into several jobs (DFG edges,
+    * starts, ends, alphabet); cache it for the duration so the XES
+    * parse runs once, not once per job. Driver-side results only —
+    * the cache never outlives `body`. */
+  private def withCached[T](ev: org.apache.spark.sql.DataFrame)(body: => T): T = {
+    ev.cache()
+    try body finally ev.unpersist()
+  }
+
   /** The textbook L1 model seq(a, xor(and(b,c), e), d) — built from
     * literals (NOT mined) so model-dependent queries are pinned to the
     * book's net, not to whatever the miner returns. */
@@ -48,7 +57,9 @@ object MinerQueries {
     // sets are canonicalized by sorting.
     "q_alpha_l1_net" -> { (s, _) =>
       import s.implicits._
-      val net = Alpha.mine(bookEvents(s, "L1"), "traceIdx", "activity", "ts", "seq")
+      val ev = bookEvents(s, "L1")
+      val net = withCached(ev)(
+        Alpha.mine(ev, "traceIdx", "activity", "ts", "seq"))
       val rows =
         net.activities.toSeq.sorted.map(a => ("activity", a, "")) ++
         net.startActivities.toSeq.sorted.map(a => ("start", a, "")) ++
@@ -64,8 +75,9 @@ object MinerQueries {
     "q_inductive_book_trees" -> { (s, _) =>
       import s.implicits._
       Seq("L1", "L2").map { log =>
-        (log, Inductive.mine(bookEvents(s, log),
-          "traceIdx", "activity", "ts", "seq").render)
+        val ev = bookEvents(s, log)
+        (log, withCached(ev)(
+          Inductive.mine(ev, "traceIdx", "activity", "ts", "seq")).render)
       }.toDF("log", "tree")
     },
 
@@ -75,12 +87,16 @@ object MinerQueries {
     // SQL and asserts fitness 1 / missing 0 / remaining 0 per variant.
     "q_replay_fitness_l1" -> { (s, _) =>
       val ev = bookEvents(s, "L1")
-      val net = Alpha.mine(ev, "traceIdx", "activity", "ts", "seq")
-      Replay.variantFitness(s, ev, "traceIdx", "activity", "ts", "seq", net)
-        .toDF()
-        .select(concat_ws(",", col("variant")).as("variant"),
-          col("nCases").as("n_cases"), col("missing"), col("remaining"),
-          col("fitness"))
+      withCached(ev) {
+        val net = Alpha.mine(ev, "traceIdx", "activity", "ts", "seq")
+        val res = Replay.variantFitness(s, ev, "traceIdx", "activity", "ts", "seq", net)
+          .toDF()
+          .select(concat_ws(",", col("variant")).as("variant"),
+            col("nCases").as("n_cases"), col("missing"), col("remaining"),
+            col("fitness"))
+        val rows = res.collect() // variant-bounded (3 rows for L1)
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+      }
     },
 
     // Optimal alignments against the textbook L1 net for the
@@ -107,12 +123,14 @@ object MinerQueries {
     "q_precision_l1" -> { (s, _) =>
       import s.implicits._
       val ev = bookEvents(s, "L1")
-      val textbook = Precision.precision(Precision.prefixTable(
-        s, ev, "traceIdx", "activity", "ts", "seq", l1TextbookNet))
-      val alpha = Precision.precision(Precision.prefixTable(
-        s, ev, "traceIdx", "activity", "ts", "seq",
-        PetriNet.fromWorkflowNet(
-          Alpha.mine(ev, "traceIdx", "activity", "ts", "seq"))))
+      val (textbook, alpha) = withCached(ev) {
+        (Precision.precision(Precision.prefixTable(
+          s, ev, "traceIdx", "activity", "ts", "seq", l1TextbookNet)),
+         Precision.precision(Precision.prefixTable(
+          s, ev, "traceIdx", "activity", "ts", "seq",
+          PetriNet.fromWorkflowNet(
+            Alpha.mine(ev, "traceIdx", "activity", "ts", "seq")))))
+      }
       Seq(("textbook", textbook), ("alpha", alpha))
         .toDF("model", "precision")
     },
@@ -124,11 +142,15 @@ object MinerQueries {
       import s.implicits._
       def t(id: String, l: String) = PetriNet.Transition(id, Some(l))
       val ev = bookEvents(s, "L1")
+      val (alphaNet, indNet) = withCached(ev) {
+        (PetriNet.fromWorkflowNet(
+           Alpha.mine(ev, "traceIdx", "activity", "ts", "seq")),
+         PetriNet.fromTree(
+           Inductive.mine(ev, "traceIdx", "activity", "ts", "seq")))
+      }
       val nets: Seq[(String, PetriNet)] = Seq(
-        "l1_alpha" -> PetriNet.fromWorkflowNet(
-          Alpha.mine(ev, "traceIdx", "activity", "ts", "seq")),
-        "l1_inductive" -> PetriNet.fromTree(
-          Inductive.mine(ev, "traceIdx", "activity", "ts", "seq")),
+        "l1_alpha" -> alphaNet,
+        "l1_inductive" -> indNet,
         "dead_transition" -> PetriNet(
           places = Seq("i", "o", "x"),
           transitions = Seq(t("t1", "a"), t("t2", "b")),
