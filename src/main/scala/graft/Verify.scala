@@ -39,12 +39,25 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // normalized physical-plan digests for the expensive queries —
     // tools/check.py diffs them against the reviewed pins so a plan
-    // regression fails the gate, not just the bench
+    // regression fails the gate, not just the bench. Digest against a
+    // CLEAN cache: operators that legitimately leave a cache behind
+    // (TraceCluster's variant inventory) would otherwise substitute
+    // InMemoryRelation fragments into later plans, making the digest
+    // depend on which queries ran earlier in the session — the pin
+    // must hash the plan the code produces, not the session history.
+    // Cleared before EVERY digest: merely CREATING an earlier pinned
+    // query's DF re-registers its cache() entries (registration is
+    // lazy-eval-independent), which would leak into later digests.
     val digests = graft.tools.PlanPin.Pinned
       .filter(n => only.forall(_.contains(n)))
       .map { n =>
+        spark.sharedState.cacheManager.clearCache()
         val p = SparkEntry.queries(n)(spark, sfDir)
           .queryExecution.executedPlan.toString
+        // debugging aid for digest drift: dump the exact digest input
+        if (sys.env.get("SPARK_GRAFT_DUMP_PLANS").contains("1"))
+          Files.writeString(Paths.get(s"$outDir/plan_$n.txt"),
+            graft.tools.PlanPin.normalize(p))
         s"${q(n)}: ${q(graft.tools.PlanPin.digest(p))}"
       }
     Files.writeString(Paths.get(s"$outDir/plan_digests.json"),

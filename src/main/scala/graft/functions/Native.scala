@@ -216,6 +216,47 @@ object Native {
     new GenericArrayData(out)
   }
 
+  /** Every character-k-gram hash in POSITION order: out(i) =
+    * charHash(substr(i, k), seed 7) — the fingerprint windows
+    * ([[fingerprint]]) without the mod-p selection, so a position-
+    * indexed inverted index can locate duplicated SPANS, not just
+    * flag documents. Same O(len) rolling update; empty below k code
+    * points. Positions count code points (the SQL oracle's substr
+    * counts characters the same way). */
+  def gramHashes(text: UTF8String, k: Int): ArrayData = {
+    val s = text.toString
+    val cps = new Array[Long](s.length)
+    var n = 0
+    var ci = 0
+    while (ci < s.length) {
+      val cp = s.codePointAt(ci)
+      cps(n) = cp; n += 1
+      ci += Character.charCount(cp)
+    }
+    if (n < k) return new GenericArrayData(Array.emptyLongArray)
+    var pw = 1L
+    var j = 0
+    while (j < k - 1) { pw = pw * Portable.CharMul % P; j += 1 }
+    var seedK = 7L
+    j = 0
+    while (j < k) { seedK = seedK * Portable.CharMul % P; j += 1 }
+    val out = new Array[Long](n - k + 1)
+    var w = 0L
+    j = 0
+    while (j < k) { w = (w * Portable.CharMul + cps(j)) % P; j += 1 }
+    var i = 0
+    while (i <= n - k) {
+      out(i) = (seedK + w) % P
+      if (i < n - k) {
+        var t = (w - cps(i) * pw % P) % P
+        if (t < 0) t += P
+        w = (t * Portable.CharMul + cps(i + k)) % P
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Order-sensitive fold digest of a long array:
     * d = floorMod(d*131 + floorMod(x, P), P) — collapses an array
     * column to one scalar the driver's comparator can hash. The

@@ -106,6 +106,18 @@ object NativeExpressions {
       copy(child = newChild)
   }
 
+  case class GramHashesExpr(child: Expression, k: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_gram_hashes"
+    override protected def nullSafeEval(input: Any): Any =
+      Native.gramHashes(input.asInstanceOf[UTF8String], k)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.Native.gramHashes($c, $k)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   case class FoldHashExpr(child: Expression, seed: Long)
       extends UnaryExpression {
     override def dataType: DataType = LongType
@@ -230,6 +242,8 @@ object NativeExpressions {
   def lshBucket(v: Column, table: Int, planes: Int, seed: Long, dims: Int): Column =
     c(LshBucketExpr(e(v), table, planes, seed, dims))
   def dotF(a: Column, b: Column): Column = c(DotFExpr(e(a), e(b)))
+  def gramHashes(text: Column, k: Int): Column =
+    c(GramHashesExpr(e(text), k))
   def fingerprint(text: Column, k: Int, p: Int): Column =
     c(FingerprintExpr(e(text), k, p))
   def foldHash(xs: Column, seed: Long): Column = c(FoldHashExpr(e(xs), seed))

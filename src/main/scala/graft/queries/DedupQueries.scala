@@ -85,8 +85,31 @@ object DedupQueries {
         .groupBy("lang")
         .agg(NativeExpressions.foldHash(
           MinHashUnionAgg.minhashUnion(col("_sig")), 7L).as("sig_digest"))
+    },
+
+    // Exact substring-SPAN dedup (the span-level variant of
+    // training-data dedup): maximal shared character spans >= minLen
+    // across distinct docs, via position-indexed gram inverted index +
+    // diagonal-run merge. Span-level where q_dedup_jaccard is
+    // doc-level.
+    "q_dedup_spans" -> { (s, dir) =>
+      graft.dedup.SpanDedup.duplicatedSpans(Tables(s, dir, "documents"),
+        "doc_id", "text", k = SpanK, minLen = SpanMinLen, maxDf = SpanMaxDf)
+    },
+
+    // Per-doc duplicated-char mass: union of all spans touching the
+    // doc — what a "drop docs that are mostly boilerplate" filter
+    // thresholds on.
+    "q_dedup_span_coverage" -> { (s, dir) =>
+      graft.dedup.SpanDedup.spanCoverage(
+        graft.dedup.SpanDedup.duplicatedSpans(Tables(s, dir, "documents"),
+          "doc_id", "text", k = SpanK, minLen = SpanMinLen, maxDf = SpanMaxDf))
     }
   )
+
+  private val SpanK = 30
+  private val SpanMinLen = 45
+  private val SpanMaxDf = 64L
 
   // ---- shared DuckDB fragments (replicate Portable arithmetic) ----
   private val toks = "[x for x in string_split_regex(text, '\\s+') if len(x) > 0]"
@@ -111,7 +134,54 @@ object DedupQueries {
        |JOIN (SELECT doc_id, len(s) AS n FROM sh) lb ON id_b = lb.doc_id
        |WHERE CAST(inter AS DOUBLE) / CAST(la.n + lb.n - inter AS DOUBLE) >= 0.8""".stripMargin
 
+  // ---- span dedup: gram index + diagonal-run merge, SQL replica ----
+  // (positions 0-based; DuckDB substr is 1-based, hence i-1 / i)
+  private val spanGramSql =
+    s"""g AS (
+       |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+       |    ${charHashSql(s"substr(text, i, $SpanK)")} AS gh
+       |  FROM documents,
+       |    LATERAL (SELECT unnest(generate_series(1, length(text) - $SpanK + 1)) AS i) t
+       |  WHERE length(text) >= $SpanK),
+       |kept AS (SELECT doc_id, pos, gh FROM g
+       |  QUALIFY count(*) OVER (PARTITION BY gh) <= $SpanMaxDf),
+       |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    a.pos AS pos_a, b.pos AS pos_b
+       |  FROM kept a JOIN kept b ON a.gh = b.gh AND a.doc_id < b.doc_id),
+       |isl AS (SELECT id_a, id_b, pos_a, pos_a - pos_b AS diag,
+       |    pos_a - row_number() OVER (
+       |      PARTITION BY id_a, id_b, pos_a - pos_b ORDER BY pos_a) AS island
+       |  FROM pr),
+       |sp AS (SELECT id_a, id_b, min(pos_a) AS start_a,
+       |    min(pos_a) - diag AS start_b,
+       |    max(pos_a) - min(pos_a) + $SpanK AS span_len
+       |  FROM isl GROUP BY id_a, id_b, diag, island
+       |  HAVING max(pos_a) - min(pos_a) + $SpanK >= $SpanMinLen)""".stripMargin
+
   def oracle: Map[String, String] = Map(
+    "q_dedup_spans" ->
+      s"""WITH $spanGramSql
+         |SELECT id_a, id_b, start_a, start_b, span_len FROM sp""".stripMargin,
+
+    "q_dedup_span_coverage" ->
+      s"""WITH $spanGramSql,
+         |sides AS (
+         |  SELECT id_a AS doc_id, start_a AS s, start_a + span_len AS e FROM sp
+         |  UNION
+         |  SELECT id_b, start_b, start_b + span_len FROM sp),
+         |ord AS (SELECT *, max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+         |  FROM sides),
+         |grp AS (SELECT *, sum(CASE WHEN prev_max IS NULL OR s > prev_max
+         |      THEN 1 ELSE 0 END)
+         |    OVER (PARTITION BY doc_id ORDER BY s, e
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp_id
+         |  FROM ord),
+         |un AS (SELECT doc_id, grp_id, min(s) AS us, max(e) AS ue
+         |  FROM grp GROUP BY doc_id, grp_id)
+         |SELECT doc_id, CAST(sum(ue - us) AS BIGINT) AS dup_chars
+         |FROM un GROUP BY doc_id""".stripMargin,
+
     "q_dedup_exact" ->
       """SELECT doc_id,
         |  min(doc_id) OVER (PARTITION BY lower(trim(text))) AS canonical_id,

@@ -10,9 +10,18 @@ import java.security.MessageDigest
   * the bench. Complements PlanShapeSpec's property pins with
   * whole-plan coverage.
   *
-  * Normalization strips run-variant noise — expression/plan ids, file
-  * paths, partition counts, sizes — leaving operator structure, join
-  * strategies, keys, pushed filters, and read schemas.
+  * Normalization reduces the plan to its SALIENT token stream —
+  * exchanges (with partitioning keys), join strategies, aggregate and
+  * window nodes, scans with pushed filters and read schemas — in tree
+  * order. Byte-hashing the full tree string proved too brittle: the
+  * order of constraint-inferred `isnotnull` conjuncts inside Filter
+  * nodes varies with session history (expression-id allocation), so
+  * identical plans hashed differently depending on which queries ran
+  * earlier in the same JVM. The token stream keeps exactly what the
+  * gate must defend (a window sneaking a shuffle back in, a broadcast
+  * degrading to sort-merge, a filter no longer pushed, a scan reading
+  * extra columns) and nothing order-fragile; PushedFilters lists are
+  * sorted for the same reason.
   */
 object PlanPin {
 
@@ -32,19 +41,35 @@ object PlanPin {
     "q_range_join_active",
     "q_declare_constraints")
 
-  def normalize(plan: String): String = plan
-    .replaceAll("#\\d+[A-Za-z]*", "#x")                 // expression ids
-    .replaceAll("@[0-9a-f]{4,}", "@x")                  // identity hashes
-    .replaceAll("plan_id=\\d+", "plan_id=x")
-    .replaceAll("\\[id=#x\\]", "")
-    .replaceAll("(hash|range)partitioning\\(([^)]*), \\d+\\)", "$1partitioning($2, n)")
-    .replaceAll("InMemoryFileIndex\\([^)]*\\)\\[[^\\]]*\\]?", "files")
-    .replaceAll("file:[^,\\s\\]]+", "path")
-    .replaceAll("/[-A-Za-z0-9_./]*parquet[^,\\s\\]]*", "path")
-    .replaceAll("Statistics\\([^)]*\\)", "stats")
-    .replaceAll("\\d+\\.\\d+ (B|KiB|MiB|GiB)", "size")
-    .replaceAll("\\s+", " ")
-    .trim
+  private val Salient = (
+    "ReusedExchange|" +
+    "Exchange (?:hash|range)partitioning\\([^)]*\\)|" +
+    "Exchange SinglePartition|" +
+    "Exchange RoundRobinPartitioning\\(n\\)|" +
+    "BroadcastExchange|" +
+    "BroadcastHashJoin \\w+|SortMergeJoin \\w+|ShuffledHashJoin \\w+|" +
+    "CartesianProduct|BroadcastNestedLoopJoin|" +
+    "HashAggregate|ObjectHashAggregate|SortAggregate|" +
+    "WindowGroupLimit|Window|Generate|Expand|" +
+    "FileScan parquet|" +
+    "PushedFilters: \\[[^\\]]*\\]|" +
+    "ReadSchema: struct<[^>]*>").r
+
+  def normalize(plan: String): String = {
+    val pre = plan
+      .replaceAll("#\\d+[A-Za-z]*", "#x")               // expression ids
+      .replaceAll("@[0-9a-f]{4,}", "@x")                // identity hashes
+      .replaceAll("plan_id=\\d+", "plan_id=x")
+      .replaceAll("(hash|range)partitioning\\(([^)]*), \\d+\\)", "$1partitioning($2, n)")
+      .replaceAll("RoundRobinPartitioning\\(\\d+\\)", "RoundRobinPartitioning(n)")
+      .replaceAll("\\s+", " ")
+    Salient.findAllIn(pre).map { t =>
+      if (t.startsWith("PushedFilters: [")) {
+        val inner = t.stripPrefix("PushedFilters: [").stripSuffix("]")
+        "PushedFilters: [" + inner.split(", ").sorted.mkString(", ") + "]"
+      } else t
+    }.mkString("\n")
+  }
 
   def digest(plan: String): String =
     MessageDigest.getInstance("SHA-256")

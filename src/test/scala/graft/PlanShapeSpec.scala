@@ -162,4 +162,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p.take(1200))
   }
+
+  test("span dedup: NO join at all — pairs explode from the gram aggregate") {
+    val p = plan("q_dedup_spans")
+    assert(!p.contains("Join"), "pair generation must come from the " +
+      "inverted-index aggregate itself, not a join-back: " + p.take(1200))
+    assert(!p.contains("CartesianProduct"))
+    // exactly two data exchanges: groupBy(gram) + the diagonal window
+    // (+1 allowed for AQE final-output coalescing variance)
+    val ex = "Exchange".r.findAllIn(p).length
+    assert(ex <= 3, s"span dedup grew exchanges: $ex\n" + p.take(1500))
+  }
 }

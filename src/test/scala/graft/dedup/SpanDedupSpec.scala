@@ -1,0 +1,140 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Exact substring-span dedup vs a naive reference that works on REAL
+  * substrings (not hashes): at these sizes hash equality must coincide
+  * with string equality, so any rolling-hash or island-merge defect
+  * shows up as a span mismatch. */
+class SpanDedupSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** O(pairs · len²) reference: matched k-gram positions by string
+    * equality, merged along diagonals. */
+  private def naiveSpans(docs: Seq[(Long, String)], k: Int, minLen: Int)
+      : Set[(Long, Long, Long, Long, Long)] = {
+    val out = Set.newBuilder[(Long, Long, Long, Long, Long)]
+    for {
+      (ia, ta) <- docs; (ib, tb) <- docs if ia < ib
+    } {
+      val matches = for {
+        pa <- 0 to ta.length - k
+        pb <- 0 to tb.length - k
+        if ta.substring(pa, pa + k) == tb.substring(pb, pb + k)
+      } yield (pa, pb)
+      matches.groupBy { case (pa, pb) => pa - pb }.foreach { case (diag, ms) =>
+        val ps = ms.map(_._1).sorted
+        // islands of consecutive positions
+        var runStart = ps.head
+        var prev = ps.head
+        def emit(endPos: Int): Unit = {
+          val len = endPos - runStart + k
+          if (len >= minLen)
+            out += ((ia, ib, runStart.toLong, (runStart - diag).toLong, len.toLong))
+        }
+        ps.tail.foreach { p =>
+          if (p != prev + 1) { emit(prev); runStart = p }
+          prev = p
+        }
+        emit(prev)
+      }
+    }
+    out.result()
+  }
+
+  private def naiveCoverage(spans: Set[(Long, Long, Long, Long, Long)])
+      : Map[Long, Long] = {
+    val intervals = spans.toSeq.flatMap { case (a, b, sa, sb, len) =>
+      Seq((a, sa, sa + len), (b, sb, sb + len)) }.distinct
+    intervals.groupBy(_._1).map { case (doc, ivs) =>
+      val sorted = ivs.map(t => (t._2, t._3)).sortBy(identity)
+      var total = 0L
+      var curS = sorted.head._1
+      var curE = sorted.head._2
+      sorted.tail.foreach { case (s, e) =>
+        if (s > curE) { total += curE - curS; curS = s; curE = e }
+        else curE = math.max(curE, e)
+      }
+      total += curE - curS
+      doc -> total
+    }
+  }
+
+  private def run(docs: Seq[(Long, String)], k: Int, minLen: Int,
+      maxDf: Long = 1000000L) = {
+    val df = docs.toDF("doc_id", "text")
+    val spans = SpanDedup.duplicatedSpans(df, "doc_id", "text", k, minLen, maxDf)
+    val got = spans.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    val cov = SpanDedup.spanCoverage(spans).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    (got, cov)
+  }
+
+  test("planted spans: shared sentence found once, maximal, both offsets right") {
+    // the shared region includes the flanking spaces both docs carry:
+    // " <sentence> " — 45 chars starting at the space (offsets 4 / 8)
+    val shared = "the quick brown fox jumps over the lazy dog"
+    val docs = Seq(
+      1L -> s"AAAA $shared BBBB",
+      2L -> s"CCCCCCCC $shared DD",
+      3L -> "nothing in common here at all, completely different")
+    val expectLen = shared.length.toLong + 2
+    val (got, cov) = run(docs, k = 8, minLen = 20)
+    assert(got == Set((1L, 2L, 4L, 8L, expectLen)))
+    assert(cov == Map(1L -> expectLen, 2L -> expectLen))
+  }
+
+  test("identical docs: one span covering the whole text") {
+    val t = "identical documents share everything, start to end"
+    val (got, cov) = run(Seq(10L -> t, 20L -> t), k = 8, minLen = 10)
+    assert(got == Set((10L, 20L, 0L, 0L, t.length.toLong)))
+    assert(cov == Map(10L -> t.length.toLong, 20L -> t.length.toLong))
+  }
+
+  test("random small-alphabet corpora == naive substring reference (spans + coverage)") {
+    val rnd = new scala.util.Random(20260813L)
+    (1 to 12).foreach { round =>
+      val n = 3 + rnd.nextInt(4)
+      val docs = (1L to n.toLong).map { i =>
+        // tiny alphabet → frequent genuine shared substrings
+        i -> (0 until (20 + rnd.nextInt(60))).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+      }
+      val k = 4 + rnd.nextInt(3)
+      val minLen = k + rnd.nextInt(6)
+      val (got, cov) = run(docs, k, minLen)
+      val want = naiveSpans(docs, k, minLen)
+      assert(got == want, s"round $round k=$k minLen=$minLen docs=$docs")
+      assert(cov == naiveCoverage(want), s"coverage round $round")
+    }
+  }
+
+  test("docs shorter than k and empty docs contribute nothing") {
+    val (got, cov) = run(Seq(1L -> "abc", 2L -> "abc", 3L -> ""), k = 8, minLen = 8)
+    assert(got.isEmpty && cov.isEmpty)
+  }
+
+  test("maxDf hub cutoff drops over-shared grams (documented recall trade)") {
+    val t = "zzzzzzzzzzzzzzzzzzzzzzzz" // every 8-gram identical: df = 17*4 > 3
+    val docs = Seq(1L -> t, 2L -> t, 3L -> t, 4L -> t)
+    val (got, _) = run(docs, k = 8, minLen = 8, maxDf = 3L)
+    assert(got.isEmpty) // all grams are hubs above the cutoff
+    // without the cutoff, self-similar text matches on EVERY diagonal
+    // (one maximal span per diagonal per pair — the reference agrees)
+    val (full, _) = run(docs, k = 8, minLen = 8, maxDf = 1000L)
+    assert(full == naiveSpans(docs, k = 8, minLen = 8))
+    assert(full.exists { case (a, b, sa, sb, len) =>
+      a == 1L && b == 2L && sa == 0L && sb == 0L && len == t.length.toLong })
+  }
+
+  test("minLen below k is rejected") {
+    intercept[IllegalArgumentException] {
+      SpanDedup.duplicatedSpans(Seq((1L, "x")).toDF("doc_id", "text"),
+        "doc_id", "text", k = 8, minLen = 4, maxDf = 10L)
+    }
+  }
+}

@@ -88,6 +88,24 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("gramHashes: position i == charHash of the i-th k-gram, on 200 random unicode strings") {
+    (1 to 200).foreach { _ =>
+      val s = randString(60)
+      val k = 1 + rnd.nextInt(8)
+      val got = Native.gramHashes(UTF8String.fromString(s), k)
+      val cps = s.codePoints().toArray
+      if (cps.length < k) assert(got.numElements() == 0)
+      else {
+        assert(got.numElements() == cps.length - k + 1)
+        (0 to cps.length - k).foreach { i =>
+          var h = 7L
+          (i until i + k).foreach(j => h = (h * Portable.CharMul + cps(j)) % P)
+          assert(got.getLong(i) == h, s"pos $i of '$s' k=$k")
+        }
+      }
+    }
+  }
+
   test("pqAdc: zero-norm query or reconstruction scores the -2.0 sentinel, never NaN") {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     val qIds = Array(1L, 2L)
