@@ -70,23 +70,15 @@ object SpanDedup {
         (col("start_a") - col("_diag")).as("start_b"), col("span_len"))
   }
 
-  /** Per-document duplicated-character count: the size of the UNION of
-    * all spans (either side) touching the doc — the signal span-aware
-    * filters threshold on ("drop docs that are >X% boilerplate").
-    * Interval union per doc is one more gaps-and-islands window over
-    * span starts (runs split where a span starts past the running max
-    * end); docs with no spans are absent (join back as 0 upstream if
-    * needed). */
-  def spanCoverage(spans: DataFrame): DataFrame = {
-    val sides = spans.select(col("id_a").as("doc_id"),
-        col("start_a").as("_s"), (col("start_a") + col("span_len")).as("_e"))
-      .unionByName(spans.select(col("id_b").as("doc_id"),
-        col("start_b").as("_s"), (col("start_b") + col("span_len")).as("_e")))
-      .distinct()
+  /** Interval UNION per doc — merge overlapping/adjacent (s, e) rows
+    * into disjoint (doc_id, _us, _ue) intervals: one gaps-and-islands
+    * window over starts (an island breaks where a start exceeds the
+    * running max end). */
+  private def mergedIntervals(sides: DataFrame): DataFrame = {
     val wOrd = Window.partitionBy(col("doc_id"))
       .orderBy(col("_s"), col("_e"))
     val wRun = wOrd.rowsBetween(Window.unboundedPreceding, -1)
-    sides
+    sides.distinct()
       .withColumn("_prevMax", max(col("_e")).over(wRun))
       .withColumn("_new",
         when(col("_prevMax").isNull || col("_s") > col("_prevMax"), 1L)
@@ -95,7 +87,66 @@ object SpanDedup {
         wOrd.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy(col("doc_id"), col("_grp"))
       .agg(min(col("_s")).as("_us"), max(col("_e")).as("_ue"))
+      .select("doc_id", "_us", "_ue")
+  }
+
+  /** Per-document duplicated-character count: the size of the UNION of
+    * all spans (either side) touching the doc — the signal span-aware
+    * filters threshold on ("drop docs that are >X% boilerplate").
+    * Docs with no spans are absent (join back as 0 upstream if
+    * needed). */
+  def spanCoverage(spans: DataFrame): DataFrame = {
+    val sides = spans.select(col("id_a").as("doc_id"),
+        col("start_a").as("_s"), (col("start_a") + col("span_len")).as("_e"))
+      .unionByName(spans.select(col("id_b").as("doc_id"),
+        col("start_b").as("_s"), (col("start_b") + col("span_len")).as("_e")))
+    mergedIntervals(sides)
       .groupBy(col("doc_id"))
       .agg(sum(col("_ue") - col("_us")).as("dup_chars"))
+  }
+
+  /** Span-scrubbed corpus (the Lee et al. "deduplicating training data"
+    * transformation): every duplicated span keeps its EARLIEST
+    * occurrence (smallest doc_id = the span pair's id_a side) and is
+    * deleted from every later doc — so `spans`' id_b-side intervals
+    * are cut out of their docs and the surviving text re-concatenated.
+    * Intra-doc repeats are out of scope (spans are cross-doc by
+    * construction). Returns every doc: (idCol, clean_text) — untouched
+    * docs pass through whole, fully-duplicated docs come back empty.
+    *
+    * Shape: merged cut-intervals per doc (window over span rows, tiny),
+    * complement segments via one lag window + per-doc tail row, then
+    * ONE equi-join back to the text and an ordered concat per doc —
+    * text moves through exactly one shuffle. */
+  def scrub(docs: DataFrame, idCol: String, textCol: String,
+      spans: DataFrame): DataFrame = {
+    val cuts = mergedIntervals(spans.select(col("id_b").as("doc_id"),
+      col("start_b").as("_s"), (col("start_b") + col("span_len")).as("_e")))
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("_us"))
+    // complement of the cuts: the gap before each cut + the tail after
+    // the last cut (tail end = null -> clamped to the doc length below)
+    val gaps = cuts
+      .withColumn("_ss", coalesce(lag(col("_ue"), 1).over(wd), lit(0L)))
+      .select(col("doc_id"), col("_ss"), col("_us").as("_se"))
+    val tails = cuts.groupBy(col("doc_id"))
+      .agg(max(col("_ue")).as("_ss"))
+      .withColumn("_se", lit(null).cast("long"))
+    val segs = gaps.unionByName(tails)
+    val ids = docs.select(col(idCol).cast("long").as("doc_id"))
+    val cleaned = docs
+      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("_text"))
+      .join(segs, Seq("doc_id"), "left")
+      .withColumn("_len", length(col("_text")).cast("long"))
+      // doc with no cuts: one whole-text segment [0, len)
+      .withColumn("_ss", coalesce(col("_ss"), lit(0L)))
+      .withColumn("_se", coalesce(col("_se"), col("_len")))
+      .filter(col("_se") > col("_ss"))
+      .withColumn("_piece", expr("substring(_text, cast(_ss + 1 as int), cast(_se - _ss as int))"))
+      .groupBy(col("doc_id"))
+      .agg(concat_ws("", sort_array(collect_list(struct(col("_ss"), col("_piece"))))
+        .getField("_piece")).as("clean_text"))
+    // fully-covered (and empty) docs have no surviving segment: empty
+    ids.join(cleaned, Seq("doc_id"), "left")
+      .withColumn("clean_text", coalesce(col("clean_text"), lit("")))
   }
 }

@@ -104,6 +104,17 @@ object DedupQueries {
       graft.dedup.SpanDedup.spanCoverage(
         graft.dedup.SpanDedup.duplicatedSpans(Tables(s, dir, "documents"),
           "doc_id", "text", k = SpanK, minLen = SpanMinLen, maxDf = SpanMaxDf))
+    },
+
+    // The scrubbed corpus (Lee et al. exact substring dedup as a
+    // TRANSFORMATION): each duplicated span survives only in its
+    // earliest doc; later docs get the span cut out and the remainder
+    // re-concatenated.
+    "q_dedup_scrub" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      graft.dedup.SpanDedup.scrub(docs, "doc_id", "text",
+        graft.dedup.SpanDedup.duplicatedSpans(docs,
+          "doc_id", "text", k = SpanK, minLen = SpanMinLen, maxDf = SpanMaxDf))
     }
   )
 
@@ -162,6 +173,47 @@ object DedupQueries {
     "q_dedup_spans" ->
       s"""WITH $spanGramSql
          |SELECT id_a, id_b, start_a, start_b, span_len FROM sp""".stripMargin,
+
+    // cut the id_b-side merged intervals out of each doc, keep the
+    // complement segments, re-concatenate in order; untouched docs
+    // pass through, fully-covered docs come back empty
+    "q_dedup_scrub" ->
+      s"""WITH $spanGramSql,
+         |iv AS (SELECT DISTINCT id_b AS doc_id, start_b AS s,
+         |    start_b + span_len AS e FROM sp),
+         |ord AS (SELECT *, max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+         |  FROM iv),
+         |grp2 AS (SELECT *, sum(CASE WHEN prev_max IS NULL OR s > prev_max
+         |      THEN 1 ELSE 0 END)
+         |    OVER (PARTITION BY doc_id ORDER BY s, e
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid
+         |  FROM ord),
+         |cuts AS (SELECT doc_id, gid, min(s) AS us, max(e) AS ue
+         |  FROM grp2 GROUP BY doc_id, gid),
+         |segs AS (
+         |  SELECT doc_id,
+         |    coalesce(lag(ue) OVER (PARTITION BY doc_id ORDER BY us), 0) AS ss,
+         |    us AS se
+         |  FROM cuts
+         |  UNION ALL
+         |  SELECT doc_id, max(ue) AS ss, NULL AS se
+         |  FROM cuts GROUP BY doc_id),
+         |pieces AS (
+         |  SELECT d.doc_id, x.ss,
+         |    substr(d.text, CAST(x.ss + 1 AS BIGINT),
+         |      CAST(coalesce(x.se, length(d.text)) - x.ss AS BIGINT)) AS piece
+         |  FROM documents d JOIN segs x ON x.doc_id = d.doc_id
+         |  WHERE coalesce(x.se, length(d.text)) > x.ss),
+         |agg2 AS (SELECT doc_id, string_agg(piece, '' ORDER BY ss) AS clean_text
+         |  FROM pieces GROUP BY doc_id),
+         |cut_docs AS (SELECT DISTINCT doc_id FROM cuts)
+         |SELECT d.doc_id,
+         |  CASE WHEN cd.doc_id IS NOT NULL THEN coalesce(a.clean_text, '')
+         |       ELSE d.text END AS clean_text
+         |FROM documents d
+         |LEFT JOIN agg2 a ON a.doc_id = d.doc_id
+         |LEFT JOIN cut_docs cd ON cd.doc_id = d.doc_id""".stripMargin,
 
     "q_dedup_span_coverage" ->
       s"""WITH $spanGramSql,

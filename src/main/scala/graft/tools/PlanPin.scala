@@ -38,8 +38,11 @@ object PlanPin {
     "q_sim_topk_ivfpq",
     "q_sim_knn_graph",
     "q_sim_knn_graph_auto",
+    "q_sim_topk_pq_auto",
     "q_range_join_active",
-    "q_declare_constraints")
+    "q_declare_constraints",
+    "q_dedup_spans",
+    "q_dedup_span_coverage")
 
   private val Salient = (
     "ReusedExchange|" +

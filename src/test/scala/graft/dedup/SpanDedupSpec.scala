@@ -131,6 +131,58 @@ class SpanDedupSpec extends SparkSpec {
       a == 1L && b == 2L && sa == 0L && sb == 0L && len == t.length.toLong })
   }
 
+  private def naiveScrub(docs: Seq[(Long, String)],
+      spans: Set[(Long, Long, Long, Long, Long)]): Map[Long, String] = {
+    val cuts = spans.toSeq.map { case (_, b, _, sb, len) => (b, sb, sb + len) }
+      .groupBy(_._1)
+    docs.map { case (id, text) =>
+      val keep = new StringBuilder
+      val dead = Array.fill(text.length)(false)
+      cuts.getOrElse(id, Nil).foreach { case (_, s, e) =>
+        (s.toInt until math.min(e.toInt, text.length)).foreach(dead(_) = true) }
+      text.zipWithIndex.foreach { case (c, i) => if (!dead(i)) keep += c }
+      id -> keep.toString
+    }.toMap
+  }
+
+  test("scrub: later docs lose the span, first occurrence survives, others untouched") {
+    val shared = "the quick brown fox jumps over the lazy dog"
+    val docs = Seq(
+      1L -> s"AAAA $shared BBBB",
+      2L -> s"CCCCCCCC $shared DD",
+      3L -> "nothing in common here at all, completely different")
+    val df = docs.toDF("doc_id", "text")
+    val spans = SpanDedup.duplicatedSpans(df, "doc_id", "text", 8, 20, 1000L)
+    val got = SpanDedup.scrub(df, "doc_id", "text", spans).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == docs(0)._2)            // earliest occurrence kept whole
+    assert(got(2L) == "CCCCCCCCDD")          // " shared " cut out
+    assert(got(3L) == docs(2)._2)            // untouched doc passes through
+  }
+
+  test("scrub: fully-duplicated doc comes back empty; random corpora == naive cut reference") {
+    val t = "identical documents share everything, start to end"
+    val df = Seq(10L -> t, 20L -> t).toDF("doc_id", "text")
+    val spans = SpanDedup.duplicatedSpans(df, "doc_id", "text", 8, 10, 1000L)
+    val got = SpanDedup.scrub(df, "doc_id", "text", spans).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(10L -> t, 20L -> ""))
+
+    val rnd = new scala.util.Random(20260814L)
+    (1 to 8).foreach { round =>
+      val docs = (1L to (3 + rnd.nextInt(3)).toLong).map { i =>
+        i -> (0 until (15 + rnd.nextInt(50))).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+      }
+      val k = 4 + rnd.nextInt(3)
+      val df2 = docs.toDF("doc_id", "text")
+      val sp = SpanDedup.duplicatedSpans(df2, "doc_id", "text", k, k, 1000000L)
+      val want = naiveScrub(docs, naiveSpans(docs, k, k))
+      val got2 = SpanDedup.scrub(df2, "doc_id", "text", sp).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got2 == want, s"round $round k=$k docs=$docs")
+    }
+  }
+
   test("minLen below k is rejected") {
     intercept[IllegalArgumentException] {
       SpanDedup.duplicatedSpans(Seq((1L, "x")).toDF("doc_id", "text"),
