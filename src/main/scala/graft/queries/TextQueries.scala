@@ -175,6 +175,16 @@ object TextQueries {
       graft.text.Mixture.sampleToBudget(Tables(s, dir, "documents"),
         groupCol = "lang", sizeCol = col("n_chars"), keyCol = "doc_id",
         budgetUnits = 60000L, alpha = 0.5, seed = 42L)
+    },
+
+    // Sequence packing (concat-and-chunk pretraining layout): each
+    // doc's place in the fixed-length training sequences is a pure
+    // function of the exact global token prefix sum — computed with
+    // the distributed bucket-cumsum pattern, never a single-partition
+    // global window.
+    "q_text_seq_pack" -> { (s, dir) =>
+      graft.text.Packing.pack(Tables(s, dir, "documents"), "doc_id",
+        TextOps.tokenCount(col("text")), seqLen = 512L)
     }
   )
 
@@ -184,6 +194,25 @@ object TextQueries {
     markers.map(m => s"'$m'").mkString("[", ",", "]")
 
   def oracle: Map[String, String] = Map(
+    // the oracle's plain global window IS the semantics; the Spark
+    // side reproduces it with the bucketed two-level cumsum
+    "q_text_seq_pack" ->
+      s"""WITH t AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n
+         |  FROM documents),
+         |c AS (SELECT doc_id, n,
+         |    CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS tok_start
+         |  FROM t)
+         |SELECT doc_id, n AS n_tokens, tok_start,
+         |  tok_start // 512 AS bin_first,
+         |  CASE WHEN n > 0 THEN (tok_start + n - 1) // 512
+         |       ELSE tok_start // 512 END AS bin_last,
+         |  CASE WHEN n > 0
+         |       THEN (tok_start + n - 1) // 512 - tok_start // 512 + 1
+         |       ELSE 0 END AS n_chunks
+         |FROM c""".stripMargin,
+
     "q_text_token_counts" ->
       s"""SELECT doc_id,
          |  CAST(len($toksSql) AS BIGINT) AS n_tokens,
