@@ -115,6 +115,26 @@ object DedupQueries {
       graft.dedup.SpanDedup.scrub(docs, "doc_id", "text",
         graft.dedup.SpanDedup.duplicatedSpans(docs,
           "doc_id", "text", k = SpanK, minLen = SpanMinLen, maxDf = SpanMaxDf))
+    },
+
+    // Incremental snapshot diff: old/new snapshots synthesized
+    // deterministically from the corpus (10% of ids dropped per side,
+    // every 7th doc edited, half the dropped ids re-keyed +1000000 so
+    // both 'moved' and plain 'removed' occur). The engine diffs by
+    // content DIGEST (xxhash64+md5, map-side); the oracle diffs by the
+    // raw text itself — digest equality must coincide with content
+    // equality or the gate fails.
+    "q_dedup_delta" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val old = docs.filter(col("doc_id") % 10 =!= 3)
+        .select(col("doc_id"), col("text"))
+      val neu = docs.filter(col("doc_id") % 10 =!= 6)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(docs.filter(col("doc_id") % 20 === 6)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      graft.dedup.Delta.corpusDelta(old, neu, "doc_id", "text")
     }
   )
 
@@ -173,6 +193,38 @@ object DedupQueries {
     "q_dedup_spans" ->
       s"""WITH $spanGramSql
          |SELECT id_a, id_b, start_a, start_b, span_len FROM sp""".stripMargin,
+
+    // same snapshot construction; statuses derived from RAW TEXT
+    // equality (the semantics the engine's digests must reproduce)
+    "q_dedup_delta" ->
+      """WITH old AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 3),
+        |neu AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 10 <> 6
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 20 = 6),
+        |j AS (SELECT o.doc_id AS ido, n.doc_id AS idn,
+        |    o.text AS t_old, n.text AS t_new
+        |  FROM old o FULL OUTER JOIN neu n ON o.doc_id = n.doc_id),
+        |changed AS (SELECT ido AS doc_id, 'changed' AS status,
+        |    CAST(NULL AS BIGINT) AS moved_to
+        |  FROM j WHERE ido IS NOT NULL AND idn IS NOT NULL AND t_old <> t_new),
+        |rem AS (SELECT ido AS id, t_old AS t FROM j WHERE idn IS NULL),
+        |ad  AS (SELECT idn AS id, t_new AS t FROM j WHERE ido IS NULL),
+        |mt AS (SELECT t, min(id) AS to_id FROM ad GROUP BY t),
+        |ms AS (SELECT t, min(id) AS to_id FROM rem GROUP BY t),
+        |removed AS (SELECT r.id AS doc_id,
+        |    CASE WHEN mt.to_id IS NOT NULL THEN 'moved' ELSE 'removed' END AS status,
+        |    mt.to_id AS moved_to
+        |  FROM rem r LEFT JOIN mt ON mt.t = r.t),
+        |added AS (SELECT a.id AS doc_id,
+        |    CASE WHEN ms.to_id IS NOT NULL THEN 'moved' ELSE 'added' END AS status,
+        |    ms.to_id AS moved_to
+        |  FROM ad a LEFT JOIN ms ON ms.t = a.t)
+        |SELECT * FROM changed UNION ALL
+        |SELECT * FROM removed UNION ALL
+        |SELECT * FROM added""".stripMargin,
 
     // cut the id_b-side merged intervals out of each doc, keep the
     // complement segments, re-concatenate in order; untouched docs
