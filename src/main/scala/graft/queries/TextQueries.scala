@@ -185,6 +185,16 @@ object TextQueries {
     "q_text_seq_pack" -> { (s, dir) =>
       graft.text.Packing.pack(Tables(s, dir, "documents"), "doc_id",
         TextOps.tokenCount(col("text")), seqLen = 512L)
+    },
+
+    // LM-based quality scoring (CCNet-style, determinism-adapted):
+    // pooled add-1/2-smoothed bigram probability of each doc under
+    // the corpus's own bigram model — exact integer sums, one double
+    // division, so the oracle reproduces it bit-for-bit where
+    // log-perplexity (or a mean of doubles) could drift.
+    "q_text_lm_score" -> { (s, dir) =>
+      graft.text.NgramLm.scorePooled(Tables(s, dir, "documents"),
+        "doc_id", "text")
     }
   )
 
@@ -194,6 +204,24 @@ object TextQueries {
     markers.map(m => s"'$m'").mkString("[", ",", "]")
 
   def oracle: Map[String, String] = Map(
+    // bigram counts + unigram counts + |V| from the corpus, then per
+    // doc the pooled ratio sum(2*c2+1) / sum(2*c1+V) — integer sums,
+    // one double division (see NgramLm scaladoc)
+    "q_text_lm_score" ->
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |bg AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+         |  FROM tk, LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i) g
+         |  WHERE len(t) >= 2),
+         |uni AS (SELECT w1, count(*) AS c1 FROM
+         |  (SELECT unnest(t) AS w1 FROM tk) GROUP BY w1),
+         |v AS (SELECT count(*) AS vs FROM uni),
+         |bi AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2)
+         |SELECT bg.doc_id, count(*) AS n_bigrams,
+         |  CAST(sum(2 * bi.c2 + 1) AS BIGINT)
+         |    / CAST(sum(2 * uni.c1 + v.vs) AS BIGINT) AS lm_score
+         |FROM bg JOIN bi USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v
+         |GROUP BY bg.doc_id""".stripMargin,
+
     // the oracle's plain global window IS the semantics; the Spark
     // side reproduces it with the bucketed two-level cumsum
     "q_text_seq_pack" ->
