@@ -39,9 +39,17 @@ object SpanDedup {
 
   /** Maximal shared spans ≥ `minLen` code points between distinct
     * docs: (id_a, id_b, start_a, start_b, span_len), ids ordered
-    * id_a < id_b, positions 0-based. */
+    * id_a < id_b, positions 0-based.
+    *
+    * With `includeSelf = true`, SAME-doc repeats are matched too
+    * (id_a = id_b, pos_a < pos_b): each maximal intra-doc repetition
+    * surfaces as a span whose later occurrence starts at start_b —
+    * the Gopher-style repetition REMOVAL signal (periodic text like
+    * "abc abc abc" yields one long off-diagonal span; scrubbing its
+    * id_b side keeps exactly the first period). */
   def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
-      k: Int, minLen: Int, maxDf: Long): DataFrame = {
+      k: Int, minLen: Int, maxDf: Long,
+      includeSelf: Boolean = false): DataFrame = {
     require(minLen >= k, s"minLen ($minLen) must be >= k ($k)")
     val grams = docs.select(col(idCol).cast("long").as("_id"),
       posexplode(NativeExpressions.gramHashes(col(textCol), k))
@@ -50,10 +58,15 @@ object SpanDedup {
       .agg(count(lit(1)).as("_df"),
         collect_list(struct(col("_id"), col("_pos"))).as("_occ"))
       .filter(col("_df") >= 2 && col("_df") <= maxDf) // singletons pair with nothing
+    val keep =
+      if (includeSelf)
+        col("_a._id") < col("_b._id") ||
+          (col("_a._id") === col("_b._id") && col("_a._pos") < col("_b._pos"))
+      else col("_a._id") < col("_b._id")
     val pairs = occs
       .select(explode(col("_occ")).as("_a"), col("_occ"))
       .select(col("_a"), explode(col("_occ")).as("_b"))
-      .filter(col("_a._id") < col("_b._id"))
+      .filter(keep)
       .select(col("_a._id").as("id_a"), col("_b._id").as("id_b"),
         col("_a._pos").cast("long").as("pos_a"),
         col("_b._pos").cast("long").as("pos_b"))

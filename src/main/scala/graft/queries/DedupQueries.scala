@@ -117,6 +117,18 @@ object DedupQueries {
           "doc_id", "text", k = SpanK, minLen = SpanMinLen, maxDf = SpanMaxDf))
     },
 
+    // Intra-document repetition spans (the Gopher repetition-REMOVAL
+    // signal, where q_text_repetition only scores): maximal same-doc
+    // repeats — (doc_id, first occurrence, repeat occurrence, length).
+    "q_dedup_self_spans" -> { (s, dir) =>
+      graft.dedup.SpanDedup.duplicatedSpans(Tables(s, dir, "documents"),
+          "doc_id", "text", k = SelfK, minLen = SelfMinLen, maxDf = SpanMaxDf,
+          includeSelf = true)
+        .filter(col("id_a") === col("id_b"))
+        .select(col("id_a").as("doc_id"), col("start_a"), col("start_b"),
+          col("span_len"))
+    },
+
     // Incremental snapshot diff: old/new snapshots synthesized
     // deterministically from the corpus (10% of ids dropped per side,
     // every 7th doc edited, half the dropped ids re-keyed +1000000 so
@@ -141,6 +153,10 @@ object DedupQueries {
   private val SpanK = 30
   private val SpanMinLen = 45
   private val SpanMaxDf = 64L
+  // intra-doc repeats are shorter than cross-doc near-dup overlap in
+  // this corpus; smaller window so the self gate is non-vacuous
+  private val SelfK = 12
+  private val SelfMinLen = 18
 
   // ---- shared DuckDB fragments (replicate Portable arithmetic) ----
   private val toks = "[x for x in string_split_regex(text, '\\s+') if len(x) > 0]"
@@ -193,6 +209,29 @@ object DedupQueries {
     "q_dedup_spans" ->
       s"""WITH $spanGramSql
          |SELECT id_a, id_b, start_a, start_b, span_len FROM sp""".stripMargin,
+
+    // same gram index, pairs restricted to SAME doc with pos_a < pos_b
+    "q_dedup_self_spans" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+         |    ${charHashSql(s"substr(text, i, $SelfK)")} AS gh
+         |  FROM documents,
+         |    LATERAL (SELECT unnest(generate_series(1, length(text) - $SelfK + 1)) AS i) t
+         |  WHERE length(text) >= $SelfK),
+         |kept AS (SELECT doc_id, pos, gh FROM g
+         |  QUALIFY count(*) OVER (PARTITION BY gh) <= $SpanMaxDf),
+         |pr AS (SELECT a.doc_id, a.pos AS pos_a, b.pos AS pos_b
+         |  FROM kept a JOIN kept b
+         |    ON a.gh = b.gh AND a.doc_id = b.doc_id AND a.pos < b.pos),
+         |isl AS (SELECT doc_id, pos_a, pos_a - pos_b AS diag,
+         |    pos_a - row_number() OVER (
+         |      PARTITION BY doc_id, pos_a - pos_b ORDER BY pos_a) AS island
+         |  FROM pr)
+         |SELECT doc_id, min(pos_a) AS start_a,
+         |  min(pos_a) - diag AS start_b,
+         |  max(pos_a) - min(pos_a) + $SelfK AS span_len
+         |FROM isl GROUP BY doc_id, diag, island
+         |HAVING max(pos_a) - min(pos_a) + $SelfK >= $SelfMinLen""".stripMargin,
 
     // same snapshot construction; statuses derived from RAW TEXT
     // equality (the semantics the engine's digests must reproduce)

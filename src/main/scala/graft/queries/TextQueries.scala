@@ -195,6 +195,14 @@ object TextQueries {
     "q_text_lm_score" -> { (s, dir) =>
       graft.text.NgramLm.scorePooled(Tables(s, dir, "documents"),
         "doc_id", "text")
+    },
+
+    // Overlapping character-window chunking (RAG/embedding layout):
+    // width 200, stride 150 — offsets and clipping are a pure function
+    // of the text length, zero-shuffle.
+    "q_text_chunks" -> { (s, dir) =>
+      graft.text.Chunking.charChunks(Tables(s, dir, "documents"),
+        "doc_id", "text", width = 200, stride = 150)
     }
   )
 
@@ -204,6 +212,14 @@ object TextQueries {
     markers.map(m => s"'$m'").mkString("[", ",", "]")
 
   def oracle: Map[String, String] = Map(
+    "q_text_chunks" ->
+      """SELECT doc_id, CAST(g.i / 150 AS BIGINT) AS chunk_idx,
+        |  CAST(g.i AS BIGINT) AS chunk_start,
+        |  substr(text, g.i + 1, 200) AS chunk_text
+        |FROM documents,
+        |  LATERAL (SELECT unnest(generate_series(0, length(text) - 1, 150)) AS i) g
+        |WHERE length(text) > 0""".stripMargin,
+
     // bigram counts + unigram counts + |V| from the corpus, then per
     // doc the pooled ratio sum(2*c2+1) / sum(2*c1+V) — integer sums,
     // one double division (see NgramLm scaladoc)

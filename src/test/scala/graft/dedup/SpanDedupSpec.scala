@@ -14,15 +14,17 @@ class SpanDedupSpec extends SparkSpec {
 
   /** O(pairs · len²) reference: matched k-gram positions by string
     * equality, merged along diagonals. */
-  private def naiveSpans(docs: Seq[(Long, String)], k: Int, minLen: Int)
-      : Set[(Long, Long, Long, Long, Long)] = {
+  private def naiveSpans(docs: Seq[(Long, String)], k: Int, minLen: Int,
+      includeSelf: Boolean = false): Set[(Long, Long, Long, Long, Long)] = {
     val out = Set.newBuilder[(Long, Long, Long, Long, Long)]
     for {
-      (ia, ta) <- docs; (ib, tb) <- docs if ia < ib
+      (ia, ta) <- docs; (ib, tb) <- docs
+      if ia < ib || (includeSelf && ia == ib)
     } {
       val matches = for {
         pa <- 0 to ta.length - k
         pb <- 0 to tb.length - k
+        if ia != ib || pa < pb
         if ta.substring(pa, pa + k) == tb.substring(pb, pb + k)
       } yield (pa, pb)
       matches.groupBy { case (pa, pb) => pa - pb }.foreach { case (diag, ms) =>
@@ -180,6 +182,41 @@ class SpanDedupSpec extends SparkSpec {
       val got2 = SpanDedup.scrub(df2, "doc_id", "text", sp).collect()
         .map(r => r.getLong(0) -> r.getString(1)).toMap
       assert(got2 == want, s"round $round k=$k docs=$docs")
+    }
+  }
+
+  test("self-spans: periodic text yields one off-diagonal span per period shift") {
+    // "abcd abcd abcd" (14 chars): diag -5 run = one maximal span of
+    // length 9 starting at (0, 5); diag -10 gives (0, 10) length 4
+    val df = Seq(1L -> "abcd abcd abcd").toDF("doc_id", "text")
+    val got = SpanDedup.duplicatedSpans(df, "doc_id", "text",
+        k = 4, minLen = 4, maxDf = 1000L, includeSelf = true)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got == naiveSpans(Seq(1L -> "abcd abcd abcd"), 4, 4, includeSelf = true))
+    assert(got.contains((1L, 1L, 0L, 5L, 9L)), got.toString)
+    // scrubbing the self-spans keeps exactly the first period
+    val scrubbed = SpanDedup.scrub(df, "doc_id", "text",
+      SpanDedup.duplicatedSpans(df, "doc_id", "text", 4, 4, 1000L,
+        includeSelf = true)).collect()
+    assert(scrubbed.map(_.getString(1)).toSeq == Seq("abcd "))
+  }
+
+  test("random corpora with self-matching == naive reference") {
+    val rnd = new scala.util.Random(20260817L)
+    (1 to 8).foreach { round =>
+      val docs = (1L to (2 + rnd.nextInt(3)).toLong).map { i =>
+        i -> (0 until (20 + rnd.nextInt(40))).map(_ => ('a' + rnd.nextInt(2)).toChar).mkString
+      }
+      val k = 4 + rnd.nextInt(2)
+      val got = SpanDedup.duplicatedSpans(docs.toDF("doc_id", "text"),
+          "doc_id", "text", k, k, 1000000L, includeSelf = true)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+      assert(got == naiveSpans(docs, k, k, includeSelf = true),
+        s"round $round k=$k docs=$docs")
     }
   }
 
