@@ -453,24 +453,29 @@ object DedupQueries {
          |WHERE ${dot("va", "vb")} / (sqrt(${dot("va", "va")}) * sqrt(${dot("vb", "vb")})) >= 0.4""".stripMargin
     },
 
-    // Same construction as q_dedup_embedding_lsh with planes = 5: the
-    // value cosinePairsLshAuto resolves at the sf0.01 gate
-    // (autoPlanes(500, 16) — the pin KnnGraphSpec asserts).
+    // Same construction as q_dedup_embedding_lsh, with planes derived
+    // from the corpus count IN SQL (smallest p in [2,48] with 2^p >=
+    // ceil(n/16) — Ann.autoPlanes' integer-exact arithmetic), so the
+    // oracle tracks cosinePairsLshAuto at ANY sf.
     "q_dedup_embedding_lsh_auto" -> {
       def dot(a: String, b: String) =
         s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
           s"[CAST($a[i] AS DOUBLE)*CAST($b[i] AS DOUBLE) " +
           s"for i in generate_series(1, len($a))]), (s, v) -> s + v)"
-      val w = graft.sim.Ann.weightSql("(tbl*5 + p)", "i", 42L, 64)
+      val w = graft.sim.Ann.weightSql("(tbl*pl + p)", "i", 42L, 64)
       val planeDot = s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
         s"[CAST(v[i] AS DOUBLE) * $w for i in generate_series(1, 64)]), " +
         s"(s, x) -> s + x)"
       s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+         |params AS (SELECT LEAST(48, coalesce((SELECT min(p)
+         |    FROM generate_series(2, 48) gp(p)
+         |    WHERE (CAST(1 AS BIGINT) << p) >=
+         |      (SELECT (count(*) + 15) // 16 FROM e)), 48)) AS pl),
          |b AS (SELECT vec_id, v, gt.tbl AS tbl,
          |  CAST(list_sum([CASE WHEN $planeDot > 0
          |    THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END
-         |    for p in generate_series(0, 4)]) AS BIGINT) AS bkt
-         |  FROM e, generate_series(0, 3) gt(tbl)),
+         |    for p in generate_series(0, pl - 1)]) AS BIGINT) AS bkt
+         |  FROM e, generate_series(0, 3) gt(tbl), params),
          |cand AS (SELECT DISTINCT a.vec_id AS id_a, a.v AS va,
          |    c.vec_id AS id_b, c.v AS vb
          |  FROM b a JOIN b c

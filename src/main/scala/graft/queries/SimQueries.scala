@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Portable.{Knuth, P}
-import graft.sim.Ann
+import graft.sim.{Ann, Diversity}
 
 /** Similarity-search surface over `embeddings`: exact brute-force
   * top-k and multi-table hyperplane-LSH approximate top-k. Query set =
@@ -90,8 +90,17 @@ object SimQueries {
     "q_sim_knn_graph_auto" -> { (s, dir) =>
       Ann.knnGraphAuto(Tables(s, dir, "embeddings"), "vec_id", "embedding",
         KGraph, TablesL, Seed, Dims, targetLoad = TargetLoad)
+    },
+    // Greedy k-center diversity sampling (farthest-point coreset):
+    // k map-side scans, selected vectors as literal arrays, argmax =
+    // TakeOrdered(1) — nothing corpus-sized collected.
+    "q_sim_kcenter" -> { (s, dir) =>
+      Diversity.kCenter(Tables(s, dir, "embeddings"),
+        "vec_id", "embedding", k = KCenter)
     }
   )
+
+  private val KCenter = 8
 
   private def dot(a: String, b: String) =
     s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
@@ -134,7 +143,7 @@ object SimQueries {
   // list fold — GROUP-BY SUM order would not be deterministic).
   // Parameterized by the stride so the fixed (oracle-anchor) and
   // count-derived (auto) variants share one construction.
-  private def pqOracleFor(stride: Int) =
+  private def pqOracleFor(stride: String) =
     s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
        |cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS kidx, v AS cv
        |  FROM e WHERE vec_id % $stride = 0),
@@ -163,9 +172,34 @@ object SimQueries {
        |WHERE rnk <= $K""".stripMargin
 
   def oracle: Map[String, String] = Map(
-    "q_sim_topk_pq" -> pqOracleFor(Stride),
-    // autoStride(500, 256) = 2 at the sf0.01 gate (pin: AnnSpec).
-    "q_sim_topk_pq_auto" -> pqOracleFor(AutoStrideSf001),
+    // greedy selection replayed as a single-row recursive CTE carrying
+    // the selected-id list; distances replicate the engine's fold
+    // exactly (fl(1-c) is monotone in c, so 1 - max(cos) IS min dist)
+    "q_sim_kcenter" ->
+      s"""WITH RECURSIVE emb AS (SELECT vec_id, embedding AS ev FROM embeddings),
+         |sel(r, id, min_dist, ids) AS (
+         |  SELECT 1 AS r, vec_id AS id, CAST(NULL AS DOUBLE) AS min_dist,
+         |    [vec_id] AS ids
+         |  FROM emb WHERE vec_id = (SELECT min(vec_id) FROM emb)
+         |  UNION ALL
+         |  SELECT sel.r + 1, nxt.id, nxt.d, list_append(sel.ids, nxt.id)
+         |  FROM sel, LATERAL (
+         |    SELECT cand.vec_id AS id,
+         |      1 - (SELECT max(${cosSql("cand.ev", "selv.ev")}) FROM emb selv
+         |           WHERE list_contains(sel.ids, selv.vec_id)) AS d
+         |    FROM emb cand
+         |    WHERE NOT list_contains(sel.ids, cand.vec_id)
+         |    ORDER BY d DESC, cand.vec_id ASC
+         |    LIMIT 1) nxt
+         |  WHERE sel.r < $KCenter)
+         |SELECT CAST(r AS INT) AS "rank", id AS vec_id, min_dist FROM sel""".stripMargin,
+
+    "q_sim_topk_pq" -> pqOracleFor(Stride.toString),
+    // stride derived from the corpus count IN SQL (integer-exact ceil,
+    // same arithmetic as Ann.autoStride), so the oracle is correct at
+    // ANY sf, not just the sf0.01 gate resolution
+    "q_sim_topk_pq_auto" -> pqOracleFor(
+      "(SELECT GREATEST(1, (count(*) + 255) // 256) FROM e)"),
     "q_sim_topk_brute" ->
       s"""WITH n AS (SELECT vec_id, embedding AS v FROM embeddings),
          |scored AS (
@@ -211,16 +245,25 @@ object SimQueries {
          |  FROM scored)
          |WHERE rnk <= $KGraph""".stripMargin,
 
-    // Same construction as q_sim_knn_graph with planes = 5: the value
-    // knnGraphAuto resolves at the sf0.01 gate (autoPlanes(500, 16)).
+    // Same construction as q_sim_knn_graph, with planes derived from
+    // the corpus count IN SQL (smallest p in [2,48] with 2^p >=
+    // ceil(n/16) — the integer-exact arithmetic of Ann.autoPlanes),
+    // so the oracle tracks the engine at ANY sf.
     "q_sim_knn_graph_auto" -> {
-      val pd = planeDotSqlFor(AutoPlanesSf001)
+      val w = Ann.weightSql("(tbl*pl + p)", "i", Seed, Dims)
+      val pd = s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        s"[CAST(v[i] AS DOUBLE) * $w for i in generate_series(1, $Dims)]), " +
+        s"(s, x) -> s + x)"
       s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+         |params AS (SELECT LEAST(48, coalesce((SELECT min(p)
+         |    FROM generate_series(2, 48) gp(p)
+         |    WHERE (CAST(1 AS BIGINT) << p) >=
+         |      (SELECT (count(*) + 15) // 16 FROM e)), 48)) AS pl),
          |b AS (SELECT vec_id, v, gt.tbl AS tbl,
          |  CAST(list_sum([CASE WHEN $pd > 0
          |    THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END
-         |    for p in generate_series(0, ${AutoPlanesSf001 - 1})]) AS BIGINT) AS bkt
-         |  FROM e, generate_series(0, ${TablesL - 1}) gt(tbl)),
+         |    for p in generate_series(0, pl - 1)]) AS BIGINT) AS bkt
+         |  FROM e, generate_series(0, ${TablesL - 1}) gt(tbl), params),
          |cand AS (SELECT DISTINCT q.vec_id AS id_q, q.v AS vq,
          |    c.vec_id AS id_n, c.v AS vn
          |  FROM b c JOIN b q

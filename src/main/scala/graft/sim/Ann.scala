@@ -332,7 +332,7 @@ object Ann {
     * is a constant 256 vectors — the parameter scaling that keeps PQ
     * linear at 100 TB. */
   def autoStride(n: Long, maxK: Int = 256): Int =
-    math.max(1, math.ceil(n.toDouble / maxK).toInt)
+    math.max(1L, (n + maxK - 1) / maxK).toInt // integer-exact ceil(n/maxK)
 
   /** [[pqTopK]] with the stride auto-sized from the corpus count (one
     * cheap count job) so the codebook is capped at `maxK` codewords —
@@ -385,8 +385,14 @@ object Ann {
     * load (and so per-bucket pair count) stays constant and total
     * candidate volume grows linearly with n. */
   def autoPlanes(n: Long, targetLoad: Int = 16): Int = {
-    val raw = math.ceil(math.log((n.toDouble / targetLoad).max(1.0)) / math.log(2.0)).toInt
-    math.min(48, math.max(2, raw))
+    // integer-exact: smallest p with 2^p >= ceil(n/targetLoad), clamped
+    // to [2, 48] — the float form (ceil(log2(n/target))) can flip by
+    // one at exact powers of two depending on the libm, which would
+    // desynchronize the engine from the SQL oracle's replica
+    val x = math.max(1L, (n + targetLoad - 1) / targetLoad)
+    var p = 2
+    while (p < 48 && (1L << p) < x) p += 1
+    p
   }
 
   /** [[knnGraph]] with planes auto-sized from the corpus count (one
