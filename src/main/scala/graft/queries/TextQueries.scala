@@ -183,7 +183,7 @@ object TextQueries {
     // the distributed bucket-cumsum pattern, never a single-partition
     // global window.
     "q_text_seq_pack" -> { (s, dir) =>
-      graft.text.Packing.pack(Tables(s, dir, "documents"), "doc_id",
+      graft.text.Packing.packAuto(Tables(s, dir, "documents"), "doc_id",
         TextOps.tokenCount(col("text")), seqLen = 512L)
     },
 

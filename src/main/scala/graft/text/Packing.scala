@@ -29,9 +29,13 @@ object Packing {
 
   /** Lay out docs (ordered by `idCol` ascending) into `seqLen`-token
     * sequences. `tokensCol` must be a non-negative token count.
-    * `bucketWidth` sizes the id-range buckets of the distributed
-    * cumsum (bucket count ≈ id-range / bucketWidth must stay
-    * broadcastable). */
+    *
+    * Caller contract on `bucketWidth`: the bucket-offset cumsum has
+    * one row per occupied id-range bucket, runs in a single-partition
+    * window, and is broadcast — id-range / bucketWidth must stay
+    * driver-small. A fixed width under a growing id range silently
+    * breaks that; derive it from the observed range ([[packAuto]])
+    * unless the range is fixed by construction. */
   def pack(docs: DataFrame, idCol: String, tokensCol: Column,
       seqLen: Long, bucketWidth: Long = 100000L): DataFrame = {
     require(seqLen > 0, "seqLen must be positive")
@@ -59,5 +63,21 @@ object Packing {
           .otherwise(lit(0L)))
       .select(col("_id").as(idCol), col("_n").as("n_tokens"),
         col("tok_start"), col("bin_first"), col("bin_last"), col("n_chunks"))
+  }
+
+  /** [[pack]] with the bucket width derived from the observed id range
+    * (one cheap min/max agg job) so the offset cumsum is at most
+    * `targetBuckets` rows at any id scale — the same count-derived
+    * sizing as [[graft.ops.RangeJoin.autoBucketUs]]. The result is
+    * bucket-width-invariant (PackingSpec proves it across widths), so
+    * this only changes the plan's constant, never the layout. */
+  def packAuto(docs: DataFrame, idCol: String, tokensCol: Column,
+      seqLen: Long, targetBuckets: Int = 4096): DataFrame = {
+    val r = docs.agg(min(col(idCol).cast("long")),
+      max(col(idCol).cast("long"))).head()
+    val width =
+      if (r.isNullAt(0)) 1L
+      else math.max(1L, (r.getLong(1) - r.getLong(0)) / targetBuckets + 1L)
+    pack(docs, idCol, tokensCol, seqLen, width)
   }
 }
