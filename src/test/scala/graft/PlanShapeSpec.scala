@@ -163,6 +163,15 @@ class PlanShapeSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), p.take(1200))
   }
 
+  test("LM score: gram-keyed equi-joins only; chunking: zero-exchange scan") {
+    val lm = plan("q_text_lm_score")
+    assert(!lm.contains("CartesianProduct") &&
+      !lm.contains("BroadcastNestedLoopJoin"), lm.take(1200))
+    val ch = plan("q_text_chunks")
+    assert(!ch.contains("Exchange"),
+      "chunking must stay a zero-shuffle scan: " + ch.take(800))
+  }
+
   test("span dedup: NO join at all — pairs explode from the gram aggregate") {
     val p = plan("q_dedup_spans")
     assert(!p.contains("Join"), "pair generation must come from the " +
