@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Portable.{Knuth, P}
-import graft.sim.{Ann, Diversity}
+import graft.sim.{Ann, Diversity, Quantize}
 
 /** Similarity-search surface over `embeddings`: exact brute-force
   * top-k and multi-table hyperplane-LSH approximate top-k. Query set =
@@ -97,6 +97,20 @@ object SimQueries {
     "q_sim_kcenter" -> { (s, dir) =>
       Diversity.kCenter(Tables(s, dir, "embeddings"),
         "vec_id", "embedding", k = KCenter)
+    },
+    // int8 symmetric quantization (4x embedding storage/bandwidth):
+    // zero-shuffle scan; codes digested to a scalar (the comparator
+    // can't hash array cells) + reconstruction cosine per vector.
+    "q_sim_int8" -> { (s, dir) =>
+      import graft.functions.NativeExpressions
+      Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").as("_v"))
+        .withColumn("scale", Quantize.int8Scale(col("_v")))
+        .withColumn("_q", Quantize.int8Codes(col("_v"), col("scale")))
+        .select(col("vec_id"), col("scale"),
+          NativeExpressions.foldHash(
+            transform(col("_q"), x => x.cast("long")), 7L).as("q_digest"),
+          Quantize.reconCos(col("_v"), col("_q")).as("recon_cos"))
     }
   )
 
@@ -193,6 +207,34 @@ object SimQueries {
          |    LIMIT 1) nxt
          |  WHERE sel.r < $KCenter)
          |SELECT CAST(r AS INT) AS "rank", id AS vec_id, min_dist FROM sel""".stripMargin,
+
+    // per-vector: scale = max|x|/127, q_i = trunc(x_i/scale) toward
+    // zero (TRUNC, matching Spark's double->int cast), digest = the
+    // foldHash arithmetic incl. its negative normalization, cosine of
+    // v against its own codes (scale cancels)
+    "q_sim_int8" -> {
+      def dotVQ(a: String, b: String) =
+        s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+          s"[CAST($a[i] AS DOUBLE)*CAST($b[i] AS DOUBLE) " +
+          s"for i in generate_series(1, len($a))]), (acc, x) -> acc + x)"
+      val step = s"(d*131 + x % $P) % $P"
+      s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+         |m AS (SELECT vec_id, v,
+         |    list_max([abs(CAST(x AS DOUBLE)) for x in v]) / 127.0 AS scale
+         |  FROM e),
+         |qv AS (SELECT vec_id, v, scale,
+         |    CASE WHEN scale = 0 THEN [CAST(0 AS BIGINT) for x in v]
+         |         ELSE [CAST(TRUNC(CAST(x AS DOUBLE) / scale) AS BIGINT)
+         |               for x in v] END AS q
+         |  FROM m)
+         |SELECT vec_id, scale,
+         |  list_reduce(list_prepend(CAST(7 AS BIGINT), q),
+         |    (d, x) -> CASE WHEN $step < 0 THEN $step + $P ELSE $step END)
+         |    AS q_digest,
+         |  ${dotVQ("v", "q")} / (sqrt(${dotVQ("v", "v")}) * sqrt(${dotVQ("q", "q")}))
+         |    AS recon_cos
+         |FROM qv""".stripMargin
+    },
 
     "q_sim_topk_pq" -> pqOracleFor(Stride.toString),
     // stride derived from the corpus count IN SQL (integer-exact ceil,
