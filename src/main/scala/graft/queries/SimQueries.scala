@@ -98,6 +98,23 @@ object SimQueries {
       Diversity.kCenter(Tables(s, dir, "embeddings"),
         "vec_id", "embedding", k = KCenter)
     },
+    // The vector-curation pipeline as ONE composed plan: int8
+    // quantization (search runs on the CODES — cosine is
+    // scale-invariant) → SemDeDup on the coded vectors → k-center
+    // diversity seeds from the survivors. Each stage is gated on its
+    // own elsewhere; this query pins their composition, the vector
+    // counterpart of q_pipeline_corpus.
+    "q_pipeline_vectors" -> { (s, dir) =>
+      val coded = Quantize.int8(Tables(s, dir, "embeddings"),
+          "vec_id", "embedding")
+        .select(col("vec_id"), col("q").cast("array<float>").as("embedding"))
+      val (cids, cvecs) = Ann.ivfCentroids(coded, "vec_id", "embedding", Stride)
+      val keep = graft.dedup.Dedup.semantic(coded, "vec_id", "embedding",
+          cids, cvecs, tau = 0.4)
+        .filter(col("keep")).select("vec_id")
+      val survivors = coded.join(keep, Seq("vec_id"), "left_semi")
+      Diversity.kCenter(survivors, "vec_id", "embedding", k = 5)
+    },
     // int8 symmetric quantization (4x embedding storage/bandwidth):
     // zero-shuffle scan; codes digested to a scalar (the comparator
     // can't hash array cells) + reconstruction cosine per vector.
@@ -207,6 +224,55 @@ object SimQueries {
          |    LIMIT 1) nxt
          |  WHERE sel.r < $KCenter)
          |SELECT CAST(r AS INT) AS "rank", id AS vec_id, min_dist FROM sel""".stripMargin,
+
+    // composed replica: int8 codes (q_sim_int8 CTEs) -> SemDeDup CTEs
+    // (q_dedup_semantic) on the codes -> k-center recursion
+    // (q_sim_kcenter) over the survivors, k = 5
+    "q_pipeline_vectors" -> {
+      def dotQ(a: String, b: String) =
+        s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+          s"[CAST($a[i] AS DOUBLE)*CAST($b[i] AS DOUBLE) " +
+          s"for i in generate_series(1, len($a))]), (acc, x) -> acc + x)"
+      def cosQ(a: String, b: String) =
+        s"${dotQ(a, b)} / (sqrt(${dotQ(a, a)}) * sqrt(${dotQ(b, b)}))"
+      s"""WITH RECURSIVE eraw AS (SELECT vec_id, embedding AS ev FROM embeddings),
+         |m AS (SELECT vec_id, ev,
+         |    list_max([abs(CAST(x AS DOUBLE)) for x in ev]) / 127.0 AS scale
+         |  FROM eraw),
+         |qv AS (SELECT vec_id,
+         |    CASE WHEN scale = 0 THEN [CAST(0 AS BIGINT) for x in ev]
+         |         ELSE [CAST(TRUNC(CAST(x AS DOUBLE) / scale) AS BIGINT)
+         |               for x in ev] END AS cv
+         |  FROM m),
+         |c AS (SELECT vec_id AS cid, cv AS ccv FROM qv WHERE vec_id % $Stride = 0),
+         |ascore AS (SELECT qv.vec_id, qv.cv, c.cid, ${cosQ("qv.cv", "c.ccv")} AS ccos
+         |  FROM qv CROSS JOIN c),
+         |cells AS (SELECT vec_id, cv, cid FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+         |  FROM ascore) WHERE rn = 1),
+         |nn AS (SELECT vec_id, cv, cid, sqrt(${dotQ("cv", "cv")}) AS nrm FROM cells),
+         |drp AS (SELECT DISTINCT a.vec_id FROM nn a JOIN nn b
+         |  ON a.cid = b.cid AND b.vec_id < a.vec_id
+         |  WHERE ${dotQ("a.cv", "b.cv")} / (a.nrm * b.nrm) >= 0.4),
+         |srv AS (SELECT vec_id, cv FROM nn
+         |  WHERE vec_id NOT IN (SELECT vec_id FROM drp)),
+         |sel(r, id, min_dist, ids) AS (
+         |  SELECT 1 AS r, vec_id AS id, CAST(NULL AS DOUBLE) AS min_dist,
+         |    [vec_id] AS ids
+         |  FROM srv WHERE vec_id = (SELECT min(vec_id) FROM srv)
+         |  UNION ALL
+         |  SELECT sel.r + 1, nxt.id, nxt.d, list_append(sel.ids, nxt.id)
+         |  FROM sel, LATERAL (
+         |    SELECT cand.vec_id AS id,
+         |      1 - (SELECT max(${cosQ("cand.cv", "selv.cv")}) FROM srv selv
+         |           WHERE list_contains(sel.ids, selv.vec_id)) AS d
+         |    FROM srv cand
+         |    WHERE NOT list_contains(sel.ids, cand.vec_id)
+         |    ORDER BY d DESC, cand.vec_id ASC
+         |    LIMIT 1) nxt
+         |  WHERE sel.r < 5)
+         |SELECT CAST(r AS INT) AS "rank", id AS vec_id, min_dist FROM sel""".stripMargin
+    },
 
     // per-vector: scale = max|x|/127, q_i = trunc(x_i/scale) toward
     // zero (TRUNC, matching Spark's double->int cast), digest = the
