@@ -24,13 +24,10 @@ object SimQueries {
   private val NProbe = 3
   private val PqM = 8 // PQ subspaces over Dims=64 → 8 dims each
   private val TargetLoad = 16
-  // The correctness gate runs at sf0.01 (TESTDATA.md): embeddings there
-  // has 500 rows, so knnGraphAuto resolves autoPlanes(500, 16) = 5,
-  // pqTopKAuto resolves autoStride(500, 256) = 2, and the static
-  // oracle SQL pins those values. AnnSpec asserts the resolutions so a
-  // testdata change fails loudly, not silently.
-  private val AutoPlanesSf001 = Ann.autoPlanes(500, TargetLoad)
-  private val AutoStrideSf001 = Ann.autoStride(500)
+  // The auto-parameter oracles derive planes/stride from the corpus
+  // count IN SQL with the engine's integer-exact arithmetic, so they
+  // are correct at any sf (KnnGraphSpec/PqSpec additionally pin the
+  // sf0.01 resolutions: autoPlanes(500,16)=5, autoStride(500)=2).
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_topk_brute" -> { (s, dir) =>
