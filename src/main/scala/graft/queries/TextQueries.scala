@@ -197,6 +197,33 @@ object TextQueries {
         "doc_id", "text")
     },
 
+    // The one-row dataset card a curation run publishes: volume,
+    // duplication, quality, and language-mix headline numbers in a
+    // single composed plan (each constituent gated on its own
+    // elsewhere). All counts exact; the one double is a single
+    // division.
+    "q_corpus_card" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val vol = docs.agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextOps.tokenCount(col("text")).cast("long")).as("total_tokens"),
+        sum(length(col("text")).cast("long")).as("total_chars"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(when(TextOps.qualityKeep(col("text")), 1L).otherwise(0L))
+          .as("n_quality_keep"))
+      val dups = graft.dedup.Dedup.exact(docs, "doc_id", "text")
+        .agg(sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_exact_dups"))
+      val nearDups = graft.dedup.Dedup.jaccardPairs(docs, "doc_id", "text",
+          k = 3, tau = 0.8)
+        .agg(count(lit(1)).as("n_near_dup_pairs"))
+      val topLang = docs.groupBy("lang").agg(count(lit(1)).as("_n"))
+        .orderBy(col("_n").desc, col("lang").asc).limit(1)
+        .select(col("lang").as("top_lang"))
+      vol.crossJoin(dups).crossJoin(nearDups).crossJoin(topLang)
+        .withColumn("quality_keep_rate",
+          col("n_quality_keep").cast("double") / col("n_docs").cast("double"))
+    },
+
     // Overlapping character-window chunking (RAG/embedding layout):
     // width 200, stride 150 — offsets and clipping are a pure function
     // of the text length, zero-shuffle.
@@ -212,6 +239,51 @@ object TextQueries {
     markers.map(m => s"'$m'").mkString("[", ",", "]")
 
   def oracle: Map[String, String] = Map(
+    // volume/dup/quality/language headline numbers composed from the
+    // constituent oracles' fragments; counts exact, one division
+    "q_corpus_card" -> {
+      val qualityCond =
+        s"len($toksSql) >= 5 AND len($toksSql) <= 100000 " +
+          "AND length(text) > 0 " +
+          "AND CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)" +
+          " / CAST(length(text) AS DOUBLE) >= 0.5 " +
+          s"AND CAST(len([t for t in $toksSql if list_contains(${markersSql(TextOps.Stopwords)}, lower(t))]) AS DOUBLE)" +
+          s" / CAST(len($toksSql) AS DOUBLE) >= 0.01"
+      val shingles =
+        s"list_distinct([${Portable.charHashSql("concat_ws(' ', t[i+1], t[i+2], t[i+3])")} " +
+          "for i in generate_series(0, len(t)-3)])"
+      s"""WITH tk AS (SELECT doc_id, lang, text, $toksSql AS t FROM documents),
+         |vol AS (SELECT count(*) AS n_docs,
+         |    CAST(sum(len(t)) AS BIGINT) AS total_tokens,
+         |    CAST(sum(length(text)) AS BIGINT) AS total_chars,
+         |    count(DISTINCT lang) AS n_langs,
+         |    CAST(sum(CASE WHEN $qualityCond THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_quality_keep
+         |  FROM tk),
+         |d AS (SELECT CAST(sum(CASE WHEN doc_id <> m THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_exact_dups
+         |  FROM (SELECT doc_id,
+         |      min(doc_id) OVER (PARTITION BY lower(trim(text))) AS m
+         |    FROM documents)),
+         |sh AS (SELECT doc_id, $shingles AS s FROM tk),
+         |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_near_dup_pairs FROM pr
+         |  JOIN (SELECT doc_id, len(s) AS n FROM sh) la ON id_a = la.doc_id
+         |  JOIN (SELECT doc_id, len(s) AS n FROM sh) lb ON id_b = lb.doc_id
+         |  WHERE CAST(inter AS DOUBLE) / CAST(la.n + lb.n - inter AS DOUBLE) >= 0.8),
+         |tl AS (SELECT lang AS top_lang FROM (
+         |  SELECT lang, count(*) AS n FROM documents
+         |  GROUP BY lang ORDER BY n DESC, lang ASC LIMIT 1))
+         |SELECT vol.n_docs, vol.total_tokens, vol.total_chars, vol.n_langs,
+         |  vol.n_quality_keep, d.n_exact_dups, nd.n_near_dup_pairs, tl.top_lang,
+         |  CAST(vol.n_quality_keep AS DOUBLE) / CAST(vol.n_docs AS DOUBLE)
+         |    AS quality_keep_rate
+         |FROM vol, d, nd, tl""".stripMargin
+    },
+
     "q_text_chunks" ->
       """SELECT doc_id, CAST(g.i / 150 AS BIGINT) AS chunk_idx,
         |  CAST(g.i AS BIGINT) AS chunk_start,
