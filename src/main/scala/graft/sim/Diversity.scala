@@ -39,25 +39,32 @@ object Diversity {
     * coverage radius. */
   def kCenter(embs: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
     require(k >= 1, "k must be >= 1")
+    // the k iterations re-scan this input; cache it so a DERIVED input
+    // (e.g. the dedup survivors in q_pipeline_vectors) computes its
+    // upstream pipeline once, not once per iteration. All results are
+    // driver-side rows, so the cache is released before returning.
     val base = embs.select(col(idCol).cast("long").as("_id"), col(vecCol).as("_v"))
-    val seed = base.orderBy(col("_id")).limit(1).head()
-    var selected = Vector((seed.getLong(0), seed.getSeq[Float](1).toArray))
-    var out = Vector[(Int, Long, Option[Double])]((1, seed.getLong(0), None))
-    while (selected.length < k) {
-      val cosines = selected.map { case (_, v) => cosTo(col("_v"), v) }
-      val dist = lit(1.0) -
-        (if (cosines.length == 1) cosines.head else greatest(cosines: _*))
-      val ids = selected.map(_._1)
-      val next = base.filter(!col("_id").isin(ids: _*))
-        .select(col("_id"), col("_v"), dist.as("_d"))
-        .orderBy(col("_d").desc, col("_id").asc)
-        .limit(1).head()
-      selected :+= ((next.getLong(0), next.getSeq[Float](1).toArray))
-      out :+= ((selected.length, next.getLong(0), Some(next.getDouble(2))))
-    }
-    val spark = embs.sparkSession
-    import spark.implicits._
-    out.map { case (r, id, d) => (r, id, d) }
-      .toDF("rank", idCol, "min_dist")
+      .cache()
+    try {
+      val seed = base.orderBy(col("_id")).limit(1).head()
+      var selected = Vector((seed.getLong(0), seed.getSeq[Float](1).toArray))
+      var out = Vector[(Int, Long, Option[Double])]((1, seed.getLong(0), None))
+      while (selected.length < k) {
+        val cosines = selected.map { case (_, v) => cosTo(col("_v"), v) }
+        val dist = lit(1.0) -
+          (if (cosines.length == 1) cosines.head else greatest(cosines: _*))
+        val ids = selected.map(_._1)
+        val next = base.filter(!col("_id").isin(ids: _*))
+          .select(col("_id"), col("_v"), dist.as("_d"))
+          .orderBy(col("_d").desc, col("_id").asc)
+          .limit(1).head()
+        selected :+= ((next.getLong(0), next.getSeq[Float](1).toArray))
+        out :+= ((selected.length, next.getLong(0), Some(next.getDouble(2))))
+      }
+      val spark = embs.sparkSession
+      import spark.implicits._
+      out.map { case (r, id, d) => (r, id, d) }
+        .toDF("rank", idCol, "min_dist")
+    } finally base.unpersist()
   }
 }
