@@ -58,4 +58,44 @@ class DeltaSpec extends SparkSpec {
     val s = Seq(1L -> "a", 2L -> "b")
     assert(run(s, s).isEmpty)
   }
+
+  /** Sequential reference with the same status semantics. */
+  private def naive(old: Seq[(Long, String)], neu: Seq[(Long, String)])
+      : Set[(Long, String, Option[Long])] = {
+    val om = old.toMap; val nm = neu.toMap
+    val changed = (om.keySet & nm.keySet)
+      .filter(id => om(id) != nm(id))
+      .map(id => (id, "changed", Option.empty[Long]))
+    val remIds = om.keySet -- nm.keySet
+    val addIds = nm.keySet -- om.keySet
+    val remByText = remIds.groupBy(om).map { case (t, ids) => t -> ids.min }
+    val addByText = addIds.groupBy(nm).map { case (t, ids) => t -> ids.min }
+    val removed = remIds.map { id =>
+      addByText.get(om(id)) match {
+        case Some(to) => (id, "moved", Some(to))
+        case None => (id, "removed", Option.empty[Long])
+      }
+    }
+    val added = addIds.map { id =>
+      remByText.get(nm(id)) match {
+        case Some(to) => (id, "moved", Some(to))
+        case None => (id, "added", Option.empty[Long])
+      }
+    }
+    changed ++ removed ++ added
+  }
+
+  test("random snapshot pairs == sequential reference (20 rounds)") {
+    val rnd = new scala.util.Random(20260818L)
+    (1 to 20).foreach { round =>
+      // small id and content spaces force id reuse, content moves,
+      // duplicated content, and edits
+      def snap() = (1L to (3 + rnd.nextInt(8)).toLong)
+        .filter(_ => rnd.nextBoolean())
+        .map(i => i -> s"content-${rnd.nextInt(5)}")
+      val old = snap(); val neu = snap()
+      assert(run(old, neu) == naive(old, neu),
+        s"round $round old=$old new=$neu")
+    }
+  }
 }

@@ -45,4 +45,21 @@ class ChunkingSpec extends SparkSpec {
     assert(run(Seq(1L -> "abc"), 10, 10) == Seq((1L, 0L, 0L, "abc")))
     assert(run(Seq(2L -> ""), 10, 10).isEmpty)
   }
+
+  test("unicode: positions count code points, windows reconstruct (incl. non-BMP)") {
+    val text = "héllo語λж😀x" // é, CJK, greek, cyrillic, emoji (surrogate pair)
+    // take n CODE POINTS (String.take counts UTF-16 units and would
+    // split the emoji's surrogate pair)
+    def takeCp(s: String, n: Int): String =
+      s.substring(0, s.offsetByCodePoints(0,
+        math.min(n, s.codePointCount(0, s.length))))
+    val chunks = run(Seq(1L -> text), width = 4, stride = 3)
+    val rebuilt = chunks.map { case (_, _, _, t) => takeCp(t, 3) }.mkString
+    assert(rebuilt == text, s"chunks=${chunks.map(_._4).mkString("|")}")
+    // the emoji never splits across a chunk boundary's interior
+    chunks.foreach { case (_, _, _, t) =>
+      assert(!t.exists(c => Character.isHighSurrogate(c)) ||
+        t.codePointCount(0, t.length) < t.length, t)
+    }
+  }
 }

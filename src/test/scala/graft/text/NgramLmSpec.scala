@@ -23,6 +23,31 @@ class NgramLmSpec extends SparkSpec {
     assert(got(2L) == ((2L, 10.0 / 20.0)))
   }
 
+  test("random corpora == sequential count reference (15 rounds)") {
+    val rnd = new scala.util.Random(20260819L)
+    (1 to 15).foreach { round =>
+      val words = Seq("a", "b", "c", "dd")
+      val docs = (1L to (2 + rnd.nextInt(5)).toLong).map { i =>
+        i -> (0 until rnd.nextInt(8)).map(_ => words(rnd.nextInt(words.length)))
+          .mkString(" ")
+      }
+      val toks = docs.map { case (id, t) =>
+        id -> t.split("\\s+").filter(_.nonEmpty).toSeq }
+      val uni = toks.flatMap(_._2).groupBy(identity).map { case (w, xs) => w -> xs.size }
+      val vocab = uni.size
+      val bigrams = toks.map { case (id, ts) => id -> ts.zip(ts.drop(1)) }
+      val bi = bigrams.flatMap(_._2).groupBy(identity).map { case (g, xs) => g -> xs.size }
+      val want = bigrams.filter(_._2.nonEmpty).map { case (id, gs) =>
+        val num = gs.map { g => 2L * bi(g) + 1L }.sum
+        val den = gs.map { g => 2L * uni(g._1) + vocab.toLong }.sum
+        id -> ((gs.size.toLong, num.toDouble / den.toDouble))
+      }.toMap
+      val got = NgramLm.scorePooled(docs.toDF("doc_id", "text"), "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(got == want, s"round $round docs=$docs")
+    }
+  }
+
   test("repeated corpus-typical text outscores a one-off continuation") {
     val docs = ((1L to 9L).map(i => i -> "the cat sat on the mat") :+
       (10L -> "the cat sat on zzz qqq")).toDF("doc_id", "text")
