@@ -54,10 +54,23 @@ object SpanDedup {
     val grams = docs.select(col(idCol).cast("long").as("_id"),
       posexplode(NativeExpressions.gramHashes(col(textCol), k))
         .as(Seq("_pos", "_g")))
-    val occs = grams.groupBy("_g")
-      .agg(count(lit(1)).as("_df"),
-        collect_list(struct(col("_id"), col("_pos"))).as("_occ"))
+    // Two-pass hub cutoff: compute per-gram df FIRST (partial-agg'd
+    // counts — shuffle volume is distinct grams per partition, not
+    // occurrences), keep 2 <= df <= maxDf, and only THEN collect
+    // occurrence lists via a semi-join back. Filtering after
+    // collect_list would materialize a stop-gram's full occurrence
+    // list (millions of (id,pos) structs for boilerplate k-grams) in
+    // one aggregation buffer before discarding it — the exact skew/OOM
+    // the cutoff exists to prevent. The semi-join and the collect
+    // groupBy share the _g hash partitioning, so this costs one extra
+    // exchange of the (small) df table, not a third gram shuffle.
+    val keptGrams = grams.groupBy("_g")
+      .agg(count(lit(1)).as("_df"))
       .filter(col("_df") >= 2 && col("_df") <= maxDf) // singletons pair with nothing
+      .select("_g")
+    val occs = grams.join(keptGrams, Seq("_g"), "left_semi")
+      .groupBy("_g")
+      .agg(collect_list(struct(col("_id"), col("_pos"))).as("_occ"))
     val keep =
       if (includeSelf)
         col("_a._id") < col("_b._id") ||

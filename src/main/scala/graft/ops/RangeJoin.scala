@@ -116,7 +116,12 @@ object RangeJoin {
       .unionByName(intervals.select(unix_micros(col(startCol)).as("_t")))
       .unionByName(intervals.select(unix_micros(col(endCol)).as("_t")))
       .agg(min(col("_t")), max(col("_t"))).head()
+    // both inputs empty -> min/max are null; any bucket width yields
+    // the same (empty) result, so default to 1 instead of NPEing
+    val bucketUs =
+      if (spans.isNullAt(0) || spans.isNullAt(1)) 1L
+      else autoBucketUs(spans.getLong(0), spans.getLong(1), targetBuckets)
     containmentCounts(points, intervals, idCol, tsCol, startCol, endCol,
-      autoBucketUs(spans.getLong(0), spans.getLong(1), targetBuckets))
+      bucketUs)
   }
 }

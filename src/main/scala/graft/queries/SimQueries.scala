@@ -193,7 +193,7 @@ object SimQueries {
          |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(cn2 ORDER BY m)), (s, x) -> s + x) AS cn2s,
          |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(qn2 ORDER BY m)), (s, x) -> s + x) AS qn2s
          |  FROM pair GROUP BY id_q, id_n),
-       |scored AS (SELECT id_q, id_n, dots / (sqrt(qn2s) * sqrt(cn2s)) AS cos FROM agg)
+       |scored AS (SELECT id_q, id_n, CASE WHEN qn2s = 0 OR cn2s = 0 THEN CAST(-2.0 AS DOUBLE) ELSE dots / (sqrt(qn2s) * sqrt(cn2s)) END AS cos FROM agg)
        |SELECT id_q, id_n, cos, CAST(rnk AS INT) AS rnk FROM (
        |  SELECT *, row_number() OVER (PARTITION BY id_q ORDER BY cos DESC, id_n) AS rnk
        |  FROM scored)
@@ -418,7 +418,7 @@ object SimQueries {
          |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(cn2 ORDER BY m)), (s, x) -> s + x) AS cn2s,
          |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(qn2 ORDER BY m)), (s, x) -> s + x) AS qn2s
          |  FROM pair GROUP BY id_q, id_n),
-         |scored AS (SELECT id_q, id_n, dots / (sqrt(qn2s) * sqrt(cn2s)) AS cos FROM agg)
+         |scored AS (SELECT id_q, id_n, CASE WHEN qn2s = 0 OR cn2s = 0 THEN CAST(-2.0 AS DOUBLE) ELSE dots / (sqrt(qn2s) * sqrt(cn2s)) END AS cos FROM agg)
          |SELECT id_q, id_n, cos, CAST(rnk AS INT) AS rnk FROM (
          |  SELECT *, row_number() OVER (PARTITION BY id_q ORDER BY cos DESC, id_n) AS rnk
          |  FROM scored)

@@ -46,23 +46,33 @@ object Diversity {
     val base = embs.select(col(idCol).cast("long").as("_id"), col(vecCol).as("_v"))
       .cache()
     try {
-      val seed = base.orderBy(col("_id")).limit(1).head()
+      val spark0 = embs.sparkSession
+      import spark0.implicits._
+      val seedOpt = base.orderBy(col("_id")).limit(1).collect().headOption
+      if (seedOpt.isEmpty)
+        return Seq.empty[(Int, Long, Option[Double])].toDF("rank", idCol, "min_dist")
+      val seed = seedOpt.get
       var selected = Vector((seed.getLong(0), seed.getSeq[Float](1).toArray))
       var out = Vector[(Int, Long, Option[Double])]((1, seed.getLong(0), None))
-      while (selected.length < k) {
+      var exhausted = false
+      while (selected.length < k && !exhausted) {
         val cosines = selected.map { case (_, v) => cosTo(col("_v"), v) }
         val dist = lit(1.0) -
           (if (cosines.length == 1) cosines.head else greatest(cosines: _*))
         val ids = selected.map(_._1)
-        val next = base.filter(!col("_id").isin(ids: _*))
+        // fewer than k distinct ids in the input (e.g. dedup survivors
+        // shrank below k): stop with what we have instead of head()-ing
+        // an empty result
+        base.filter(!col("_id").isin(ids: _*))
           .select(col("_id"), col("_v"), dist.as("_d"))
           .orderBy(col("_d").desc, col("_id").asc)
-          .limit(1).head()
-        selected :+= ((next.getLong(0), next.getSeq[Float](1).toArray))
-        out :+= ((selected.length, next.getLong(0), Some(next.getDouble(2))))
+          .limit(1).collect().headOption match {
+          case Some(next) =>
+            selected :+= ((next.getLong(0), next.getSeq[Float](1).toArray))
+            out :+= ((selected.length, next.getLong(0), Some(next.getDouble(2))))
+          case None => exhausted = true
+        }
       }
-      val spark = embs.sparkSession
-      import spark.implicits._
       out.map { case (r, id, d) => (r, id, d) }
         .toDF("rank", idCol, "min_dist")
     } finally base.unpersist()

@@ -50,11 +50,20 @@ object PlanPin {
     "Exchange SinglePartition|" +
     "Exchange RoundRobinPartitioning\\(n\\)|" +
     "BroadcastExchange|" +
-    "BroadcastHashJoin \\w+|SortMergeJoin \\w+|ShuffledHashJoin \\w+|" +
+    // Plans print the key lists RIGHT AFTER the node name
+    // ("SortMergeJoin [k#x], [k#x], Inner"), so the token must match
+    // the bracket form — a `\w+` suffix here captures nothing and
+    // silently drops join strategy/keys from every digest.
+    "(?:BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[[^\\]]*\\], \\[[^\\]]*\\], \\w+|" +
+    "(?:BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)|" +
     "CartesianProduct|BroadcastNestedLoopJoin|" +
     "HashAggregate|ObjectHashAggregate|SortAggregate|" +
     "WindowGroupLimit|Window|Generate|Expand|" +
     "FileScan parquet|" +
+    // driver-materialized results (e.g. the union-find small-edge path
+    // of q_dedup_clusters) plan as a bare LocalTableScan — keep the
+    // token so those pins assert the path taken, not the empty string
+    "LocalTableScan|" +
     "PushedFilters: \\[[^\\]]*\\]|" +
     "ReadSchema: struct<[^>]*>").r
 

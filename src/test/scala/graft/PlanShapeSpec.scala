@@ -172,14 +172,32 @@ class PlanShapeSpec extends SparkSpec {
       "chunking must stay a zero-shuffle scan: " + ch.take(800))
   }
 
-  test("span dedup: NO join at all — pairs explode from the gram aggregate") {
+  test("span dedup: hub cutoff BEFORE collect_list, no cartesian") {
     val p = plan("q_dedup_spans")
-    assert(!p.contains("Join"), "pair generation must come from the " +
-      "inverted-index aggregate itself, not a join-back: " + p.take(1200))
+    // the df pre-filter is a semi-join on the gram hash — the only
+    // join allowed; occurrence lists are collected only for kept grams
+    assert(p.contains("LeftSemi"), "expected the df-prefilter semi-join: " + p.take(1200))
     assert(!p.contains("CartesianProduct"))
-    // exactly two data exchanges: groupBy(gram) + the diagonal window
-    // (+1 allowed for AQE final-output coalescing variance)
     val ex = "Exchange".r.findAllIn(p).length
-    assert(ex <= 3, s"span dedup grew exchanges: $ex\n" + p.take(1500))
+    assert(ex <= 5, s"span dedup grew exchanges: $ex\n" + p.take(1500))
+  }
+
+  test("PlanPin.normalize keeps join strategy + keys in the digest") {
+    import graft.tools.PlanPin
+    val sample =
+      """*(5) SortMergeJoin [l_orderkey#123L], [o_orderkey#456L], Inner
+        |:- *(2) Sort [l_orderkey#123L ASC NULLS FIRST], false, 0
+        |:  +- Exchange hashpartitioning(l_orderkey#123L, 32)
+        |+- BroadcastHashJoin [n_nationkey#7], [s_nationkey#9], Inner, BuildRight, false
+        |   +- ShuffledHashJoin [a#1L], [b#2L], LeftSemi, BuildRight""".stripMargin
+    val n = PlanPin.normalize(sample)
+    assert(n.contains("SortMergeJoin [l_orderkey#x], [o_orderkey#x], Inner"), n)
+    assert(n.contains("BroadcastHashJoin [n_nationkey#x], [s_nationkey#x], Inner"), n)
+    assert(n.contains("ShuffledHashJoin [a#x], [b#x], LeftSemi"), n)
+    assert(n.contains("Exchange hashpartitioning(l_orderkey#x, n)"), n)
+    // a strategy swap at identical exchanges must change the digest
+    val swapped = sample.replace("SortMergeJoin", "ShuffledHashJoin")
+    assert(PlanPin.digest(sample) != PlanPin.digest(swapped),
+      "SMJ<->SHJ swap must not collide")
   }
 }

@@ -95,4 +95,15 @@ class AsOfSpec extends SparkSpec {
     assert(got("p200").contains(200L))  // equal ts is inclusive
     assert(got("lonely").isEmpty)       // key with no right rows at all
   }
+
+  test("range join auto: both inputs empty returns empty, no NPE") {
+    val points = Seq.empty[(String, Long)].toDF("id", "t")
+      .withColumn("ts", timestamp_micros(col("t"))).drop("t")
+    val intervals = Seq.empty[(Long, Long)].toDF("s", "e")
+      .withColumn("t_start", timestamp_micros(col("s")))
+      .withColumn("t_end", timestamp_micros(col("e")))
+    val got = RangeJoin.containmentCountsAuto(points, intervals,
+      "id", "ts", "t_start", "t_end")
+    assert(got.count() == 0L)
+  }
 }

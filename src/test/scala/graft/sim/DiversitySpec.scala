@@ -52,4 +52,18 @@ class DiversitySpec extends SparkSpec {
       dists.mkString(","))
     assert(got.map(_.getLong(1)).distinct.length == 6)
   }
+
+  test("fewer than k distinct rows: returns all rows selected so far, no throw") {
+    val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .orderBy("vec_id").limit(3)
+    val got = Diversity.kCenter(e, "vec_id", "embedding", k = 10).collect()
+    assert(got.length == 3, got.mkString(","))
+    assert(got.map(_.getInt(0)).sorted.toSeq == Seq(1, 2, 3))
+  }
+
+  test("empty input: empty result, no throw") {
+    val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .filter("vec_id < 0")
+    assert(Diversity.kCenter(e, "vec_id", "embedding", k = 4).count() == 0L)
+  }
 }
