@@ -28,6 +28,21 @@ object EventLogQueries {
 
   private val sessRun = new AtomicInteger(0)
 
+  /** Fixed DECLARE monitoring set for q_stream_declare_parity: one
+    * constraint per implemented template, over the events alphabet. */
+  private val DeclareMonitorSet: Seq[graft.streaming.StreamingDeclare.Constraint] = {
+    import graft.streaming.StreamingDeclare.Constraint
+    Seq(
+      Constraint("existence", "signup"),
+      Constraint("absence2", "error"),
+      Constraint("init", "signup"),
+      Constraint("last", "purchase"),
+      Constraint("responded_existence", "click", "purchase"),
+      Constraint("response", "click", "purchase"),
+      Constraint("precedence", "signup", "purchase"),
+      Constraint("succession", "signup", "error"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Streaming ↔ batch sessionization parity under the hash gate:
     // the events table fed through MemoryStream → watermark →
@@ -76,6 +91,95 @@ object EventLogQueries {
           unix_micros(col("t_start")).as("t_start_us"),
           unix_micros(col("t_end")).as("t_end_us"))
       val rows = res.collect()
+      val out = s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+      s.catalog.dropTempView(name)
+      out
+    },
+
+    // Streaming ↔ batch drift parity under the hash gate: the events
+    // table fed through MemoryStream → flatMapGroupsWithState keyed by
+    // tumbling-window start (StreamingDrift.monitor) with the table's
+    // own global activity mix as the broadcast baseline; the oracle
+    // recomputes the same per-window exact-integer L1 in SQL. The
+    // double arithmetic is gate-safe: integer numerator, one final
+    // division of exactly-representable doubles, mirrored term-by-term
+    // in the oracle. Sentinel windows (far-future watermark pushers)
+    // are filtered by windowStartMicros <= max data ts.
+    "q_stream_drift_parity" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val ev = Tables(s, dir, "events")
+      val batch = ev.select(col("event_type"), unix_micros(col("ts")))
+        .as[(String, Long)].collect()
+      val baseline = ev.groupBy(col("event_type")).count()
+        .as[(String, Long)].collect().toMap // alphabet-sized
+      val input = MemoryStream[(String, Long)]
+      val events = input.toDS().toDF("activity", "tsMicros")
+        .withColumn("ts", timestamp_micros(col("tsMicros")))
+        .withWatermark("ts", "10 seconds")
+        .as[graft.streaming.StreamingDrift.InEvent]
+      val name = s"stream_drift_parity_${sessRun.incrementAndGet()}"
+      val q = graft.streaming.StreamingDrift
+        .monitor(s, events, windowSeconds = 86400L, baseline)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        val maxTs = batch.map(_._2).max
+        input.addData(batch.toSeq :+ (("_sentinel", maxTs + 86400L * 1000000L)))
+        q.processAllAvailable()
+        input.addData(("_sentinel", maxTs + 3L * 86400L * 1000000L))
+        q.processAllAvailable()
+      } finally q.stop()
+      val maxDataTs = batch.map(_._2).max
+      val res = s.table(name)
+        .filter(col("windowStartMicros") <= maxDataTs)
+        .select(col("windowStartMicros").as("window_start_us"),
+          col("nEvents").as("n_events"),
+          col("l1x2VsBaseline").as("l1x2_vs_baseline"))
+      val rows = res.collect() // one row per tumbling day window
+      val out = s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+      s.catalog.dropTempView(name)
+      out
+    },
+
+    // Streaming ↔ batch DECLARE-monitoring parity under the hash gate:
+    // every case's closed trace (TraceAssembly; the single data batch
+    // keeps each case whole) is checked against a fixed 8-template
+    // constraint set map-side (StreamingDeclare.monitor); the oracle
+    // re-evaluates the identical per-trace profile algebra
+    // (first/last position + count per activity, trace order =
+    // (tsMicros, activity) exactly as TraceAssembly.close sorts) in
+    // SQL. One row per (case × constraint).
+    "q_stream_declare_parity" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val batch = Tables(s, dir, "events")
+        .select(col("user_id").cast("string"), col("event_type"),
+          unix_micros(col("ts")))
+        .as[(String, String, Long)].collect()
+      val input = MemoryStream[(String, String, Long)]
+      val events = input.toDS().toDF("caseId", "activity", "tsMicros")
+        .withColumn("ts", timestamp_micros(col("tsMicros")))
+        .withWatermark("ts", "10 seconds")
+        .as[graft.streaming.TraceAssembly.InEvent]
+      val name = s"stream_declare_parity_${sessRun.incrementAndGet()}"
+      val q = graft.streaming.StreamingDeclare
+        .monitor(s, events, gapSeconds = 43200L, DeclareMonitorSet)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        val maxTs = batch.map(_._3).max
+        input.addData(batch.toSeq :+ (("_sentinel", "x", maxTs + 86400L * 1000000L)))
+        q.processAllAvailable()
+        input.addData(("_sentinel", "y", maxTs + 2L * 86400L * 1000000L))
+        q.processAllAvailable()
+      } finally q.stop()
+      val res = s.table(name)
+        .filter(col("caseId") =!= "_sentinel")
+        .select(col("caseId").as("case_id"), col("template"),
+          col("actA").as("act_a"), col("actB").as("act_b"),
+          col("applicable"), col("satisfied"))
+      val rows = res.collect() // |cases| × 8 constraint rows
       val out = s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
       s.catalog.dropTempView(name)
       out
@@ -725,6 +829,81 @@ object EventLogQueries {
         |FROM reps LEFT JOIN (
         |  SELECT node, min(label) AS cluster_id FROM reach GROUP BY node) m
         |  ON reps.vid = m.node""".stripMargin,
+    // Batch re-derivation of the streaming tumbling-window drift: the
+    // baseline is the table's own global mix, the division mirrors the
+    // engine's double ops term-by-term (numerator cast, two factor
+    // casts) so the single FP step rounds identically.
+    "q_stream_drift_parity" ->
+      """WITH ev AS (SELECT event_type AS a, epoch_us(ts) AS us FROM events),
+        |g AS (SELECT a, count(*) AS g_a FROM ev GROUP BY a),
+        |gt AS (SELECT CAST(sum(g_a) AS BIGINT) AS gtot FROM g),
+        |w AS (SELECT (us // 86400000000) * 86400000000 AS ws, a,
+        |    count(*) AS n_pa
+        |  FROM ev GROUP BY 1, 2),
+        |wt AS (SELECT ws, CAST(sum(n_pa) AS BIGINT) AS n_p FROM w GROUP BY ws),
+        |base AS (
+        |  SELECT wt.ws, wt.n_p, g.a, g.g_a, gt.gtot,
+        |    coalesce(w.n_pa, 0) AS n_pa
+        |  FROM wt CROSS JOIN g CROSS JOIN gt
+        |  LEFT JOIN w ON w.ws = wt.ws AND w.a = g.a)
+        |SELECT ws AS window_start_us, n_p AS n_events,
+        |  CAST(sum(abs(n_pa * gtot - g_a * n_p)) AS DOUBLE)
+        |    / (CAST(n_p AS DOUBLE) * CAST(gtot AS DOUBLE)) AS l1x2_vs_baseline
+        |FROM base GROUP BY ws, n_p, gtot""".stripMargin,
+    // Batch re-evaluation of the streaming DECLARE monitor: identical
+    // per-trace profile algebra (count / first / last position per
+    // activity) over the (tsMicros, activity) trace order that
+    // TraceAssembly.close sorts by; the constraint list mirrors
+    // DeclareMonitorSet row for row.
+    "q_stream_declare_parity" ->
+      """WITH pos AS (
+        |  SELECT user_id AS c, event_type AS a,
+        |    row_number() OVER (
+        |      PARTITION BY user_id ORDER BY epoch_us(ts), event_type) AS p
+        |  FROM events),
+        |prof AS (
+        |  SELECT c, a, count(*) AS n, min(p) AS fp, max(p) AS lp
+        |  FROM pos GROUP BY c, a),
+        |clen AS (SELECT c, max(lp) AS len FROM prof GROUP BY c),
+        |cons AS (SELECT * FROM (VALUES
+        |  ('existence', 'signup', ''),
+        |  ('absence2', 'error', ''),
+        |  ('init', 'signup', ''),
+        |  ('last', 'purchase', ''),
+        |  ('responded_existence', 'click', 'purchase'),
+        |  ('response', 'click', 'purchase'),
+        |  ('precedence', 'signup', 'purchase'),
+        |  ('succession', 'signup', 'error')) t(template, act_a, act_b)),
+        |j AS (
+        |  SELECT clen.c, clen.len, cons.template, cons.act_a, cons.act_b,
+        |    pa.n AS na, pa.fp AS fa, pa.lp AS la,
+        |    pb.n AS nb, pb.fp AS fb, pb.lp AS lb
+        |  FROM clen CROSS JOIN cons
+        |  LEFT JOIN prof pa ON pa.c = clen.c AND pa.a = cons.act_a
+        |  LEFT JOIN prof pb ON pb.c = clen.c AND pb.a = cons.act_b)
+        |SELECT CAST(c AS VARCHAR) AS case_id, template, act_a, act_b,
+        |  CASE template
+        |    WHEN 'responded_existence' THEN na IS NOT NULL
+        |    WHEN 'response' THEN na IS NOT NULL
+        |    WHEN 'precedence' THEN nb IS NOT NULL
+        |    WHEN 'succession' THEN na IS NOT NULL OR nb IS NOT NULL
+        |    ELSE TRUE
+        |  END AS applicable,
+        |  CASE template
+        |    WHEN 'existence' THEN na IS NOT NULL
+        |    WHEN 'absence2' THEN coalesce(na, 0) <= 1
+        |    WHEN 'init' THEN coalesce(fa, 0) = 1
+        |    WHEN 'last' THEN coalesce(la, -1) = len
+        |    WHEN 'responded_existence' THEN na IS NULL OR nb IS NOT NULL
+        |    WHEN 'response' THEN na IS NULL
+        |      OR (nb IS NOT NULL AND lb > la)
+        |    WHEN 'precedence' THEN nb IS NULL
+        |      OR (na IS NOT NULL AND fa < fb)
+        |    WHEN 'succession' THEN
+        |      (na IS NULL OR (nb IS NOT NULL AND lb > la))
+        |      AND (nb IS NULL OR (na IS NOT NULL AND fa < fb))
+        |  END AS satisfied
+        |FROM j""".stripMargin,
     "q_log_drift" ->
       """WITH pp AS (
         |  SELECT date_trunc('week', ts) AS period, event_type AS a,
