@@ -52,20 +52,29 @@ object EventLogQueries {
     // windows are [ts, ts+gap) merged on OVERLAP, so a gap of exactly
     // `gapSeconds` starts a NEW session — the oracle flags with >=.
     // MemoryStream is driver-fed by construction (harness input, not
-    // an operator collect) — the input collect is bounded by the gate
-    // table (sf0.01 events ≈ 60k rows of two longs), and the result
-    // collect by the session count (≤ #users); both are parity-harness
-    // costs, not operator shapes. The memory sink registers a temp
+    // an operator collect) — the feed is chunked via ParityFeed so
+    // driver residency is the MemoryStream buffer + one chunk, and the
+    // result collect is bounded by the session count (≤ #users); both
+    // are parity-harness costs, not operator shapes. The memory sink
+    // registers a temp
     // view per invocation; it is dropped after materialization so
     // repeated runs (ScaleBench --all, runs ≥ 2) don't accumulate
     // sink tables in driver memory.
     "q_stream_sessionize_parity" -> { (s, dir) =>
       import s.implicits._
       implicit val sqlCtx = s.sqlContext
-      val batch = Tables(s, dir, "events")
+      val batchDs = Tables(s, dir, "events")
         .select(col("user_id"), unix_micros(col("ts")).as("tsMicros"))
-        .as[(Long, Long)].collect()
+        .as[(Long, Long)]
       val input = MemoryStream[(Long, Long)]
+      // chunked pre-start feed (ParityFeed): the whole input + the
+      // first far-future sentinel land in ONE micro-batch (the
+      // watermark only advances at the batch boundary, so no data
+      // event is ever late); the second batch lets the closed sessions
+      // emit. Two micro-batches total. The sentinel user is filtered
+      // out below.
+      val maxTs = ParityFeed.feed(input, batchDs, (_: (Long, Long))._2)
+      input.addData((-1L, maxTs + 86400L * 1000000L))
       val ev = input.toDS().toDF("user_id", "tsMicros")
         .withColumn("ts", timestamp_micros(col("tsMicros")))
         .withWatermark("ts", "10 seconds")
@@ -75,13 +84,6 @@ object EventLogQueries {
         .writeStream.format("memory").queryName(name)
         .outputMode(OutputMode.Append()).start()
       try {
-        // the first far-future sentinel rides IN the data batch (the
-        // watermark only advances at the batch boundary, so no data
-        // event is ever late); the second batch lets the closed
-        // sessions emit. Two micro-batches total. The sentinel user is
-        // filtered out below.
-        val maxTs = batch.map(_._2).max
-        input.addData(batch.toSeq :+ ((-1L, maxTs + 86400L * 1000000L)))
         q.processAllAvailable()
         input.addData((-1L, maxTs + 2L * 86400L * 1000000L))
         q.processAllAvailable()
@@ -109,11 +111,13 @@ object EventLogQueries {
       import s.implicits._
       implicit val sqlCtx = s.sqlContext
       val ev = Tables(s, dir, "events")
-      val batch = ev.select(col("event_type"), unix_micros(col("ts")))
-        .as[(String, Long)].collect()
+      val batchDs = ev.select(col("event_type"), unix_micros(col("ts")))
+        .as[(String, Long)]
       val baseline = ev.groupBy(col("event_type")).count()
         .as[(String, Long)].collect().toMap // alphabet-sized
       val input = MemoryStream[(String, Long)]
+      val maxDataTs = ParityFeed.feed(input, batchDs, (_: (String, Long))._2)
+      input.addData(("_sentinel", maxDataTs + 86400L * 1000000L))
       val events = input.toDS().toDF("activity", "tsMicros")
         .withColumn("ts", timestamp_micros(col("tsMicros")))
         .withWatermark("ts", "10 seconds")
@@ -124,13 +128,10 @@ object EventLogQueries {
         .writeStream.format("memory").queryName(name)
         .outputMode(OutputMode.Append()).start()
       try {
-        val maxTs = batch.map(_._2).max
-        input.addData(batch.toSeq :+ (("_sentinel", maxTs + 86400L * 1000000L)))
         q.processAllAvailable()
-        input.addData(("_sentinel", maxTs + 3L * 86400L * 1000000L))
+        input.addData(("_sentinel", maxDataTs + 3L * 86400L * 1000000L))
         q.processAllAvailable()
       } finally q.stop()
-      val maxDataTs = batch.map(_._2).max
       val res = s.table(name)
         .filter(col("windowStartMicros") <= maxDataTs)
         .select(col("windowStartMicros").as("window_start_us"),
@@ -153,11 +154,13 @@ object EventLogQueries {
     "q_stream_declare_parity" -> { (s, dir) =>
       import s.implicits._
       implicit val sqlCtx = s.sqlContext
-      val batch = Tables(s, dir, "events")
+      val batchDs = Tables(s, dir, "events")
         .select(col("user_id").cast("string"), col("event_type"),
           unix_micros(col("ts")))
-        .as[(String, String, Long)].collect()
+        .as[(String, String, Long)]
       val input = MemoryStream[(String, String, Long)]
+      val maxTs = ParityFeed.feed(input, batchDs, (_: (String, String, Long))._3)
+      input.addData(("_sentinel", "x", maxTs + 86400L * 1000000L))
       val events = input.toDS().toDF("caseId", "activity", "tsMicros")
         .withColumn("ts", timestamp_micros(col("tsMicros")))
         .withWatermark("ts", "10 seconds")
@@ -168,8 +171,6 @@ object EventLogQueries {
         .writeStream.format("memory").queryName(name)
         .outputMode(OutputMode.Append()).start()
       try {
-        val maxTs = batch.map(_._3).max
-        input.addData(batch.toSeq :+ (("_sentinel", "x", maxTs + 86400L * 1000000L)))
         q.processAllAvailable()
         input.addData(("_sentinel", "y", maxTs + 2L * 86400L * 1000000L))
         q.processAllAvailable()

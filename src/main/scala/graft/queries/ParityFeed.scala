@@ -1,0 +1,40 @@
+package graft.queries
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Bounded driver feed for the streaming batch↔stream parity queries.
+  *
+  * MemoryStream is driver-fed by construction, but the feed does NOT
+  * have to materialize the whole input on the driver: `toLocalIterator`
+  * streams one partition at a time, and fixed-size `addData` chunks
+  * keep the transfer buffer O(chunk). All chunks are added BEFORE the
+  * query starts, so the first trigger consumes every pre-added block
+  * in ONE micro-batch — the watermark still only advances at the batch
+  * boundary and no data event is ever late (chunking against a RUNNING
+  * query would make each chunk its own micro-batch, advancing the
+  * watermark between chunks and dropping earlier-timestamped data —
+  * measurably wrong AND slower).
+  *
+  * Driver residency = MemoryStream's own block buffer (inherent to the
+  * harness) + one in-flight chunk, instead of that buffer PLUS a full
+  * `collect()` array.
+  */
+private[queries] object ParityFeed {
+
+  val ChunkRows = 100000
+
+  /** Streams `ds` into `input` in [[ChunkRows]]-sized blocks (call
+    * before the query starts) and returns the max event-time micros
+    * seen, for sentinel construction. Input must be non-empty. */
+  def feed[T](input: MemoryStream[T], ds: Dataset[T], tsOf: T => Long): Long = {
+    import scala.jdk.CollectionConverters._
+    var maxTs = Long.MinValue
+    ds.toLocalIterator().asScala.grouped(ChunkRows).foreach { chunk =>
+      chunk.foreach { t => val ts = tsOf(t); if (ts > maxTs) maxTs = ts }
+      input.addData(chunk)
+    }
+    require(maxTs != Long.MinValue, "parity feed: empty input")
+    maxTs
+  }
+}
