@@ -135,6 +135,26 @@ object MinerQueries {
         .toDF("model", "precision")
     },
 
+    // Composed four-dimension model-quality report (ops/Quality) for
+    // L1 vs its own alpha net, all four values hand-derivable:
+    // fitness = 1 and precision = 1 are the L1 theorems already gated
+    // (q_replay_fitness_l1, q_precision_l1); generalization =
+    // 1 − (Σ_a 1/√exec(a))/5 with exec = (a:6, b:5, c:5, d:6, e:1)
+    // from the book; simplicity = (|T|+|P|)/|F| = (5+6)/14 for the
+    // alpha net's 6-place, 14-arc PetriNet form.
+    "q_model_quality" -> { (s, _) =>
+      import s.implicits._
+      val ev = bookEvents(s, "L1")
+      val rep = withCached(ev) {
+        val net = Alpha.mine(ev, "traceIdx", "activity", "ts", "seq")
+        Quality.report(s, ev, "traceIdx", "activity", "ts", "seq", net)
+      }
+      Seq(("fitness", rep.fitness), ("precision", rep.precision),
+        ("generalization", rep.generalization),
+        ("simplicity", rep.simplicity))
+        .toDF("dimension", "value")
+    },
+
     // WF-net soundness: the mined L1 nets are classically sound
     // (textbook), and each violation class is detected on a minimal
     // hand-built counterexample net (SoundnessSpec's constructions).
@@ -247,6 +267,17 @@ object MinerQueries {
         |  ('textbook', CAST(1.0 AS DOUBLE)),
         |  ('alpha',    CAST(1.0 AS DOUBLE)))
         |t(model, precision)""".stripMargin,
+    // closed forms, derivations in the query's scaladoc; the
+    // generalization terms are summed in the engine's a..e order so
+    // the single FP sum associates identically
+    "q_model_quality" ->
+      """SELECT * FROM (VALUES
+        |  ('fitness', CAST(1.0 AS DOUBLE)),
+        |  ('precision', CAST(1.0 AS DOUBLE)),
+        |  ('generalization', 1.0 - (1/sqrt(6.0) + 1/sqrt(5.0)
+        |    + 1/sqrt(5.0) + 1/sqrt(6.0) + 1.0) / 5),
+        |  ('simplicity', CAST(11.0/14 AS DOUBLE)))
+        |t(dimension, value)""".stripMargin,
     "q_soundness_reports" ->
       """SELECT * FROM (VALUES
         |  ('l1_alpha',            true,  true,  true,  '',   true),
