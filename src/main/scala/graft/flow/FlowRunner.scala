@@ -43,6 +43,91 @@ object FlowRunner {
     def unpersist(): Unit = cached.foreach(_.unpersist())
   }
 
+  /** One declared parameter of a segment: name, human description,
+    * and the default value's rendering when the parameter is optional
+    * (the reference's `default_attr`, plugin.rs:84-99). */
+  case class AttrDecl(name: String, description: String,
+      default: Option[String] = None)
+
+  /** Registry introspection row — the reference's `log_plugins` table
+    * (plugin.rs:374-411) as data: per segment its kind, declared
+    * attributes, consumed/produced streams, artifacts, and sinks. */
+  case class SegmentInfo(name: String, description: String, kind: String,
+      attributes: Seq[AttrDecl] = Nil,
+      streams: Seq[(String, String)] = Nil,
+      artifacts: Seq[(String, String)] = Nil,
+      sinks: Seq[(String, String)] = Nil)
+
+  /** The installed-segment table ([[run]]'s dispatch, introspectable):
+    * names, descriptions, and declarations mirror the reference
+    * registry (plugin.rs:354-371 and each plugin's `Declaration`) for
+    * the ten builtins; the miner segments are the aspirational
+    * lib.rs:11-22 plugins this engine implements for real, and
+    * AssertStats is the artifact-receiver consistency gate. Kept in
+    * lockstep with `applySegment`/`runPipe` — FlowRunnerSpec fails if
+    * a dispatcher case has no row here or vice versa. */
+  def describeSegments: Seq[SegmentInfo] = Seq(
+    SegmentInfo("XesReader", "Parse the XES format from a file", "source",
+      attributes = Seq(AttrDecl("path", "Location of the XES file"))),
+    SegmentInfo("Receiver", "Receiving stream channel endpoint", "source",
+      streams = Seq("acquire" -> "The stream to be received")),
+    SegmentInfo("Void", "A stream source that yields no items / a sink that discards all items",
+      "transform"),
+    SegmentInfo("Duplicator", "Create an exact copy of an event stream", "transform",
+      streams = Seq("inner" -> "The stream to be copied"),
+      sinks = Seq("copy" -> "The sink that consumes the copy")),
+    SegmentInfo("Repair",
+      "Applies a number of methods in order to fix broken items such as invalid names",
+      "transform", streams = Seq("inner" -> "The stream to be repaired")),
+    SegmentInfo("Validator", "Validate stream semantics", "transform",
+      streams = Seq("inner" -> "The stream to be validated")),
+    SegmentInfo("Statistics", "Compute basic statistics of an event stream",
+      "transform",
+      streams = Seq("inner" -> "The stream to be analyzed"),
+      artifacts = Seq("out" -> "The [nTraces, nEventsInTraces, nEventsTotal] triple")),
+    SegmentInfo("Sample", "Sample from a stream", "transform",
+      attributes = Seq(
+        AttrDecl("ratio", "Share of events/traces that are sampled"),
+        AttrDecl("seed", "Optional seed", Some("0"))),
+      streams = Seq("inner" -> "The stream to be sampled from")),
+    SegmentInfo("Split", "Split stream into two new ones at random", "transform",
+      attributes = Seq(
+        AttrDecl("ratio", "Share of events/traces that are kept"),
+        AttrDecl("seed", "Optional seed", Some("0"))),
+      streams = Seq("inner" -> "The stream to be split"),
+      sinks = Seq("sink" -> "The sink that consumes one part of the stream")),
+    SegmentInfo("XesWriter", "Render the stream into the XES format", "sink",
+      attributes = Seq(
+        AttrDecl("path", "Location of the XES file"),
+        // the reference defaults indent to 0 AND drops newlines
+        // (quick-xml single-line mode); this renderer always keeps
+        // newlines, so the default is one tab per level
+        AttrDecl("indent", "Indentation", Some("1")))),
+    SegmentInfo("Sender", "Sending stream channel endpoint", "sink",
+      sinks = Seq("emit" -> "The sending sink")),
+    SegmentInfo("AssertStats", "Gate the pipe on statistics received from another pipe",
+      "transform",
+      attributes = Seq(AttrDecl("min_traces", "Minimum trace count", Some("0"))),
+      artifacts = Seq("in" -> "The Statistics artifact to check")),
+    SegmentInfo("DFGGenerator", "Mine the directly-follows graph", "transform",
+      artifacts = Seq("out" -> "The (from, to, n) edge list")),
+    SegmentInfo("FootprintGenerator", "Mine the alpha footprint matrix", "transform",
+      artifacts = Seq("out" -> "The (a, b, relation) footprint table")),
+    SegmentInfo("AlphaMiner", "Mine a workflow net with the alpha algorithm",
+      "transform", artifacts = Seq("out" -> "The WorkflowNet")),
+    SegmentInfo("HeuristicMiner", "Mine a causal net with dependency thresholds",
+      "transform",
+      attributes = Seq(
+        AttrDecl("dependency_threshold", "Minimum dependency measure", Some("0.9")),
+        AttrDecl("min_edge_n", "Minimum edge frequency", Some("1"))),
+      artifacts = Seq("out" -> "The causal-net edge table")),
+    SegmentInfo("InductiveMiner", "Mine a process tree with the inductive miner",
+      "transform", artifacts = Seq("out" -> "The ProcessTree")),
+    SegmentInfo("TokenReplay", "Replay the log against a received net", "transform",
+      artifacts = Seq(
+        "in" -> "The WorkflowNet artifact to replay against",
+        "out" -> "The log fitness")))
+
   def runJson(spark: SparkSession, json: String): FlowResult =
     run(spark, FlowSpec.parseJson(json))
 

@@ -246,4 +246,51 @@ class FlowRunnerSpec extends SparkSpec {
     // actions ⇒ ≥7 jobs on the same flow
     assert(n <= 5 && n > 0, s"expected 1..5 jobs, saw $n")
   }
+
+  test("describeSegments: complete registry table, reference declarations match") {
+    val infos = FlowRunner.describeSegments
+    val byName = infos.map(i => i.name -> i).toMap
+    // exactly the dispatcher's handled set — a new `case` in
+    // applySegment/runPipe without a registry row (or vice versa)
+    // fails here
+    assert(infos.map(_.name).sorted == Seq("AlphaMiner", "AssertStats",
+      "DFGGenerator", "Duplicator", "FootprintGenerator", "HeuristicMiner",
+      "InductiveMiner", "Receiver", "Repair", "Sample", "Sender", "Split",
+      "Statistics", "TokenReplay", "Validator", "Void", "XesReader",
+      "XesWriter"))
+    // reference registry parity (plugin.rs:354-371 + each Declaration):
+    // attribute/stream/sink names and descriptions as log_plugins prints
+    assert(byName("XesReader").attributes ==
+      Seq(FlowRunner.AttrDecl("path", "Location of the XES file")))
+    assert(byName("Receiver").streams ==
+      Seq("acquire" -> "The stream to be received"))
+    assert(byName("Sender").sinks == Seq("emit" -> "The sending sink"))
+    assert(byName("Duplicator").streams ==
+      Seq("inner" -> "The stream to be copied"))
+    assert(byName("Duplicator").sinks ==
+      Seq("copy" -> "The sink that consumes the copy"))
+    assert(byName("Repair").streams ==
+      Seq("inner" -> "The stream to be repaired"))
+    assert(byName("Validator").streams ==
+      Seq("inner" -> "The stream to be validated"))
+    assert(byName("Statistics").streams ==
+      Seq("inner" -> "The stream to be analyzed"))
+    assert(byName("Split").attributes.map(_.name) == Seq("ratio", "seed"))
+    assert(byName("Split").attributes.head.description ==
+      "Share of events/traces that are kept")
+    assert(byName("Sample").attributes.map(_.name) == Seq("ratio", "seed"))
+    assert(byName("Sample").attributes.head.description ==
+      "Share of events/traces that are sampled")
+    assert(byName("XesWriter").attributes.map(_.name) == Seq("path", "indent"))
+    // every optional attribute declares its default, as log_plugins does
+    assert(byName("Split").attributes.find(_.name == "seed")
+      .flatMap(_.default).contains("0"))
+    assert(byName("XesWriter").attributes.find(_.name == "indent")
+      .flatMap(_.default).contains("1"))
+    // the miner segments produce artifacts (lib.rs:11-22 made real)
+    Seq("DFGGenerator", "FootprintGenerator", "AlphaMiner",
+      "HeuristicMiner", "InductiveMiner", "TokenReplay").foreach { m =>
+      assert(byName(m).artifacts.exists(_._1 == "out"), m)
+    }
+  }
 }

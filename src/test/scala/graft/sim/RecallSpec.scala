@@ -51,4 +51,30 @@ class RecallSpec extends SparkSpec {
       assert(ivfpq >= 0.05, s"ivfpq recall $ivfpq")
     } finally brute.unpersist()
   }
+
+  test("recall@10 IVF: k-means coarse centroids never lose to stride at equal C") {
+    val K10 = 10
+    val e = Tables(spark, sf, "embeddings")
+    val q = e.filter(col("vec_id") < NQ)
+    val brute = Ann.bruteForceTopK(e, q, "vec_id", "embedding", K10).cache()
+    def recall(approx: DataFrame): Double =
+      brute.select(col("id_q"), col("id_n"))
+        .join(approx.select(col("id_q"), col("id_n")), Seq("id_q", "id_n"))
+        .count().toDouble / (NQ * K10)
+    try {
+      // equal C = 10 cells on the 500-vector corpus; both quantizers
+      // are seedless/deterministic, so these are stable measurements
+      val (sIds, sCents) = Ann.ivfCentroids(e, "vec_id", "embedding", stride = 50)
+      val rStride = recall(Ann.ivfTopKWith(e, q, "vec_id", "embedding",
+        K10, sIds, sCents, nProbe = 3))
+      val (kIds, kCents) = Kmeans.fit(e, "vec_id", "embedding",
+        c = sIds.length, iters = 5, dims = 64)
+      val rKmeans = recall(Ann.ivfTopKWith(e, q, "vec_id", "embedding",
+        K10, kIds, kCents, nProbe = 3))
+      info(f"ivf recall@10: stride=$rStride%.2f kmeans=$rKmeans%.2f")
+      assert(rStride >= 0.30, s"stride ivf recall $rStride")
+      assert(rKmeans >= rStride,
+        s"k-means quantizer ($rKmeans) should not lose to stride ($rStride) at equal C")
+    } finally brute.unpersist()
+  }
 }
