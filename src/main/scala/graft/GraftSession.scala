@@ -11,7 +11,12 @@ object GraftSession {
     SparkSession.builder()
       .master(s"local[$cores]")
       .appName("graft")
-      .config("spark.sql.shuffle.partitions", cores)
+      // shuffle parallelism defaults to the core count; the scale
+      // audit's inflated runs override it (SPARK_GRAFT_SHUFFLE) the
+      // way a real cluster sizes partitions to data volume — at 100x
+      // data, 32 partitions would hold 100x the rows each and spill
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cores))
       .config("spark.sql.adaptive.enabled", "true")
       // native kernels callable from pure SQL (GraftExtensions)
       .config("spark.sql.extensions", "graft.GraftExtensions")

@@ -159,11 +159,46 @@ object Native {
       var s = 0.0
       var i = 1
       while (i <= dims) {
-        val h = ((i.toLong + gp.toLong * dims) * K + seed) % P % 2001L - 1000L
+        val x = i.toLong + gp.toLong * dims
+        val h1 = (x * K + seed) % P
+        val h2 = (h1 * h1) % P
+        val h = (h2 * K + x) % P % 2001L - 1000L
         s += v.getFloat(i - 1).toDouble * (h.toDouble / 1000.0)
         i += 1
       }
       if (s > 0) bucket |= 1L << p
+      p += 1
+    }
+    bucket
+  }
+
+  /** [[lshBucket]] with per-global-plane CENTERING thresholds: bit p
+    * set iff the projection exceeds `th(table·planes + p)` instead of
+    * zero. Subtracting the corpus centroid c from every vector shifts
+    * each plane's projection by the constant Σᵢ cᵢ·wᵢ — so centered
+    * SRP-LSH is exactly a threshold test against the UN-centered
+    * projection, no per-row subtraction needed. On clustered (non-
+    * isotropic) corpora, planes through the origin leave most vectors
+    * on the same side and concentrate everything into a few hot
+    * buckets (quadratic candidate blow-up); planes through the
+    * centroid split the bulk ~50/50 per bit. */
+  def lshBucketCentered(v: ArrayData, table: Int, planes: Int, seed: Long,
+      dims: Int, th: Array[Double]): Long = {
+    var bucket = 0L
+    var p = 0
+    while (p < planes) {
+      val gp = table * planes + p
+      var s = 0.0
+      var i = 1
+      while (i <= dims) {
+        val x = i.toLong + gp.toLong * dims
+        val h1 = (x * K + seed) % P
+        val h2 = (h1 * h1) % P
+        val h = (h2 * K + x) % P % 2001L - 1000L
+        s += v.getFloat(i - 1).toDouble * (h.toDouble / 1000.0)
+        i += 1
+      }
+      if (s > th(gp)) bucket |= 1L << p
       p += 1
     }
     bucket

@@ -82,6 +82,28 @@ object NativeExpressions {
       copy(child = newChild)
   }
 
+  /** [[LshBucketExpr]] with per-global-plane centering thresholds
+    * carried as a codegen reference object ([[Native.lshBucketCentered]]). */
+  case class LshBucketCenteredExpr(child: Expression, table: Int, planes: Int,
+      seed: Long, dims: Int, thresholds: Array[Double]) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_lsh_bucket_centered"
+    override protected def nullSafeEval(input: Any): Any =
+      Native.lshBucketCentered(input.asInstanceOf[ArrayData], table, planes,
+        seed, dims, thresholds)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val th = ctx.addReferenceObj("lshThresholds", thresholds, "double[]")
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.Native.lshBucketCentered($c, $table, $planes, ${seed}L, $dims, $th)")
+    }
+    // default toString would print the array's identity hash —
+    // run-variant noise in plan strings (breaks plan-digest pinning)
+    override def toString: String =
+      s"graft_lsh_bucket_centered($child, $table, $planes)"
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   case class CharHashExpr(child: Expression, seed: Long)
       extends UnaryExpression {
     override def dataType: DataType = LongType
@@ -241,6 +263,9 @@ object NativeExpressions {
   def simhash(text: Column): Column = c(SimHashExpr(e(text)))
   def lshBucket(v: Column, table: Int, planes: Int, seed: Long, dims: Int): Column =
     c(LshBucketExpr(e(v), table, planes, seed, dims))
+  def lshBucketCentered(v: Column, table: Int, planes: Int, seed: Long,
+      dims: Int, thresholds: Array[Double]): Column =
+    c(LshBucketCenteredExpr(e(v), table, planes, seed, dims, thresholds))
   def dotF(a: Column, b: Column): Column = c(DotFExpr(e(a), e(b)))
   def gramHashes(text: Column, k: Int): Column =
     c(GramHashesExpr(e(text), k))

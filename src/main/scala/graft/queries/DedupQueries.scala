@@ -14,7 +14,52 @@ import graft.functions.Portable.{P, charHashSql}
   */
 object DedupQueries {
 
+  private val neardupRun = new java.util.concurrent.atomic.AtomicInteger(0)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Streaming ↔ batch near-dup parity under the hash gate: documents
+    // fed through MemoryStream (synthetic event time = doc_id seconds)
+    // → map-side MinHash sketch (same native kernels and parameters as
+    // q_dedup_minhash_lsh) → per-(band,bucket) keyed state where the
+    // FIRST holder claims the bucket and later docs emit collisions.
+    // All docs arrive in one micro-batch (ParityFeed pre-start feed),
+    // so "first" = min (ts, doc_id) per bucket — which the oracle
+    // re-derives from the same signature SQL the batch LSH oracle
+    // uses. Collisions emit in Append mode at batch end; no sentinel
+    // or timer firing is needed.
+    "q_stream_neardup_parity" -> { (s, dir) =>
+      import s.implicits._
+      import graft.streaming.StreamingNearDup
+      implicit val sqlCtx = s.sqlContext
+      import org.apache.spark.sql.streaming.OutputMode
+      val docsDs = Tables(s, dir, "documents")
+        // +1: event time must be strictly past the initial watermark
+        // (0), or doc_id 0's hits are dropped as late in batch one
+        .select(col("doc_id").cast("long").as("docId"), col("text"),
+          ((col("doc_id").cast("long") + 1L) * 1000000L).as("tsMicros"))
+        .as[StreamingNearDup.Doc]
+      val input =
+        org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamingNearDup.Doc]
+      ParityFeed.feed(input, docsDs, (_: StreamingNearDup.Doc).tsMicros)
+      val hits = StreamingNearDup.bucketHits(s, input.toDS(),
+          k = 3, numHashes = 32, bands = 8, seed = 42L)
+        .withColumn("ts", timestamp_micros(col("tsMicros")))
+        .withWatermark("ts", "10 seconds")
+        .as[StreamingNearDup.BucketHit]
+      val name = s"stream_neardup_parity_${neardupRun.incrementAndGet()}"
+      val q = StreamingNearDup.collisions(s, hits, ttlSeconds = 600L)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try q.processAllAvailable() finally q.stop()
+      val res = s.table(name)
+        .select(col("docId").as("doc_id"), col("firstDocId").as("first_doc_id"),
+          col("band"), col("bucket"))
+      val rows = res.collect() // collision rows: bounded by bucket collisions
+      val out = s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+      s.catalog.dropTempView(name)
+      out
+    },
+
     "q_dedup_exact" -> { (s, dir) =>
       Dedup.exact(Tables(s, dir, "documents"), "doc_id", "text")
     },
@@ -206,6 +251,31 @@ object DedupQueries {
        |  HAVING max(pos_a) - min(pos_a) + $SpanK >= $SpanMinLen)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    // the batch LSH oracle's signature/band SQL re-derives the bucket
+    // keys; "first" per bucket = min doc_id (event time is monotone in
+    // doc_id by construction), everyone else collides with it
+    "q_stream_neardup_parity" -> {
+      val seed = 42L
+      val aI = s"((2654435761*(2*i+1)+$seed) % $P)"
+      val bI = s"((2654435761*(i+7)+${seed * 31}) % $P)"
+      s"""$docShingles,
+         |sig AS (SELECT doc_id, s,
+         |  [list_min([(($aI*(x % $P) + $bI) % $P) for x in s])
+         |   for i in generate_series(0, 31)] AS sg
+         |  FROM sh WHERE len(s) > 0),
+         |bands AS (SELECT doc_id, gb.b AS band,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    [sg[gb.b*4+j] for j in generate_series(1, 4)]),
+         |    (acc, v) -> (acc*1009 + v) % $P) AS bh
+         |  FROM sig, generate_series(0, 7) gb(b)),
+         |firsts AS (SELECT band, bh, min(doc_id) AS first_doc
+         |  FROM bands GROUP BY band, bh)
+         |SELECT b.doc_id, f.first_doc AS first_doc_id,
+         |  CAST(b.band AS INT) AS band, b.bh AS bucket
+         |FROM bands b JOIN firsts f ON b.band = f.band AND b.bh = f.bh
+         |WHERE b.doc_id <> f.first_doc""".stripMargin
+    },
+
     "q_dedup_spans" ->
       s"""WITH $spanGramSql
          |SELECT id_a, id_b, start_a, start_b, span_len FROM sp""".stripMargin,

@@ -359,16 +359,25 @@ object SimQueries {
       val pd = s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
         s"[CAST(v[i] AS DOUBLE) * $w for i in generate_series(1, $Dims)]), " +
         s"(s, x) -> s + x)"
+      // centering threshold: the fixed-point centroid's projection on
+      // the same plane, folded in the same dim order (Ann.lshThresholds)
+      val th = s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        s"[ca[i] * $w for i in generate_series(1, $Dims)]), " +
+        s"(s, x) -> s + x)"
       s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
          |params AS (SELECT LEAST(48, coalesce((SELECT min(p)
          |    FROM generate_series(2, 48) gp(p)
          |    WHERE (CAST(1 AS BIGINT) << p) >=
          |      (SELECT (count(*) + 15) // 16 FROM e)), 48)) AS pl),
+         |cent AS (SELECT list(c ORDER BY i) AS ca FROM (
+         |  SELECT i, CAST(sum(CAST(floor(v[i] * 1048576.0) AS BIGINT)) AS DOUBLE)
+         |      / (count(*) * 1048576.0) AS c
+         |  FROM e, generate_series(1, $Dims) g(i) GROUP BY i)),
          |b AS (SELECT vec_id, v, gt.tbl AS tbl,
-         |  CAST(list_sum([CASE WHEN $pd > 0
+         |  CAST(list_sum([CASE WHEN $pd > $th
          |    THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END
          |    for p in generate_series(0, pl - 1)]) AS BIGINT) AS bkt
-         |  FROM e, generate_series(0, ${TablesL - 1}) gt(tbl), params),
+         |  FROM e, generate_series(0, ${TablesL - 1}) gt(tbl), params, cent),
          |cand AS (SELECT DISTINCT q.vec_id AS id_q, q.v AS vq,
          |    c.vec_id AS id_n, c.v AS vn
          |  FROM b c JOIN b q

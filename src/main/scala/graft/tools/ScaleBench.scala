@@ -42,9 +42,23 @@ import graft.{GraftSession, SparkEntry, Tables}
   */
 object ScaleBench {
 
-  val Copies = 10
+  /** Replication factor — 10 for the per-round full-surface audit,
+    * SPARK_GRAFT_SCALE_COPIES=100 for the deep two-decade scale point
+    * on the expensive queries. The decorrelation schemes below stay
+    * valid at any count ≤ 2·dims (embeddings) / ≤ 200 (documents). */
+  val Copies: Int = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "10").toInt
 
   private val Vowels = "aeiouAEIOU"
+  private val Consonants = "bcdfghjklmnpqrstvwxyz"
+
+  /** Rotate the consonant alphabet by `k` (k=0 is the identity) —
+    * composed with the vowel rotation for copies ≥ 10, this yields
+    * ≥ 200 pairwise-distinct character bijections, each of which
+    * preserves within-copy shingle structure exactly. */
+  private def consMap(k: Int): String = {
+    val n = k % Consonants.length
+    Consonants.drop(n) + Consonants.take(n)
+  }
 
   /** Rotate the vowel alphabet by `i` positions (lower/upper rotate in
     * lockstep so case structure is preserved). i=0 is the identity. */
@@ -67,10 +81,17 @@ object ScaleBench {
     val out = (0 until Copies).map { i =>
       val txt = if (i % 5 == 0) col("text")
                 else translate(col("text"), Vowels, vowelMap(i))
+      // copies 5..9 would repeat copies 0..4's bijection; shift a
+      // consonant pair too so the first 10 copies are pairwise
+      // decorrelated (unchanged from the original x10 scheme)
+      val t2 = if (i % 10 < 5) txt else translate(txt, "tnTN", "ntNT")
+      // beyond 10 copies: compose a full-consonant rotation indexed by
+      // i/10 — still a bijection, so within-copy similarity structure
+      // is exact while all copies stay pairwise decorrelated
+      val t3 = if (i < 10) t2
+               else translate(t2, Consonants, consMap(i / 10))
       docs.withColumn("doc_id", col("doc_id") + lit(i.toLong * 100000000L))
-        // copies 5..9 would repeat copies 0..4's bijection; shift a
-        // consonant pair too so all 10 copies are pairwise decorrelated
-        .withColumn("text", if (i < 5) txt else translate(txt, "tnTN", "ntNT"))
+        .withColumn("text", t3)
     }.reduce(_ unionAll _)
     out.repartition(32).write.mode("overwrite").parquet(s"$dst/documents.parquet")
   }
@@ -80,11 +101,18 @@ object ScaleBench {
     val dim = emb.selectExpr("size(embedding)").head().getInt(0)
     val out = (0 until Copies).map { i =>
       val rot = (i * dim) / Copies // spread rotations across the dim range
-      val rotated =
-        if (rot == 0) col("embedding")
-        else expr(s"concat(slice(embedding, ${rot + 1}, ${dim - rot}), slice(embedding, 1, $rot))")
+      val rotSql =
+        if (rot == 0) "embedding"
+        else s"concat(slice(embedding, ${rot + 1}, ${dim - rot}), slice(embedding, 1, $rot))"
+      // more copies than dimensions: adjacent copies share a rotation,
+      // so disambiguate odd copies with a diagonal ±1 sign flip — an
+      // orthogonal transform, so within-copy cosines stay exact while
+      // same-rotation copies decorrelate (valid up to 2·dim copies)
+      val decorSql =
+        if (Copies <= dim || i % 2 == 0) rotSql
+        else s"transform($rotSql, (x, j) -> case when j % 2 = 1 then -x else x end)"
       emb.withColumn("vec_id", col("vec_id") + lit(i.toLong * 100000000L))
-        .withColumn("embedding", rotated)
+        .withColumn("embedding", expr(decorSql))
     }.reduce(_ unionAll _)
     out.repartition(32).write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
   }
@@ -130,10 +158,13 @@ object ScaleBench {
     Tables(spark, base, "region").count()
 
     // default: the pinned expensive set; --all audits EVERY gated query
-    // (XES queries ignore sfDir — fixed corpus — and report ratio ~1)
+    // (XES queries ignore sfDir — fixed corpus — and report ratio ~1);
+    // --only=a,b,c picks an explicit subset (the x100 deep point)
+    val only = args.find(_.startsWith("--only="))
+      .map(_.stripPrefix("--only=").split(',').toSeq)
     val names =
       if (args.contains("--all")) SparkEntry.queries.keys.toSeq.sorted
-      else PlanPin.Pinned
+      else only.getOrElse(PlanPin.Pinned)
     val rows = names.map { name =>
       val b = timeQuery(spark, name, base, runs)
       val s = timeQuery(spark, name, scaled, runs)

@@ -31,13 +31,30 @@ class KnnGraphSpec extends SparkSpec {
     assert(Ann.autoPlanes(Long.MaxValue, 1) == 48) // upper clamp
   }
 
-  test("knnGraphAuto equals knnGraph with explicitly resolved planes") {
+  test("knnGraphAuto equals knnGraphCentered with explicitly resolved params") {
     val e = Tables(spark, sf, "embeddings")
-    val planes = Ann.autoPlanes(e.count(), 16)
+    val (n, c) = Ann.fixedPointCenter(e, "embedding", 64)
+    val planes = Ann.autoPlanes(n, 16)
+    val th = Ann.lshThresholds(c, tables = 4, planes, seed = 42L, dims = 64)
     val auto = Ann.knnGraphAuto(e, "vec_id", "embedding", 3, targetLoad = 16)
-    val ref = Ann.knnGraph(e, "vec_id", "embedding", 3, planesPerTable = planes)
+    val ref = Ann.knnGraphCentered(e, "vec_id", "embedding", 3,
+      tables = 4, planes, seed = 42L, dims = 64, th)
     assert(auto.exceptAll(ref).count() == 0L)
     assert(ref.exceptAll(auto).count() == 0L)
+  }
+
+  test("centering: thresholds are the centroid's plane projections; zero center = plain LSH") {
+    val e = Tables(spark, sf, "embeddings")
+    val planes = Ann.autoPlanes(e.count(), 16)
+    // with a zero centroid the thresholds are all zero and the
+    // centered kernel must reproduce the origin-plane buckets exactly
+    val zeroTh = Ann.lshThresholds(Array.fill(64)(0.0), 4, planes, 42L, 64)
+    assert(zeroTh.forall(_ == 0.0))
+    val plain = Ann.lshBuckets(e, "vec_id", "embedding", 4, planes, 42L, 64)
+    val centered0 = Ann.lshBucketsCentered(e, "vec_id", "embedding",
+      4, planes, 42L, 64, zeroTh)
+    assert(plain.exceptAll(centered0).count() == 0L)
+    assert(centered0.exceptAll(plain).count() == 0L)
   }
 
   test("knnGraph emits at most k directed neighbors per vector, no self-edges") {
