@@ -57,6 +57,37 @@ class KnnGraphSpec extends SparkSpec {
     assert(centered0.exceptAll(plain).count() == 0L)
   }
 
+  test("centering armors off-center corpora: origin SRP degenerates on an all-positive shift") {
+    // shift the corpus +2.0 per dim (an "all-positive embedding model"):
+    // hyperplanes through the origin leave most vectors on the same
+    // side of every plane, so buckets collapse; centroid-centered
+    // planes keep splitting the bulk ~50/50 per bit
+    val e = Tables(spark, sf, "embeddings")
+    val shifted = e.withColumn("embedding",
+      expr("transform(embedding, x -> x + CAST(2.0 AS FLOAT))"))
+    val planes = Ann.autoPlanes(500, 16)
+    def loadStats(b: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = b.groupBy("_table", "_bucket").count()
+        .agg(max("count"), sum(col("count") * (col("count") - 1))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val (moShift, poShift) = loadStats(
+      Ann.lshBuckets(shifted, "vec_id", "embedding", 4, planes, 42L, 64))
+    val (n, c) = Ann.fixedPointCenter(shifted, "embedding", 64)
+    assert(n == 500L)
+    val th = Ann.lshThresholds(c, 4, planes, 42L, 64)
+    val (mcShift, pcShift) = loadStats(Ann.lshBucketsCentered(
+      shifted, "vec_id", "embedding", 4, planes, 42L, 64, th))
+    info(s"origin: maxLoad=$moShift pairs=$poShift; " +
+      s"centered: maxLoad=$mcShift pairs=$pcShift")
+    // origin planes degenerate: the hottest bucket holds a large
+    // constant fraction of the corpus, candidate-pair volume blows up
+    assert(moShift > 2 * mcShift,
+      s"origin maxLoad $moShift should dwarf centered $mcShift")
+    assert(poShift > 4 * pcShift,
+      s"origin pair volume $poShift should dwarf centered $pcShift")
+  }
+
   test("knnGraph emits at most k directed neighbors per vector, no self-edges") {
     val e = Tables(spark, sf, "embeddings")
     val g = Ann.knnGraph(e, "vec_id", "embedding", 3).cache()
