@@ -26,6 +26,30 @@ object TextQueries {
         TextOps.subwordCount(col("text")).cast("long").as("n_subwords"))
     },
 
+    // End-to-end BPE train→tokenize under the hash gate: the 3-merge
+    // toy model (merges pinned by q_bpe_toy_merges: (l,o),(lo,w),(e,r))
+    // applied corpus-wide via Bpe.tokenize (broadcast model, map-side
+    // per-partition encode cache). The oracle re-derives both outputs
+    // without running BPE: n_chars is whitespace-stripped length
+    // (tokens partition each word's chars exactly), and n_tokens is
+    // n_chars minus one per applied merge — for THIS merge set, merge
+    // application is closed (no merge output feeds another pair except
+    // lo→low, which the 'low' substring counts directly), so applied
+    // merges = non-overlapping substring counts of 'lo', 'low', 'er'.
+    // Cross-validated against a reference encoder at sf0.001/0.01/0.1.
+    "q_bpe_tokenize" -> { (s, dir) =>
+      import s.implicits._
+      val toy = Seq("low low", "low lower").toDF("text")
+      val m = graft.text.Bpe.trainOn(toy, "text", nMerges = 3)
+      val toks = graft.text.Bpe.tokenize(s,
+        Tables(s, dir, "documents").select("doc_id", "text"),
+        "text", "tokens", m)
+      toks.select(col("doc_id"),
+        size(col("tokens")).cast("long").as("n_tokens"),
+        aggregate(col("tokens"), lit(0L), (a, t) => a + length(t))
+          .as("n_chars"))
+    },
+
     // Quality scoring: the cheap pretraining filters.
     "q_text_quality" -> { (s, dir) =>
       val m = TextOps.qualityMetrics(col("text"))
@@ -239,6 +263,20 @@ object TextQueries {
     markers.map(m => s"'$m'").mkString("[", ",", "]")
 
   def oracle: Map[String, String] = Map(
+    // merge-closure derivation in the query's scaladoc: tokens =
+    // chars − applied merges; each merge count is a non-overlapping
+    // substring count (replace is a single left-to-right pass in both
+    // engines, and the corpus is pure ASCII with space-only whitespace)
+    "q_bpe_tokenize" ->
+      """SELECT doc_id,
+        |  CAST(length(replace(text, ' ', ''))
+        |    - (length(text) - length(replace(text, 'lo', ''))) // 2
+        |    - (length(text) - length(replace(text, 'low', ''))) // 3
+        |    - (length(text) - length(replace(text, 'er', ''))) // 2
+        |    AS BIGINT) AS n_tokens,
+        |  CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars
+        |FROM documents""".stripMargin,
+
     // volume/dup/quality/language headline numbers composed from the
     // constituent oracles' fragments; counts exact, one division
     "q_corpus_card" -> {
