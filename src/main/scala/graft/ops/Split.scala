@@ -44,6 +44,24 @@ object Split {
     pmod(h2, lit(n))
   }
 
+  /** The full-range two-step hash in [0, P) that [[bucketN]] reduces
+    * mod n — exposed undivided as a deterministic pseudo-random ORDER
+    * key (training-order permutation). Same integer arithmetic as the
+    * SQL twin [[oracleHashPSql]]; every intermediate fits a BIGINT. */
+  def hashP(caseId: Column, seed: Long): Column = {
+    val a = (2 * seed + 40503L) % P
+    val h1 = (pmod(caseId, lit(P)) + lit(seed % P)) * lit(2654435761L) % lit(P)
+    (h1 * lit(a) + lit(seed % P)) % lit(P)
+  }
+
+  /** [[hashP]] in portable ANSI SQL. */
+  def oracleHashPSql(caseCol: String, seed: Long): String = {
+    val a = (2 * seed + 40503L) % P
+    val x0 = s"((($caseCol % $P) + $P) % $P)"
+    val h1 = s"((($x0 + ${seed % P}) * 2654435761) % $P)"
+    s"((($h1 * $a) + ${seed % P}) % $P)"
+  }
+
   /** Same arithmetic as [[bucket]] in portable ANSI SQL (for oracles). */
   def oracleBucketSql(caseCol: String, seed: Long): String =
     oracleBucketNSql(caseCol, seed, 1000)

@@ -192,6 +192,15 @@ object TextQueries {
         keyCol = "doc_id", sizeCol = col("n_chars"), nShards = 16, seed = 42L)
     },
 
+    // Deterministic training-order permutation: (shard, pos) for every
+    // document — seeded, partitioning-independent, per-shard window
+    // rank over an independent full-range hash (never a global sort).
+    "q_shuffle_order" -> { (s, dir) =>
+      graft.text.Shards.trainingOrder(Tables(s, dir, "documents"),
+          keyCol = "doc_id", nShards = 16, seed = 42L)
+        .select("doc_id", "shard", "pos")
+    },
+
     // Budget-driven deterministic sampling: α=0.5 mixture weights →
     // per-language permille rates for a 60k-char budget → portable
     // hash-bucket selection; realized kept counts per language.
@@ -570,6 +579,15 @@ object TextQueries {
       s"""SELECT CAST(${graft.ops.Split.oracleBucketNSql("doc_id", 42L, 16)} AS INT) AS shard,
          |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_units
          |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_shuffle_order" ->
+      s"""SELECT doc_id,
+         |  CAST(${graft.ops.Split.oracleBucketNSql("doc_id", 42L, 16)} AS INT) AS shard,
+         |  CAST(row_number() OVER (
+         |    PARTITION BY ${graft.ops.Split.oracleBucketNSql("doc_id", 42L, 16)}
+         |    ORDER BY ${graft.ops.Split.oracleHashPSql("doc_id", 42L + 1000003L)}, doc_id)
+         |    - 1 AS BIGINT) AS pos
+         |FROM documents""".stripMargin,
 
     // Same weight CTEs as q_mix_weights, then: rate_pm = min(1000,
     // floor(w·budget/n_units·1000)) and the portable hash-bucket

@@ -43,6 +43,30 @@ object Shards {
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"), sum(sizeCol).cast("long").as("n_units"))
 
+  /** Deterministic training order: a seeded pseudo-random permutation
+    * of the corpus as `(shard, pos)` — the order a data loader should
+    * read documents in, reproducible on any cluster, any partitioning,
+    * and in the SQL oracle. Shard assignment is [[assign]]'s portable
+    * hash; WITHIN each shard, `pos` ranks by an independently-seeded
+    * full-range hash ([[Split.hashP]], key tie-break), so consuming
+    * shards in any order (or round-robin by `pos`) yields a
+    * hash-scattered global order with no corpus-wide sort.
+    *
+    * Scale shape: one exchange on the shard id plus a per-shard
+    * window sort — `nShards` is chosen so a shard fits a task (the
+    * same sizing the shard WRITER already requires); never a
+    * single-partition window.
+    */
+  def trainingOrder(docs: DataFrame, keyCol: String, nShards: Int,
+      seed: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val orderKey = Split.hashP(Split.keyColumn(docs, keyCol), seed + 1000003L)
+    assign(docs, keyCol, nShards, seed)
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard"))
+          .orderBy(orderKey, col(keyCol))).cast("long") - 1L)
+  }
+
   /** Writes `docs` as `outDir/shard=<k>/…parquet`, one writer task per
     * shard (single exchange on the shard id). Readers get per-shard
     * pruning via the partition column. */

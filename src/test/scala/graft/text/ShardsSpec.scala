@@ -49,4 +49,32 @@ class ShardsSpec extends SparkSpec {
     assert(got.exceptAll(expected).count() == 0L)
     assert(expected.exceptAll(got).count() == 0L)
   }
+
+  test("trainingOrder is a dense per-shard permutation, independent of input partitioning") {
+    val docs = graft.Tables(spark, sf, "documents")
+    val ord = Shards.trainingOrder(docs, "doc_id", nShards = 16, seed = 42L)
+      .select("doc_id", "shard", "pos").cache()
+    try {
+      val n = docs.count()
+      assert(ord.count() == n) // every doc exactly once
+      // (shard, pos) is unique and pos is dense 0..count-1 per shard
+      assert(ord.select("shard", "pos").distinct().count() == n)
+      val dense = ord.groupBy("shard")
+        .agg(count(lit(1)).as("n"), min("pos").as("lo"), max("pos").as("hi"))
+        .filter(col("lo") =!= 0L || col("hi") =!= col("n") - 1L)
+      assert(dense.count() == 0L)
+      // deterministic under re-partitioning of the input
+      val re = Shards.trainingOrder(docs.repartition(7), "doc_id", 16, 42L)
+        .select("doc_id", "shard", "pos")
+      assert(re.exceptAll(ord).count() == 0L)
+      assert(ord.exceptAll(re).count() == 0L)
+      // the order is not the identity (it actually shuffles): the
+      // first 10 positions of shard 0 are not the 10 smallest doc_ids
+      val first = ord.filter(col("shard") === 0 && col("pos") < 10)
+        .agg(max("doc_id")).head().getLong(0)
+      val smallest = ord.filter(col("shard") === 0)
+        .agg(min("doc_id")).head().getLong(0)
+      assert(first > smallest + 10)
+    } finally ord.unpersist()
+  }
 }
