@@ -54,23 +54,19 @@ object SpanDedup {
     val grams = docs.select(col(idCol).cast("long").as("_id"),
       posexplode(NativeExpressions.gramHashes(col(textCol), k))
         .as(Seq("_pos", "_g")))
-    // Two-pass hub cutoff: compute per-gram df FIRST (partial-agg'd
-    // counts — shuffle volume is distinct grams per partition, not
-    // occurrences), keep 2 <= df <= maxDf, and only THEN collect
-    // occurrence lists via a semi-join back. Filtering after
-    // collect_list would materialize a stop-gram's full occurrence
-    // list (millions of (id,pos) structs for boilerplate k-grams) in
-    // one aggregation buffer before discarding it — the exact skew/OOM
-    // the cutoff exists to prevent. The semi-join and the collect
-    // groupBy share the _g hash partitioning, so this costs one extra
-    // exchange of the (small) df table, not a third gram shuffle.
-    val keptGrams = grams.groupBy("_g")
-      .agg(count(lit(1)).as("_df"))
-      .filter(col("_df") >= 2 && col("_df") <= maxDf) // singletons pair with nothing
-      .select("_g")
-    val occs = grams.join(keptGrams, Seq("_g"), "left_semi")
-      .groupBy("_g")
-      .agg(collect_list(struct(col("_id"), col("_pos"))).as("_occ"))
+    // Single-pass hub cutoff: a size-capped occurrence-list aggregate
+    // ([[graft.functions.CappedOccList]]) collects at most maxDf+1
+    // (id, pos) entries per gram and evals to NULL outside [2, maxDf]
+    // (singletons pair with nothing; past maxDf it's a stop-gram).
+    // Buffers are O(maxDf) even for a boilerplate gram with millions
+    // of occurrences, and map-side partial merge caps the SHUFFLE at
+    // maxDf+1 entries per gram per map partition — strictly less data
+    // moved than the previous two-pass df-filter + semi-join shape,
+    // and one full gram scan + kernel pass + exchange cheaper.
+    val occs = grams.groupBy("_g")
+      .agg(graft.functions.CappedOccList(col("_id"), col("_pos"),
+        maxDf.toInt).as("_occ"))
+      .filter(col("_occ").isNotNull)
     val keep =
       if (includeSelf)
         col("_a._id") < col("_b._id") ||

@@ -115,6 +115,19 @@ class SpanDedupSpec extends SparkSpec {
     }
   }
 
+  test("maxDf boundary is exact: df == maxDf kept, df == maxDf + 1 dropped") {
+    // the shared 8-gram block occurs once per doc: df = number of docs
+    val t = "abcdefgh"
+    val docs3 = Seq(1L -> t, 2L -> t, 3L -> t)
+    // df = 3 == maxDf: kept — all 3 pairs surface
+    val (kept, _) = run(docs3, k = 8, minLen = 8, maxDf = 3L)
+    assert(kept.map(s => (s._1, s._2)).toSet == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    // df = 4 == maxDf + 1: dropped — the capped buffer must prove
+    // overflow with its one extra slot, not silently truncate to maxDf
+    val (dropped, _) = run(docs3 :+ (4L -> t), k = 8, minLen = 8, maxDf = 3L)
+    assert(dropped.isEmpty)
+  }
+
   test("docs shorter than k and empty docs contribute nothing") {
     val (got, cov) = run(Seq(1L -> "abc", 2L -> "abc", 3L -> ""), k = 8, minLen = 8)
     assert(got.isEmpty && cov.isEmpty)
