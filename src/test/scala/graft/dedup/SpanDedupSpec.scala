@@ -115,6 +115,61 @@ class SpanDedupSpec extends SparkSpec {
     }
   }
 
+  test("random corpora under a small maxDf == df-filtered naive reference") {
+    // the capped single-pass collect must agree with the declarative
+    // two-pass semantics (df in [2, maxDf]) on arbitrary data, where
+    // dropped hub grams BREAK islands into shorter spans
+    val rnd = new scala.util.Random(20260818L)
+    (1 to 10).foreach { round =>
+      val n = 3 + rnd.nextInt(4)
+      val docs = (1L to n.toLong).map { i =>
+        i -> (0 until (20 + rnd.nextInt(60))).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+      }
+      val k = 4 + rnd.nextInt(3)
+      val minLen = k
+      val maxDf = 2 + rnd.nextInt(5)
+      // df per k-gram string across all docs and positions
+      val df = docs.flatMap { case (_, t) =>
+        (0 to t.length - k).map(p => t.substring(p, p + k)) }
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val want = naiveSpansDfFiltered(docs, k, minLen, maxDf, df)
+      val (got, _) = run(docs, k, minLen, maxDf.toLong)
+      assert(got == want, s"round $round k=$k maxDf=$maxDf docs=$docs")
+    }
+  }
+
+  /** [[naiveSpans]] with the hub cutoff: matched positions only count
+    * when their gram's df is within [2, maxDf]. */
+  private def naiveSpansDfFiltered(docs: Seq[(Long, String)], k: Int,
+      minLen: Int, maxDf: Int, df: Map[String, Long])
+      : Set[(Long, Long, Long, Long, Long)] = {
+    val out = Set.newBuilder[(Long, Long, Long, Long, Long)]
+    for ((ia, ta) <- docs; (ib, tb) <- docs if ia < ib) {
+      val matches = for {
+        pa <- 0 to ta.length - k
+        pb <- 0 to tb.length - k
+        g = ta.substring(pa, pa + k)
+        if g == tb.substring(pb, pb + k) && df(g) <= maxDf
+      } yield (pa, pb)
+      matches.groupBy { case (pa, pb) => pa - pb }.foreach { case (diag, ms) =>
+        val ps = ms.map(_._1).sorted
+        var runStart = ps.head
+        var prev = ps.head
+        def emit(endPos: Int): Unit = {
+          val len = endPos - runStart + k
+          if (len >= minLen)
+            out += ((ia, ib, runStart.toLong, (runStart - diag).toLong, len.toLong))
+        }
+        ps.tail.foreach { p =>
+          if (p != prev + 1) { emit(prev); runStart = p }
+          prev = p
+        }
+        emit(prev)
+      }
+    }
+    out.result()
+  }
+
   test("maxDf boundary is exact: df == maxDf kept, df == maxDf + 1 dropped") {
     // the shared 8-gram block occurs once per doc: df = number of docs
     val t = "abcdefgh"
