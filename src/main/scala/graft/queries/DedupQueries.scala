@@ -28,6 +28,7 @@ object DedupQueries {
     // uses. Collisions emit in Append mode at batch end; no sentinel
     // or timer firing is needed.
     "q_stream_neardup_parity" -> { (s, dir) =>
+      ParityFeed.withStreamParallelism(s, 8) {
       import s.implicits._
       import graft.streaming.StreamingNearDup
       implicit val sqlCtx = s.sqlContext
@@ -58,6 +59,7 @@ object DedupQueries {
       val out = s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
       s.catalog.dropTempView(name)
       out
+      }
     },
 
     "q_dedup_exact" -> { (s, dir) =>

@@ -61,6 +61,7 @@ object EventLogQueries {
     // repeated runs (ScaleBench --all, runs ≥ 2) don't accumulate
     // sink tables in driver memory.
     "q_stream_sessionize_parity" -> { (s, dir) =>
+      ParityFeed.withStreamParallelism(s, 8) {
       import s.implicits._
       implicit val sqlCtx = s.sqlContext
       val batchDs = Tables(s, dir, "events")
@@ -96,6 +97,7 @@ object EventLogQueries {
       val out = s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
       s.catalog.dropTempView(name)
       out
+      }
     },
 
     // Streaming ↔ batch drift parity under the hash gate: the events
@@ -108,6 +110,7 @@ object EventLogQueries {
     // in the oracle. Sentinel windows (far-future watermark pushers)
     // are filtered by windowStartMicros <= max data ts.
     "q_stream_drift_parity" -> { (s, dir) =>
+      ParityFeed.withStreamParallelism(s, 8) {
       import s.implicits._
       implicit val sqlCtx = s.sqlContext
       val ev = Tables(s, dir, "events")
@@ -141,6 +144,7 @@ object EventLogQueries {
       val out = s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
       s.catalog.dropTempView(name)
       out
+      }
     },
 
     // Streaming ↔ batch DECLARE-monitoring parity under the hash gate:
@@ -152,6 +156,7 @@ object EventLogQueries {
     // (tsMicros, activity) exactly as TraceAssembly.close sorts) in
     // SQL. One row per (case × constraint).
     "q_stream_declare_parity" -> { (s, dir) =>
+      ParityFeed.withStreamParallelism(s, 8) {
       import s.implicits._
       implicit val sqlCtx = s.sqlContext
       val batchDs = Tables(s, dir, "events")
@@ -184,6 +189,7 @@ object EventLogQueries {
       val out = s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
       s.catalog.dropTempView(name)
       out
+      }
     },
 
     // StatsCollector (reference stats.rs:63-141): [n_traces, n_events].

@@ -24,6 +24,23 @@ private[queries] object ParityFeed {
 
   val ChunkRows = 100000
 
+  /** Runs `f` with `spark.sql.shuffle.partitions` lowered to `n` and
+    * restores the previous value after. The parity micro-batches carry
+    * sf-scale row counts through ONE stateful operator; at the session
+    * default (32+) every micro-batch pays per-partition state-store
+    * open/commit/checkpoint on mostly-empty partitions — measurable
+    * fixed cost, no parallelism gain. Results are partition-count
+    * independent (the hash gate runs these queries at 32 and 256).
+    * Safe because a streaming query fixes its state partitioning from
+    * the conf AT START, inside this scope; batch queries planned after
+    * restore are untouched. */
+  def withStreamParallelism[A](s: org.apache.spark.sql.SparkSession, n: Int)(f: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try f finally s.conf.set(key, old)
+  }
+
   /** Streams `ds` into `input` in [[ChunkRows]]-sized blocks (call
     * before the query starts) and returns the max event-time micros
     * seen, for sentinel construction. Input must be non-empty. */
