@@ -52,6 +52,42 @@ object Dedup {
       .withColumn("is_dup", col(idCol) =!= col("canonical_id"))
   }
 
+  /** Chunk-level exact dedup — the fixed-boundary middle granularity
+    * between whole-document [[exact]] and maximal-span
+    * [[SpanDedup.duplicatedSpans]]: chunk every doc with
+    * [[graft.text.Chunking.charChunks]] (width/stride windows), hash
+    * each chunk (the portable charHash the SQL oracle replicates), and
+    * emit every repeated chunk occurrence with its first holder
+    * (lexicographically smallest (doc_id, chunk_start)). The cheap
+    * scale tier of span dedup: no position index, no pair expansion —
+    * dedup boundaries are fixed, so recall is limited to aligned
+    * repeats, and cost is ONE shuffle of (doc_id, start, hash) rows
+    * plus a per-hash window whose groups are duplicate-mass-sized.
+    * Tail chunks shorter than `minChunkLen` are ignored (noise).
+    */
+  def chunkDups(docs: DataFrame, idCol: String, textCol: String,
+      width: Int, stride: Int, minChunkLen: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val chunks = graft.text.Chunking
+      .charChunks(docs, idCol, textCol, width, stride)
+      .filter(length(col("chunk_text")) >= minChunkLen)
+      .select(col(idCol).cast("long").as("doc_id"), col("chunk_start"),
+        NativeExpressions.charHash(col("chunk_text"), 7L).as("_h"))
+    // full-frame ordered window: first holder + group size in one pass
+    val w = Window.partitionBy(col("_h"))
+      .orderBy(col("doc_id"), col("chunk_start"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    chunks
+      .withColumn("first_doc_id", first(col("doc_id")).over(w))
+      .withColumn("first_start", first(col("chunk_start")).over(w))
+      .withColumn("_n", count(lit(1)).over(w))
+      .filter(col("_n") >= 2 &&
+        !(col("doc_id") === col("first_doc_id") &&
+          col("chunk_start") === col("first_start")))
+      .select(col("doc_id"), col("chunk_start"),
+        col("first_doc_id"), col("first_start"))
+  }
+
   /** Distinct hashed word-k-gram shingles per document (the sketch all
     * set-similarity ops share). Native codegen'd expression; the
     * equivalent HOF spec is

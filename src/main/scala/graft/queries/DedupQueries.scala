@@ -65,6 +65,13 @@ object DedupQueries {
     "q_dedup_exact" -> { (s, dir) =>
       Dedup.exact(Tables(s, dir, "documents"), "doc_id", "text")
     },
+    // Chunk-level exact dedup: fixed-boundary windows (the cheap scale
+    // tier between doc-level exact and maximal spans) — every repeated
+    // chunk occurrence with its first holder.
+    "q_dedup_chunk_level" -> { (s, dir) =>
+      Dedup.chunkDups(Tables(s, dir, "documents"), "doc_id", "text",
+        width = 200, stride = 150, minChunkLen = 50)
+    },
     "q_dedup_jaccard" -> { (s, dir) =>
       Dedup.jaccardPairs(Tables(s, dir, "documents"), "doc_id", "text",
         k = 3, tau = 0.8)
@@ -403,6 +410,27 @@ object DedupQueries {
         |  count(*) OVER (PARTITION BY lower(trim(text))) AS group_size,
         |  doc_id <> min(doc_id) OVER (PARTITION BY lower(trim(text))) AS is_dup
         |FROM documents""".stripMargin,
+
+    "q_dedup_chunk_level" -> {
+      val chunkHash = charHashSql("ct")
+      s"""WITH ch AS (SELECT doc_id, CAST(g.i AS BIGINT) AS chunk_start,
+         |    substr(text, g.i + 1, 200) AS ct
+         |  FROM documents,
+         |    LATERAL (SELECT unnest(generate_series(0, length(text) - 1, 150)) AS i) g
+         |  WHERE length(text) > 0),
+         |hh AS (SELECT doc_id, chunk_start, $chunkHash AS h
+         |  FROM ch WHERE length(ct) >= 50),
+         |gg AS (SELECT doc_id, chunk_start,
+         |    first_value(doc_id) OVER wfull AS first_doc_id,
+         |    first_value(chunk_start) OVER wfull AS first_start,
+         |    count(*) OVER wfull AS n
+         |  FROM hh
+         |  WINDOW wfull AS (PARTITION BY h ORDER BY doc_id, chunk_start
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+         |SELECT doc_id, chunk_start, first_doc_id, first_start
+         |FROM gg
+         |WHERE n >= 2 AND NOT (doc_id = first_doc_id AND chunk_start = first_start)""".stripMargin
+    },
 
     "q_dedup_jaccard" -> jaccardPairsSql,
 

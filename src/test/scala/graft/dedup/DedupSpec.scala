@@ -26,6 +26,26 @@ class DedupSpec extends SparkSpec {
     assert(pairs.exists { case (a, b, j) => a == 1L && b == 2L && j == 1.0 })
   }
 
+  test("chunkDups: aligned repeats dedupe to the first holder; unaligned repeats are missed (fixed-boundary contract)") {
+    val block = ("x" * 90) + ("y" * 30) // 120 chars, one chunk at width 120
+    val docs = Seq(
+      (1L, block),             // first holder (doc 1, start 0)
+      (2L, block),             // aligned copy -> reported
+      (3L, "ab" + block),      // shifted by 2: chunk boundaries differ -> missed
+      (4L, "unique " * 20)
+    ).toDF("doc_id", "text")
+    val dups = Dedup.chunkDups(docs, "doc_id", "text",
+        width = 120, stride = 120, minChunkLen = 60)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(dups == Set((2L, 0L, 1L, 0L)))
+    // span dedup (position-indexed) DOES catch the shifted copy — the
+    // two operators are tiers of the same signal, not substitutes
+    val spans = SpanDedup.duplicatedSpans(docs, "doc_id", "text",
+        k = 30, minLen = 60, maxDf = 1000L)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(spans.contains((1L, 3L)))
+  }
+
   test("clusters: hash-to-min propagation finds component minima (multi-hop chains)") {
     // components: {1,2,3} triangle-ish, {5,6} pair, {8,9,10,11} a
     // 3-hop chain — the chain forces multiple propagation rounds
