@@ -172,6 +172,33 @@ object Native {
     bucket
   }
 
+  /** Random-projection features (Johnson–Lindenstrauss): the SIGNED
+    * projections [[lshBucket]] thresholds into bits, kept as values —
+    * `outDims` sequential double folds against the same mixed-LCG
+    * plane weights (global planes 0..outDims-1, so `outDims = planes`
+    * of table 0 reproduces lshBucket's projections exactly). Identical
+    * op-for-op to the SQL oracle's list_reduce fold → bit-equal
+    * doubles. */
+  def rpProject(v: ArrayData, outDims: Int, seed: Long, dims: Int): ArrayData = {
+    val out = new Array[Double](outDims)
+    var p = 0
+    while (p < outDims) {
+      var s = 0.0
+      var i = 1
+      while (i <= dims) {
+        val x = i.toLong + p.toLong * dims
+        val h1 = (x * K + seed) % P
+        val h2 = (h1 * h1) % P
+        val h = (h2 * K + x) % P % 2001L - 1000L
+        s += v.getFloat(i - 1).toDouble * (h.toDouble / 1000.0)
+        i += 1
+      }
+      out(p) = s
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** [[lshBucket]] with per-global-plane CENTERING thresholds: bit p
     * set iff the projection exceeds `th(table·planes + p)` instead of
     * zero. Subtracting the corpus centroid c from every vector shifts

@@ -104,6 +104,20 @@ object NativeExpressions {
       copy(child = newChild)
   }
 
+  /** Random-projection features ([[Native.rpProject]]). */
+  case class RpProjectExpr(child: Expression, outDims: Int, seed: Long,
+      dims: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def prettyName: String = "graft_rp_project"
+    override protected def nullSafeEval(input: Any): Any =
+      Native.rpProject(input.asInstanceOf[ArrayData], outDims, seed, dims)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.Native.rpProject($c, $outDims, ${seed}L, $dims)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   case class CharHashExpr(child: Expression, seed: Long)
       extends UnaryExpression {
     override def dataType: DataType = LongType
@@ -266,6 +280,8 @@ object NativeExpressions {
   def lshBucketCentered(v: Column, table: Int, planes: Int, seed: Long,
       dims: Int, thresholds: Array[Double]): Column =
     c(LshBucketCenteredExpr(e(v), table, planes, seed, dims, thresholds))
+  def rpProject(v: Column, outDims: Int, seed: Long, dims: Int): Column =
+    c(RpProjectExpr(e(v), outDims, seed, dims))
   def dotF(a: Column, b: Column): Column = c(DotFExpr(e(a), e(b)))
   def gramHashes(text: Column, k: Int): Column =
     c(GramHashesExpr(e(text), k))

@@ -112,6 +112,19 @@ object SimQueries {
       val survivors = coded.join(keep, Seq("vec_id"), "left_semi")
       Diversity.kCenter(survivors, "vec_id", "embedding", k = 5)
     },
+    // Random-projection features (JL): 64 -> 8 dims against the
+    // deterministic mixed-LCG planes; zero-shuffle scan, one scalar
+    // column per projected dim (the comparator can't hash array
+    // cells). Oracle folds are op-for-op identical -> bit-equal.
+    "q_sim_project" -> { (s, dir) =>
+      import graft.functions.NativeExpressions
+      Tables(s, dir, "embeddings")
+        .select(col("vec_id"),
+          NativeExpressions.rpProject(col("embedding"), 8, 42L, 64).as("_rp"))
+        .select(col("vec_id") +:
+          (1 to 8).map(i => element_at(col("_rp"), i).as(s"rp$i")): _*)
+    },
+
     // int8 symmetric quantization (4x embedding storage/bandwidth):
     // zero-shuffle scan; codes digested to a scalar (the comparator
     // can't hash array cells) + reconstruction cosine per vector.
@@ -272,6 +285,16 @@ object SimQueries {
     },
 
     // per-vector: scale = max|x|/127, q_i = trunc(x_i/scale) toward
+    "q_sim_project" -> {
+      def fold(pp: Int) =
+        s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+          s"[CAST(embedding[i] AS DOUBLE) * ${graft.sim.Ann.weightSql(pp.toString, "i", 42L, 64)} " +
+          s"for i in generate_series(1, 64)]), (s, x) -> s + x)"
+      "SELECT vec_id, " +
+        (1 to 8).map(i => s"${fold(i - 1)} AS rp$i").mkString(", ") +
+        " FROM embeddings"
+    },
+
     // zero (TRUNC, matching Spark's double->int cast), digest = the
     // foldHash arithmetic incl. its negative normalization, cosine of
     // v against its own codes (scale cancels)

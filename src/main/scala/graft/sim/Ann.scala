@@ -59,6 +59,18 @@ object Ann {
     s"(($h3 % 2001 - 1000) / 1000.0)"
   }
 
+  /** Random-projection dimensionality reduction (Johnson–Lindenstrauss):
+    * `outDims` signed projections of each vector onto the deterministic
+    * mixed-LCG hyperplanes — the cheap embedding-compression step
+    * before clustering/ANN at scale (distance-preserving in
+    * expectation, zero-shuffle map, no fitted state to ship). Same
+    * weights and fold order as the LSH family, so the SQL oracle
+    * replicates values bit-for-bit ([[weightSql]]). */
+  def randomProject(embs: DataFrame, idCol: String, vecCol: String,
+      outDims: Int, seed: Long = 42L, dims: Int = 64): DataFrame =
+    embs.select(col(idCol),
+      NativeExpressions.rpProject(col(vecCol), outDims, seed, dims).as("rp"))
+
   /** Signed projection of `v` onto plane `p`: sequential fold in dim
     * order (portable double rounding). */
   def planeDot(v: Column, p: Int, seed: Long, dims: Int): Column =
