@@ -201,6 +201,21 @@ object TextQueries {
         .select("doc_id", "shard", "pos")
     },
 
+    // End-to-end training-prep manifest in ONE plan: quality filter →
+    // exact-dedup survivors → deterministic (shard, pos) training
+    // order + per-doc token counts — what a training job actually
+    // consumes. Every stage is the already-gated operator, composed.
+    "q_pipeline_train_prep" -> { (s, dir) =>
+      val kept = Tables(s, dir, "documents")
+        .filter(TextOps.qualityKeep(col("text")))
+      val surv = graft.dedup.Dedup.exact(kept, "doc_id", "text")
+        .filter(!col("is_dup")).select("doc_id")
+      graft.text.Shards.trainingOrder(kept.join(surv, Seq("doc_id")),
+          keyCol = "doc_id", nShards = 16, seed = 42L)
+        .withColumn("n_tokens", TextOps.tokenCount(col("text")).cast("long"))
+        .select("doc_id", "shard", "pos", "n_tokens")
+    },
+
     // Budget-driven deterministic sampling: α=0.5 mixture weights →
     // per-language permille rates for a 60k-char budget → portable
     // hash-bucket selection; realized kept counts per language.
@@ -268,6 +283,16 @@ object TextQueries {
 
   private val toksSql = "[t for t in string_split_regex(text, '\\s+') if len(t) > 0]"
 
+  /** TextOps.qualityKeep (default thresholds) in oracle SQL — shared
+    * by q_corpus_card, q_text_quality_filter, q_pipeline_train_prep. */
+  private def qualityCondSql: String =
+    s"(len($toksSql) >= 5 AND len($toksSql) <= 100000 " +
+      "AND length(text) > 0 " +
+      "AND CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)" +
+      " / CAST(length(text) AS DOUBLE) >= 0.5 " +
+      s"AND CAST(len([t for t in $toksSql if list_contains(${markersSql(TextOps.Stopwords)}, lower(t))]) AS DOUBLE)" +
+      s" / CAST(len($toksSql) AS DOUBLE) >= 0.01)"
+
   private def markersSql(markers: Seq[String]): String =
     markers.map(m => s"'$m'").mkString("[", ",", "]")
 
@@ -289,13 +314,7 @@ object TextQueries {
     // volume/dup/quality/language headline numbers composed from the
     // constituent oracles' fragments; counts exact, one division
     "q_corpus_card" -> {
-      val qualityCond =
-        s"len($toksSql) >= 5 AND len($toksSql) <= 100000 " +
-          "AND length(text) > 0 " +
-          "AND CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)" +
-          " / CAST(length(text) AS DOUBLE) >= 0.5 " +
-          s"AND CAST(len([t for t in $toksSql if list_contains(${markersSql(TextOps.Stopwords)}, lower(t))]) AS DOUBLE)" +
-          s" / CAST(len($toksSql) AS DOUBLE) >= 0.01"
+      val qualityCond = qualityCondSql
       val shingles =
         s"list_distinct([${Portable.charHashSql("concat_ws(' ', t[i+1], t[i+2], t[i+3])")} " +
           "for i in generate_series(0, len(t)-3)])"
@@ -414,13 +433,7 @@ object TextQueries {
          |GROUP BY 1""".stripMargin,
 
     "q_text_quality_filter" ->
-      s"""SELECT doc_id,
-         |  (len($toksSql) >= 5 AND len($toksSql) <= 100000
-         |   AND length(text) > 0
-         |   AND CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
-         |       / CAST(length(text) AS DOUBLE) >= 0.5
-         |   AND CAST(len([t for t in $toksSql if list_contains(${markersSql(TextOps.Stopwords)}, lower(t))]) AS DOUBLE)
-         |       / CAST(len($toksSql) AS DOUBLE) >= 0.01) AS keep
+      s"""SELECT doc_id, $qualityCondSql AS keep
          |FROM documents""".stripMargin,
 
     "q_stratified_sample" ->
@@ -579,6 +592,23 @@ object TextQueries {
       s"""SELECT CAST(${graft.ops.Split.oracleBucketNSql("doc_id", 42L, 16)} AS INT) AS shard,
          |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_units
          |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_pipeline_train_prep" -> {
+      val shard = graft.ops.Split.oracleBucketNSql("doc_id", 42L, 16)
+      val ord = graft.ops.Split.oracleHashPSql("doc_id", 42L + 1000003L)
+      s"""WITH kept AS (SELECT doc_id, text FROM documents WHERE $qualityCondSql),
+         |surv AS (SELECT doc_id FROM (
+         |    SELECT doc_id, min(doc_id) OVER (PARTITION BY lower(trim(text))) AS m
+         |    FROM kept)
+         |  WHERE doc_id = m),
+         |k2 AS (SELECT k.doc_id, k.text FROM kept k JOIN surv USING (doc_id))
+         |SELECT doc_id,
+         |  CAST($shard AS INT) AS shard,
+         |  CAST(row_number() OVER (PARTITION BY $shard ORDER BY $ord, doc_id)
+         |    - 1 AS BIGINT) AS pos,
+         |  CAST(len($toksSql) AS BIGINT) AS n_tokens
+         |FROM k2""".stripMargin
+    },
 
     "q_shuffle_order" ->
       s"""SELECT doc_id,
