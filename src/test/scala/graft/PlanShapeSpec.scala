@@ -172,14 +172,19 @@ class PlanShapeSpec extends SparkSpec {
       "chunking must stay a zero-shuffle scan: " + ch.take(800))
   }
 
-  test("span dedup: hub cutoff BEFORE collect_list, no cartesian") {
+  test("span dedup: single-pass capped collect, no joins, two exchanges") {
     val p = plan("q_dedup_spans")
-    // the df pre-filter is a semi-join on the gram hash — the only
-    // join allowed; occurrence lists are collected only for kept grams
-    assert(p.contains("LeftSemi"), "expected the df-prefilter semi-join: " + p.take(1200))
+    // the hub cutoff is now INSIDE the one gram aggregation (the
+    // size-capped collect, ObjectHashAggregate with map-side partial)
+    // — no df pre-pass, no semi-join, no second gram scan
+    assert(p.contains("graft_capped_occ_list"),
+      "expected the capped occurrence-list aggregate: " + p.take(1200))
+    assert(!p.contains("Join"), "span dedup must not join: " + p.take(1200))
     assert(!p.contains("CartesianProduct"))
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"span dedup must scan grams once: $scans\n" + p.take(1500))
     val ex = "Exchange".r.findAllIn(p).length
-    assert(ex <= 5, s"span dedup grew exchanges: $ex\n" + p.take(1500))
+    assert(ex <= 2, s"span dedup grew exchanges: $ex\n" + p.take(1500))
   }
 
   test("PlanPin.normalize keeps join strategy + keys in the digest") {
