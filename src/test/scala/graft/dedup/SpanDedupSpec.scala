@@ -170,6 +170,20 @@ class SpanDedupSpec extends SparkSpec {
     out.result()
   }
 
+  test("capped collect is partitioning-independent (partial merge + serde path)") {
+    // many partitions force map-side partial buffers through
+    // serialize/deserialize/merge; the span set must not change
+    val rnd = new scala.util.Random(20260819L)
+    val docs = (1L to 6L).map { i =>
+      i -> (0 until 80).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString }
+    val df1 = docs.toDF("doc_id", "text")
+    val df7 = docs.toDF("doc_id", "text").repartition(7)
+    def spans(df: org.apache.spark.sql.DataFrame) =
+      SpanDedup.duplicatedSpans(df, "doc_id", "text", k = 4, minLen = 4,
+        maxDf = 5L).collect().map(_.toSeq).toSet
+    assert(spans(df7) == spans(df1))
+  }
+
   test("maxDf boundary is exact: df == maxDf kept, df == maxDf + 1 dropped") {
     // the shared 8-gram block occurs once per doc: df = number of docs
     val t = "abcdefgh"
