@@ -171,6 +171,22 @@ object DedupQueries {
           "doc_id", "text", k = SpanK, minLen = SpanMinLen, maxDf = SpanMaxDf))
     },
 
+    // Span-level DECONTAMINATION (the Lee et al. flow pointed at a
+    // benchmark): spans shared between the test slice (doc_id < 20,
+    // same convention as q_text_contamination) and the training slice
+    // are scrubbed from the TRAINING side — test text is never
+    // touched. Span discovery runs over the full corpus (so hub-gram
+    // df semantics match the other span queries); only cross-boundary
+    // pairs feed the scrub.
+    "q_decontam_scrub" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val spans = graft.dedup.SpanDedup.duplicatedSpans(docs,
+          "doc_id", "text", k = SpanK, minLen = SpanMinLen, maxDf = SpanMaxDf)
+        .filter(col("id_a") < 20 && col("id_b") >= 20)
+      graft.dedup.SpanDedup.scrub(docs.filter(col("doc_id") >= 20),
+        "doc_id", "text", spans)
+    },
+
     // Intra-document repetition spans (the Gopher repetition-REMOVAL
     // signal, where q_text_repetition only scores): maximal same-doc
     // repeats — (doc_id, first occurrence, repeat occurrence, length).
@@ -258,6 +274,51 @@ object DedupQueries {
        |    max(pos_a) - min(pos_a) + $SpanK AS span_len
        |  FROM isl GROUP BY id_a, id_b, diag, island
        |  HAVING max(pos_a) - min(pos_a) + $SpanK >= $SpanMinLen)""".stripMargin
+
+  /** The scrub oracle, parameterized: cut the id_b-side merged
+    * intervals of the spans satisfying `spanCond` out of the documents
+    * satisfying `docCond`, keep the complement segments, re-concatenate
+    * in order; untouched docs pass through, fully-covered docs come
+    * back empty. Shared by q_dedup_scrub (all spans, all docs) and
+    * q_decontam_scrub (cross test/train spans, train docs). */
+  private def scrubOracleSql(spanCond: String, docCond: String): String =
+    s"""WITH $spanGramSql,
+       |iv AS (SELECT DISTINCT id_b AS doc_id, start_b AS s,
+       |    start_b + span_len AS e FROM sp WHERE $spanCond),
+       |ord AS (SELECT *, max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+       |  FROM iv),
+       |grp2 AS (SELECT *, sum(CASE WHEN prev_max IS NULL OR s > prev_max
+       |      THEN 1 ELSE 0 END)
+       |    OVER (PARTITION BY doc_id ORDER BY s, e
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid
+       |  FROM ord),
+       |cuts AS (SELECT doc_id, gid, min(s) AS us, max(e) AS ue
+       |  FROM grp2 GROUP BY doc_id, gid),
+       |segs AS (
+       |  SELECT doc_id,
+       |    coalesce(lag(ue) OVER (PARTITION BY doc_id ORDER BY us), 0) AS ss,
+       |    us AS se
+       |  FROM cuts
+       |  UNION ALL
+       |  SELECT doc_id, max(ue) AS ss, NULL AS se
+       |  FROM cuts GROUP BY doc_id),
+       |docs2 AS (SELECT doc_id, text FROM documents WHERE $docCond),
+       |pieces AS (
+       |  SELECT d.doc_id, x.ss,
+       |    substr(d.text, CAST(x.ss + 1 AS BIGINT),
+       |      CAST(coalesce(x.se, length(d.text)) - x.ss AS BIGINT)) AS piece
+       |  FROM docs2 d JOIN segs x ON x.doc_id = d.doc_id
+       |  WHERE coalesce(x.se, length(d.text)) > x.ss),
+       |agg2 AS (SELECT doc_id, string_agg(piece, '' ORDER BY ss) AS clean_text
+       |  FROM pieces GROUP BY doc_id),
+       |cut_docs AS (SELECT DISTINCT doc_id FROM cuts)
+       |SELECT d.doc_id,
+       |  CASE WHEN cd.doc_id IS NOT NULL THEN coalesce(a.clean_text, '')
+       |       ELSE d.text END AS clean_text
+       |FROM docs2 d
+       |LEFT JOIN agg2 a ON a.doc_id = d.doc_id
+       |LEFT JOIN cut_docs cd ON cd.doc_id = d.doc_id""".stripMargin
 
   def oracle: Map[String, String] = Map(
     // the batch LSH oracle's signature/band SQL re-derives the bucket
@@ -347,43 +408,13 @@ object DedupQueries {
     // cut the id_b-side merged intervals out of each doc, keep the
     // complement segments, re-concatenate in order; untouched docs
     // pass through, fully-covered docs come back empty
-    "q_dedup_scrub" ->
-      s"""WITH $spanGramSql,
-         |iv AS (SELECT DISTINCT id_b AS doc_id, start_b AS s,
-         |    start_b + span_len AS e FROM sp),
-         |ord AS (SELECT *, max(e) OVER (PARTITION BY doc_id ORDER BY s, e
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
-         |  FROM iv),
-         |grp2 AS (SELECT *, sum(CASE WHEN prev_max IS NULL OR s > prev_max
-         |      THEN 1 ELSE 0 END)
-         |    OVER (PARTITION BY doc_id ORDER BY s, e
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid
-         |  FROM ord),
-         |cuts AS (SELECT doc_id, gid, min(s) AS us, max(e) AS ue
-         |  FROM grp2 GROUP BY doc_id, gid),
-         |segs AS (
-         |  SELECT doc_id,
-         |    coalesce(lag(ue) OVER (PARTITION BY doc_id ORDER BY us), 0) AS ss,
-         |    us AS se
-         |  FROM cuts
-         |  UNION ALL
-         |  SELECT doc_id, max(ue) AS ss, NULL AS se
-         |  FROM cuts GROUP BY doc_id),
-         |pieces AS (
-         |  SELECT d.doc_id, x.ss,
-         |    substr(d.text, CAST(x.ss + 1 AS BIGINT),
-         |      CAST(coalesce(x.se, length(d.text)) - x.ss AS BIGINT)) AS piece
-         |  FROM documents d JOIN segs x ON x.doc_id = d.doc_id
-         |  WHERE coalesce(x.se, length(d.text)) > x.ss),
-         |agg2 AS (SELECT doc_id, string_agg(piece, '' ORDER BY ss) AS clean_text
-         |  FROM pieces GROUP BY doc_id),
-         |cut_docs AS (SELECT DISTINCT doc_id FROM cuts)
-         |SELECT d.doc_id,
-         |  CASE WHEN cd.doc_id IS NOT NULL THEN coalesce(a.clean_text, '')
-         |       ELSE d.text END AS clean_text
-         |FROM documents d
-         |LEFT JOIN agg2 a ON a.doc_id = d.doc_id
-         |LEFT JOIN cut_docs cd ON cd.doc_id = d.doc_id""".stripMargin,
+    "q_dedup_scrub" -> scrubOracleSql(spanCond = "TRUE", docCond = "TRUE"),
+
+    // same scrub algebra, restricted to cross-boundary spans and
+    // training-side docs (decontamination)
+    "q_decontam_scrub" ->
+      scrubOracleSql(spanCond = "id_a < 20 AND id_b >= 20",
+        docCond = "doc_id >= 20"),
 
     "q_dedup_span_coverage" ->
       s"""WITH $spanGramSql,

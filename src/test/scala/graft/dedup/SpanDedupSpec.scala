@@ -302,6 +302,24 @@ class SpanDedupSpec extends SparkSpec {
     }
   }
 
+  test("decontamination composition: benchmark text scrubbed from train, test side untouched") {
+    val leak = "the exact benchmark answer string here"
+    val docs = Seq(
+      5L -> s"benchmark question $leak end",         // test slice (id < 20)
+      30L -> s"training prose $leak more prose",     // leaks the benchmark
+      31L -> "clean training document with no leak"
+    ).toDF("doc_id", "text")
+    val spans = SpanDedup.duplicatedSpans(docs, "doc_id", "text",
+        k = 8, minLen = 8, maxDf = 64L)
+      .filter(col("id_a") < 20 && col("id_b") >= 20)
+    val out = SpanDedup.scrub(docs.filter(col("doc_id") >= 20),
+        "doc_id", "text", spans)
+      .as[(Long, String)].collect().toMap
+    assert(out.keySet == Set(30L, 31L)) // test docs never in the output
+    assert(!out(30L).contains(leak), s"leak survived: ${out(30L)}")
+    assert(out(31L) == "clean training document with no leak")
+  }
+
   test("minLen below k is rejected") {
     intercept[IllegalArgumentException] {
       SpanDedup.duplicatedSpans(Seq((1L, "x")).toDF("doc_id", "text"),
