@@ -499,6 +499,25 @@ object EventLogQueries {
         tsCol = "ts", tieBreak = "event_id")
     },
 
+    // The process-mining -> ML bridge as ONE composed plan: per-event
+    // leakage-free prefix features (ops/Features) -> deterministic
+    // three-way case split (ops/Split) -> per-(split, activity)
+    // feature profile. Exact integer sums only (no FP means) so the
+    // hash gate holds bit-for-bit; the profile is what a
+    // remaining-time model trainer consumes per split.
+    "q_pipeline_process_features" -> { (s, dir) =>
+      val feats = Features.prefixFeatures(Tables(s, dir, "events"),
+        caseCol = "user_id", activityCol = "event_type",
+        tsCol = "ts", tieBreak = "event_id")
+      Split.assign3(feats, caseCol = "user_id",
+          trainPermille = 800, valPermille = 100, seed = 42)
+        .groupBy("split", "event_type")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("user_id")).as("n_cases"),
+          sum(col("elapsed_us")).as("sum_elapsed_us"),
+          sum(col("remaining_us")).as("sum_remaining_us"))
+    },
+
     // Heuristics-miner causal net: dependency/L2-loop thresholds plus
     // the all-tasks-connected best-successor heuristic (ops/Heuristics).
     "q_heuristics_net" -> { (s, dir) =>
@@ -949,6 +968,22 @@ object EventLogQueries {
         |  coalesce(lead(event_type) OVER w, '') AS next_activity
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+    "q_pipeline_process_features" ->
+      s"""WITH pf AS (SELECT user_id, event_type,
+         |    epoch_us(ts) - first_value(epoch_us(ts)) OVER w AS elapsed_us,
+         |    last_value(epoch_us(ts)) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         |      - epoch_us(ts) AS remaining_us
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         |SELECT ${Split.oracleSplit3Sql("user_id", 800, 100, 42)} AS split,
+         |  event_type,
+         |  count(*) AS n_rows,
+         |  count(DISTINCT user_id) AS n_cases,
+         |  CAST(sum(elapsed_us) AS BIGINT) AS sum_elapsed_us,
+         |  CAST(sum(remaining_us) AS BIGINT) AS sum_remaining_us
+         |FROM pf GROUP BY 1, 2""".stripMargin,
     "q_heuristics_net" ->
       """WITH e AS (
         |  SELECT act_from, act_to, count(*) AS n FROM (
