@@ -35,6 +35,21 @@ object SimQueries {
       Ann.bruteForceTopK(e, e.filter(col("vec_id") < NQueries),
         "vec_id", "embedding", K)
     },
+    // FILTERED vector search (the vector-DB "metadata filter" class):
+    // the corpus is restricted to documents passing the quality gate
+    // (embeddings join documents on the shared id) BEFORE the search,
+    // so dropped docs can never occupy a top-k slot. Probe set is
+    // unfiltered. Exact brute scorer over the filtered corpus — the
+    // filter composes identically with the LSH/IVF scale paths.
+    "q_sim_filtered_search" -> { (s, dir) =>
+      import graft.text.TextOps
+      val keep = Tables(s, dir, "documents")
+        .filter(TextOps.qualityKeep(col("text")))
+        .select(col("doc_id").as("vec_id"))
+      val e = Tables(s, dir, "embeddings")
+      Ann.bruteForceTopK(e.join(keep, Seq("vec_id")),
+        e.filter(col("vec_id") < NQueries), "vec_id", "embedding", K)
+    },
     "q_sim_topk_lsh" -> { (s, dir) =>
       val e = Tables(s, dir, "embeddings")
       Ann.lshTopK(e, e.filter(col("vec_id") < NQueries),
@@ -334,6 +349,22 @@ object SimQueries {
          |  SELECT q.vec_id AS id_q, c.vec_id AS id_n,
          |    ${cosSql("q.v", "c.v")} AS cos
          |  FROM n q JOIN n c ON q.vec_id < $NQueries AND c.vec_id <> q.vec_id)
+         |SELECT id_q, id_n, cos, CAST(rnk AS INT) AS rnk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY id_q ORDER BY cos DESC, id_n) AS rnk
+         |  FROM scored)
+         |WHERE rnk <= $K""".stripMargin,
+
+    "q_sim_filtered_search" ->
+      s"""WITH keepids AS (SELECT doc_id FROM documents
+         |  WHERE ${TextQueries.qualityCondSql}),
+         |n AS (SELECT vec_id, embedding AS v FROM embeddings
+         |  JOIN keepids ON vec_id = doc_id),
+         |q AS (SELECT vec_id, embedding AS v FROM embeddings
+         |  WHERE vec_id < $NQueries),
+         |scored AS (
+         |  SELECT q.vec_id AS id_q, n.vec_id AS id_n,
+         |    ${cosSql("q.v", "n.v")} AS cos
+         |  FROM q JOIN n ON n.vec_id <> q.vec_id)
          |SELECT id_q, id_n, cos, CAST(rnk AS INT) AS rnk FROM (
          |  SELECT *, row_number() OVER (PARTITION BY id_q ORDER BY cos DESC, id_n) AS rnk
          |  FROM scored)

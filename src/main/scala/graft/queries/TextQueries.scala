@@ -285,7 +285,7 @@ object TextQueries {
 
   /** TextOps.qualityKeep (default thresholds) in oracle SQL — shared
     * by q_corpus_card, q_text_quality_filter, q_pipeline_train_prep. */
-  private def qualityCondSql: String =
+  private[queries] def qualityCondSql: String =
     s"(len($toksSql) >= 5 AND len($toksSql) <= 100000 " +
       "AND length(text) > 0 " +
       "AND CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)" +
