@@ -65,6 +65,31 @@ object DedupQueries {
     "q_dedup_exact" -> { (s, dir) =>
       Dedup.exact(Tables(s, dir, "documents"), "doc_id", "text")
     },
+    // HyperLogLog distinct-count sketch per language (constant memory
+    // per group at any scale), deterministic by construction: portable
+    // hash input, order-free register maxima, integer ranks, and an
+    // estimator sum of dyadic rationals that is EXACT in a double —
+    // so registers, digest, and raw estimate all hash-gate bit-equal.
+    // Raw estimator only (the small-range correction needs ln());
+    // n_zero ships so callers can correct downstream.
+    "q_dedup_distinct_sketch" -> { (s, dir) =>
+      import graft.functions.{HllSketch, NativeExpressions}
+      val h = NativeExpressions.charHash(col("text"), 7L)
+      Tables(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(HllSketch.registers(h, m = 64, budgetBits = 24).as("_regs"))
+        .select(col("lang"),
+          NativeExpressions.foldHash(
+            expr("transform(_regs, r -> CAST(r AS BIGINT))"), 0L)
+            .as("reg_digest"),
+          expr("CAST(size(filter(_regs, r -> r = 0)) AS BIGINT)")
+            .as("n_zero"),
+          expr("aggregate(_regs, CAST(0.0 AS DOUBLE), " +
+            "(s, r) -> s + 1.0 / CAST(shiftleft(CAST(1 AS BIGINT), r) AS DOUBLE))")
+            .as("s_sum"))
+        .withColumn("raw_est", lit(0.709) * lit(4096.0) / col("s_sum"))
+    },
+
     // Chunk-level exact dedup: fixed-boundary windows (the cheap scale
     // tier between doc-level exact and maximal spans) — every repeated
     // chunk occurrence with its first holder.
@@ -441,6 +466,32 @@ object DedupQueries {
         |  count(*) OVER (PARTITION BY lower(trim(text))) AS group_size,
         |  doc_id <> min(doc_id) OVER (PARTITION BY lower(trim(text))) AS is_dup
         |FROM documents""".stripMargin,
+
+    "q_dedup_distinct_sketch" ->
+      s"""WITH h AS (SELECT lang, ${charHashSql("text")} AS h FROM documents),
+         |mixed AS (SELECT lang,
+         |    (((((h * 2654435761) % $P) * ((h * 2654435761) % $P)) % $P)
+         |      * 2654435761 + h) % $P AS h3
+         |  FROM h),
+         |b AS (SELECT lang, CAST(h3 % 64 AS INT) AS j,
+         |    CAST(CASE WHEN h3 // 64 = 0 THEN 25
+         |         ELSE 24 - length(bin(h3 // 64)) + 1 END AS INT) AS rk
+         |  FROM mixed),
+         |mx AS (SELECT lang, j, max(rk) AS mr FROM b GROUP BY lang, j),
+         |grid AS (SELECT l.lang, g.j
+         |  FROM (SELECT DISTINCT lang FROM documents) l,
+         |    generate_series(0, 63) g(j)),
+         |regs AS (SELECT grid.lang, grid.j, coalesce(mx.mr, 0) AS M
+         |  FROM grid LEFT JOIN mx ON mx.lang = grid.lang AND mx.j = grid.j)
+         |SELECT lang,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list(CAST(M AS BIGINT) ORDER BY j)),
+         |    (d, x) -> (d*131 + x) % $P) AS reg_digest,
+         |  CAST(sum(CASE WHEN M = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+         |  sum(1.0 / CAST((CAST(1 AS BIGINT) << M) AS DOUBLE)) AS s_sum,
+         |  0.709 * 4096.0
+         |    / sum(1.0 / CAST((CAST(1 AS BIGINT) << M) AS DOUBLE)) AS raw_est
+         |FROM regs GROUP BY lang""".stripMargin,
 
     "q_dedup_chunk_level" -> {
       val chunkHash = charHashSql("ct")
