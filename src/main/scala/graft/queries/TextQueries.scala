@@ -65,6 +65,24 @@ object TextQueries {
         TextOps.langPredict(col("text")).as("lang_pred"))
     },
 
+    // Count-min frequency estimates for a fixed probe set (incl. one
+    // absent token): d x w cells via plain hash-bucket sums (order-
+    // free, deterministic, unlike arrival-order summaries), est >= true
+    // by the CM guarantee. true_n from the exact token counts.
+    "q_token_cm_est" -> { (s, dir) =>
+      import s.implicits._
+      import graft.text.CmSketch
+      val toks = Tables(s, dir, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("token"))
+      val cells = CmSketch.sketch(toks, "token", d = 4, w = 64, seed = 42L)
+      val probes = (TextOps.Stopwords :+ "zzz_absent").toDF("token")
+      val exact = toks.groupBy("token").agg(count(lit(1)).as("true_n"))
+      CmSketch.estimate(cells, probes, d = 4, w = 64, seed = 42L)
+        .join(exact, Seq("token"), "left")
+        .select(col("token"), col("est_n"),
+          coalesce(col("true_n"), lit(0L)).as("true_n"))
+    },
+
     // Corpus vocabulary: token frequency table (explode + partial agg).
     "q_token_freq" -> { (s, dir) =>
       Tables(s, dir, "documents")
@@ -425,6 +443,30 @@ object TextQueries {
       s"""SELECT doc_id, lang_labeled, CASE $cases ELSE 'und' END AS lang_pred FROM (
          |  SELECT doc_id, lang AS lang_labeled, text, $best AS __best
          |  FROM documents)""".stripMargin
+    },
+
+    "q_token_cm_est" -> {
+      // per-row seed 42 + r, mirrored from CmSketch.bucket
+      val rows = (0 until 4).map { r =>
+        s"SELECT $r AS r, (((${Portable.charHashSql("t", 42L + r)} % 64) + 64) % 64) AS bucket FROM tok"
+      }.mkString(" UNION ALL ")
+      val prows = (0 until 4).map { r =>
+        s"SELECT token, $r AS r, (((${Portable.charHashSql("token", 42L + r)} % 64) + 64) % 64) AS bucket FROM probes"
+      }.mkString(" UNION ALL ")
+      val probeList = (graft.text.TextOps.Stopwords :+ "zzz_absent")
+        .map(t => s"'$t'").mkString(", ")
+      s"""WITH tok AS (SELECT unnest($toksSql) AS t FROM documents),
+         |cm AS (SELECT r, bucket, count(*) AS n FROM ($rows) GROUP BY 1, 2),
+         |probes AS (SELECT unnest([$probeList]) AS token),
+         |pb AS ($prows),
+         |est AS (SELECT pb.token,
+         |    CAST(min(coalesce(cm.n, 0)) AS BIGINT) AS est_n
+         |  FROM pb LEFT JOIN cm ON cm.r = pb.r AND cm.bucket = pb.bucket
+         |  GROUP BY pb.token),
+         |exact AS (SELECT t AS token, count(*) AS c FROM tok GROUP BY 1)
+         |SELECT est.token, est.est_n,
+         |  CAST(coalesce(exact.c, 0) AS BIGINT) AS true_n
+         |FROM est LEFT JOIN exact ON exact.token = est.token""".stripMargin
     },
 
     "q_token_freq" ->
