@@ -17,6 +17,19 @@ object DedupQueries {
   private val neardupRun = new java.util.concurrent.atomic.AtomicInteger(0)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Bloom-filter membership against a reference snapshot (the
+    // English subset): constant-size bit array built via order-free
+    // bit_or partial aggregation, BROADCAST to the probe side — the
+    // 100 TB shape of "drop everything we already ingested". The
+    // portable hash family makes even the false-positive set
+    // bit-deterministic across engines (see dedup/Bloom.scala).
+    "q_dedup_bloom" -> { (s, dir) =>
+      import graft.dedup.Bloom
+      val docs = Tables(s, dir, "documents")
+      val key = graft.functions.NativeExpressions.charHash(col("text"), 7L)
+      val words = Bloom.build(docs.where(col("lang") === "en"), key)
+      Bloom.probe(docs, "doc_id", key, words)
+    },
     // Streaming ↔ batch near-dup parity under the hash gate: documents
     // fed through MemoryStream (synthetic event time = doc_id seconds)
     // → map-side MinHash sketch (same native kernels and parameters as
@@ -346,6 +359,24 @@ object DedupQueries {
        |LEFT JOIN cut_docs cd ON cd.doc_id = d.doc_id""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    // Bloom membership with the exact bit layout of dedup/Bloom.scala:
+    // k=4 ihash positions of the char-hash key mod 65536 bits, 32-bit
+    // words, bit_or build over the lang='en' subset, all-k-set probe.
+    "q_dedup_bloom" -> {
+      val legs = graft.dedup.Bloom.positionsSql("x", 4, 65536, 42L)
+      def posUnion(fromClause: String): String = legs.map { case (w, m) =>
+        s"SELECT doc_id, $w AS word, $m AS mask FROM $fromClause"
+      }.mkString("\n      UNION ALL ")
+      s"""WITH ks AS (SELECT doc_id, lang, ${charHashSql("text")} AS x FROM documents),
+         |bp AS (${posUnion("ks WHERE lang = 'en'")}),
+         |w AS (SELECT word, bit_or(mask) AS bits FROM bp GROUP BY 1),
+         |pp AS (${posUnion("ks")})
+         |SELECT pp.doc_id,
+         |  (sum(CASE WHEN (coalesce(w.bits, 0) & pp.mask) <> 0 THEN 1 ELSE 0 END) = 4)
+         |    AS maybe_in_ref
+         |FROM pp LEFT JOIN w USING (word)
+         |GROUP BY pp.doc_id""".stripMargin
+    },
     // the batch LSH oracle's signature/band SQL re-derives the bucket
     // keys; "first" per bucket = min doc_id (event time is monotone in
     // doc_id by construction), everyone else collides with it

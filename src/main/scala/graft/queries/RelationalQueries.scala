@@ -29,6 +29,16 @@ object RelationalQueries {
   private def asDouble(c: String) = col(c).cast("double").as(c)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Integer fixed-point PageRank (3 iterations) over the symmetric
+    // supplier↔customer co-transaction graph — the iterative-graph
+    // class: edges shuffled onto src ONCE and cached, each round is a
+    // node-sized rank shuffle + partial-agg groupBy(dst). Exact i64
+    // floor-division arithmetic (see ops/PageRank.scala) keeps both
+    // engines bit-equal through all three rounds.
+    "q_graph_pagerank" -> { (s, dir) =>
+      graft.ops.PageRank.topK(s,
+        graft.ops.PageRank.coTransactionEdges(s, dir), iters = 3, k = 50)
+    },
     // TPC-H Q1-style pricing summary: map-side partial agg, 6-group output.
     "q1_pricing_summary" -> { (s, dir) =>
       Tables(s, dir, "lineitem")
@@ -122,6 +132,34 @@ object RelationalQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    // Same integer PageRank contract as ops/PageRank.rankFp: scale 1e6,
+    // teleport floor(1e6*150/1000)=150000, per-edge
+    // (((r*850)//1000)*w)//ow, three unrolled iterations. The graph is
+    // symmetric, so every node appears as a src (r0) and a dst (rK).
+    "q_graph_pagerank" -> {
+      def iter(prev: String, cur: String): String =
+        s"""$cur AS (
+           |  SELECT e.dst AS node,
+           |    CAST(150000 + sum((((r.r * 850) // 1000) * e.w) // o.ow) AS BIGINT) AS r
+           |  FROM e JOIN $prev r ON e.src = r.node JOIN o ON o.src = e.src
+           |  GROUP BY e.dst)""".stripMargin
+      s"""WITH e0 AS (
+         |  SELECT CAST(l_suppkey AS BIGINT)*2 AS s,
+         |         CAST(o_custkey AS BIGINT)*2+1 AS c,
+         |         CAST(count(*) AS BIGINT) AS w
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  GROUP BY 1, 2),
+         |e AS (SELECT s AS src, c AS dst, w FROM e0
+         |      UNION ALL SELECT c AS src, s AS dst, w FROM e0),
+         |o AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM e GROUP BY 1),
+         |r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM e GROUP BY 1),
+         |${iter("r0", "r1")},
+         |${iter("r1", "r2")},
+         |${iter("r2", "r3")}
+         |SELECT node, r AS rank_fp FROM r3
+         |ORDER BY rank_fp DESC, node ASC
+         |LIMIT 50""".stripMargin
+    },
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

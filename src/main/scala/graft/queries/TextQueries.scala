@@ -17,7 +17,19 @@ import graft.text.TextOps
   */
 object TextQueries {
 
+  /** q_text_bm25 query terms: one rare marker + three common terms. */
+  private[queries] val Bm25Terms = Seq("dup", "spark", "hash", "key")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // BM25-style ranked retrieval in exact integer arithmetic (no
+    // logarithms — dyadic-rational idf and cleared-denominator tf
+    // saturation, see text/Bm25.scala). "dup" is the planted-near-dup
+    // marker (df 25 of 500 at sf0.01) so the idf contrast vs the
+    // common terms is real. Map-side tf/dl, one tiny scalar agg
+    // broadcast back, TakeOrdered top-20.
+    "q_text_bm25" -> { (s, dir) =>
+      graft.text.Bm25.topK(Tables(s, dir, "documents"), "text", Bm25Terms, 20)
+    },
     // Token + subword counting (whitespace + BPE-ish regex split).
     "q_text_token_counts" -> { (s, dir) =>
       Tables(s, dir, "documents").select(
@@ -412,6 +424,8 @@ object TextQueries {
          |       THEN (tok_start + n - 1) // 512 - tok_start // 512 + 1
          |       ELSE 0 END AS n_chunks
          |FROM c""".stripMargin,
+
+    "q_text_bm25" -> graft.text.Bm25.oracleSql(Bm25Terms, 20),
 
     "q_text_token_counts" ->
       s"""SELECT doc_id,
