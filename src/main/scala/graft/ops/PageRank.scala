@@ -50,16 +50,26 @@ object PageRank {
     *         one in-edge; symmetric graphs therefore cover all nodes.
     */
   def rankFp(edges: DataFrame, iters: Int, scale: Long = 1000000L): DataFrame = {
-    require(iters >= 1, s"iters must be >= 1, got $iters")
-    val teleport = scale * 150L / 1000L
     val outw = edges.groupBy("src").agg(sum("w").as("ow"))
     val esrc = edges.join(outw, "src")
       .select(col("src"), col("dst"), col("w"), col("ow"))
-    var ranks = esrc.select(col("src").as("node")).distinct()
-      .union(esrc.select(col("dst").as("node")).distinct())
-      .distinct()
-      .withColumn("r", lit(scale))
-    for (_ <- 1 to iters) {
+    iterate(esrc, iters, scale)
+  }
+
+  /** Iteration core over an edge table that already carries `ow`.
+    * r0 ≡ scale for every node, so round 1 needs NO rank join at all —
+    * its damped contribution is the constant (scale·850) div 1000 —
+    * which also means the node set never has to be materialized.
+    */
+  private def iterate(esrc: DataFrame, iters: Int, scale: Long): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val teleport = scale * 150L / 1000L
+    val damped0 = scale * 850L / 1000L
+    var ranks = esrc
+      .select(col("dst"), expr(s"(${damped0}L * w) div ow").as("contrib"))
+      .groupBy(col("dst").as("node"))
+      .agg((sum("contrib") + lit(teleport)).as("r"))
+    for (_ <- 2 to iters) {
       ranks = esrc.join(ranks.withColumnRenamed("node", "src"), "src")
         .select(col("dst"),
           expr("(((r * 850) div 1000) * w) div ow").as("contrib"))
@@ -77,9 +87,12 @@ object PageRank {
     */
   def topK(spark: SparkSession, edges: DataFrame, iters: Int, k: Int,
            scale: Long = 1000000L): DataFrame = {
-    val esrc = edges.repartition(col("src")).cache()
+    val outw = edges.groupBy("src").agg(sum("w").as("ow"))
+    val esrc = edges.join(outw, "src")
+      .select(col("src"), col("dst"), col("w"), col("ow"))
+      .repartition(col("src")).cache()
     try {
-      val ranked = rankFp(esrc, iters, scale)
+      val ranked = iterate(esrc, iters, scale)
         .orderBy(col("rank_fp").desc, col("node").asc)
         .limit(k)
       val rows: Array[Row] = ranked.collect() // k rows, bounded

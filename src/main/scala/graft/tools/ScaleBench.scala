@@ -119,14 +119,38 @@ object ScaleBench {
 
   /** Copy the remaining (unreferenced-by-the-top-10) tables verbatim so
     * the inflated dir is a complete, loadable sfDir. */
+  /** lineitem + orders get per-copy key offsets (disjoint orderkey /
+    * suppkey / custkey spaces), so the co-transaction graph of
+    * q_graph_pagerank grows to `Copies` disconnected components —
+    * within-copy degree structure exactly preserved, total edge volume
+    * ×Copies. (Joins against the un-inflated dimension tables match
+    * copy 0 only; the fact-side volume is what the audit measures.)
+    */
+  private def inflateTransactions(spark: SparkSession, src: String, dst: String): Unit = {
+    val li = Tables(spark, src, "lineitem")
+    val ord = Tables(spark, src, "orders")
+    val liOut = (0 until Copies).map { i =>
+      li.withColumn("l_orderkey", col("l_orderkey") + lit(i.toLong * 10000000000L))
+        .withColumn("l_suppkey", col("l_suppkey") + lit(i.toLong * 100000000L))
+    }.reduce(_ unionAll _)
+    liOut.repartition(32).write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
+    val ordOut = (0 until Copies).map { i =>
+      ord.withColumn("o_orderkey", col("o_orderkey") + lit(i.toLong * 10000000000L))
+        .withColumn("o_custkey", col("o_custkey") + lit(i.toLong * 100000000L))
+    }.reduce(_ unionAll _)
+    ordOut.repartition(32).write.mode("overwrite").parquet(s"$dst/orders.parquet")
+  }
+
   private def linkRest(spark: SparkSession, src: String, dst: String): Unit =
-    for (t <- Tables.all if !Set("events", "documents", "embeddings").contains(t))
+    for (t <- Tables.all
+         if !Set("events", "documents", "embeddings", "lineitem", "orders").contains(t))
       Tables(spark, src, t).write.mode("overwrite").parquet(s"$dst/$t.parquet")
 
   def inflate(spark: SparkSession, src: String, dst: String): Unit = {
     inflateEvents(spark, src, dst)
     inflateDocuments(spark, src, dst)
     inflateEmbeddings(spark, src, dst)
+    inflateTransactions(spark, src, dst)
     linkRest(spark, src, dst)
   }
 
