@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact per-group quantiles by distributed rank selection — no
+  * sketches, no per-group sort on one partition. The permille-p
+  * quantile of a group is the value whose 1-based rank in the sorted
+  * multiset equals ceil(p·n/1000); everything is integer arithmetic,
+  * so both engines select the identical value (gate contract).
+  *
+  * Scale shape (the [[graft.text.Packing]] two-level-cumsum pattern,
+  * applied to VALUE space): rows first fold to (group, value) counts —
+  * one shuffle, output bounded by distinct values. The cumulative
+  * count "rows ≤ v" is then an id-range-bucketed within-bucket window
+  * (partitions bounded by bucket population) plus a per-group
+  * bucket-offset window over at most `targetBuckets` rows per group.
+  * The quantile row is selected WITHOUT a join fan-in: rank r falls to
+  * the unique value row with cum_excl < r ≤ cum, so a per-row filter
+  * over the exploded permille list finishes the job. Group count must
+  * stay broadcastable (one n-row per group is broadcast back); group
+  * SIZE is unbounded.
+  *
+  * Capability direction: order statistics beside the deterministic
+  * sketch family (HllSketch / CmSketch); the reference's stats surface
+  * (SURVEY.md §2.4, /root/reference/src/stream/stats.rs:63-141) stops
+  * at counts — quantiles are the next thing every profiling pipeline
+  * asks for.
+  */
+object Quantiles {
+
+  /** @param df         input rows
+    * @param groupCols  grouping columns (result has one row per group
+    *                   and permille); distinct-group count must stay
+    *                   broadcastable
+    * @param valueCol   i64 value expression (cast/round upstream)
+    * @param psPermille quantile targets in permille, each in [1,1000]
+    * @return (groupCols..., p_permille, value)
+    */
+  def exactByGroup(df: DataFrame, groupCols: Seq[String], valueCol: Column,
+                   psPermille: Seq[Int], targetBuckets: Int = 4096): DataFrame = {
+    require(psPermille.nonEmpty && psPermille.forall(p => p >= 1 && p <= 1000),
+      s"permille targets must be in [1,1000]: $psPermille")
+    val g = groupCols.map(col)
+    val counts = df.select((g :+ valueCol.cast("long").as("_v")): _*)
+      .groupBy((g :+ col("_v")): _*).agg(count(lit(1)).as("_c"))
+
+    // value-range buckets: one cheap scalar agg; result is
+    // bucket-width-invariant, the width only sizes the offset window
+    val r = counts.agg(min("_v"), max("_v")).head()
+    if (r.isNullAt(0))
+      return counts.select((g :+ lit(0).as("p_permille") :+ col("_v").as("value")): _*)
+    val width = math.max(1L, (r.getLong(1) - r.getLong(0)) / targetBuckets + 1L)
+    val lo = r.getLong(0)
+    val bucketed = counts.withColumn("_b", expr(s"(_v - ${lo}L) div ${width}L"))
+
+    // within-bucket exclusive prefix (partitions bounded by bucket
+    // population) + per-group bucket offsets (<= targetBuckets rows
+    // per group in the offset window)
+    val wIn = Window.partitionBy((g :+ col("_b")): _*).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val within = bucketed.withColumn("_pre", coalesce(sum("_c").over(wIn), lit(0L)))
+    val wOff = Window.partitionBy(g: _*).orderBy(col("_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy((g :+ col("_b")): _*).agg(sum("_c").as("_bc"))
+      .withColumn("_off", coalesce(sum("_bc").over(wOff), lit(0L)))
+      .select((g :+ col("_b") :+ col("_off")): _*)
+    val cum = within.join(offsets, groupCols :+ "_b")
+      .withColumn("_cumx", col("_pre") + col("_off")) // rows with value < _v
+
+    // group sizes: one row per group, broadcast back
+    val ngrp = counts.groupBy(g: _*).agg(sum("_c").as("_n"))
+    cum.join(broadcast(ngrp), groupCols)
+      .withColumn("_p", explode(array(psPermille.map(lit(_)): _*)))
+      .withColumn("_rank", expr("(_p * _n + 999) div 1000"))
+      .where(col("_cumx") < col("_rank") && col("_rank") <= col("_cumx") + col("_c"))
+      .select((g :+ col("_p").as("p_permille") :+ col("_v").as("value")): _*)
+  }
+}

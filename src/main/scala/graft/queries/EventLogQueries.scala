@@ -44,6 +44,21 @@ object EventLogQueries {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Recency-weighted event stats with DYADIC decay: weight 2^-age
+    // days as an integer shift (1e6 >> age), so the "exponential"
+    // decay is an order-free exact integer sum — no pow(), no doubles,
+    // bit-equal across engines. One scalar max(ts) broadcast, then a
+    // single map-side-partial groupBy.
+    "q_events_decay" -> { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+      val mx = ev.agg(max(col("ts")).as("mxts"))
+      ev.crossJoin(broadcast(mx))
+        .withColumn("age",
+          least(datediff(to_date(col("mxts")), to_date(col("ts"))), lit(62)).cast("int"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(expr("shiftright(CAST(1000000 AS BIGINT), age)")).as("decayed_fp"))
+    },
     // Streaming ↔ batch sessionization parity under the hash gate:
     // the events table fed through MemoryStream → watermark →
     // session_window aggregation (StreamingStats.sessionStats), run to
@@ -561,6 +576,15 @@ object EventLogQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    // DuckDB sum(INTEGER >> x) yields HUGEINT — cast back to BIGINT
+    // for the comparator dtype surface.
+    "q_events_decay" ->
+      """WITH mx AS (SELECT max(ts) AS mxts FROM events)
+        |SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(1000000 >> least(date_diff('day', CAST(ts AS DATE), CAST(mxts AS DATE)), 62)) AS BIGINT)
+        |    AS decayed_fp
+        |FROM events, mx
+        |GROUP BY event_type""".stripMargin,
     "q_log_stats" ->
       """SELECT count(DISTINCT user_id) AS n_traces,
         |  count(*) AS n_events_total,

@@ -39,6 +39,16 @@ object RelationalQueries {
       graft.ops.PageRank.topK(s,
         graft.ops.PageRank.coTransactionEdges(s, dir), iters = 3, k = 50)
     },
+    // Exact per-group quantiles (p25/p50/p75/p90/p99 of price cents)
+    // by distributed rank selection — value-bucketed two-level cumsum,
+    // never a whole-group sort on one partition (see ops/Quantiles).
+    "q_exact_quantiles" -> { (s, dir) =>
+      graft.ops.Quantiles.exactByGroup(
+        Tables(s, dir, "lineitem"),
+        Seq("l_returnflag", "l_linestatus"),
+        expr("CAST(round(CAST(l_extendedprice AS DOUBLE) * 100) AS BIGINT)"),
+        Seq(250, 500, 750, 900, 990))
+    },
     // TPC-H Q1-style pricing summary: map-side partial agg, 6-group output.
     "q1_pricing_summary" -> { (s, dir) =>
       Tables(s, dir, "lineitem")
@@ -160,6 +170,22 @@ object RelationalQueries {
          |ORDER BY rank_fp DESC, node ASC
          |LIMIT 50""".stripMargin
     },
+    // Oracle selects the same values by straight row_number rank —
+    // equivalent by construction to the engine's bucketed selection
+    // (ties share a value; rank falls inside that value's cum range).
+    "q_exact_quantiles" ->
+      """WITH t AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |         CAST(round(CAST(l_extendedprice AS DOUBLE) * 100) AS BIGINT) AS v
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT l_returnflag, l_linestatus, v,
+        |    row_number() OVER (PARTITION BY l_returnflag, l_linestatus ORDER BY v) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag, l_linestatus) AS n
+        |  FROM t)
+        |SELECT l_returnflag, l_linestatus, p AS p_permille, v AS value
+        |FROM r JOIN (VALUES (250),(500),(750),(900),(990)) ps(p)
+        |  ON rn = (p*n + 999)//1000""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

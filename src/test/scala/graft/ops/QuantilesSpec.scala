@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Exact quantile selection: naive-reference equivalence on random
+  * data (with heavy ties), bucket-count invariance, boundary permille
+  * targets, and partitioning independence.
+  */
+class QuantilesSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** rank-ceil selection on a locally sorted multiset. */
+  private def naive(vs: Seq[Long], pPermille: Int): Long = {
+    val sorted = vs.sorted
+    val rank = (pPermille.toLong * vs.size + 999) / 1000
+    sorted((rank - 1).toInt)
+  }
+
+  private val ps = Seq(1, 250, 500, 750, 990, 1000)
+
+  test("matches naive sorted selection on random data with ties") {
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 5000).map { i =>
+      (s"g${i % 3}", rnd.nextInt(200).toLong) // heavy ties
+    }
+    val df = rows.toDF("grp", "v")
+    val got = Quantiles.exactByGroup(df, Seq("grp"), col("v"), ps)
+      .as[(String, Int, Long)].collect().toSet
+    val want = rows.groupBy(_._1).flatMap { case (g, rs) =>
+      ps.map(p => (g, p, naive(rs.map(_._2), p)))
+    }.toSet
+    assert(got == want)
+  }
+
+  test("p=1000 selects the max, p=1 the min (n > 1000)") {
+    val df = (1L to 2000L).map(v => ("g", v)).toDF("grp", "v")
+    val got = Quantiles.exactByGroup(df, Seq("grp"), col("v"), Seq(1, 1000))
+      .as[(String, Int, Long)].collect().map { case (_, p, v) => (p, v) }.toMap
+    assert(got == Map(1 -> 2L, 1000 -> 2000L))
+  }
+
+  test("bucket-count invariance: 2 vs 4096 target buckets") {
+    val rnd = new scala.util.Random(7)
+    val df = (1 to 3000).map(_ => ("g", rnd.nextInt(100000).toLong)).toDF("grp", "v")
+    val a = Quantiles.exactByGroup(df, Seq("grp"), col("v"), ps, targetBuckets = 2)
+      .as[(String, Int, Long)].collect().toSet
+    val b = Quantiles.exactByGroup(df, Seq("grp"), col("v"), ps, targetBuckets = 4096)
+      .as[(String, Int, Long)].collect().toSet
+    assert(a == b)
+  }
+
+  test("partitioning independence (1 vs 16 partitions)") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 4000).map(i => (s"g${i % 5}", rnd.nextInt(1000).toLong))
+    val a = Quantiles.exactByGroup(rows.toDF("grp", "v").repartition(1),
+      Seq("grp"), col("v"), ps).as[(String, Int, Long)].collect().toSet
+    val b = Quantiles.exactByGroup(rows.toDF("grp", "v").repartition(16),
+      Seq("grp"), col("v"), ps).as[(String, Int, Long)].collect().toSet
+    assert(a == b)
+  }
+
+  test("negative values and a single-row group") {
+    val df = Seq(("g", -5L), ("g", -1L), ("g", 3L), ("h", 7L)).toDF("grp", "v")
+    val got = Quantiles.exactByGroup(df, Seq("grp"), col("v"), Seq(500, 1000))
+      .as[(String, Int, Long)].collect().toSet
+    assert(got == Set(("g", 500, -1L), ("g", 1000, 3L), ("h", 500, 7L), ("h", 1000, 7L)))
+  }
+}
