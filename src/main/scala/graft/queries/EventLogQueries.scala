@@ -59,6 +59,17 @@ object EventLogQueries {
         .agg(count(lit(1)).as("n_events"),
           sum(expr("shiftright(CAST(1000000 AS BIGINT), age)")).as("decayed_fp"))
     },
+    // Hopping-window aggregation (1-day windows every 6 hours): each
+    // event lands in width/hop = 4 windows; Spark's window() expands
+    // map-side, then one partial-agg shuffle. Epoch-aligned window
+    // starts (session TZ UTC) are re-derived arithmetically by the
+    // oracle from epoch micros — no window-function emulation needed.
+    "q_events_hopping" -> { (s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy(window(col("ts"), "1 day", "6 hours").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("window_start"), col("event_type"), col("n"))
+    },
     // Streaming ↔ batch sessionization parity under the hash gate:
     // the events table fed through MemoryStream → watermark →
     // session_window aggregation (StreamingStats.sessionStats), run to
@@ -576,6 +587,15 @@ object EventLogQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    // hop = 21_600_000_000 us (6 h); every event belongs to exactly 4
+    // 1-day windows whose starts are the 4 preceding hop boundaries
+    "q_events_hopping" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS eu FROM events),
+        |w AS (SELECT event_type,
+        |        make_timestamp((eu // 21600000000 - k) * 21600000000) AS window_start
+        |      FROM e CROSS JOIN (VALUES (0),(1),(2),(3)) ks(k))
+        |SELECT window_start, event_type, count(*) AS n
+        |FROM w GROUP BY 1, 2""".stripMargin,
     // DuckDB sum(INTEGER >> x) yields HUGEINT — cast back to BIGINT
     // for the comparator dtype surface.
     "q_events_decay" ->

@@ -49,6 +49,31 @@ object RelationalQueries {
         expr("CAST(round(CAST(l_extendedprice AS DOUBLE) * 100) AS BIGINT)"),
         Seq(250, 500, 750, 900, 990))
     },
+    // Composition: per-group p99 threshold (ops/Quantiles, group-sized
+    // result) broadcast back onto the row stream — the "flag outliers
+    // against your own distribution" pipeline in one plan.
+    "q_outlier_flags" -> { (s, dir) =>
+      val cents = expr("CAST(round(CAST(l_extendedprice AS DOUBLE) * 100) AS BIGINT)")
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"), cents.as("v"))
+      val p99 = graft.ops.Quantiles.exactByGroup(
+          Tables(s, dir, "lineitem"),
+          Seq("l_returnflag", "l_linestatus"), cents, Seq(990))
+        .select(col("l_returnflag"), col("l_linestatus"), col("value").as("thr"))
+      li.join(broadcast(p99), Seq("l_returnflag", "l_linestatus"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("v") > col("thr"), 1L).otherwise(0L)).as("n_above_p99"))
+    },
+    // Pivot (wide aggregation): documents count per source × language,
+    // explicit pinned column set so the schema is static at any scale.
+    "q_pivot_lang_source" -> { (s, dir) =>
+      Tables(s, dir, "documents")
+        .groupBy("source")
+        .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+    },
     // TPC-H Q1-style pricing summary: map-side partial agg, 6-group output.
     "q1_pricing_summary" -> { (s, dir) =>
       Tables(s, dir, "lineitem")
@@ -186,6 +211,32 @@ object RelationalQueries {
         |SELECT l_returnflag, l_linestatus, p AS p_permille, v AS value
         |FROM r JOIN (VALUES (250),(500),(750),(900),(990)) ps(p)
         |  ON rn = (p*n + 999)//1000""".stripMargin,
+    "q_outlier_flags" ->
+      """WITH t AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |         CAST(round(CAST(l_extendedprice AS DOUBLE) * 100) AS BIGINT) AS v
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT l_returnflag, l_linestatus, v,
+        |    row_number() OVER (PARTITION BY l_returnflag, l_linestatus ORDER BY v) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag, l_linestatus) AS n
+        |  FROM t),
+        |thr AS (
+        |  SELECT l_returnflag, l_linestatus, v AS thr
+        |  FROM r WHERE rn = (990*n + 999)//1000)
+        |SELECT t.l_returnflag, t.l_linestatus, count(*) AS n_total,
+        |  CAST(sum(CASE WHEN t.v > thr.thr THEN 1 ELSE 0 END) AS BIGINT) AS n_above_p99
+        |FROM t JOIN thr USING (l_returnflag, l_linestatus)
+        |GROUP BY t.l_returnflag, t.l_linestatus""".stripMargin,
+    "q_pivot_lang_source" ->
+      """SELECT source,
+        |  CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS de,
+        |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS en,
+        |  CAST(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS es,
+        |  CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS fr,
+        |  CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS zh
+        |FROM documents
+        |GROUP BY source""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
