@@ -43,12 +43,14 @@ object Quantiles {
     require(psPermille.nonEmpty && psPermille.forall(p => p >= 1 && p <= 1000),
       s"permille targets must be in [1,1000]: $psPermille")
     val g = groupCols.map(col)
-    val counts = df.select((g :+ valueCol.cast("long").as("_v")): _*)
-      .groupBy((g :+ col("_v")): _*).agg(count(lit(1)).as("_c"))
+    val base = df.select((g :+ valueCol.cast("long").as("_v")): _*)
+    val counts = base.groupBy((g :+ col("_v")): _*).agg(count(lit(1)).as("_c"))
 
-    // value-range buckets: one cheap scalar agg; result is
-    // bucket-width-invariant, the width only sizes the offset window
-    val r = counts.agg(min("_v"), max("_v")).head()
+    // value-range buckets: one MAP-SIDE scalar scan over the base rows
+    // (not the counts lineage — that would re-run the group-by
+    // exchange in a second action); the result is bucket-width-
+    // invariant, the width only sizes the offset window
+    val r = base.agg(min("_v"), max("_v")).head()
     if (r.isNullAt(0))
       return counts.select((g :+ lit(0).as("p_permille") :+ col("_v").as("value")): _*)
     val width = math.max(1L, (r.getLong(1) - r.getLong(0)) / targetBuckets + 1L)
@@ -66,7 +68,9 @@ object Quantiles {
     val offsets = bucketed.groupBy((g :+ col("_b")): _*).agg(sum("_c").as("_bc"))
       .withColumn("_off", coalesce(sum("_bc").over(wOff), lit(0L)))
       .select((g :+ col("_b") :+ col("_off")): _*)
-    val cum = within.join(offsets, groupCols :+ "_b")
+    // offsets are bounded by groups × targetBuckets — broadcast, so
+    // the windowed counts never reshuffle onto the (group, bucket) key
+    val cum = within.join(broadcast(offsets), groupCols :+ "_b")
       .withColumn("_cumx", col("_pre") + col("_off")) // rows with value < _v
 
     // group sizes: one row per group, broadcast back
