@@ -27,6 +27,7 @@ import graft.ops.{Decision, Declare, Dfg, Drift, Features, Heuristics,
 object EventLogQueries {
 
   private val sessRun = new AtomicInteger(0)
+  private val hopRun = new AtomicInteger(0)
 
   /** Fixed DECLARE monitoring set for q_stream_declare_parity: one
     * constraint per implemented template, over the events alphabet. */
@@ -69,6 +70,43 @@ object EventLogQueries {
         .groupBy(window(col("ts"), "1 day", "6 hours").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n"))
         .select(col("w.start").as("window_start"), col("event_type"), col("n"))
+    },
+    // Streaming ↔ batch hopping-window parity: the SAME window()
+    // aggregation as q_events_hopping run as a stream in Append mode —
+    // windows emit when the watermark passes their end, driven past
+    // every real window by two far-future sentinel events (filtered
+    // below). Hash-compared against the batch oracle arithmetic.
+    "q_stream_hopping_parity" -> { (s, dir) =>
+      ParityFeed.withStreamParallelism(s, 8) {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val batchDs = Tables(s, dir, "events")
+        .select(col("event_type"), unix_micros(col("ts")).as("tsMicros"))
+        .as[(String, Long)]
+      val input = MemoryStream[(String, Long)]
+      val maxTs = ParityFeed.feed(input, batchDs, (_: (String, Long))._2)
+      input.addData(("__sentinel__", maxTs + 10L * 86400L * 1000000L))
+      val ev = input.toDS().toDF("event_type", "tsMicros")
+        .withColumn("ts", timestamp_micros(col("tsMicros")))
+        .withWatermark("ts", "10 seconds")
+      val name = s"stream_hop_parity_${hopRun.incrementAndGet()}"
+      val q = ev
+        .groupBy(window(col("ts"), "1 day", "6 hours").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("window_start"), col("event_type"), col("n"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        q.processAllAvailable()
+        input.addData(("__sentinel__", maxTs + 20L * 86400L * 1000000L))
+        q.processAllAvailable()
+      } finally q.stop()
+      val res = s.table(name).filter(col("event_type") =!= "__sentinel__")
+      val rows = res.collect() // window × type cardinality, bounded
+      val out = s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+      s.catalog.dropTempView(name)
+      out
+      }
     },
     // Streaming ↔ batch sessionization parity under the hash gate:
     // the events table fed through MemoryStream → watermark →
@@ -587,6 +625,15 @@ object EventLogQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    // identical arithmetic for the streaming twin — batch parity IS
+    // the claim under test
+    "q_stream_hopping_parity" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS eu FROM events),
+        |w AS (SELECT event_type,
+        |        make_timestamp((eu // 21600000000 - k) * 21600000000) AS window_start
+        |      FROM e CROSS JOIN (VALUES (0),(1),(2),(3)) ks(k))
+        |SELECT window_start, event_type, count(*) AS n
+        |FROM w GROUP BY 1, 2""".stripMargin,
     // hop = 21_600_000_000 us (6 h); every event belongs to exactly 4
     // 1-day windows whose starts are the 4 preceding hop boundaries
     "q_events_hopping" ->
