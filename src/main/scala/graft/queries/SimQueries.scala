@@ -30,6 +30,31 @@ object SimQueries {
   // sf0.01 resolutions: autoPlanes(500,16)=5, autoStride(500)=2).
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Hybrid retrieval: BM25 top-50 (sparse leg) ⊕ brute-cosine top-50
+    // from probe vector 0 (dense leg), fused by integer reciprocal-
+    // rank fusion 1e6 div (60 + rank) — the modern search stack in ONE
+    // plan, all-i64 fusion so ranking is bit-equal across engines.
+    // Both legs are k-bounded, so the rank windows and the outer join
+    // run on ≤ 50 rows each.
+    "q_hybrid_rrf" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val sparse = graft.text.Bm25
+        .topK(Tables(s, dir, "documents"), "text", TextQueries.Bm25Terms, 50)
+        .withColumn("rs", row_number().over( // 50-row set: bounded window
+          Window.orderBy(col("score_fp").desc, col("doc_id").asc)))
+        .select(col("doc_id"), col("rs"))
+      val e = Tables(s, dir, "embeddings")
+      val dense = Ann.bruteForceTopK(e, e.filter(col("vec_id") === 0L),
+          "vec_id", "embedding", 50)
+        .select(col("id_n").as("doc_id"), col("rnk").as("rd"))
+      sparse.join(dense, Seq("doc_id"), "full_outer")
+        .withColumn("rrf_fp",
+          coalesce(expr("CAST(1000000 div (60 + rs) AS BIGINT)"), lit(0L)) +
+          coalesce(expr("CAST(1000000 div (60 + rd) AS BIGINT)"), lit(0L)))
+        .orderBy(col("rrf_fp").desc, col("doc_id").asc)
+        .limit(20)
+        .select(col("doc_id"), col("rrf_fp"))
+    },
     "q_sim_topk_brute" -> { (s, dir) =>
       val e = Tables(s, dir, "embeddings")
       Ann.bruteForceTopK(e, e.filter(col("vec_id") < NQueries),
@@ -228,6 +253,27 @@ object SimQueries {
        |WHERE rnk <= $K""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    // sparse leg = the q_text_bm25 oracle at k=50 (nested WITH), dense
+    // leg = brute cosine from vec 0; the RRF fusion is pure i64
+    "q_hybrid_rrf" ->
+      s"""WITH sp AS (
+         |  SELECT doc_id,
+         |    CAST(row_number() OVER (ORDER BY score_fp DESC, doc_id) AS INT) AS rs
+         |  FROM (${graft.text.Bm25.oracleSql(TextQueries.Bm25Terms, 50)}) bm),
+         |n AS (SELECT vec_id, embedding AS v FROM embeddings),
+         |qv AS (SELECT v FROM n WHERE vec_id = 0),
+         |de AS (
+         |  SELECT id_n AS doc_id, CAST(rnk AS INT) AS rd FROM (
+         |    SELECT c.vec_id AS id_n,
+         |      row_number() OVER (ORDER BY ${cosSql("qv.v", "c.v")} DESC, c.vec_id) AS rnk
+         |    FROM n c, qv WHERE c.vec_id <> 0) x
+         |  WHERE rnk <= 50)
+         |SELECT COALESCE(sp.doc_id, de.doc_id) AS doc_id,
+         |  CAST(COALESCE(1000000 // (60 + rs), 0)
+         |     + COALESCE(1000000 // (60 + rd), 0) AS BIGINT) AS rrf_fp
+         |FROM sp FULL OUTER JOIN de ON sp.doc_id = de.doc_id
+         |ORDER BY rrf_fp DESC, doc_id ASC
+         |LIMIT 20""".stripMargin,
     // greedy selection replayed as a single-row recursive CTE carrying
     // the selected-id list; distances replicate the engine's fold
     // exactly (fl(1-c) is monotone in c, so 1 - max(cos) IS min dist)
