@@ -42,7 +42,14 @@ object PlanPin {
     "q_range_join_active",
     "q_declare_constraints",
     "q_dedup_spans",
-    "q_dedup_span_coverage")
+    "q_dedup_span_coverage",
+    // round-6 additions: the bounded-window quantile selection, the
+    // broadcast bloom probe, and the zero-wide-shuffle BM25 scorer
+    // (q_graph_pagerank is NOT pinnable — topK rewraps the k collected
+    // rows, so its returned plan is a LocalTableScan by design)
+    "q_exact_quantiles",
+    "q_dedup_bloom",
+    "q_text_bm25")
 
   private val Salient = (
     "ReusedExchange|" +
