@@ -45,6 +45,39 @@ object EventLogQueries {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Dataset profiling (the Deequ class): per-column null counts and
+    // HLL distinct estimates over events in ONE pass — five register
+    // sketches and five null counters ride a single aggregation, then
+    // stack() unpivots to a row per column. Constant state per column
+    // at any scale; the HLL machinery is the gated q_dedup_distinct_
+    // sketch contract (order-free maxima, dyadic-exact estimator).
+    "q_profile_columns" -> { (s, dir) =>
+      import graft.functions.{HllSketch, NativeExpressions}
+      import graft.ops.Split
+      val ev = Tables(s, dir, "events")
+      val hashes: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+        ("event_id", Split.hashP(col("event_id"), 17L)),
+        ("user_id", Split.hashP(col("user_id"), 11L)),
+        ("event_type", NativeExpressions.charHash(col("event_type"), 7L)),
+        ("props", NativeExpressions.charHash(col("props"), 7L)),
+        ("ts", Split.hashP(unix_micros(col("ts")), 13L)))
+      val aggs = hashes.flatMap { case (n, h) => Seq(
+        sum(when(col(n).isNull, 1L).otherwise(0L)).as(s"nn_$n"),
+        HllSketch.registers(h, m = 64, budgetBits = 24).as(s"r_$n")) }
+      val derived = hashes.map(_._1).flatMap { n => Seq(
+        col(s"nn_$n"),
+        NativeExpressions.foldHash(
+          expr(s"transform(r_$n, r -> CAST(r AS BIGINT))"), 0L).as(s"dg_$n"),
+        (lit(0.709) * lit(4096.0) / expr(s"aggregate(r_$n, CAST(0.0 AS DOUBLE), " +
+          "(s, r) -> s + 1.0 / CAST(shiftleft(CAST(1 AS BIGINT), r) AS DOUBLE))"))
+          .as(s"est_$n")) }
+      val stackArgs = hashes.map(_._1)
+        .map(n => s"'$n', nn_$n, dg_$n, est_$n").mkString(", ")
+      ev.agg(aggs.head, aggs.tail: _*)
+        .select(derived: _*)
+        .select(expr(s"stack(${hashes.size}, $stackArgs) " +
+          "AS (column_name, n_null, reg_digest, raw_est)"))
+    },
     // Recency-weighted event stats with DYADIC decay: weight 2^-age
     // days as an integer shift (1e6 >> age), so the "exponential"
     // decay is an order-free exact integer sum — no pow(), no doubles,
@@ -625,6 +658,42 @@ object EventLogQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    // per-column HLL register pipeline = the q_dedup_distinct_sketch
+    // oracle without the group key, once per profiled column; n_null
+    // as a scalar subquery per block
+    "q_profile_columns" -> {
+      import graft.functions.Portable.{P, charHashSql}
+      import graft.ops.Split
+      val cols: Seq[(String, String)] = Seq(
+        ("event_id", Split.oracleHashPSql("event_id", 17L)),
+        ("user_id", Split.oracleHashPSql("user_id", 11L)),
+        ("event_type", charHashSql("event_type")),
+        ("props", charHashSql("props")),
+        ("ts", Split.oracleHashPSql("epoch_us(ts)", 13L)))
+      def block(n: String, hSql: String): String =
+        s"""h_$n AS (SELECT $hSql AS h FROM events WHERE $n IS NOT NULL),
+           |b_$n AS (SELECT
+           |    (((((h * 2654435761) % $P) * ((h * 2654435761) % $P)) % $P)
+           |      * 2654435761 + h) % $P AS h3 FROM h_$n),
+           |mx_$n AS (SELECT CAST(h3 % 64 AS INT) AS j,
+           |    max(CAST(CASE WHEN h3 // 64 = 0 THEN 25
+           |        ELSE 24 - length(bin(h3 // 64)) + 1 END AS INT)) AS mr
+           |  FROM b_$n GROUP BY 1),
+           |regs_$n AS (SELECT g.j, coalesce(mx_$n.mr, 0) AS M
+           |  FROM generate_series(0, 63) g(j) LEFT JOIN mx_$n ON mx_$n.j = g.j),
+           |row_$n AS (SELECT '$n' AS column_name,
+           |  (SELECT count(*) FROM events WHERE $n IS NULL) AS n_null,
+           |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |    list(CAST(M AS BIGINT) ORDER BY j)),
+           |    (d, x) -> (d*131 + x) % $P) AS reg_digest,
+           |  0.709 * 4096.0
+           |    / sum(1.0 / CAST((CAST(1 AS BIGINT) << M) AS DOUBLE)) AS raw_est
+           |  FROM regs_$n)""".stripMargin
+      val blocks = cols.map { case (n, h) => block(n, h) }.mkString(",\n")
+      val union = cols.map { case (n, _) => s"SELECT * FROM row_$n" }
+        .mkString("\nUNION ALL ")
+      s"WITH $blocks\n$union"
+    },
     // identical arithmetic for the streaming twin — batch parity IS
     // the claim under test
     "q_stream_hopping_parity" ->
