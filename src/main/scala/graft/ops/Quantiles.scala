@@ -43,6 +43,48 @@ object Quantiles {
     require(psPermille.nonEmpty && psPermille.forall(p => p >= 1 && p <= 1000),
       s"permille targets must be in [1,1000]: $psPermille")
     val g = groupCols.map(col)
+    cumTable(df, groupCols, valueCol, targetBuckets) match {
+      case None =>
+        df.select((g :+ lit(0).as("p_permille")
+          :+ valueCol.cast("long").as("value")): _*).limit(0)
+      case Some(cum) =>
+        cum.withColumn("_p", explode(array(psPermille.map(lit(_)): _*)))
+          .withColumn("_rank", expr("(_p * _n + 999) div 1000"))
+          .where(col("_cumx") < col("_rank") && col("_rank") <= col("_cumx") + col("_c"))
+          .select((g :+ col("_p").as("p_permille") :+ col("_v").as("value")): _*)
+    }
+  }
+
+  /** Permille-rank transform (the QuantileTransformer class): each row
+    * gets the share of its group strictly below its value, in permille
+    * — permille = (1000 · |rows < v|) div n, ties share a rank. One
+    * extra (group, value) equi-join of the input against the bounded
+    * cum table; everything integer.
+    */
+  def permilleRank(df: DataFrame, groupCols: Seq[String], idCol: String,
+                   valueCol: Column, targetBuckets: Int = 4096): DataFrame = {
+    val g = groupCols.map(col)
+    cumTable(df, groupCols, valueCol, targetBuckets) match {
+      case None =>
+        df.select((col(idCol) +: g :+ valueCol.cast("long").as("value")
+          :+ lit(0L).as("permille")): _*).limit(0)
+      case Some(cum) =>
+        val rows = df.select((col(idCol) +: g :+ valueCol.cast("long").as("_v")): _*)
+        rows.join(cum.select((g :+ col("_v") :+ col("_cumx") :+ col("_n")): _*),
+            groupCols :+ "_v")
+          .select((col(idCol) +: g :+ col("_v").as("value")
+            :+ expr("(1000 * _cumx) div _n").as("permille")): _*)
+    }
+  }
+
+  /** Shared core: the (group, value) count table with exclusive
+    * cumulative counts `_cumx` (= rows with a smaller value in the
+    * group) and group size `_n`. None on empty input. Columns:
+    * groupCols ++ (_v, _c, _cumx, _n).
+    */
+  private def cumTable(df: DataFrame, groupCols: Seq[String], valueCol: Column,
+                       targetBuckets: Int): Option[DataFrame] = {
+    val g = groupCols.map(col)
     val base = df.select((g :+ valueCol.cast("long").as("_v")): _*)
     val counts = base.groupBy((g :+ col("_v")): _*).agg(count(lit(1)).as("_c"))
 
@@ -51,15 +93,15 @@ object Quantiles {
     // exchange in a second action); the result is bucket-width-
     // invariant, the width only sizes the offset window
     val r = base.agg(min("_v"), max("_v")).head()
-    if (r.isNullAt(0))
-      return counts.select((g :+ lit(0).as("p_permille") :+ col("_v").as("value")): _*)
+    if (r.isNullAt(0)) return None
     val width = math.max(1L, (r.getLong(1) - r.getLong(0)) / targetBuckets + 1L)
     val lo = r.getLong(0)
     val bucketed = counts.withColumn("_b", expr(s"(_v - ${lo}L) div ${width}L"))
 
     // within-bucket exclusive prefix (partitions bounded by bucket
     // population) + per-group bucket offsets (<= targetBuckets rows
-    // per group in the offset window)
+    // per group in the offset window; with no group columns that is
+    // ONE bounded single-partition window, the Packing contract)
     val wIn = Window.partitionBy((g :+ col("_b")): _*).orderBy(col("_v"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val within = bucketed.withColumn("_pre", coalesce(sum("_c").over(wIn), lit(0L)))
@@ -75,10 +117,9 @@ object Quantiles {
 
     // group sizes: one row per group, broadcast back
     val ngrp = counts.groupBy(g: _*).agg(sum("_c").as("_n"))
-    cum.join(broadcast(ngrp), groupCols)
-      .withColumn("_p", explode(array(psPermille.map(lit(_)): _*)))
-      .withColumn("_rank", expr("(_p * _n + 999) div 1000"))
-      .where(col("_cumx") < col("_rank") && col("_rank") <= col("_cumx") + col("_c"))
-      .select((g :+ col("_p").as("p_permille") :+ col("_v").as("value")): _*)
+    val joined =
+      if (groupCols.isEmpty) cum.crossJoin(broadcast(ngrp))
+      else cum.join(broadcast(ngrp), groupCols)
+    Some(joined)
   }
 }

@@ -30,6 +30,17 @@ object TextQueries {
     "q_text_bm25" -> { (s, dir) =>
       graft.text.Bm25.topK(Tables(s, dir, "documents"), "text", Bm25Terms, 20)
     },
+    // Permille-rank transform of doc token counts (QuantileTransformer
+    // class): share of the corpus strictly below each doc's length,
+    // via the bounded cum-table machinery of ops/Quantiles — integer
+    // permille, ties share a rank.
+    "q_text_rank_transform" -> { (s, dir) =>
+      import graft.text.TextOps
+      graft.ops.Quantiles.permilleRank(
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), TextOps.tokenCount(col("text")).cast("long").as("ntok")),
+        Seq(), "doc_id", col("ntok"))
+    },
     // Token + subword counting (whitespace + BPE-ish regex split).
     "q_text_token_counts" -> { (s, dir) =>
       Tables(s, dir, "documents").select(
@@ -426,6 +437,18 @@ object TextQueries {
          |FROM c""".stripMargin,
 
     "q_text_bm25" -> graft.text.Bm25.oracleSql(Bm25Terms, 20),
+
+    // cumx via running sum over DISTINCT values (DuckDB window sums
+    // are HUGEINT — cast the permille back to BIGINT)
+    "q_text_rank_transform" ->
+      s"""WITH t AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS v FROM documents),
+         |c AS (SELECT v, count(*) AS c FROM t GROUP BY v),
+         |cc AS (SELECT v, coalesce(sum(c) OVER (ORDER BY v
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumx FROM c),
+         |n AS (SELECT count(*) AS n FROM t)
+         |SELECT t.doc_id, t.v AS value,
+         |  CAST((1000 * cumx) // n AS BIGINT) AS permille
+         |FROM t JOIN cc ON t.v = cc.v, n""".stripMargin,
 
     "q_text_token_counts" ->
       s"""SELECT doc_id,

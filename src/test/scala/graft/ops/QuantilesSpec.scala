@@ -62,6 +62,28 @@ class QuantilesSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("permilleRank matches naive strict-below share, ties share a rank") {
+    val rnd = new scala.util.Random(3)
+    val rows = (1 to 2000).map(i => (i.toLong, s"g${i % 2}", rnd.nextInt(50).toLong))
+    val df = rows.toDF("id", "grp", "v")
+    val got = Quantiles.permilleRank(df, Seq("grp"), "id", col("v"))
+      .as[(Long, String, Long, Long)].collect()
+      .map { case (id, _, v, pm) => (id, v, pm) }.toSet
+    val byG = rows.groupBy(_._2)
+    val want = rows.map { case (id, g, v) =>
+      val vs = byG(g).map(_._3)
+      (id, v, 1000L * vs.count(_ < v) / vs.size)
+    }.toSet
+    assert(got == want)
+  }
+
+  test("permilleRank with no group columns (global transform)") {
+    val df = Seq((1L, 10L), (2L, 20L), (3L, 20L), (4L, 30L)).toDF("id", "v")
+    val got = Quantiles.permilleRank(df, Seq(), "id", col("v"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L, 0L), (2L, 20L, 250L), (3L, 20L, 250L), (4L, 30L, 750L)))
+  }
+
   test("negative values and a single-row group") {
     val df = Seq(("g", -5L), ("g", -1L), ("g", 3L), ("h", 7L)).toDF("grp", "v")
     val got = Quantiles.exactByGroup(df, Seq("grp"), col("v"), Seq(500, 1000))
