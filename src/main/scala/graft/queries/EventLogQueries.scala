@@ -45,6 +45,21 @@ object EventLogQueries {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Retention cohort analysis: users bucketed by first-active epoch
+    // week; for each (cohort, weeks-since) cell, how many of the
+    // cohort were active. Distinct (user, week) pairs → min-week
+    // cohort → one co-partitioned join + partial-agg groupBy.
+    "q_retention_cohorts" -> { (s, dir) =>
+      val weeks = Tables(s, dir, "events")
+        .where(col("user_id").isNotNull)
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 604800000000").as("wk"))
+        .distinct()
+      val cohorts = weeks.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+      weeks.join(cohorts, "user_id")
+        .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("weeks_since"))
+        .agg(count(lit(1)).as("n_users"))
+    },
     // Dataset profiling (the Deequ class): per-column null counts and
     // HLL distinct estimates over events in ONE pass — five register
     // sketches and five null counters ride a single aggregation, then
@@ -658,6 +673,14 @@ object EventLogQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "q_retention_cohorts" ->
+      """WITH w AS (SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS wk
+        |  FROM events WHERE user_id IS NOT NULL),
+        |f AS (SELECT user_id, min(wk) AS cohort_wk FROM w GROUP BY 1)
+        |SELECT f.cohort_wk, w.wk - f.cohort_wk AS weeks_since,
+        |  count(*) AS n_users
+        |FROM w JOIN f USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
     // per-column HLL register pipeline = the q_dedup_distinct_sketch
     // oracle without the group key, once per profiled column; n_null
     // as a scalar subquery per block
