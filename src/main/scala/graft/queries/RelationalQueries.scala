@@ -74,6 +74,24 @@ object RelationalQueries {
         .agg(count(lit(1)))
         .na.fill(0L)
     },
+    // Z-order layout audit: interleave (suppkey, partkey) into a
+    // Morton key, bucket the key space, and report per-bucket counts
+    // plus BOTH dimensions' min/max spread — the tightness of those
+    // ranges is exactly what makes file-level pruning work on either
+    // column after a ZORDER rewrite. Map-side z-value, one shuffle.
+    "q_layout_zorder" -> { (s, dir) =>
+      val z = graft.ops.Zorder.zValue(
+        expr("CAST(l_suppkey AS BIGINT) % 65536"),
+        expr("CAST(l_partkey AS BIGINT) % 65536"), bits = 16)
+      Tables(s, dir, "lineitem")
+        .withColumn("zb", shiftright(z, 14)) // bucket = z >> 14
+        .groupBy("zb")
+        .agg(count(lit(1)).as("n"),
+          min(expr("CAST(l_suppkey AS BIGINT) % 65536")).as("sk_min"),
+          max(expr("CAST(l_suppkey AS BIGINT) % 65536")).as("sk_max"),
+          min(expr("CAST(l_partkey AS BIGINT) % 65536")).as("pk_min"),
+          max(expr("CAST(l_partkey AS BIGINT) % 65536")).as("pk_max"))
+    },
     // TPC-H Q1-style pricing summary: map-side partial agg, 6-group output.
     "q1_pricing_summary" -> { (s, dir) =>
       Tables(s, dir, "lineitem")
@@ -237,6 +255,17 @@ object RelationalQueries {
         |  CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS zh
         |FROM documents
         |GROUP BY source""".stripMargin,
+    "q_layout_zorder" -> {
+      val zSql = graft.ops.Zorder.zValueSql(
+        "CAST(l_suppkey AS BIGINT) % 65536", "CAST(l_partkey AS BIGINT) % 65536", 16)
+      s"""SELECT (($zSql)) >> 14 AS zb, count(*) AS n,
+         |  min(CAST(l_suppkey AS BIGINT) % 65536) AS sk_min,
+         |  max(CAST(l_suppkey AS BIGINT) % 65536) AS sk_max,
+         |  min(CAST(l_partkey AS BIGINT) % 65536) AS pk_min,
+         |  max(CAST(l_partkey AS BIGINT) % 65536) AS pk_max
+         |FROM lineitem
+         |GROUP BY 1""".stripMargin
+    },
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
