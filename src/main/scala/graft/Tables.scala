@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Parquet table loader for the driver-generated synthetic tables
   * (see TESTDATA.md). All queries take an `sfDir` like
@@ -15,11 +15,23 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    // events.ts is parquet TIMESTAMP(NANOS); with
-    // spark.sql.legacy.parquet.nanosAsLong it scans as long nanos —
-    // convert to a microsecond timestamp (truncating, same as DuckDB).
-    if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    // events.ts has shipped as two physical types across testdata
+    // generations; normalize both to a session-TZ (UTC) timestamp so
+    // unix_micros & friends type-check and values match DuckDB's
+    // naive-UTC read:
+    //  - TIMESTAMP(NANOS): no Spark type; scanned as long nanos under
+    //    spark.sql.legacy.parquet.nanosAsLong, truncated to micros
+    //    (same truncation DuckDB applies);
+    //  - timestamp[us] isAdjustedToUTC=false: scanned as
+    //    TIMESTAMP_NTZ; cast is wall-clock-preserving in the UTC
+    //    session.
+    val nanosFixed =
+      if (name == "events" && df.schema("ts").dataType == LongType)
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else df
+    nanosFixed.schema.fields.filter(_.dataType == TimestampNTZType)
+      .foldLeft(nanosFixed) { (d, f) =>
+        d.withColumn(f.name, col(f.name).cast(TimestampType))
+      }
   }
 }
