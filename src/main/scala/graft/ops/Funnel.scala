@@ -45,4 +45,39 @@ object Funnel {
       .groupBy(col(caseCol), col(idCol))
       .agg(sum("_hit").as("n_prior"))
   }
+
+  /** Ordered k-stage funnel: a case reaches stage i when it has an
+    * event matching stage i's predicate strictly after the timestamp
+    * at which it first reached stage i−1 (stage 0 = first matching
+    * event). The classic "view → click → purchase" conversion count,
+    * with strict event-order semantics (not mere co-occurrence).
+    *
+    * Scale shape: stage i is one filtered scan + a groupBy on the
+    * case key joined against the stage-(i−1) reach table — which is
+    * case-sized, shrinking per stage, and co-partitioned on the same
+    * key, so each stage is a single shuffle of matching events and
+    * the joins reuse the case-hash partitioning. Nothing is ever
+    * collected; k is the (tiny) number of stages.
+    *
+    * @param stages (name, predicate) per stage, in funnel order.
+    * @return (stage_idx, stage, n_cases) — one row per stage.
+    */
+  def orderedStages(events: DataFrame, caseCol: String, tsCol: String,
+      stages: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    var reached: DataFrame = null // (caseCol, _t): first time stage i reached
+    val counts = stages.zipWithIndex.map { case ((name, pred), i) =>
+      val matching = events.filter(pred)
+      reached =
+        if (i == 0)
+          matching.groupBy(col(caseCol)).agg(min(col(tsCol)).as("_t"))
+        else
+          matching
+            .join(reached.withColumnRenamed("_t", "_t_prev"), caseCol)
+            .filter(col(tsCol) > col("_t_prev"))
+            .groupBy(col(caseCol)).agg(min(col(tsCol)).as("_t"))
+      reached.agg(count(lit(1)).as("n_cases"))
+        .select(lit(i).as("stage_idx"), lit(name).as("stage"), col("n_cases"))
+    }
+    counts.reduce(_.union(_))
+  }
 }

@@ -33,6 +33,35 @@ object Sessionize {
       .drop("_prev", "_new_session")
   }
 
+  /** Run-length interval collapse (gaps-and-islands): per case,
+    * consecutive events with the same label — in (ts, tieBreak)
+    * order — collapse into one interval row. The SCD2-style "validity
+    * history" reshape: per (case, run) the label, its start/end
+    * timestamps, and the event count.
+    *
+    * Scale shape: ONE shuffle on the case key; the run index is a
+    * lag-flag + running sum over the same window partitioning (no
+    * second exchange on (case, label), which the row_number-difference
+    * formulation would need), then a partial-agg groupBy on
+    * (case, run_idx) that reuses the case hash partitioning.
+    */
+  def runs(events: DataFrame, caseCol: String, labelCol: String,
+      tsCol: String, tieBreak: String): DataFrame = {
+    val w = Window.partitionBy(col(caseCol)).orderBy(col(tsCol), col(tieBreak))
+    events
+      .withColumn("_prev_label", lag(col(labelCol), 1).over(w))
+      .withColumn("_new_run",
+        when(col("_prev_label").isNull ||
+          col("_prev_label") =!= col(labelCol), lit(1L)).otherwise(lit(0L)))
+      .withColumn("run_idx",
+        sum(col("_new_run")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(caseCol), col("run_idx"))
+      .agg(min(col(labelCol)).as(labelCol), // constant within a run
+        min(col(tsCol)).as("run_start"),
+        max(col(tsCol)).as("run_end"),
+        count(lit(1)).as("n_events"))
+  }
+
   /** Per-case variant strings — the shared first stage of the variant
     * family: one partition-level sort (window) + once-per-case
     * collect_list, no interpreted comparators. */

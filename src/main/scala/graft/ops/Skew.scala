@@ -35,4 +35,28 @@ object Skew {
       .agg(sum(col(valueCol)).as("_partial"))
       .groupBy(col(keyCol))
       .agg(sum("_partial").as("sum"))
+
+  /** Skew-safe fact ⋈ dimension join: each fact row gets an arbitrary
+    * salt in [0, salts); the dimension is replicated once per salt
+    * value; the join key becomes (key, salt), so one hot key's fact
+    * rows spread over `salts` reducers instead of melting one. The
+    * result is identical to `fact.join(dim, key)` for any salt
+    * assignment (every fact row meets exactly its key's replica) —
+    * which is why the arbitrary per-row salt is safe here while it
+    * never would be as an output column.
+    *
+    * Use when the dimension is too big to broadcast outright but
+    * `salts × |dim|` still shuffles cheaply; for broadcast-sized dims
+    * prefer `broadcast(dim)` (no salt needed), and for join skew that
+    * AQE's OptimizeSkewedJoin already detects, prefer AQE — this is
+    * the explicit-plan fallback for known-hot keys.
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, keyCol: String,
+      salts: Int): DataFrame = {
+    val factS = fact.withColumn("_salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+    val dimS = dim.withColumn("_salt",
+      explode(sequence(lit(0L), lit(salts.toLong - 1L))))
+    factS.join(dimS, Seq(keyCol, "_salt")).drop("_salt")
+  }
 }

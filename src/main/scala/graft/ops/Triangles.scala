@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Exact triangle counting + global clustering coefficient over an
+  * undirected graph — the third member of the iterative/combinatorial
+  * graph family next to PageRank (`ops/PageRank.scala`) and connected
+  * components (`dedup/Dedup.scala` clusters). The reference's data
+  * model stops at the DFG/social-network graphs
+  * (`/root/reference/src/extension/organizational.rs:82-112`); this is
+  * the same graph surface taken to cohesion metrics.
+  *
+  * Algorithm: degree-ordered orientation ("compact-forward"). Each
+  * undirected edge {u,v} is directed from the endpoint with the
+  * smaller (degree, id) to the larger; every triangle then has exactly
+  * one apex with two out-edges, so counting (apex → v, apex → w, v<w)
+  * wedges closed by an edge {v,w} counts each triangle exactly once.
+  *
+  * Scale shape: orientation bounds out-degree by O(√m) on any graph,
+  * so the wedge self-join — the only super-linear step — produces
+  * Σ C(outdeg, 2) = O(m^1.5) rows worst case and far fewer on
+  * bounded-degeneracy graphs; hub vertices are automatically demoted
+  * to wedge *endpoints*, never apexes. All joins are equi-joins
+  * (shuffle or broadcast as AQE sizes them); the closure check is one
+  * hash join of wedges against the (a<b)-keyed edge list. Everything
+  * is exact i64 — the clustering coefficient is reported in permille
+  * via integer division so the gate hash is float-free.
+  */
+object Triangles {
+
+  /** Distinct co-order part pairs: parts appearing in the same order
+    * are linked; (a, b) with a < b, deduplicated across orders. */
+  def coOrderPartPairs(spark: SparkSession, dir: String): DataFrame = {
+    val op = graft.Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").cast("long").as("p"))
+      .distinct()
+    op.as("x").join(op.as("y"), col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .select(col("x.p").as("a"), col("y.p").as("b"))
+      .distinct()
+  }
+
+  /** Graph cohesion summary of an undirected edge list.
+    *
+    * @param pairs columns (a: long, b: long), a < b, distinct.
+    * @return one row: n_nodes, n_edges, n_wedges (paths of length 2,
+    *         Σ C(deg,2)), n_triangles, clustering_permille
+    *         (⌊3000·triangles / wedges⌋; 0 when wedge-free).
+    */
+  def stats(pairs: DataFrame): DataFrame = {
+    val deg = pairs.select(col("a").as("n"))
+      .union(pairs.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+
+    val withDeg = pairs
+      .join(deg.select(col("n").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("deg").as("db")), "b")
+    // a < b by contract, so the (da == db) tie keeps id order.
+    val lowFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val directed = withDeg.select(
+      when(lowFirst, col("a")).otherwise(col("b")).as("src"),
+      when(lowFirst, col("b")).otherwise(col("a")).as("dst"))
+
+    // Wedges at the apex: (src → v, src → w) with v < w, so the pair
+    // (v, w) is already in the edge list's (a < b) key order.
+    val wedges = directed.as("e1")
+      .join(directed.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+      .select(col("e1.dst").as("a"), col("e2.dst").as("b"))
+    val tri = wedges.join(pairs, Seq("a", "b"))
+      .agg(count(lit(1)).as("n_triangles"))
+
+    val totals = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      // deg·(deg−1) is even, so `div` is exact; i64 throughout (the
+      // Scala `/` on long columns would promote to double).
+      sum(expr("(deg * (deg - 1)) div 2")).cast("long").as("n_wedges"))
+    val edges = pairs.agg(count(lit(1)).as("n_edges"))
+
+    totals.crossJoin(edges).crossJoin(tri)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        when(col("n_wedges") > 0L,
+          expr("(n_triangles * 3000) div n_wedges"))
+          .otherwise(lit(0L)).cast("long").as("clustering_permille"))
+  }
+}

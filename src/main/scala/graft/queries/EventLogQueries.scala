@@ -502,6 +502,47 @@ object EventLogQueries {
         keyCol = "event_type", salts = 16)
     },
 
+    // Skew-safe fact ⋈ dimension join (ops/Skew.saltedJoin): the
+    // dimension (per-user profile) is replicated ×8, the fact side
+    // salted, join key (user, salt) — result bit-identical to the
+    // plain join, hot-key reducer load divided by 8.
+    "q_skew_salted_join" -> { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+      val dim = ev.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_user_events"), min(col("ts")).as("first_ts"))
+      graft.ops.Skew.saltedJoin(
+          ev.select(col("user_id"), col("event_type"), col("ts")),
+          dim, keyCol = "user_id", salts = 8)
+        .groupBy(col("event_type"))
+        .agg(sum(when(col("ts") > col("first_ts"), lit(1L)).otherwise(lit(0L)))
+            .as("n_after_first"),
+          count(lit(1)).as("n_total"))
+    },
+
+    // Ordered conversion funnel (ops/Funnel.orderedStages): cases
+    // reaching view, then click strictly after their first view, then
+    // purchase strictly after that click — strict event-order
+    // semantics, one co-partitioned case-key shuffle per stage.
+    "q_funnel_steps" -> { (s, dir) =>
+      graft.ops.Funnel.orderedStages(Tables(s, dir, "events"),
+        caseCol = "user_id", tsCol = "ts",
+        stages = Seq(
+          "view" -> (col("event_type") === "view"),
+          "click" -> (col("event_type") === "click"),
+          "purchase" -> (col("event_type") === "purchase")))
+    },
+
+    // Run-length interval collapse (ops/Sessionize.runs): consecutive
+    // same-type events per user fold into validity intervals — the
+    // SCD2-style history reshape; ONE case-key shuffle (lag flag +
+    // running sum share the window partitioning, the groupBy reuses
+    // it).
+    "q_event_runs" -> { (s, dir) =>
+      graft.ops.Sessionize.runs(Tables(s, dir, "events"),
+        caseCol = "user_id", labelCol = "event_type",
+        tsCol = "ts", tieBreak = "event_id")
+    },
+
     // Footprint matrix (alpha-relations) over the events table.
     "q_dfg_footprint" -> { (s, dir) =>
       Dfg.footprint(Tables(s, dir, "events"),
@@ -800,6 +841,53 @@ object EventLogQueries {
         |  FROM events) WHERE rn = 1 GROUP BY 1""".stripMargin,
     "q_skew_salted_counts" ->
       "SELECT event_type, count(*) AS count FROM events GROUP BY event_type",
+    // Salting is invisible in the result by construction: the oracle
+    // is the plain fact ⋈ dim join.
+    "q_skew_salted_join" ->
+      """WITH dim AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_user_events,
+        |    min(ts) AS first_ts
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_type,
+        |  CAST(sum(CASE WHEN e.ts > d.first_ts THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_after_first,
+        |  CAST(count(*) AS BIGINT) AS n_total
+        |FROM events e JOIN dim d ON e.user_id = d.user_id
+        |GROUP BY 1""".stripMargin,
+    "q_funnel_steps" ->
+      """WITH s0 AS (
+        |  SELECT user_id, min(ts) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s1 AS (
+        |  SELECT e.user_id, min(e.ts) AS t
+        |  FROM events e JOIN s0 ON e.user_id = s0.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s0.t GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s1.t GROUP BY 1)
+        |SELECT 0 AS stage_idx, 'view' AS stage,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM s0) AS n_cases
+        |UNION ALL SELECT 1, 'click', (SELECT CAST(count(*) AS BIGINT) FROM s1)
+        |UNION ALL SELECT 2, 'purchase', (SELECT CAST(count(*) AS BIGINT) FROM s2)""".stripMargin,
+    "q_event_runs" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    CASE WHEN lag(event_type) OVER w IS NULL
+        |           OR lag(event_type) OVER w <> event_type
+        |      THEN 1 ELSE 0 END AS new_run
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |r2 AS (
+        |  SELECT user_id, event_type, ts,
+        |    CAST(sum(new_run) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS run_idx
+        |  FROM r)
+        |SELECT user_id, run_idx, min(event_type) AS event_type,
+        |  min(ts) AS run_start, max(ts) AS run_end,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM r2 GROUP BY 1, 2""".stripMargin,
     "q_dfg_eventually_follows" ->
       """SELECT a.event_type AS act_from, b.event_type AS act_to,
         |  count(*) AS n

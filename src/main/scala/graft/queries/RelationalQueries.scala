@@ -174,6 +174,15 @@ object RelationalQueries {
           asDouble("sum_qty"), col("n"))
     },
 
+    // Exact triangle count + global clustering coefficient over the
+    // co-order part graph (parts sharing an order are linked) —
+    // degree-ordered orientation bounds the wedge join by O(m^1.5)
+    // worst case with hubs demoted to wedge endpoints; all-integer
+    // output (see ops/Triangles.scala).
+    "q_graph_triangles" -> { (s, dir) =>
+      graft.ops.Triangles.stats(graft.ops.Triangles.coOrderPartPairs(s, dir))
+    },
+
     // Cube: all grouping-set combinations.
     "q8_cube" -> { (s, dir) =>
       Tables(s, dir, "orders")
@@ -320,6 +329,42 @@ object RelationalQueries {
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders
-        |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+    // Mirrors ops/Triangles.stats: same degree-(then-id) orientation,
+    // same apex-wedge closure count, integer permille clustering.
+    "q_graph_triangles" ->
+      """WITH op AS (
+        |  SELECT DISTINCT l_orderkey AS o, CAST(l_partkey AS BIGINT) AS p
+        |  FROM lineitem),
+        |pairs AS (
+        |  SELECT DISTINCT x.p AS a, y.p AS b
+        |  FROM op x JOIN op y ON x.o = y.o AND x.p < y.p),
+        |deg AS (
+        |  SELECT n, CAST(count(*) AS BIGINT) AS deg FROM (
+        |    SELECT a AS n FROM pairs UNION ALL SELECT b FROM pairs)
+        |  GROUP BY 1),
+        |dir AS (
+        |  SELECT
+        |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND p.a < p.b)
+        |      THEN p.a ELSE p.b END AS src,
+        |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND p.a < p.b)
+        |      THEN p.b ELSE p.a END AS dst
+        |  FROM pairs p
+        |  JOIN deg da ON da.n = p.a JOIN deg db ON db.n = p.b),
+        |tri AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        |  FROM dir e1
+        |  JOIN dir e2 ON e1.src = e2.src AND e1.dst < e2.dst
+        |  JOIN pairs t ON t.a = e1.dst AND t.b = e2.dst),
+        |totals AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+        |    CAST(sum((deg * (deg - 1)) // 2) AS BIGINT) AS n_wedges
+        |  FROM deg),
+        |edges AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM pairs)
+        |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+        |  CASE WHEN n_wedges > 0
+        |    THEN (n_triangles * 3000) // n_wedges
+        |    ELSE CAST(0 AS BIGINT) END AS clustering_permille
+        |FROM totals, edges, tri""".stripMargin
   )
 }

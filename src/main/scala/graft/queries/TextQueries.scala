@@ -129,6 +129,16 @@ object TextQueries {
         .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
     },
 
+    // Weight-proportional sampling without replacement — sequential
+    // Poisson sampling with the portable integer hash as the uniform
+    // (ops/Sampling): longer documents proportionally likelier; the
+    // selected set is a pure function of (ids, weights, seed). Plan is
+    // map-side priorities + TakeOrdered — zero shuffle, no global sort.
+    "q_sample_weighted" -> { (s, dir) =>
+      graft.ops.Sampling.sequentialPoisson(Tables(s, dir, "documents"),
+        idCol = "doc_id", weightCol = "n_chars", k = 100, seed = 11L)
+    },
+
     // One-row corpus profile (the dataset card numbers): doc count,
     // token/char totals, mean doc length — one scan, map-side partials.
     "q_corpus_profile" -> { (s, dir) =>
@@ -514,6 +524,14 @@ object TextQueries {
     "q_text_quality_filter" ->
       s"""SELECT doc_id, $qualityCondSql AS keep
          |FROM documents""".stripMargin,
+
+    "q_sample_weighted" ->
+      s"""SELECT doc_id, n_chars,
+         |  ${graft.ops.Sampling.prioritySql("doc_id", "n_chars", 11L)}
+         |    AS priority
+         |FROM documents
+         |ORDER BY priority, doc_id
+         |LIMIT 100""".stripMargin,
 
     "q_stratified_sample" ->
       s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),

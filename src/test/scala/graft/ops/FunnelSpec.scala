@@ -57,4 +57,37 @@ class FunnelSpec extends SparkSpec {
     assert(bucketed((3L, "pf")) == 0L)           // 1µs past window dropped
     assert(bucketed.values.sum > 0L)             // non-vacuous
   }
+
+  test("orderedStages: strict order, not co-occurrence") {
+    // u1: v(1) c(2) p(3)   — full funnel
+    // u2: c(1) v(2)        — click BEFORE first view: stops at view
+    // u3: v(1) c(2)        — no purchase: stops at click
+    // u4: p(1) v(2) c(3) p(4) — early purchase ignored, late one counts
+    // u5: c(1) p(2)        — never views: reaches nothing
+    val rows = Seq(
+      (1L, "view", 1L), (1L, "click", 2L), (1L, "purchase", 3L),
+      (2L, "click", 1L), (2L, "view", 2L),
+      (3L, "view", 1L), (3L, "click", 2L),
+      (4L, "purchase", 1L), (4L, "view", 2L), (4L, "click", 3L), (4L, "purchase", 4L),
+      (5L, "click", 1L), (5L, "purchase", 2L))
+    val ev = rows.toDF("user_id", "event_type", "t")
+      .withColumn("ts", timestamp_micros(col("t")))
+    val got = Funnel.orderedStages(ev, "user_id", "ts", Seq(
+        "view" -> (col("event_type") === "view"),
+        "click" -> (col("event_type") === "click"),
+        "purchase" -> (col("event_type") === "purchase")))
+      .as[(Int, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((0, "view", 4L), (1, "click", 3L), (2, "purchase", 2L)))
+  }
+
+  test("orderedStages: same-timestamp events do not advance (strict >)") {
+    val ev = Seq((1L, "view", 1L), (1L, "click", 1L))
+      .toDF("user_id", "event_type", "t")
+      .withColumn("ts", timestamp_micros(col("t")))
+    val got = Funnel.orderedStages(ev, "user_id", "ts", Seq(
+        "view" -> (col("event_type") === "view"),
+        "click" -> (col("event_type") === "click")))
+      .as[(Int, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((0, "view", 1L), (1, "click", 0L)))
+  }
 }

@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.Portable
+
+/** Sequential Poisson sampling: determinism, exact k, and the πps
+  * contract (inclusion probability proportional to weight) checked
+  * statistically over many seeds with the Scala-side replica of the
+  * integer priority — which one test pins bit-equal to the Spark
+  * expression first.
+  */
+class SamplingSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** Scala replica of ops/Sampling.priority (ihash i=0). */
+  private def prio(id: Long, w: Long, seed: Long): Long = {
+    val a = (Portable.Knuth * 1 + seed) % Portable.P
+    val b = (Portable.Knuth * 7 + seed * 31) % Portable.P
+    val h = (a * (id % Portable.P) + b) % Portable.P
+    (h * Sampling.Scale) / w
+  }
+
+  test("Spark priority expression == Scala replica") {
+    val df = (1L to 300L).map(i => (i, i % 17 + 3)).toDF("id", "w")
+    val got = df.select(col("id"), col("w"),
+        Sampling.priority("id", "w", 11L).as("p"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (id, w, p) => assert(p == prio(id, w, 11L), s"id=$id") }
+  }
+
+  test("exact k, deterministic, partitioning-independent") {
+    val df = (1L to 500L).map(i => (i, (i % 10 + 1) * 10)).toDF("id", "w")
+    val s1 = Sampling.sequentialPoisson(df, "id", "w", 50, 7L)
+      .as[(Long, Long, Long)].collect().toSeq
+    val s2 = Sampling.sequentialPoisson(df.repartition(13), "id", "w", 50, 7L)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(s1.size == 50)
+    assert(s1 == s2)
+    // priorities ascending, ties broken by id
+    assert(s1 == s1.sortBy(r => (r._3, r._1)))
+  }
+
+  test("inclusion probability is ~proportional to weight across seeds") {
+    val n = 500
+    val k = 50
+    val weights = (1 to n).map(i => ((i % 10) + 1).toLong * 50L)
+    val hits = Array.fill(10)(0) // per weight class (w/50 - 1)
+    for (s <- 1L to 300L) {
+      // seeds spread by a large prime: consecutive small seeds move
+      // the ihash by only ~id per step, which would leave per-item
+      // hashes nearly constant across the trial set
+      val seed = s * 1000003L
+      val chosen = (1 to n)
+        .map(i => (prio(i.toLong, weights(i - 1), seed), i))
+        .sorted.take(k)
+      chosen.foreach { case (_, i) => hits(((weights(i - 1) / 50L) - 1L).toInt) += 1 }
+    }
+    // expected inclusion ∝ w: class 10 should see ~10× class 1.
+    // 300 seeds × 50 picks: loose 2-sided bounds keep this stable.
+    val lo = hits(0).toDouble
+    val hi = hits(9).toDouble
+    assert(lo > 0.0)
+    val ratio = hi / lo
+    assert(ratio > 6.0 && ratio < 14.0, s"ratio=$ratio hits=${hits.toSeq}")
+    // monotone-ish overall: top half of the weight range beats bottom half
+    assert(hits.drop(5).sum > hits.take(5).sum)
+  }
+}

@@ -49,4 +49,39 @@ class SessionizeSkewSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(saltedS == plainS)
   }
+
+  test("salted join equals plain join on a skewed fact side") {
+    val fact = spark.range(5000L)
+      .select(when(col("id") < 4000, lit(1L)).otherwise(col("id") % 50L).as("k"),
+        col("id").as("v"))
+    val dim = spark.range(50L).select(col("id").as("k"),
+      (col("id") * 10L).as("attr"))
+    val plain = fact.join(dim, "k")
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    val salted = Skew.saltedJoin(fact, dim, "k", salts = 8)
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(salted == plain)
+    assert(plain.nonEmpty)
+  }
+
+  test("runs: consecutive same-label events collapse; order is (ts, tie)") {
+    val rows = Seq(
+      // case 1: a a b a  -> runs a(2), b(1), a(1)
+      (1L, "a", 1L, 1L), (1L, "a", 2L, 2L), (1L, "b", 3L, 3L), (1L, "a", 4L, 4L),
+      // case 2: tie on ts broken by event_id: b(id5) then a(id6)
+      (2L, "b", 1L, 5L), (2L, "a", 1L, 6L),
+      // case 3: single run of 3
+      (3L, "c", 1L, 7L), (3L, "c", 2L, 8L), (3L, "c", 3L, 9L))
+    val ev = rows.toDF("case", "label", "t", "eid")
+      .withColumn("ts", timestamp_micros(col("t")))
+    val got = Sessionize.runs(ev, "case", "label", "ts", "eid")
+      .select(col("case"), col("run_idx"), col("label"),
+        unix_micros(col("run_start")).as("s"),
+        unix_micros(col("run_end")).as("e"), col("n_events"))
+      .as[(Long, Long, String, Long, Long, Long)].collect().sorted.toSeq
+    assert(got == Seq(
+      (1L, 1L, "a", 1L, 2L, 2L), (1L, 2L, "b", 3L, 3L, 1L), (1L, 3L, "a", 4L, 4L, 1L),
+      (2L, 1L, "b", 1L, 1L, 1L), (2L, 2L, "a", 1L, 1L, 1L),
+      (3L, 1L, "c", 1L, 3L, 3L)))
+  }
 }
