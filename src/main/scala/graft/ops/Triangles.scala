@@ -40,6 +40,40 @@ object Triangles {
       .distinct()
   }
 
+  /** Bounded k-core peel: `rounds` iterations of "drop every node with
+    * degree < k, restrict edges to survivors". The full k-core is this
+    * run to fixpoint; a fixed round count keeps the operator a finite
+    * deterministic plan (the gate's unrolled-SQL contract, same move
+    * as PageRank's fixed iterations) and each round can only shrink
+    * the graph, so survivors after R rounds are a superset of the
+    * true k-core that converges monotonically as R grows.
+    *
+    * Output: one row per round (1-based): round, n_nodes (survivors),
+    * n_edges (both-endpoint-surviving edges).
+    *
+    * Scale shape: per round ONE partial-agg degree shuffle + two
+    * semi-joins of the edge list against the (node-sized, shrinking)
+    * survivor set; the edge list never grows and nothing is collected.
+    */
+  def kCorePeel(pairs: DataFrame, k: Int, rounds: Int): DataFrame = {
+    // symmetrize once: degree = out-degree in the doubled list
+    var e = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+    val perRound = (1 to rounds).map { r =>
+      val keep = e.groupBy("src").agg(count(lit(1)).as("_deg"))
+        .filter(col("_deg") >= k).select(col("src").as("_n"))
+      e = e.join(keep.select(col("_n").as("src")), Seq("src"), "left_semi")
+        .join(keep.select(col("_n").as("dst")), Seq("dst"), "left_semi")
+      // the doubled list stays symmetric after symmetric filtering, so
+      // count is even and `div` is exact
+      e.agg(
+          countDistinct(col("src")).as("n_nodes"),
+          expr("CAST(count(1) div 2 AS BIGINT)").as("n_edges"))
+        .select(lit(r).as("round"), col("n_nodes"), col("n_edges"))
+    }
+    perRound.reduce(_.union(_))
+  }
+
   /** Graph cohesion summary of an undirected edge list.
     *
     * @param pairs columns (a: long, b: long), a < b, distinct.

@@ -183,6 +183,15 @@ object RelationalQueries {
       graft.ops.Triangles.stats(graft.ops.Triangles.coOrderPartPairs(s, dir))
     },
 
+    // Bounded 3-core peel (3 rounds) on the same co-order part graph:
+    // the iterative peel class — per round one degree shuffle + two
+    // node-sized semi-joins; survivors shrink monotonically toward the
+    // true 3-core (see ops/Triangles.kCorePeel).
+    "q_graph_kcore" -> { (s, dir) =>
+      graft.ops.Triangles.kCorePeel(
+        graft.ops.Triangles.coOrderPartPairs(s, dir), k = 3, rounds = 3)
+    },
+
     // Cube: all grouping-set combinations.
     "q8_cube" -> { (s, dir) =>
       Tables(s, dir, "orders")
@@ -365,6 +374,37 @@ object RelationalQueries {
         |  CASE WHEN n_wedges > 0
         |    THEN (n_triangles * 3000) // n_wedges
         |    ELSE CAST(0 AS BIGINT) END AS clustering_permille
-        |FROM totals, edges, tri""".stripMargin
+        |FROM totals, edges, tri""".stripMargin,
+    // Mirrors ops/Triangles.kCorePeel: k=3, three unrolled rounds over
+    // the symmetrized edge list.
+    "q_graph_kcore" -> {
+      def round(prev: String, cur: String): String =
+        s"""keep_$cur AS (
+           |  SELECT src AS n FROM e_$prev GROUP BY 1 HAVING count(*) >= 3),
+           |e_$cur AS (
+           |  SELECT e.src, e.dst FROM e_$prev e
+           |  JOIN keep_$cur a ON e.src = a.n
+           |  JOIN keep_$cur b ON e.dst = b.n)""".stripMargin
+      s"""WITH op AS (
+         |  SELECT DISTINCT l_orderkey AS o, CAST(l_partkey AS BIGINT) AS p
+         |  FROM lineitem),
+         |pairs AS (
+         |  SELECT DISTINCT x.p AS a, y.p AS b
+         |  FROM op x JOIN op y ON x.o = y.o AND x.p < y.p),
+         |e_0 AS (SELECT a AS src, b AS dst FROM pairs
+         |        UNION ALL SELECT b AS src, a AS dst FROM pairs),
+         |${round("0", "1")},
+         |${round("1", "2")},
+         |${round("2", "3")}
+         |SELECT 1 AS round,
+         |  (SELECT CAST(count(DISTINCT src) AS BIGINT) FROM e_1) AS n_nodes,
+         |  (SELECT CAST(count(*) // 2 AS BIGINT) FROM e_1) AS n_edges
+         |UNION ALL SELECT 2,
+         |  (SELECT CAST(count(DISTINCT src) AS BIGINT) FROM e_2),
+         |  (SELECT CAST(count(*) // 2 AS BIGINT) FROM e_2)
+         |UNION ALL SELECT 3,
+         |  (SELECT CAST(count(DISTINCT src) AS BIGINT) FROM e_3),
+         |  (SELECT CAST(count(*) // 2 AS BIGINT) FROM e_3)""".stripMargin
+    }
   )
 }

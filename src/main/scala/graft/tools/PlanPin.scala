@@ -49,7 +49,10 @@ object PlanPin {
     // rows, so its returned plan is a LocalTableScan by design)
     "q_exact_quantiles",
     "q_dedup_bloom",
-    "q_text_bm25")
+    "q_text_bm25",
+    // round-8: the wedge self-join must stay an equi-join on the apex
+    // (a cartesian here is quadratic in edges)
+    "q_graph_triangles")
 
   private val Salient = (
     "ReusedExchange|" +

@@ -58,6 +58,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("triangles: wedge join is an equi-join on the apex; no cartesian") {
+    val p = plan("q_graph_triangles")
+    // the 1-row result combiners (totals × edges × tri) are broadcast
+    // nested-loop by design; the edge-scale joins must all be hash
+    // equi-joins and nothing may be a real cartesian product
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    assert(p.contains("HashJoin"), p.take(1200))
+  }
+
+  test("weighted sample is map-side + TakeOrdered — no shuffle, no global sort") {
+    val p = plan("q_sample_weighted")
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+    assert(!p.contains("Exchange hashpartitioning"), "unexpected shuffle")
+  }
+
   test("as-of join is one exchange on the key — no range join, no cartesian") {
     val p = plan("q_asof_last_click")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

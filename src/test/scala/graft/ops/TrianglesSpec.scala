@@ -49,6 +49,25 @@ class TrianglesSpec extends SparkSpec {
     assert(statsOf(g) == statsOf(relabeled))
   }
 
+  private def peel(edges: Seq[(Long, Long)], k: Int, rounds: Int) = {
+    val pairs = edges.toDF("a", "b")
+    Triangles.kCorePeel(pairs, k, rounds)
+      .as[(Int, Long, Long)].collect().sortBy(_._1).toSeq
+  }
+
+  test("kCorePeel: pendant chain peels round by round, core is stable") {
+    // K3 {1,2,3} + chain 3-4-5: 2-core is the K3, reached in 2 rounds
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L))
+    assert(peel(g, k = 2, rounds = 3) ==
+      Seq((1, 4L, 4L), (2, 3L, 3L), (3, 3L, 3L)))
+  }
+
+  test("kCorePeel: k above max degree empties the graph, rows survive") {
+    val k4 = for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)
+    assert(peel(k4, k = 4, rounds = 2) == Seq((1, 0L, 0L), (2, 0L, 0L)))
+    assert(peel(k4, k = 3, rounds = 2) == Seq((1, 4L, 6L), (2, 4L, 6L)))
+  }
+
   test("triangle-heavy random graph matches the brute-force count") {
     val rnd = new scala.util.Random(42)
     val n = 30
