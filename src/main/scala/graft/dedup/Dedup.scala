@@ -155,6 +155,53 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Exact Jaccard-threshold pairs via PREFIX FILTERING (Chaudhuri's
+    * SSJoin / Bayardo's AllPairs candidate bound): sort each document's
+    * shingle set by a global (document-frequency, hash) order and keep
+    * only the first n − ⌈τ·n⌉ + 1 tokens — any pair with J ≥ τ must
+    * share a prefix token, so ONLY the rare-token prefix feeds the
+    * inverted index. Same output contract as [[jaccardPairs]] (it
+    * shares the gate oracle); the difference is candidate volume: the
+    * full inverted index proposes every co-occurring pair (hub tokens
+    * dominate), the prefix index proposes O(rare-token collisions),
+    * which is what survives at 100 TB. τ is the rational tauNum/tauDen
+    * so the prefix length is exact integer arithmetic.
+    *
+    * Scale shape: one df aggregation, one doc-key window (rank + set
+    * size share the partitioning), one bucket shuffle on the prefix
+    * token, then an exact verify join of the (small) candidate set
+    * against the doc-sized shingle arrays.
+    */
+  def jaccardPairsPrefix(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, tauNum: Long, tauDen: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = docs.select(col(idCol).as("_id"),
+        shingleHashes(col(textCol), k).as("_sh"))
+      .filter(size(col("_sh")) > 0)
+    val inv = sh.select(col("_id"), explode(col("_sh")).as("_s"))
+    val dfreq = inv.groupBy("_s").agg(count(lit(1)).as("_df"))
+    val byDoc = Window.partitionBy(col("_id"))
+    val ranked = inv.join(dfreq, "_s")
+      .withColumn("_rk",
+        row_number().over(byDoc.orderBy(col("_df"), col("_s"))))
+      .withColumn("_n", count(lit(1)).over(byDoc))
+    val prefix = ranked.filter(col("_rk") <=
+      col("_n") - expr(s"CAST(($tauNum * _n + $tauDen - 1) div $tauDen AS BIGINT)") + 1L)
+    val cands = bucketPairs(prefix.select("_id", "_s"), Seq("_s"), "_id")
+      .select("id_a", "id_b").distinct()
+    val tau = tauNum.toDouble / tauDen.toDouble
+    cands
+      .join(sh.select(col("_id").as("id_a"), col("_sh").as("_sha")), "id_a")
+      .join(sh.select(col("_id").as("id_b"), col("_sh").as("_shb")), "id_b")
+      .withColumn("_inter", size(array_intersect(col("_sha"), col("_shb"))).cast("long"))
+      .withColumn("jaccard",
+        col("_inter").cast("double") /
+          (size(col("_sha")).cast("long") + size(col("_shb")).cast("long")
+            - col("_inter")).cast("double"))
+      .filter(col("jaccard") >= lit(tau))
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** MinHash signature: numHashes universal hashes over the shingle
     * hash set, each taking the min. Per-row native expression (no
     * shuffle); HOF spec: `array(i -> array_min(transform(shingles,

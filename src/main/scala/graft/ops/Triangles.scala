@@ -56,22 +56,36 @@ object Triangles {
     * survivor set; the edge list never grows and nothing is collected.
     */
   def kCorePeel(pairs: DataFrame, k: Int, rounds: Int): DataFrame = {
-    // symmetrize once: degree = out-degree in the doubled list
-    var e = pairs.select(col("a").as("src"), col("b").as("dst"))
+    import pairs.sparkSession.implicits._
+    // Eager per-round evaluation with each round's edge list cached:
+    // a lazily-composed union would recompute the whole peel chain
+    // (pairs included) once per output row — O(rounds²) passes. The
+    // result is rounds tiny rows, so materializing is the honest
+    // plan (same contract as PageRank.topK); caches are dropped
+    // before returning.
+    val sym = pairs.select(col("a").as("src"), col("b").as("dst"))
       .union(pairs.select(col("b").as("src"), col("a").as("dst")))
-    val perRound = (1 to rounds).map { r =>
-      val keep = e.groupBy("src").agg(count(lit(1)).as("_deg"))
-        .filter(col("_deg") >= k).select(col("src").as("_n"))
-      e = e.join(keep.select(col("_n").as("src")), Seq("src"), "left_semi")
-        .join(keep.select(col("_n").as("dst")), Seq("dst"), "left_semi")
-      // the doubled list stays symmetric after symmetric filtering, so
-      // count is even and `div` is exact
-      e.agg(
-          countDistinct(col("src")).as("n_nodes"),
-          expr("CAST(count(1) div 2 AS BIGINT)").as("n_edges"))
-        .select(lit(r).as("round"), col("n_nodes"), col("n_edges"))
-    }
-    perRound.reduce(_.union(_))
+      .cache()
+    val cached = scala.collection.mutable.ArrayBuffer[DataFrame](sym)
+    try {
+      var e = sym
+      val rows = (1 to rounds).map { r =>
+        val keep = e.groupBy("src").agg(count(lit(1)).as("_deg"))
+          .filter(col("_deg") >= k).select(col("src").as("_n"))
+        e = e.join(keep.select(col("_n").as("src")), Seq("src"), "left_semi")
+          .join(keep.select(col("_n").as("dst")), Seq("dst"), "left_semi")
+          .cache()
+        cached += e
+        // the doubled list stays symmetric after symmetric filtering,
+        // so count is even and `div` is exact
+        val agg = e.agg(
+            countDistinct(col("src")).as("n_nodes"),
+            expr("CAST(count(1) div 2 AS BIGINT)").as("n_edges"))
+          .head()
+        (r, agg.getLong(0), agg.getLong(1))
+      }
+      rows.toDF("round", "n_nodes", "n_edges")
+    } finally cached.foreach(_.unpersist(blocking = false))
   }
 
   /** Graph cohesion summary of an undirected edge list.
@@ -96,14 +110,21 @@ object Triangles {
       when(lowFirst, col("a")).otherwise(col("b")).as("src"),
       when(lowFirst, col("b")).otherwise(col("a")).as("dst"))
 
-    // Wedges at the apex: (src → v, src → w) with v < w, so the pair
-    // (v, w) is already in the edge list's (a < b) key order.
-    val wedges = directed.as("e1")
-      .join(directed.as("e2"),
-        col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
-      .select(col("e1.dst").as("a"), col("e2.dst").as("b"))
-    val tri = wedges.join(pairs, Seq("a", "b"))
-      .agg(count(lit(1)).as("n_triangles"))
+    // Adjacency-intersection count: per directed edge (u,v),
+    // |N⁺(u) ∩ N⁺(v)| — each triangle's unique 2-out-degree apex
+    // contributes exactly once. Equivalent to enumerating apex wedges
+    // and probing for the closing edge, but the wedge stream (≈ Σ
+    // C(outdeg,2) rows — 74M at sf0.1) is never materialized through
+    // a join: the intersection runs as per-row array arithmetic over
+    // out-neighbor lists whose length the orientation caps at O(√m).
+    val adj = directed.groupBy("src")
+      .agg(sort_array(collect_list(col("dst"))).as("_nbrs"))
+    val tri = directed
+      .join(adj, Seq("src"))
+      .withColumnRenamed("_nbrs", "_nu")
+      .join(adj.select(col("src").as("dst"), col("_nbrs").as("_nv")), Seq("dst"))
+      .agg(coalesce(sum(size(array_intersect(col("_nu"), col("_nv"))).cast("long")),
+        lit(0L)).as("n_triangles"))
 
     val totals = deg.agg(
       count(lit(1)).as("n_nodes"),

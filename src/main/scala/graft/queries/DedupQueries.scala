@@ -114,6 +114,14 @@ object DedupQueries {
       Dedup.jaccardPairs(Tables(s, dir, "documents"), "doc_id", "text",
         k = 3, tau = 0.8)
     },
+    // Same result, PPJoin-style plan: prefix filtering proposes only
+    // rare-token collisions instead of every co-occurring pair — the
+    // exact-Jaccard join that survives hub tokens at 100 TB. Shares
+    // q_dedup_jaccard's oracle (identical output contract).
+    "q_dedup_jaccard_prefix" -> { (s, dir) =>
+      Dedup.jaccardPairsPrefix(Tables(s, dir, "documents"), "doc_id", "text",
+        k = 3, tauNum = 4, tauDen = 5)
+    },
     "q_dedup_minhash_lsh" -> { (s, dir) =>
       Dedup.minhashLshPairs(Tables(s, dir, "documents"), "doc_id", "text",
         k = 3, tau = 0.5, numHashes = 32, bands = 8, seed = 42L)
@@ -546,6 +554,9 @@ object DedupQueries {
     },
 
     "q_dedup_jaccard" -> jaccardPairsSql,
+    // prefix filtering is output-equivalent to the full inverted
+    // index at the same τ — the oracle is shared verbatim
+    "q_dedup_jaccard_prefix" -> jaccardPairsSql,
 
     // connected components via recursive label reachability: a node's
     // cluster id = min doc_id reachable over the (symmetrized) pair

@@ -183,13 +183,15 @@ object RelationalQueries {
       graft.ops.Triangles.stats(graft.ops.Triangles.coOrderPartPairs(s, dir))
     },
 
-    // Bounded 3-core peel (3 rounds) on the same co-order part graph:
-    // the iterative peel class — per round one degree shuffle + two
-    // node-sized semi-joins; survivors shrink monotonically toward the
-    // true 3-core (see ops/Triangles.kCorePeel).
+    // Bounded 100-core peel (3 rounds) on the same co-order part
+    // graph: the iterative peel class — per round one degree shuffle +
+    // two node-sized semi-joins; survivors shrink monotonically toward
+    // the true k-core (see ops/Triangles.kCorePeel). k = 100 sits at
+    // the graph's median degree at every sf, so each round actually
+    // cascades (removals push more neighbors below k).
     "q_graph_kcore" -> { (s, dir) =>
       graft.ops.Triangles.kCorePeel(
-        graft.ops.Triangles.coOrderPartPairs(s, dir), k = 3, rounds = 3)
+        graft.ops.Triangles.coOrderPartPairs(s, dir), k = 100, rounds = 3)
     },
 
     // Cube: all grouping-set combinations.
@@ -380,7 +382,7 @@ object RelationalQueries {
     "q_graph_kcore" -> {
       def round(prev: String, cur: String): String =
         s"""keep_$cur AS (
-           |  SELECT src AS n FROM e_$prev GROUP BY 1 HAVING count(*) >= 3),
+           |  SELECT src AS n FROM e_$prev GROUP BY 1 HAVING count(*) >= 100),
            |e_$cur AS (
            |  SELECT e.src, e.dst FROM e_$prev e
            |  JOIN keep_$cur a ON e.src = a.n

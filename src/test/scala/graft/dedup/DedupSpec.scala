@@ -26,6 +26,25 @@ class DedupSpec extends SparkSpec {
     assert(pairs.exists { case (a, b, j) => a == 1L && b == 2L && j == 1.0 })
   }
 
+  test("prefix-filtered Jaccard == full inverted index at the same tau") {
+    // randomized corpus with planted near-dups and shared hub tokens
+    val rnd = new scala.util.Random(13)
+    val vocab = ('a' to 't').map(c => s"$c$c$c")
+    def doc(): String =
+      (1 to (8 + rnd.nextInt(12))).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val base = (1L to 60L).map(i => (i, doc()))
+    // plant near-dups: copy with one word appended
+    val dups = (1L to 10L).map(i => (100L + i, base((i - 1).toInt)._2 + " zzz"))
+    val docs = (base ++ dups).toDF("doc_id", "text")
+    val full = Dedup.jaccardPairs(docs, "doc_id", "text", k = 3, tau = 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    val pref = Dedup.jaccardPairsPrefix(docs, "doc_id", "text",
+        k = 3, tauNum = 4, tauDen = 5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(pref == full)
+    assert(full.nonEmpty) // the planted dups must actually surface
+  }
+
   test("chunkDups: aligned repeats dedupe to the first holder; unaligned repeats are missed (fixed-boundary contract)") {
     val block = ("x" * 90) + ("y" * 30) // 120 chars, one chunk at width 120
     val docs = Seq(
