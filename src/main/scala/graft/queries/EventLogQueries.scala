@@ -29,6 +29,25 @@ object EventLogQueries {
   private val sessRun = new AtomicInteger(0)
   private val hopRun = new AtomicInteger(0)
 
+  /** Shared by q_funnel_steps (batch) and q_stream_funnel_parity
+    * (streaming stage machine) — identical output contract. */
+  private val funnelStepsSql =
+    """WITH s0 AS (
+      |  SELECT user_id, min(ts) AS t FROM events
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |s1 AS (
+      |  SELECT e.user_id, min(e.ts) AS t
+      |  FROM events e JOIN s0 ON e.user_id = s0.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > s0.t GROUP BY 1),
+      |s2 AS (
+      |  SELECT e.user_id, min(e.ts) AS t
+      |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > s1.t GROUP BY 1)
+      |SELECT 0 AS stage_idx, 'view' AS stage,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM s0) AS n_cases
+      |UNION ALL SELECT 1, 'click', (SELECT CAST(count(*) AS BIGINT) FROM s1)
+      |UNION ALL SELECT 2, 'purchase', (SELECT CAST(count(*) AS BIGINT) FROM s2)""".stripMargin
+
   /** Fixed DECLARE monitoring set for q_stream_declare_parity: one
     * constraint per implemented template, over the events alphabet. */
   private val DeclareMonitorSet: Seq[graft.streaming.StreamingDeclare.Constraint] = {
@@ -532,6 +551,53 @@ object EventLogQueries {
           "purchase" -> (col("event_type") === "purchase")))
     },
 
+    // Streaming ↔ batch ordered-funnel parity under the hash gate:
+    // events fed through MemoryStream → per-user keyed state buffers
+    // the case history, the strict-order stage machine runs at
+    // watermark close (StreamingFunnel), per-user reached stages fold
+    // into the same (stage_idx, stage, n_cases) rows as the batch
+    // operator — the oracle is q_funnel_steps' SQL verbatim.
+    "q_stream_funnel_parity" -> { (s, dir) =>
+      ParityFeed.withStreamParallelism(s, 8) {
+      import s.implicits._
+      import graft.streaming.StreamingFunnel
+      implicit val sqlCtx = s.sqlContext
+      val stages = Seq("view", "click", "purchase")
+      val batchDs = Tables(s, dir, "events")
+        .select(col("user_id").as("caseId"),
+          col("event_type").as("activity"),
+          unix_micros(col("ts")).as("tsMicros"))
+        .as[StreamingFunnel.InEvent]
+      val input = MemoryStream[StreamingFunnel.InEvent]
+      val maxTs = ParityFeed.feed(input, batchDs,
+        (_: StreamingFunnel.InEvent).tsMicros)
+      // sentinel case: pushes the watermark past every case's
+      // last-event + gap timeout so all cases close in batch two
+      input.addData(StreamingFunnel.InEvent(-1L, "_sentinel",
+        maxTs + 2L * 86400L * 1000000L))
+      val events = input.toDS()
+        .withColumn("ts", timestamp_micros(col("tsMicros")))
+        .withWatermark("ts", "10 seconds")
+        .as[StreamingFunnel.InEvent]
+      val name = s"stream_funnel_parity_${sessRun.incrementAndGet()}"
+      val q = StreamingFunnel.reached(s, events, stages, gapSeconds = 86400L)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        q.processAllAvailable()
+        input.addData(StreamingFunnel.InEvent(-1L, "_sentinel",
+          maxTs + 4L * 86400L * 1000000L))
+        q.processAllAvailable()
+      } finally q.stop()
+      val reached = s.table(name).filter(col("caseId") =!= -1L)
+        .as[StreamingFunnel.Reached].collect()
+      s.catalog.dropTempView(name)
+      stages.zipWithIndex
+        .map { case (st, i) => (i, st, reached.count(_.reachedIdx >= i).toLong) }
+        .toDF("stage_idx", "stage", "n_cases")
+      }
+    },
+
     // Run-length interval collapse (ops/Sessionize.runs): consecutive
     // same-type events per user fold into validity intervals — the
     // SCD2-style history reshape; ONE case-key shuffle (lag flag +
@@ -854,22 +920,10 @@ object EventLogQueries {
         |  CAST(count(*) AS BIGINT) AS n_total
         |FROM events e JOIN dim d ON e.user_id = d.user_id
         |GROUP BY 1""".stripMargin,
-    "q_funnel_steps" ->
-      """WITH s0 AS (
-        |  SELECT user_id, min(ts) AS t FROM events
-        |  WHERE event_type = 'view' GROUP BY 1),
-        |s1 AS (
-        |  SELECT e.user_id, min(e.ts) AS t
-        |  FROM events e JOIN s0 ON e.user_id = s0.user_id
-        |  WHERE e.event_type = 'click' AND e.ts > s0.t GROUP BY 1),
-        |s2 AS (
-        |  SELECT e.user_id, min(e.ts) AS t
-        |  FROM events e JOIN s1 ON e.user_id = s1.user_id
-        |  WHERE e.event_type = 'purchase' AND e.ts > s1.t GROUP BY 1)
-        |SELECT 0 AS stage_idx, 'view' AS stage,
-        |  (SELECT CAST(count(*) AS BIGINT) FROM s0) AS n_cases
-        |UNION ALL SELECT 1, 'click', (SELECT CAST(count(*) AS BIGINT) FROM s1)
-        |UNION ALL SELECT 2, 'purchase', (SELECT CAST(count(*) AS BIGINT) FROM s2)""".stripMargin,
+    "q_funnel_steps" -> funnelStepsSql,
+    // the streaming stage machine over closed cases is semantically
+    // the batch min-aggregate funnel — the oracle is shared verbatim
+    "q_stream_funnel_parity" -> funnelStepsSql,
     "q_event_runs" ->
       """WITH r AS (
         |  SELECT user_id, event_type, ts, event_id,
