@@ -54,4 +54,33 @@ object Sampling {
   /** DuckDB-dialect SQL of [[priority]]. */
   def prioritySql(id: String, weight: String, seed: Long): String =
     s"((${Portable.ihashSql(id, 0, seed)} * $Scale) // ($weight))"
+
+  /** Stratified πps: per-group top-k by the same priority, computed in
+    * TWO stages — per (group, salt) partial top-k, then per-group
+    * final top-k over ≤ salts·k survivors. Exact (the group top-k is
+    * a subset of the per-salt top-ks), and the reason it exists: a
+    * single-window `partitionBy(group)` puts a whole group's rows on
+    * one reducer, which melts when groups are few and huge (5
+    * languages × 20 TB each). Stage 1 spreads each group over `salts`
+    * reducers; stage 2 sorts only salts·k rows per group.
+    *
+    * Output: (groupCol, idCol, weightCol, priority, rk), rk = 1..k
+    * per group.
+    */
+  def sequentialPoissonByGroup(df: DataFrame, groupCol: String,
+      idCol: String, weightCol: String, k: Int, seed: Long,
+      salts: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pr = df.select(col(groupCol), col(idCol), col(weightCol),
+        priority(idCol, weightCol, seed).as("priority"))
+      .withColumn("_salt", pmod(col(idCol).cast("long"), lit(salts.toLong)))
+    val w1 = Window.partitionBy(col(groupCol), col("_salt"))
+      .orderBy(col("priority"), col(idCol))
+    val survivors = pr.withColumn("_r", row_number().over(w1))
+      .filter(col("_r") <= k).drop("_r", "_salt")
+    val w2 = Window.partitionBy(col(groupCol))
+      .orderBy(col("priority"), col(idCol))
+    survivors.withColumn("rk", row_number().over(w2))
+      .filter(col("rk") <= k)
+  }
 }

@@ -139,6 +139,44 @@ object TextQueries {
         idCol = "doc_id", weightCol = "n_chars", k = 100, seed = 11L)
     },
 
+    // Stratified πps: per-language top-20 by the same hash-ratio
+    // priority, two-stage (per-(group,salt) partial top-k → per-group
+    // final over ≤ salts·k survivors) so one huge group never lands on
+    // one reducer (see ops/Sampling.sequentialPoissonByGroup).
+    "q_sample_stratified_weighted" -> { (s, dir) =>
+      graft.ops.Sampling.sequentialPoissonByGroup(
+        Tables(s, dir, "documents"),
+        groupCol = "lang", idCol = "doc_id", weightCol = "n_chars",
+        k = 20, seed = 11L)
+    },
+
+    // Collocation extraction: word bigrams ranked by integer lift
+    // (1000·n_ab·N / (n_a·n_b) — PMI's argument scaled instead of
+    // logged, so the ranking is exact i64; the constant bigram-total
+    // factor drops out of the ordering). Two partial-agg shuffles
+    // (unigram + bigram counts), vocab-sized joins, TakeOrdered.
+    "q_token_lift" -> { (s, dir) =>
+      import graft.text.TextOps
+      val docs = Tables(s, dir, "documents")
+      val uni = docs.select(explode(TextOps.tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("n_tok"))
+      val bi = docs.select(explode(TextOps.shingles(col("text"), 2)).as("gram"))
+        .groupBy("gram").agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 5)
+      val tot = docs.select(
+        sum(TextOps.tokenCount(col("text"))).cast("long").as("n_total"))
+      bi.withColumn("w1", split(col("gram"), " ").getItem(0))
+        .withColumn("w2", split(col("gram"), " ").getItem(1))
+        .join(uni.select(col("tok").as("w1"), col("n_tok").as("n_a")), "w1")
+        .join(uni.select(col("tok").as("w2"), col("n_tok").as("n_b")), "w2")
+        .crossJoin(broadcast(tot))
+        .withColumn("lift_scaled",
+          expr("(n_ab * n_total * 1000) div (n_a * n_b)"))
+        .orderBy(col("lift_scaled").desc, col("gram"))
+        .limit(20)
+        .select("gram", "n_ab", "n_a", "n_b", "lift_scaled")
+    },
+
     // One-row corpus profile (the dataset card numbers): doc count,
     // token/char totals, mean doc length — one scan, map-side partials.
     "q_corpus_profile" -> { (s, dir) =>
@@ -532,6 +570,41 @@ object TextQueries {
          |FROM documents
          |ORDER BY priority, doc_id
          |LIMIT 100""".stripMargin,
+
+    "q_token_lift" ->
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |uni AS (SELECT u AS tok, CAST(count(*) AS BIGINT) AS n_tok
+         |  FROM (SELECT unnest(t) AS u FROM tk) GROUP BY 1),
+         |bi AS (SELECT g AS gram, CAST(count(*) AS BIGINT) AS n_ab
+         |  FROM (SELECT unnest(CASE WHEN len(t) < 2 THEN []
+         |    ELSE [t[i+1] || ' ' || t[i+2] for i in generate_series(0, len(t)-2)]
+         |    END) AS g FROM tk)
+         |  GROUP BY 1 HAVING count(*) >= 5),
+         |tot AS (SELECT CAST(sum(len(t)) AS BIGINT) AS n_total FROM tk)
+         |SELECT gram, n_ab, n_a, n_b, lift_scaled FROM (
+         |  SELECT b.gram, b.n_ab, ua.n_tok AS n_a, ub.n_tok AS n_b,
+         |    (b.n_ab * t.n_total * 1000) // (ua.n_tok * ub.n_tok) AS lift_scaled
+         |  FROM bi b
+         |  JOIN uni ua ON ua.tok = string_split(b.gram, ' ')[1]
+         |  JOIN uni ub ON ub.tok = string_split(b.gram, ' ')[2]
+         |  CROSS JOIN tot t)
+         |ORDER BY lift_scaled DESC, gram ASC
+         |LIMIT 20""".stripMargin,
+
+    // the two-stage salted top-k is output-equivalent to the plain
+    // per-group window (group top-k ⊆ per-salt top-ks)
+    "q_sample_stratified_weighted" ->
+      s"""WITH p AS (
+         |  SELECT lang, doc_id, n_chars,
+         |    ${graft.ops.Sampling.prioritySql("doc_id", "n_chars", 11L)}
+         |      AS priority
+         |  FROM documents)
+         |SELECT lang, doc_id, n_chars, priority, rk FROM (
+         |  SELECT lang, doc_id, n_chars, priority,
+         |    CAST(row_number() OVER (
+         |      PARTITION BY lang ORDER BY priority, doc_id) AS INT) AS rk
+         |  FROM p)
+         |WHERE rk <= 20""".stripMargin,
 
     "q_stratified_sample" ->
       s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),

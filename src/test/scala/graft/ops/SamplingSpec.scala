@@ -43,6 +43,22 @@ class SamplingSpec extends SparkSpec {
     assert(s1 == s1.sortBy(r => (r._3, r._1)))
   }
 
+  test("two-stage group top-k == single-window group top-k") {
+    import org.apache.spark.sql.expressions.Window
+    val df = (1L to 400L).map(i => (s"g${i % 3}", i, i % 13 + 5)).toDF("g", "id", "w")
+    val twoStage = Sampling.sequentialPoissonByGroup(df, "g", "id", "w",
+        k = 7, seed = 5L, salts = 8)
+      .select("g", "id", "rk").as[(String, Long, Int)].collect().toSet
+    val plain = df.select(col("g"), col("id"),
+        Sampling.priority("id", "w", 5L).as("p"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("g").orderBy(col("p"), col("id"))))
+      .filter(col("rk") <= 7)
+      .select("g", "id", "rk").as[(String, Long, Int)].collect().toSet
+    assert(twoStage == plain)
+    assert(plain.size == 21) // 3 groups x 7
+  }
+
   test("inclusion probability is ~proportional to weight across seeds") {
     val n = 500
     val k = 50
