@@ -157,14 +157,26 @@ object TextQueries {
     // (unigram + bigram counts), vocab-sized joins, TakeOrdered.
     "q_token_lift" -> { (s, dir) =>
       import graft.text.TextOps
+      // the raw text crosses one doc-key shuffle (corpus-bytes-sized,
+      // tiny relative to the explodes it feeds) so tokenization
+      // parallelism is decoupled from the source file layout — a
+      // single-row-group parquet file would otherwise pin both HOF
+      // scans to one task; the identical exchange is reused by both
+      // consumers
       val docs = Tables(s, dir, "documents")
-      val uni = docs.select(explode(TextOps.tokens(col("text"))).as("tok"))
+        .select(col("doc_id"), col("text")).repartition(col("doc_id"))
+      // tokenize ONCE into a bound column; both explodes read the
+      // array attribute (see TextOps.shinglesOf on why the inline
+      // form is quadratic in words per doc)
+      val toked = docs.select(TextOps.tokens(col("text")).as("t"))
+      val uni = toked.select(explode(col("t")).as("tok"))
         .groupBy("tok").agg(count(lit(1)).as("n_tok"))
-      val bi = docs.select(explode(TextOps.shingles(col("text"), 2)).as("gram"))
+      val bi = toked.select(explode(TextOps.shinglesOf(col("t"), 2)).as("gram"))
         .groupBy("gram").agg(count(lit(1)).as("n_ab"))
         .filter(col("n_ab") >= 5)
-      val tot = docs.select(
-        sum(TextOps.tokenCount(col("text"))).cast("long").as("n_total"))
+      // total tokens from the vocab-sized unigram table — no third
+      // scan/tokenization pass
+      val tot = uni.agg(sum(col("n_tok")).cast("long").as("n_total"))
       bi.withColumn("w1", split(col("gram"), " ").getItem(0))
         .withColumn("w2", split(col("gram"), " ").getItem(1))
         .join(uni.select(col("tok").as("w1"), col("n_tok").as("n_a")), "w1")

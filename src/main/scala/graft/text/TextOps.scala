@@ -35,12 +35,20 @@ object TextOps {
     * when the document has fewer than k tokens. Guarded because
     * Spark's `sequence(0, n)` with n &lt; 0 generates a *descending*
     * sequence rather than an empty one. */
-  def shingles(text: Column, k: Int): Column = {
-    val t = tokens(text)
-    when(size(t) < k, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(0), size(t) - k),
-        i => concat_ws(" ", (0 until k).map(j => element_at(t, i + j + 1)): _*)))
-  }
+  def shingles(text: Column, k: Int): Column =
+    shinglesOf(tokens(text), k)
+
+  /** [[shingles]] over an already-bound tokens column. Prefer
+    * projecting `tokens(text)` to a named column first when the text
+    * is long or the call is hot: lambda bodies re-evaluate their
+    * argument expression per element (no codegen subexpression
+    * elimination inside higher-order functions), so the inline form
+    * pays O(words²) regex splits per document — measured 6× on
+    * q_token_lift. */
+  def shinglesOf(toks: Column, k: Int): Column =
+    when(size(toks) < k, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*)))
 
   val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "in", "to", "is")
 
