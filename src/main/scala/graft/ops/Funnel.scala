@@ -56,28 +56,38 @@ object Funnel {
     * case key joined against the stage-(i−1) reach table — which is
     * case-sized, shrinking per stage, and co-partitioned on the same
     * key, so each stage is a single shuffle of matching events and
-    * the joins reuse the case-hash partitioning. Nothing is ever
-    * collected; k is the (tiny) number of stages.
+    * the joins reuse the case-hash partitioning. Each reach table is
+    * cached and its count taken eagerly (same contract as
+    * `Triangles.kCorePeel`): a lazily-composed union would re-derive
+    * stage i's whole chain from raw events once per later branch —
+    * O(k²) logical scans hidden behind ReusedExchange. The result is
+    * k tiny rows, so materializing is the honest plan; caches are
+    * dropped before returning.
     *
     * @param stages (name, predicate) per stage, in funnel order.
     * @return (stage_idx, stage, n_cases) — one row per stage.
     */
   def orderedStages(events: DataFrame, caseCol: String, tsCol: String,
       stages: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    import events.sparkSession.implicits._
     var reached: DataFrame = null // (caseCol, _t): first time stage i reached
-    val counts = stages.zipWithIndex.map { case ((name, pred), i) =>
-      val matching = events.filter(pred)
-      reached =
-        if (i == 0)
-          matching.groupBy(col(caseCol)).agg(min(col(tsCol)).as("_t"))
-        else
-          matching
-            .join(reached.withColumnRenamed("_t", "_t_prev"), caseCol)
-            .filter(col(tsCol) > col("_t_prev"))
-            .groupBy(col(caseCol)).agg(min(col(tsCol)).as("_t"))
-      reached.agg(count(lit(1)).as("n_cases"))
-        .select(lit(i).as("stage_idx"), lit(name).as("stage"), col("n_cases"))
-    }
-    counts.reduce(_.union(_))
+    val cached = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    try {
+      val rows = stages.zipWithIndex.map { case ((name, pred), i) =>
+        val matching = events.filter(pred)
+        reached =
+          if (i == 0)
+            matching.groupBy(col(caseCol)).agg(min(col(tsCol)).as("_t"))
+          else
+            matching
+              .join(reached.withColumnRenamed("_t", "_t_prev"), caseCol)
+              .filter(col(tsCol) > col("_t_prev"))
+              .groupBy(col(caseCol)).agg(min(col(tsCol)).as("_t"))
+        reached = reached.cache()
+        cached += reached
+        (i, name, reached.count())
+      }
+      rows.toDF("stage_idx", "stage", "n_cases")
+    } finally cached.foreach(_.unpersist(blocking = false))
   }
 }

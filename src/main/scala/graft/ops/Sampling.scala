@@ -42,11 +42,16 @@ object Sampling {
       s"div ($weightExpr) AS BIGINT)")
 
   /** Top-k by weight-scaled hash priority. `weightCol` must be a
-    * positive integral column. Output: (idCol, weightCol, priority),
+    * positive integral column — ENFORCED by a `weight >= 1` filter
+    * (a zero/negative/null weight would yield a null priority under
+    * Spark's non-ANSI div but a division-by-zero error in DuckDB,
+    * silently breaking engine parity; mirror the same predicate in
+    * any oracle SQL). Output: (idCol, weightCol, priority),
     * priority ascending, id-tiebroken. */
   def sequentialPoisson(df: DataFrame, idCol: String, weightCol: String,
       k: Int, seed: Long): DataFrame =
-    df.select(col(idCol), col(weightCol),
+    df.filter(col(weightCol) >= 1)
+      .select(col(idCol), col(weightCol),
         priority(idCol, weightCol, seed).as("priority"))
       .orderBy(col("priority"), col(idCol))
       .limit(k)
@@ -71,7 +76,9 @@ object Sampling {
       idCol: String, weightCol: String, k: Int, seed: Long,
       salts: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pr = df.select(col(groupCol), col(idCol), col(weightCol),
+    // same positive-weight contract as sequentialPoisson, enforced
+    val pr = df.filter(col(weightCol) >= 1)
+      .select(col(groupCol), col(idCol), col(weightCol),
         priority(idCol, weightCol, seed).as("priority"))
       .withColumn("_salt", pmod(col(idCol).cast("long"), lit(salts.toLong)))
     val w1 = Window.partitionBy(col(groupCol), col("_salt"))

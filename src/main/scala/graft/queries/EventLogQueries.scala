@@ -285,7 +285,8 @@ object EventLogQueries {
     // re-evaluates the identical per-trace profile algebra
     // (first/last position + count per activity, trace order =
     // (tsMicros, activity) exactly as TraceAssembly.close sorts) in
-    // SQL. One row per (case × constraint).
+    // SQL. One row per constraint: per-case verdicts fold to
+    // (n_cases, n_applicable, n_satisfied) inside the plan.
     "q_stream_declare_parity" -> { (s, dir) =>
       ParityFeed.withStreamParallelism(s, 8) {
       import s.implicits._
@@ -311,12 +312,20 @@ object EventLogQueries {
         input.addData(("_sentinel", "y", maxTs + 2L * 86400L * 1000000L))
         q.processAllAvailable()
       } finally q.stop()
+      // fold to the 8-row per-template aggregate IN THE PLAN — the
+      // per-(case × constraint) rows never cross to the driver (the
+      // memory sink is the documented harness bound; the gate path
+      // itself collects only |templates| rows)
       val res = s.table(name)
         .filter(col("caseId") =!= "_sentinel")
-        .select(col("caseId").as("case_id"), col("template"),
-          col("actA").as("act_a"), col("actB").as("act_b"),
-          col("applicable"), col("satisfied"))
-      val rows = res.collect() // |cases| × 8 constraint rows
+        .groupBy(col("template"), col("actA").as("act_a"),
+          col("actB").as("act_b"))
+        .agg(count(lit(1)).as("n_cases"),
+          sum(when(col("applicable"), lit(1L)).otherwise(lit(0L)))
+            .as("n_applicable"),
+          sum(when(col("satisfied"), lit(1L)).otherwise(lit(0L)))
+            .as("n_satisfied"))
+      val rows = res.collect() // 8 rows, one per constraint
       val out = s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
       s.catalog.dropTempView(name)
       out
@@ -589,11 +598,17 @@ object EventLogQueries {
           maxTs + 4L * 86400L * 1000000L))
         q.processAllAvailable()
       } finally q.stop()
-      val reached = s.table(name).filter(col("caseId") =!= -1L)
-        .as[StreamingFunnel.Reached].collect()
+      // fold per-case reached rows to per-index counts IN THE PLAN;
+      // only ≤ |stages| aggregate rows reach the driver, where the
+      // (tiny) cumulative stage sums are formed
+      val perIdx = s.table(name).filter(col("caseId") =!= -1L)
+        .groupBy(col("reachedIdx")).agg(count(lit(1)).as("n"))
+        .collect()
       s.catalog.dropTempView(name)
+      val byIdx = perIdx.map(r => r.getInt(0) -> r.getLong(1)).toMap
       stages.zipWithIndex
-        .map { case (st, i) => (i, st, reached.count(_.reachedIdx >= i).toLong) }
+        .map { case (st, i) =>
+          (i, st, byIdx.collect { case (idx, n) if idx >= i => n }.sum) }
         .toDF("stage_idx", "stage", "n_cases")
       }
     },
@@ -1231,30 +1246,38 @@ object EventLogQueries {
         |    pb.n AS nb, pb.fp AS fb, pb.lp AS lb
         |  FROM clen CROSS JOIN cons
         |  LEFT JOIN prof pa ON pa.c = clen.c AND pa.a = cons.act_a
-        |  LEFT JOIN prof pb ON pb.c = clen.c AND pb.a = cons.act_b)
-        |SELECT CAST(c AS VARCHAR) AS case_id, template, act_a, act_b,
-        |  CASE template
-        |    WHEN 'responded_existence' THEN na IS NOT NULL
-        |    WHEN 'response' THEN na IS NOT NULL
-        |    WHEN 'precedence' THEN nb IS NOT NULL
-        |    WHEN 'succession' THEN na IS NOT NULL OR nb IS NOT NULL
-        |    ELSE TRUE
-        |  END AS applicable,
-        |  CASE template
-        |    WHEN 'existence' THEN na IS NOT NULL
-        |    WHEN 'absence2' THEN coalesce(na, 0) <= 1
-        |    WHEN 'init' THEN coalesce(fa, 0) = 1
-        |    WHEN 'last' THEN coalesce(la, -1) = len
-        |    WHEN 'responded_existence' THEN na IS NULL OR nb IS NOT NULL
-        |    WHEN 'response' THEN na IS NULL
-        |      OR (nb IS NOT NULL AND lb > la)
-        |    WHEN 'precedence' THEN nb IS NULL
-        |      OR (na IS NOT NULL AND fa < fb)
-        |    WHEN 'succession' THEN
-        |      (na IS NULL OR (nb IS NOT NULL AND lb > la))
-        |      AND (nb IS NULL OR (na IS NOT NULL AND fa < fb))
-        |  END AS satisfied
-        |FROM j""".stripMargin,
+        |  LEFT JOIN prof pb ON pb.c = clen.c AND pb.a = cons.act_b),
+        |verdicts AS (
+        |  SELECT template, act_a, act_b,
+        |    CASE template
+        |      WHEN 'responded_existence' THEN na IS NOT NULL
+        |      WHEN 'response' THEN na IS NOT NULL
+        |      WHEN 'precedence' THEN nb IS NOT NULL
+        |      WHEN 'succession' THEN na IS NOT NULL OR nb IS NOT NULL
+        |      ELSE TRUE
+        |    END AS applicable,
+        |    CASE template
+        |      WHEN 'existence' THEN na IS NOT NULL
+        |      WHEN 'absence2' THEN coalesce(na, 0) <= 1
+        |      WHEN 'init' THEN coalesce(fa, 0) = 1
+        |      WHEN 'last' THEN coalesce(la, -1) = len
+        |      WHEN 'responded_existence' THEN na IS NULL OR nb IS NOT NULL
+        |      WHEN 'response' THEN na IS NULL
+        |        OR (nb IS NOT NULL AND lb > la)
+        |      WHEN 'precedence' THEN nb IS NULL
+        |        OR (na IS NOT NULL AND fa < fb)
+        |      WHEN 'succession' THEN
+        |        (na IS NULL OR (nb IS NOT NULL AND lb > la))
+        |        AND (nb IS NULL OR (na IS NOT NULL AND fa < fb))
+        |    END AS satisfied
+        |  FROM j)
+        |SELECT template, act_a, act_b,
+        |  CAST(count(*) AS BIGINT) AS n_cases,
+        |  CAST(sum(CASE WHEN applicable THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_applicable,
+        |  CAST(sum(CASE WHEN satisfied THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_satisfied
+        |FROM verdicts GROUP BY 1, 2, 3""".stripMargin,
     "q_log_drift" ->
       """WITH pp AS (
         |  SELECT date_trunc('week', ts) AS period, event_type AS a,

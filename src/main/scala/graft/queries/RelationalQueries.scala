@@ -377,8 +377,8 @@ object RelationalQueries {
         |    THEN (n_triangles * 3000) // n_wedges
         |    ELSE CAST(0 AS BIGINT) END AS clustering_permille
         |FROM totals, edges, tri""".stripMargin,
-    // Mirrors ops/Triangles.kCorePeel: k=3, three unrolled rounds over
-    // the symmetrized edge list.
+    // Mirrors ops/Triangles.kCorePeel: k=100, three unrolled rounds
+    // over the symmetrized edge list.
     "q_graph_kcore" -> {
       def round(prev: String, cur: String): String =
         s"""keep_$cur AS (

@@ -182,8 +182,15 @@ object TextQueries {
         .join(uni.select(col("tok").as("w1"), col("n_tok").as("n_a")), "w1")
         .join(uni.select(col("tok").as("w2"), col("n_tok").as("n_b")), "w2")
         .crossJoin(broadcast(tot))
+        // the triple product n_ab·n_total·1000 breaches i64 on large
+        // corpora (n_total~1e10, hub n_ab~1e8 → 1e21), and Spark's
+        // non-ANSI i64 would wrap silently where DuckDB errors — so
+        // the numerator runs in DECIMAL(38,0) (exact to 1e38; a
+        // 100 TB corpus peaks around 1e31) and `div` folds back to
+        // an exact i64 quotient
         .withColumn("lift_scaled",
-          expr("(n_ab * n_total * 1000) div (n_a * n_b)"))
+          expr("(CAST(n_ab AS DECIMAL(38,0)) * n_total * 1000)" +
+            " div (CAST(n_a AS DECIMAL(38,0)) * n_b)"))
         .orderBy(col("lift_scaled").desc, col("gram"))
         .limit(20)
         .select("gram", "n_ab", "n_a", "n_b", "lift_scaled")
@@ -580,6 +587,7 @@ object TextQueries {
          |  ${graft.ops.Sampling.prioritySql("doc_id", "n_chars", 11L)}
          |    AS priority
          |FROM documents
+         |WHERE n_chars >= 1
          |ORDER BY priority, doc_id
          |LIMIT 100""".stripMargin,
 
@@ -595,7 +603,9 @@ object TextQueries {
          |tot AS (SELECT CAST(sum(len(t)) AS BIGINT) AS n_total FROM tk)
          |SELECT gram, n_ab, n_a, n_b, lift_scaled FROM (
          |  SELECT b.gram, b.n_ab, ua.n_tok AS n_a, ub.n_tok AS n_b,
-         |    (b.n_ab * t.n_total * 1000) // (ua.n_tok * ub.n_tok) AS lift_scaled
+         |    CAST((CAST(b.n_ab AS HUGEINT) * t.n_total * 1000)
+         |      // (CAST(ua.n_tok AS HUGEINT) * ub.n_tok) AS BIGINT)
+         |      AS lift_scaled
          |  FROM bi b
          |  JOIN uni ua ON ua.tok = string_split(b.gram, ' ')[1]
          |  JOIN uni ub ON ub.tok = string_split(b.gram, ' ')[2]
@@ -610,7 +620,8 @@ object TextQueries {
          |  SELECT lang, doc_id, n_chars,
          |    ${graft.ops.Sampling.prioritySql("doc_id", "n_chars", 11L)}
          |      AS priority
-         |  FROM documents)
+         |  FROM documents
+         |  WHERE n_chars >= 1)
          |SELECT lang, doc_id, n_chars, priority, rk FROM (
          |  SELECT lang, doc_id, n_chars, priority,
          |    CAST(row_number() OVER (
