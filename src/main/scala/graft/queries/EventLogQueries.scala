@@ -337,6 +337,45 @@ object EventLogQueries {
       LogStats.stats(Tables(s, dir, "events"), caseCol = "user_id")
     },
 
+    // Streaming ↔ batch StatsCollector parity under the hash gate:
+    // the running per-case counters (StreamingStats.perCase — the
+    // reference's incremental ct_trace state, stats.rs:63-141) run in
+    // Complete mode over the MemoryStream feed; the final state table
+    // folds IN THE PLAN to the same exact [n_traces, n_events_total,
+    // n_orphan_events] triple as the batch LogStats — the oracle is
+    // q_log_stats' SQL verbatim. Null-case events are orphans: they
+    // count in n_events_total but never as a trace, matching
+    // count(DISTINCT)/count(col) null semantics exactly.
+    "q_stream_stats_parity" -> { (s, dir) =>
+      ParityFeed.withStreamParallelism(s, 8) {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val batchDs = Tables(s, dir, "events")
+        .select(col("user_id").cast("string"), unix_micros(col("ts")))
+        .as[(String, Long)]
+      val input = MemoryStream[(String, Long)]
+      ParityFeed.feed(input, batchDs, (_: (String, Long))._2)
+      val events = input.toDS().toDF("caseId", "tsMicros")
+        .withColumn("ts", timestamp_micros(col("tsMicros")))
+      val name = s"stream_stats_parity_${sessRun.incrementAndGet()}"
+      val q = graft.streaming.StreamingStats
+        .perCase(events, caseCol = "caseId", tsCol = "ts")
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Complete()).start()
+      try q.processAllAvailable() finally q.stop()
+      val res = s.table(name).agg(
+        sum(when(col("caseId").isNotNull, lit(1L)).otherwise(lit(0L)))
+          .as("n_traces"),
+        sum(col("n_events")).as("n_events_total"),
+        coalesce(sum(when(col("caseId").isNull, col("n_events"))),
+          lit(0L)).as("n_orphan_events"))
+      val rows = res.collect() // exactly one row
+      val out = s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+      s.catalog.dropTempView(name)
+      out
+      }
+    },
+
     // Concept.filter_in (concept.rs:71-101): keep events whose activity
     // is in a set. Pushed down to the parquet scan.
     "q_filter_concept_in" -> { (s, dir) =>
@@ -867,6 +906,13 @@ object EventLogQueries {
         |FROM events, mx
         |GROUP BY event_type""".stripMargin,
     "q_log_stats" ->
+      """SELECT count(DISTINCT user_id) AS n_traces,
+        |  count(*) AS n_events_total,
+        |  count(*) - count(user_id) AS n_orphan_events
+        |FROM events""".stripMargin,
+    // q_log_stats verbatim — the streaming per-case state must fold to
+    // the identical exact triple
+    "q_stream_stats_parity" ->
       """SELECT count(DISTINCT user_id) AS n_traces,
         |  count(*) AS n_events_total,
         |  count(*) - count(user_id) AS n_orphan_events
