@@ -57,35 +57,61 @@ object Triangles {
     */
   def kCorePeel(pairs: DataFrame, k: Int, rounds: Int): DataFrame = {
     import pairs.sparkSession.implicits._
-    // Eager per-round evaluation with each round's edge list cached:
-    // a lazily-composed union would recompute the whole peel chain
-    // (pairs included) once per output row — O(rounds²) passes. The
-    // result is rounds tiny rows, so materializing is the honest
-    // plan (same contract as PageRank.topK); caches are dropped
-    // before returning.
-    val sym = pairs.select(col("a").as("src"), col("b").as("dst"))
+    // Eager per-round evaluation: a lazily-composed union would
+    // recompute the whole peel chain (pairs included) once per output
+    // row — O(rounds²) passes. The result is rounds tiny rows, so
+    // materializing is the honest plan (same contract as
+    // PageRank.topK). ONE degree aggregation per round does triple
+    // duty: round r's survivor counts (n_nodes = |deg rows|, n_edges
+    // = Σdeg/2 — the doubled list stays symmetric after symmetric
+    // filtering, so `div` is exact) AND round r+1's keep-filter — the
+    // previous formulation paid a second countDistinct expand-agg
+    // over the full edge list per round. Each round's edge list and
+    // degree table are cached and the PREVIOUS round's are dropped as
+    // soon as the new degree table is materialized, so peak cached
+    // footprint is two generations, not rounds.
+    // localCheckpoint (not cache): each round's edge list is
+    // materialized AND its lineage truncated, so round r's plan is
+    // always [checkpointed edges ⋉ keep ⋉ keep → agg] — constant
+    // size. With cache() the logical chain deepens every round and
+    // the first execution re-plans/codegens the whole unrolled
+    // cascade per action (~7 s of the measured first-run cost; under
+    // the driver's contended full-sequence run that planning spike is
+    // exactly the 4.9 s → 13.1 s instability flagged in round 8).
+    // MEMORY_AND_DISK storage, so pressure spills instead of
+    // recomputing (nothing upstream to recompute after truncation).
+    var e = pairs.select(col("a").as("src"), col("b").as("dst"))
       .union(pairs.select(col("b").as("src"), col("a").as("dst")))
-      .cache()
-    val cached = scala.collection.mutable.ArrayBuffer[DataFrame](sym)
-    try {
-      var e = sym
-      val rows = (1 to rounds).map { r =>
-        val keep = e.groupBy("src").agg(count(lit(1)).as("_deg"))
-          .filter(col("_deg") >= k).select(col("src").as("_n"))
-        e = e.join(keep.select(col("_n").as("src")), Seq("src"), "left_semi")
-          .join(keep.select(col("_n").as("dst")), Seq("dst"), "left_semi")
-          .cache()
-        cached += e
-        // the doubled list stays symmetric after symmetric filtering,
-        // so count is even and `div` is exact
-        val agg = e.agg(
-            countDistinct(col("src")).as("n_nodes"),
-            expr("CAST(count(1) div 2 AS BIGINT)").as("n_edges"))
-          .head()
-        (r, agg.getLong(0), agg.getLong(1))
-      }
-      rows.toDF("round", "n_nodes", "n_edges")
-    } finally cached.foreach(_.unpersist(blocking = false))
+      .localCheckpoint(true)
+    def degreesOf(edges: DataFrame): DataFrame =
+      edges.groupBy("src").agg(count(lit(1)).as("_deg")).cache()
+    var deg = degreesOf(e)
+    val rows = (1 to rounds).map { r =>
+      val keep = deg.filter(col("_deg") >= k).select(col("src").as("_n"))
+      val ePrev = e
+      val degPrev = deg
+      // ONE degree aggregation per round does double duty: round r's
+      // survivor counts (n_nodes = |deg rows|, n_edges = Σdeg/2 — the
+      // doubled list stays symmetric after symmetric filtering, so
+      // `div` is exact) and round r+1's keep-filter (the previous
+      // formulation paid a second countDistinct expand-agg per round).
+      e = ePrev
+        .join(keep.select(col("_n").as("src")), Seq("src"), "left_semi")
+        .join(keep.select(col("_n").as("dst")), Seq("dst"), "left_semi")
+        .localCheckpoint(true)
+      deg = degreesOf(e)
+      val agg = deg.agg(
+          count(lit(1)).as("n_nodes"),
+          coalesce(expr("CAST(sum(_deg) div 2 AS BIGINT)"), lit(0L))
+            .as("n_edges"))
+        .head()
+      degPrev.unpersist(blocking = false)
+      ePrev.unpersist(blocking = false)
+      (r, agg.getLong(0), agg.getLong(1))
+    }
+    deg.unpersist(blocking = false)
+    e.unpersist(blocking = false)
+    rows.toDF("round", "n_nodes", "n_edges")
   }
 
   /** Graph cohesion summary of an undirected edge list.
