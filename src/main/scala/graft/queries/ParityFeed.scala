@@ -25,20 +25,32 @@ private[queries] object ParityFeed {
   val ChunkRows = 100000
 
   /** Runs `f` with `spark.sql.shuffle.partitions` lowered to `n` and
-    * restores the previous value after. The parity micro-batches carry
-    * sf-scale row counts through ONE stateful operator; at the session
-    * default (32+) every micro-batch pays per-partition state-store
-    * open/commit/checkpoint on mostly-empty partitions — measurable
-    * fixed cost, no parallelism gain. Results are partition-count
-    * independent (the hash gate runs these queries at 32 and 256).
-    * Safe because a streaming query fixes its state partitioning from
-    * the conf AT START, inside this scope; batch queries planned after
-    * restore are untouched. */
+    * no-data micro-batches disabled, restoring both after. The parity
+    * micro-batches carry sf-scale row counts through ONE stateful
+    * operator; at the session default (32+) every micro-batch pays
+    * per-partition state-store open/commit/checkpoint on mostly-empty
+    * partitions — measurable fixed cost, no parallelism gain. Results
+    * are partition-count independent (the hash gate runs these
+    * queries at 32 and 256). No-data batches exist to fire event-time
+    * timers WITHOUT new input; every parity query instead fires its
+    * timers with explicit far-future sentinel rows, so the automatic
+    * extra batch after each data batch is pure overhead (~0.6 s/query
+    * measured, ProbeStream) and the final table is identical either
+    * way — the timers fire in the sentinel's own data batch at the
+    * latest. Safe because a streaming query fixes both settings from
+    * the conf AT START, inside this scope; batch queries planned
+    * after restore are untouched. */
   def withStreamParallelism[A](s: org.apache.spark.sql.SparkSession, n: Int)(f: => A): A = {
     val key = "spark.sql.shuffle.partitions"
+    val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
     val old = s.conf.get(key)
+    val oldNd = s.conf.get(ndKey)
     s.conf.set(key, n.toString)
-    try f finally s.conf.set(key, old)
+    s.conf.set(ndKey, "false")
+    try f finally {
+      s.conf.set(key, old)
+      s.conf.set(ndKey, oldNd)
+    }
   }
 
   /** Streams `ds` into `input` in [[ChunkRows]]-sized blocks (call
@@ -47,7 +59,13 @@ private[queries] object ParityFeed {
   def feed[T](input: MemoryStream[T], ds: Dataset[T], tsOf: T => Long): Long = {
     import scala.jdk.CollectionConverters._
     var maxTs = Long.MinValue
-    ds.toLocalIterator().asScala.grouped(ChunkRows).foreach { chunk =>
+    // coalesce before the local iteration: toLocalIterator runs one
+    // Spark job PER PARTITION, and the session default (32) makes the
+    // feed pay ~32 job round-trips for sf-scale inputs — a measurable
+    // slice of every parity query's ~2.3 s floor. Four partitions keep
+    // driver residency at a quarter of the input (≤ ChunkRows-scale at
+    // the gate's sf) while cutting the job count 8×.
+    ds.coalesce(4).toLocalIterator().asScala.grouped(ChunkRows).foreach { chunk =>
       chunk.foreach { t => val ts = tsOf(t); if (ts > maxTs) maxTs = ts }
       input.addData(chunk)
     }
