@@ -43,6 +43,22 @@ class SamplingSpec extends SparkSpec {
     assert(s1 == s1.sortBy(r => (r._3, r._1)))
   }
 
+  test("non-positive weights are filtered, never a null priority") {
+    // a zero/negative/null weight would be null priority in Spark
+    // (non-ANSI div) but a division error in DuckDB — the enforced
+    // weight >= 1 contract keeps both engines on defined inputs
+    val df = Seq((1L, 10L), (2L, 0L), (3L, -5L), (4L, 20L))
+      .toDF("id", "w")
+    val got = Sampling.sequentialPoisson(df, "id", "w", 10, 3L)
+      .as[(Long, Long, Long)].collect()
+    assert(got.map(_._1).toSet == Set(1L, 4L))
+    assert(got.forall(_._3 >= 0L)) // defined, non-null priorities
+    val grouped = Sampling.sequentialPoissonByGroup(
+        df.withColumn("g", lit("x")), "g", "id", "w", k = 10, seed = 3L)
+      .select("id").as[Long].collect().toSet
+    assert(grouped == Set(1L, 4L))
+  }
+
   test("two-stage group top-k == single-window group top-k") {
     import org.apache.spark.sql.expressions.Window
     val df = (1L to 400L).map(i => (s"g${i % 3}", i, i % 13 + 5)).toDF("g", "id", "w")
