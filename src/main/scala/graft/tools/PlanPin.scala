@@ -52,7 +52,11 @@ object PlanPin {
     "q_text_bm25",
     // round-8: the wedge self-join must stay an equi-join on the apex
     // (a cartesian here is quadratic in edges)
-    "q_graph_triangles")
+    "q_graph_triangles",
+    // round-9: the image near-dup must stay the banded bucket-group +
+    // double-explode (NO pairwise join anywhere; the only exchanges
+    // are the bucket agg and the final pair distinct)
+    "q_image_dedup")
 
   private val Salient = (
     "ReusedExchange|" +
