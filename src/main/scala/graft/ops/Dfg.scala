@@ -161,6 +161,24 @@ object Dfg {
         max(col("_wait_us")).as("max_wait_us"))
   }
 
+  /** Per-transition waiting times, unaggregated: one row per
+    * directly-follows occurrence `(act_from, act_to, wait_us)` — the
+    * raw material of the performance spectrum (per-edge latency
+    * DISTRIBUTIONS rather than [[edgePerformance]]'s sum/min/max).
+    * Same single case-key window shuffle; feed into
+    * [[Quantiles.exactByGroup]] for exact per-edge percentiles. */
+  def transitionDelays(events: DataFrame, caseCol: String,
+      activityCol: String, tsCol: String, tieBreak: String): DataFrame = {
+    val w = Window.partitionBy(col(caseCol)).orderBy(col(tsCol), col(tieBreak))
+    events
+      .select(col(caseCol), col(activityCol), col(tsCol), col(tieBreak))
+      .withColumn("act_to", lead(col(activityCol), 1).over(w))
+      .withColumn("wait_us",
+        unix_micros(lead(col(tsCol), 1).over(w)) - unix_micros(col(tsCol)))
+      .filter(col("act_to").isNotNull)
+      .select(col(activityCol).as("act_from"), col("act_to"), col("wait_us"))
+  }
+
   /** Model simplification (the frequency-threshold slider of
     * Disco-style DFG tools): keep activities whose total event count
     * is ≥ `minActivityN`, then edges between two kept activities with

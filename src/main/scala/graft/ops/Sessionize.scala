@@ -33,6 +33,31 @@ object Sessionize {
       .drop("_prev", "_new_session")
   }
 
+  /** Throttle-style windowed dedup: flags each event as kept iff no
+    * event with the same key preceded it within `gapSeconds` (the
+    * debounce every click/telemetry pipeline applies before counting —
+    * double-fires and retry storms collapse to the first event).
+    * Relative-to-previous-event semantics (lag-based): deterministic,
+    * one window, and expressible identically in any SQL engine.
+    * Adds a boolean `kept` column.
+    *
+    * Scale shape: ONE shuffle on the key columns (window partitionBy),
+    * then pure map-side lag arithmetic — no join, no second exchange;
+    * downstream aggregations on the same keys reuse the partitioning.
+    */
+  def throttleDedup(events: DataFrame, keyCols: Seq[String], tsCol: String,
+      tieBreak: String, gapSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol), col(tieBreak))
+    events
+      .withColumn("_prev", lag(col(tsCol), 1).over(w))
+      .withColumn("kept",
+        col("_prev").isNull ||
+          unix_micros(col(tsCol)) - unix_micros(col("_prev")) >
+            gapSeconds * 1000000L)
+      .drop("_prev")
+  }
+
   /** Run-length interval collapse (gaps-and-islands): per case,
     * consecutive events with the same label — in (ts, tieBreak)
     * order — collapse into one interval row. The SCD2-style "validity

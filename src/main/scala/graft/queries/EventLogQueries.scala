@@ -376,6 +376,45 @@ object EventLogQueries {
       }
     },
 
+    // Streaming ↔ batch windowed-dedup parity: the same lag-relative
+    // throttle as q_window_dedup, run through flatMapGroupsWithState
+    // keyed by (user, type) with one-timestamp state + gap-horizon
+    // eviction (streaming/StreamingThrottle). Whole feed in one
+    // micro-batch (in-batch sort supplies per-key order); the fold to
+    // per-type totals happens in-plan over the bounded per-key
+    // partials — nothing event-proportional crosses to the driver.
+    "q_stream_throttle_parity" -> { (s, dir) =>
+      ParityFeed.withStreamParallelism(s, 8) {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      import graft.streaming.StreamingThrottle
+      val batchDs = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")), col("event_id"))
+        .as[(Long, String, Long, Long)]
+        .map(t => StreamingThrottle.InEvent(t._1, t._2, t._3, t._4))
+      val input = MemoryStream[StreamingThrottle.InEvent]
+      ParityFeed.feed(input, batchDs,
+        (_: StreamingThrottle.InEvent).tsMicros)
+      val events = input.toDS()
+        .withColumn("ts", timestamp_micros(col("tsMicros")))
+        .withWatermark("ts", "10 seconds")
+        .as[StreamingThrottle.InEvent]
+      val name = s"stream_throttle_parity_${sessRun.incrementAndGet()}"
+      val q = StreamingThrottle.keptCounts(s, events, gapSeconds = 600L)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try q.processAllAvailable() finally q.stop()
+      val res = s.table(name).groupBy(col("label").as("event_type"))
+        .agg(sum(col("nTotal")).as("n_total"),
+          sum(col("nKept")).as("n_kept"))
+      val rows = res.collect() // one row per event type
+      val out = s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+      s.catalog.dropTempView(name)
+      out
+      }
+    },
+
     // Concept.filter_in (concept.rs:71-101): keep events whose activity
     // is in a set. Pushed down to the parquet scan.
     "q_filter_concept_in" -> { (s, dir) =>
@@ -499,6 +538,20 @@ object EventLogQueries {
         .groupBy(col("user_id"), col("session_idx"))
         .agg(count(lit(1)).as("n_events"),
           (unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))).as("duration_us"))
+    },
+
+    // Windowed event dedup (throttle/debounce): an event survives iff
+    // no same-(user, type) event preceded it within the gap — the
+    // double-fire collapse every telemetry pipeline runs before
+    // counting. Per-type survival tallies; one key shuffle, map-side
+    // lag arithmetic (ops/Sessionize.throttleDedup).
+    "q_window_dedup" -> { (s, dir) =>
+      Sessionize.throttleDedup(Tables(s, dir, "events"),
+          Seq("user_id", "event_type"), "ts",
+          tieBreak = "event_id", gapSeconds = 600L)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
     },
 
     // Trace variants (the classifier-identity sequence per case,
@@ -688,6 +741,21 @@ object EventLogQueries {
       Dfg.edgePerformance(Tables(s, dir, "events"),
         caseCol = "user_id", activityCol = "event_type",
         tsCol = "ts", tieBreak = "event_id")
+    },
+
+    // Performance spectrum: exact per-edge waiting-time PERCENTILES
+    // (p50/p95) — the latency-distribution view q_dfg_performance's
+    // sum/min/max can't give (bottleneck = a fat p95 tail, not a fat
+    // mean). Composition: one case-key window shuffle for the
+    // transition delays, then the value-bucketed two-level-cumsum
+    // rank selection per edge (ops/Quantiles) — never a whole-edge
+    // sort on one partition.
+    "q_dfg_performance_quantiles" -> { (s, dir) =>
+      graft.ops.Quantiles.exactByGroup(
+        Dfg.transitionDelays(Tables(s, dir, "events"),
+          caseCol = "user_id", activityCol = "event_type",
+          tsCol = "ts", tieBreak = "event_id"),
+        Seq("act_from", "act_to"), col("wait_us"), Seq(500, 950))
     },
 
     // Frequency-threshold model simplification (the Disco slider):
@@ -1093,6 +1161,34 @@ object EventLogQueries {
         |  epoch_us(min(ts)) AS t_start_us, epoch_us(max(ts)) AS t_end_us
         |FROM sessions GROUP BY user_id, sid""".stripMargin,
 
+    // identical semantics to q_window_dedup — the streaming operator
+    // must reproduce the batch lag-throttle exactly
+    "q_stream_throttle_parity" ->
+      """WITH flagged AS (
+        |  SELECT event_type,
+        |    CASE WHEN lag(ts) OVER w IS NULL THEN 1
+        |         WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+        |              > CAST(600 AS BIGINT)*1000000 THEN 1
+        |         ELSE 0 END AS kept
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id))
+        |SELECT event_type, count(*) AS n_total,
+        |  CAST(sum(kept) AS BIGINT) AS n_kept
+        |FROM flagged
+        |GROUP BY event_type""".stripMargin,
+    "q_window_dedup" ->
+      """WITH flagged AS (
+        |  SELECT event_type,
+        |    CASE WHEN lag(ts) OVER w IS NULL THEN 1
+        |         WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+        |              > CAST(600 AS BIGINT)*1000000 THEN 1
+        |         ELSE 0 END AS kept
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id))
+        |SELECT event_type, count(*) AS n_total,
+        |  CAST(sum(kept) AS BIGINT) AS n_kept
+        |FROM flagged
+        |GROUP BY event_type""".stripMargin,
     "q_sessionize" ->
       """WITH flagged AS (
         |  SELECT user_id, ts, event_id,
@@ -1131,6 +1227,22 @@ object EventLogQueries {
         |SELECT event_type, count(*) AS n
         |FROM events JOIN keep USING (user_id)
         |GROUP BY 1""".stripMargin,
+    // same row_number rank-selection equivalence as q_exact_quantiles
+    "q_dfg_performance_quantiles" ->
+      """WITH t AS (
+        |  SELECT event_type AS act_from,
+        |    lead(event_type) OVER w AS act_to,
+        |    epoch_us(lead(ts) OVER w) - epoch_us(ts) AS v
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |r AS (
+        |  SELECT act_from, act_to, v,
+        |    row_number() OVER (PARTITION BY act_from, act_to ORDER BY v) AS rn,
+        |    count(*) OVER (PARTITION BY act_from, act_to) AS n
+        |  FROM t WHERE act_to IS NOT NULL)
+        |SELECT act_from, act_to, p AS p_permille, v AS value
+        |FROM r JOIN (VALUES (500),(950)) ps(p)
+        |  ON rn = (p*n + 999)//1000""".stripMargin,
     "q_dfg_performance" ->
       """SELECT act_from, act_to, count(*) AS n,
         |  CAST(sum(wait_us) AS BIGINT) AS sum_wait_us,

@@ -194,6 +194,22 @@ object RelationalQueries {
         graft.ops.Triangles.coOrderPartPairs(s, dir), k = 100, rounds = 3)
     },
 
+    // Entity resolution / record linkage: all supplier-name pairs
+    // within edit distance 1, candidates from the segment-pigeonhole
+    // (PassJoin) equi-join — the same exact blocking kernel as
+    // q_trace_clusters (ops/TraceCluster.editPairs), instantiated on
+    // entity names instead of behavior strings. No all-pairs scan:
+    // candidate volume tracks TRUE near-matches, so the join stays
+    // linear-ish as the entity table grows.
+    "q_entity_match" -> { (s, dir) =>
+      val names = Tables(s, dir, "supplier").select(
+        col("s_name").as("variant"),
+        col("s_suppkey").cast("long").as("rep_case"),
+        lit(1L).as("n_cases"))
+      graft.ops.TraceCluster.editPairs(names, maxDist = 1)
+        .select(col("vid_a").as("id_a"), col("vid_b").as("id_b"), col("dist"))
+    },
+
     // Cube: all grouping-set combinations.
     "q8_cube" -> { (s, dir) =>
       Tables(s, dir, "orders")
@@ -336,6 +352,15 @@ object RelationalQueries {
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, count(*) AS n
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    // brute-force reference: the pigeonhole blocking is complete
+    // (no false negatives within the bound), so output = ALL pairs
+    // at distance <= 1
+    "q_entity_match" ->
+      """SELECT CAST(a.s_suppkey AS BIGINT) AS id_a,
+        |  CAST(b.s_suppkey AS BIGINT) AS id_b,
+        |  CAST(levenshtein(a.s_name, b.s_name) AS INT) AS dist
+        |FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+        |WHERE levenshtein(a.s_name, b.s_name) <= 1""".stripMargin,
     "q8_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total

@@ -106,6 +106,37 @@ object TextQueries {
           coalesce(col("true_n"), lit(0L)).as("true_n"))
     },
 
+    // Keyword extraction: per-document top-3 tokens by integer
+    // tf·idf — idf as the exact quotient (N·10⁶ // df), the product
+    // in DECIMAL(38,0) (tf·(N·10⁶//df) breaches i64 on a 100 TB
+    // corpus: tf~10⁵ × 10¹⁶; same guard as q_token_lift). The score
+    // only ORDERS (rank output), so no huge number crosses engines.
+    // Shape: doc-key explode shuffle → per-doc tf partial agg →
+    // vocab-sized df join → per-doc window top-k. Stopwords excluded
+    // (they'd win every tf race and lose every idf one — noise).
+    "q_text_keywords" -> { (s, dir) =>
+      import graft.text.TextOps
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text")).repartition(col("doc_id"))
+      val tf = docs
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+        .filter(!col("tok").isInCollection(TextOps.Stopwords))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val dfx = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("tok").asc)
+      tf.join(dfx, "tok")
+        .crossJoin(broadcast(nDocs))
+        .withColumn("score", expr(
+          "CAST(tf AS DECIMAL(38,0)) *" +
+            " ((CAST(n_docs AS DECIMAL(38,0)) * 1000000) div df)"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select("doc_id", "rnk", "tok")
+    },
+
     // Corpus vocabulary: token frequency table (explode + partial agg).
     "q_token_freq" -> { (s, dir) =>
       Tables(s, dir, "documents")
@@ -577,6 +608,28 @@ object TextQueries {
       s"""SELECT t AS token, count(*) AS n FROM (
          |  SELECT unnest($toksSql) AS t FROM documents)
          |GROUP BY 1""".stripMargin,
+
+    "q_text_keywords" -> {
+      val stopList = graft.text.TextOps.Stopwords
+        .map(t => s"'$t'").mkString(", ")
+      s"""WITH tf AS (
+         |  SELECT doc_id, t AS tok, count(*) AS tf FROM (
+         |    SELECT doc_id, unnest($toksSql) AS t FROM documents)
+         |  WHERE t NOT IN ($stopList)
+         |  GROUP BY 1, 2),
+         |dfx AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |sc AS (
+         |  SELECT tf.doc_id, tf.tok,
+         |    CAST(tf.tf AS HUGEINT) *
+         |      ((CAST(n.n_docs AS HUGEINT) * 1000000) // dfx.df) AS score
+         |  FROM tf JOIN dfx USING (tok), n)
+         |SELECT doc_id, rnk, tok FROM (
+         |  SELECT doc_id, tok, CAST(row_number() OVER (
+         |    PARTITION BY doc_id ORDER BY score DESC, tok ASC) AS INT) AS rnk
+         |  FROM sc)
+         |WHERE rnk <= 3""".stripMargin
+    },
 
     "q_text_quality_filter" ->
       s"""SELECT doc_id, $qualityCondSql AS keep

@@ -24,6 +24,24 @@ class SessionizeSkewSpec extends SparkSpec {
       (2L, 50L, 0L)))
   }
 
+  test("throttleDedup: keeps first, drops within-gap followers, lag-relative") {
+    val events = Seq(
+      // key (1,"c"): 0 kept; 5 dropped (gap 5<=10); 9 dropped (gap 4
+      // from the PREVIOUS event, not the last kept); 25 kept (gap 16)
+      (1L, "c", 0L), (1L, "c", 5L), (1L, "c", 9L), (1L, "c", 25L),
+      // different type same user: independent window
+      (1L, "v", 6L),
+      (2L, "c", 1L))
+      .toDF("user", "typ", "t")
+      .withColumn("ts", timestamp_micros(col("t") * 1000000L))
+    val kept = Sessionize.throttleDedup(events, Seq("user", "typ"), "ts",
+        tieBreak = "t", gapSeconds = 10L)
+      .filter(col("kept")).select(col("user"), col("typ"), col("t"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(kept == Set(
+      (1L, "c", 0L), (1L, "c", 25L), (1L, "v", 6L), (2L, "c", 1L)))
+  }
+
   test("variants: ordered activity sequences counted") {
     val events = Seq(
       (1L, "a", 1L), (1L, "b", 2L), (1L, "c", 3L),
