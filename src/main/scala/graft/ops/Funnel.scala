@@ -46,6 +46,41 @@ object Funnel {
       .agg(sum("_hit").as("n_prior"))
   }
 
+  /** Per-case time-to-convert through the FULL stage chain: for every
+    * case that reaches the last stage (same strict event-order
+    * semantics as [[orderedStages]]), the time from its stage-0 first
+    * reach to its final-stage first reach. Feed into
+    * [[Quantiles.exactByGroup]] for the conversion-latency
+    * distribution (the product-analytics "how long to convert" view).
+    *
+    * Scale shape: the same shrinking case-keyed reach chain as
+    * [[orderedStages]], but with a single consumer (the final stage),
+    * so the lazy linear composition is the right plan — no caching,
+    * no re-derivation. The stage-0 time rides along the chain as a
+    * per-case constant (min-folded), avoiding a join back to the
+    * stage-0 table. Output: (caseCol, convert_us).
+    */
+  def conversionTimes(events: DataFrame, caseCol: String, tsCol: String,
+      stages: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    require(stages.size >= 2, "conversion needs at least two stages")
+    var reached: DataFrame = null // (caseCol, _t, _t0)
+    stages.zipWithIndex.foreach { case ((_, pred), i) =>
+      val matching = events.filter(pred)
+      reached =
+        if (i == 0)
+          matching.groupBy(col(caseCol)).agg(min(col(tsCol)).as("_t"))
+            .withColumn("_t0", col("_t"))
+        else
+          matching
+            .join(reached.withColumnRenamed("_t", "_t_prev"), caseCol)
+            .filter(col(tsCol) > col("_t_prev"))
+            .groupBy(col(caseCol))
+            .agg(min(col(tsCol)).as("_t"), min(col("_t0")).as("_t0"))
+    }
+    reached.select(col(caseCol),
+      (unix_micros(col("_t")) - unix_micros(col("_t0"))).as("convert_us"))
+  }
+
   /** Ordered k-stage funnel: a case reaches stage i when it has an
     * event matching stage i's predicate strictly after the timestamp
     * at which it first reached stage i−1 (stage 0 = first matching

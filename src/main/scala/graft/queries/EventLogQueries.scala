@@ -652,6 +652,24 @@ object EventLogQueries {
           "purchase" -> (col("event_type") === "purchase")))
     },
 
+    // Conversion-latency distribution: exact p50/p90/p99 of the
+    // view→click→purchase time-to-convert over converting cases
+    // (Funnel.conversionTimes → Quantiles.exactByGroup) — the "how
+    // long does the funnel take" view q_funnel_steps' reach counts
+    // can't give. Same shrinking case-keyed chain, single consumer,
+    // then bucketed rank selection over the one-group distribution.
+    "q_funnel_time_quantiles" -> { (s, dir) =>
+      graft.ops.Quantiles.exactByGroup(
+        graft.ops.Funnel.conversionTimes(Tables(s, dir, "events"),
+            caseCol = "user_id", tsCol = "ts",
+            stages = Seq(
+              "view" -> (col("event_type") === "view"),
+              "click" -> (col("event_type") === "click"),
+              "purchase" -> (col("event_type") === "purchase")))
+          .withColumn("funnel", lit("view>click>purchase")),
+        Seq("funnel"), col("convert_us"), Seq(500, 900, 990))
+    },
+
     // Streaming ↔ batch ordered-funnel parity under the hash gate:
     // events fed through MemoryStream → per-user keyed state buffers
     // the case history, the strict-order stage machine runs at
@@ -1227,6 +1245,30 @@ object EventLogQueries {
         |SELECT event_type, count(*) AS n
         |FROM events JOIN keep USING (user_id)
         |GROUP BY 1""".stripMargin,
+    // the funnel chain (shared shape with funnelStepsSql) + the
+    // row_number rank-selection equivalence of q_exact_quantiles
+    "q_funnel_time_quantiles" ->
+      """WITH s0 AS (
+        |  SELECT user_id, min(ts) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s1 AS (
+        |  SELECT e.user_id, min(e.ts) AS t
+        |  FROM events e JOIN s0 ON e.user_id = s0.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s0.t GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s1.t GROUP BY 1),
+        |conv AS (
+        |  SELECT s2.user_id, epoch_us(s2.t) - epoch_us(s0.t) AS v
+        |  FROM s2 JOIN s0 ON s2.user_id = s0.user_id),
+        |r AS (
+        |  SELECT v, row_number() OVER (ORDER BY v) AS rn,
+        |    count(*) OVER () AS n
+        |  FROM conv)
+        |SELECT 'view>click>purchase' AS funnel, p AS p_permille, v AS value
+        |FROM r JOIN (VALUES (500),(900),(990)) ps(p)
+        |  ON rn = (p*n + 999)//1000""".stripMargin,
     // same row_number rank-selection equivalence as q_exact_quantiles
     "q_dfg_performance_quantiles" ->
       """WITH t AS (

@@ -80,6 +80,26 @@ class FunnelSpec extends SparkSpec {
     assert(got == Seq((0, "view", 4L), (1, "click", 3L), (2, "purchase", 2L)))
   }
 
+  test("conversionTimes: converting cases only, t(last first-reach) - t(stage-0 first-reach)") {
+    // u1: v(1) c(2) p(5)            — converts, 5-1 = 4
+    // u4: p(1) v(2) c(3) p(4)       — early purchase ignored: 4-2 = 2
+    // u3: v(1) c(2)                 — no purchase: absent
+    // u6: v(1) v(10) c(11) p(12)    — t0 is the FIRST view: 12-1 = 11
+    val rows = Seq(
+      (1L, "view", 1L), (1L, "click", 2L), (1L, "purchase", 5L),
+      (3L, "view", 1L), (3L, "click", 2L),
+      (4L, "purchase", 1L), (4L, "view", 2L), (4L, "click", 3L), (4L, "purchase", 4L),
+      (6L, "view", 1L), (6L, "view", 10L), (6L, "click", 11L), (6L, "purchase", 12L))
+    val ev = rows.toDF("user_id", "event_type", "t")
+      .withColumn("ts", timestamp_micros(col("t")))
+    val got = Funnel.conversionTimes(ev, "user_id", "ts", Seq(
+        "view" -> (col("event_type") === "view"),
+        "click" -> (col("event_type") === "click"),
+        "purchase" -> (col("event_type") === "purchase")))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 4L, 4L -> 2L, 6L -> 11L))
+  }
+
   test("orderedStages: same-timestamp events do not advance (strict >)") {
     val ev = Seq((1L, "view", 1L), (1L, "click", 1L))
       .toDF("user_id", "event_type", "t")
