@@ -175,6 +175,58 @@ object EventLogQueries {
       out
       }
     },
+    // Streaming exactly-once ingest dedup parity: every event fed
+    // TWICE (the at-least-once delivery failure mode), deduplicated
+    // online by dropDuplicatesWithinWatermark on the event id — state
+    // is one entry per id within the watermark horizon, evicted as
+    // the watermark passes (bounded by ingest rate × horizon, not
+    // stream length) — then folded to per-type counts by a chained
+    // windowed aggregation, all in-plan. The batch truth is the
+    // single-copy table's plain counts: the gate proves the dup
+    // copies all died in flight. Exercises Spark's chained-stateful
+    // pipeline (dedup → windowed agg) none of the other parity gates
+    // touch.
+    "q_stream_dedup_parity" -> { (s, dir) =>
+      ParityFeed.withStreamParallelism(s, 8) {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val single = Tables(s, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("tsMicros"))
+        .as[(Long, String, Long)]
+      val doubled = single.union(single)
+      val input = MemoryStream[(Long, String, Long)]
+      val maxTs = ParityFeed.feed(input, doubled, (_: (Long, String, Long))._3)
+      input.addData((-1L, "__sentinel__", maxTs + 100L * 86400L * 1000000L))
+      val ev = input.toDS().toDF("event_id", "event_type", "tsMicros")
+        .withColumn("ts", timestamp_micros(col("tsMicros")))
+        .withWatermark("ts", "10 seconds")
+        .dropDuplicatesWithinWatermark("event_id")
+      val name = s"stream_dedup_parity_${sessRun.incrementAndGet()}"
+      // tumbling windows finalize the per-(window, type) counts when
+      // the sentinel (100 d out ≫ 30 d width) advances the watermark
+      // past every data window — nothing event-proportional reaches
+      // the sink or driver (rows = windows × types)
+      val q = ev
+        .groupBy(window(col("ts"), "30 days").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("event_type"), col("n"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        q.processAllAvailable()
+        input.addData((-2L, "__sentinel__", maxTs + 200L * 86400L * 1000000L))
+        q.processAllAvailable()
+      } finally q.stop()
+      val res = s.table(name).filter(col("event_type") =!= "__sentinel__")
+        .groupBy("event_type").agg(sum(col("n")).as("n"))
+      val rows = res.collect() // one row per event type
+      val out = s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+      s.catalog.dropTempView(name)
+      out
+      }
+    },
+
     // Streaming ↔ batch sessionization parity under the hash gate:
     // the events table fed through MemoryStream → watermark →
     // session_window aggregation (StreamingStats.sessionStats), run to
@@ -966,6 +1018,10 @@ object EventLogQueries {
     },
     // identical arithmetic for the streaming twin — batch parity IS
     // the claim under test
+    // single-copy truth: event_id is unique in the source table, so
+    // deduping the doubled feed must land exactly on plain counts
+    "q_stream_dedup_parity" ->
+      """SELECT event_type, count(*) AS n FROM events GROUP BY 1""",
     "q_stream_hopping_parity" ->
       """WITH e AS (SELECT event_type, epoch_us(ts) AS eu FROM events),
         |w AS (SELECT event_type,

@@ -9,7 +9,8 @@ import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
 import org.apache.spark.sql.types._
 
 import graft.{GraftSession, Tables}
-import graft.streaming.{StreamingDrift, StreamingFunnel, StreamingDfg, TraceAssembly}
+import graft.streaming.{StreamingDrift, StreamingFunnel, StreamingDfg,
+  StreamingThrottle, TraceAssembly}
 
 /** Streaming scale audit under a REAL file source (VERDICT r8 item 2):
   * the MemoryStream parity harness buffers its whole input on the
@@ -262,6 +263,46 @@ object StreamScaleBench {
       val ok = streamWins == batchWins
       println(f"drift   x$copies stream=$secs%6.1fs batch=$bSecs%6.1fs batches=$nb peakState=$peak match=$ok (${streamWins.size} windows)")
       results += s""""drift":{"stream_s":$secs,"batch_s":$bSecs,"batches":$nb,"peak_state_rows":$peak,"match":$ok}"""
+    }
+
+    // ---- throttle: one-timestamp state, CONTINUOUS mid-stream
+    // eviction (timeout = last event + gap, far shorter than the data
+    // span — peak state tracks keys active within the gap horizon,
+    // not the key universe) ----
+    {
+      val thGap = 600L
+      val (rows, nb, peak, secs) = run(spark, dir, fpt, maxTs, GapDays) { df =>
+        StreamingThrottle.keptCounts(spark,
+          df.select(col("caseId"), col("activity").as("label"),
+            col("tsMicros"), col("tsMicros").as("tie"), col("ts"))
+            .as[StreamingThrottle.InEvent], thGap).toDF()
+      } { batch =>
+        batch.filter(col("label") =!= "_s")
+          .groupBy(col("label"))
+          .agg(sum(col("nTotal")).as("t"), sum(col("nKept")).as("k"))
+      }
+      val streamCounts = rows.map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+        .groupBy(_._1).map { case (l, v) =>
+          l -> (v.map(_._2._1).sum, v.map(_._2._2).sum) }
+      val t0 = System.nanoTime()
+      // batch truth: the same lag-relative rule (tie = tsMicros — equal
+      // timestamps within a key are order-indifferent for counting:
+      // a zero gap drops the later one under either ordering)
+      val w = Window.partitionBy(col("caseId"), col("activity"))
+        .orderBy(col("tsMicros"))
+      val batchCounts = batchEv
+        .withColumn("_prev", lag(col("tsMicros"), 1).over(w))
+        .withColumn("_kept", col("_prev").isNull ||
+          col("tsMicros") - col("_prev") > thGap * 1000000L)
+        .groupBy(col("activity"))
+        .agg(count(lit(1)).as("t"),
+          sum(when(col("_kept"), 1L).otherwise(0L)).as("k"))
+        .as[(String, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      val bSecs = (System.nanoTime() - t0) / 1e9
+      val ok = streamCounts == batchCounts
+      println(f"throttle x$copies stream=$secs%6.1fs batch=$bSecs%6.1fs batches=$nb peakState=$peak match=$ok (${streamCounts.size} labels)")
+      results += s""""throttle":{"stream_s":$secs,"batch_s":$bSecs,"batches":$nb,"peak_state_rows":$peak,"match":$ok}"""
     }
 
     val line = s"""{"metric":"stream_scale","copies":$copies,"files":$files,"fpt":$fpt,"base":"$base","ops":${results.mkString("{", ",", "}")}}"""
