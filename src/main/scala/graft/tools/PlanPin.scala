@@ -56,7 +56,17 @@ object PlanPin {
     // round-9: the image near-dup must stay the banded bucket-group +
     // double-explode (NO pairwise join anywhere; the only exchanges
     // are the bucket agg and the final pair distinct)
-    "q_image_dedup")
+    "q_image_dedup",
+    // round-9 second wave (single-plan new queries; the iterative
+    // clusters_distributed returns a localCheckpoint scan by design
+    // and is not pinnable): keywords must keep the vocab-sized df
+    // join + ONE doc-key window; the quantile compositions must keep
+    // the bucketed rank selection (no whole-group sort); entity match
+    // must stay the pigeonhole equi-join (a cartesian is n² in names)
+    "q_text_keywords",
+    "q_dfg_performance_quantiles",
+    "q_funnel_time_quantiles",
+    "q_entity_match")
 
   private val Salient = (
     "ReusedExchange|" +
