@@ -137,6 +137,23 @@ object TextQueries {
         .select("doc_id", "rnk", "tok")
     },
 
+    // JSONL ingestion (the training-data interchange format): a
+    // committed fixture with the parser landmines — unicode (CJK,
+    // emoji, combining accents), escaped quotes/backslash/newline/tab,
+    // null AND missing fields, out-of-order keys, an id beyond double
+    // precision (2⁵³+1: a float-pathed parser corrupts it) — read
+    // with a PINNED schema (no inference job at 100 TB; schema drift
+    // fails loudly instead of silently widening). The oracle reads
+    // the same bytes with DuckDB's JSON reader: the gate is
+    // byte-level PARSER PARITY on the format itself.
+    "q_jsonl_ingest" -> { (s, _) =>
+      s.read
+        .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+        .json("/root/repo/fixtures/docs_sample.jsonl")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"), length(col("text")).as("text_len"))
+    },
+
     // Corpus vocabulary: token frequency table (explode + partial agg).
     "q_token_freq" -> { (s, dir) =>
       Tables(s, dir, "documents")
@@ -608,6 +625,14 @@ object TextQueries {
       s"""SELECT t AS token, count(*) AS n FROM (
          |  SELECT unnest($toksSql) AS t FROM documents)
          |GROUP BY 1""".stripMargin,
+
+    "q_jsonl_ingest" ->
+      """SELECT doc_id, text, lang, source, n_chars,
+        |  CAST(length(text) AS INT) AS text_len
+        |FROM read_json('/root/repo/fixtures/docs_sample.jsonl',
+        |  format='newline_delimited',
+        |  columns={doc_id:'BIGINT', text:'VARCHAR', lang:'VARCHAR',
+        |           source:'VARCHAR', n_chars:'BIGINT'})""".stripMargin,
 
     "q_text_keywords" -> {
       val stopList = graft.text.TextOps.Stopwords
