@@ -154,6 +154,26 @@ object TextQueries {
           col("n_chars"), length(col("text")).as("text_len"))
     },
 
+    // CSV ingestion, RFC 4180 dialect: doubled quotes, embedded
+    // commas AND newlines inside quoted fields, empty-field nulls,
+    // quoted whitespace preservation, the 2⁵³+1 id. Spark needs the
+    // dialect SPELLED OUT (escape = '"' for quote doubling;
+    // multiLine for quoted newlines — which makes files
+    // non-splittable, so at 100 TB this reader is for the
+    // quoted-newline dialects only; newline-free CSV stays on the
+    // default splittable path). Oracle: DuckDB read_csv on the same
+    // committed bytes — parser parity per dialect knob.
+    "q_csv_ingest" -> { (s, _) =>
+      s.read
+        .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+        .option("header", "true")
+        .option("multiLine", "true")
+        .option("escape", "\"")
+        .csv("/root/repo/fixtures/docs_sample.csv")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"), length(col("text")).as("text_len"))
+    },
+
     // Corpus vocabulary: token frequency table (explode + partial agg).
     "q_token_freq" -> { (s, dir) =>
       Tables(s, dir, "documents")
@@ -625,6 +645,14 @@ object TextQueries {
       s"""SELECT t AS token, count(*) AS n FROM (
          |  SELECT unnest($toksSql) AS t FROM documents)
          |GROUP BY 1""".stripMargin,
+
+    "q_csv_ingest" ->
+      """SELECT doc_id, text, lang, source, n_chars,
+        |  CAST(length(text) AS INT) AS text_len
+        |FROM read_csv('/root/repo/fixtures/docs_sample.csv',
+        |  header=true, quote='"', escape='"',
+        |  columns={doc_id:'BIGINT', text:'VARCHAR', lang:'VARCHAR',
+        |           source:'VARCHAR', n_chars:'BIGINT'})""".stripMargin,
 
     "q_jsonl_ingest" ->
       """SELECT doc_id, text, lang, source, n_chars,
