@@ -584,6 +584,23 @@ object EventLogQueries {
 
     // Batch sessionization: split each user's stream on 12h inactivity
     // gaps; one window shuffle on the case key.
+    // Changelog compaction (CDC apply / latest-wins upsert): the
+    // events stream read as a changelog keyed by (user, type) — the
+    // final state is each key's LATEST row (ts, then event_id as the
+    // total tiebreak). The merge-into primitive every incremental
+    // pipeline runs on compaction. One key shuffle; max_by-style
+    // single-pass agg via struct max (ts, event_id are the ordered
+    // prefix), no window sort.
+    "q_upsert_latest" -> { (s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(max(struct(col("ts"), col("event_id"), col("value")))
+          .as("_last"))
+        .select(col("user_id"), col("event_type"),
+          col("_last.ts").as("ts"), col("_last.event_id").as("event_id"),
+          col("_last.value").as("value"))
+    },
+
     "q_sessionize" -> { (s, dir) =>
       Sessionize.byGap(Tables(s, dir, "events"), "user_id", "ts",
           tieBreak = "event_id", gapSeconds = 43200L)
@@ -1250,6 +1267,13 @@ object EventLogQueries {
         |  CAST(sum(kept) AS BIGINT) AS n_kept
         |FROM flagged
         |GROUP BY event_type""".stripMargin,
+    "q_upsert_latest" ->
+      """SELECT user_id, event_type, ts, event_id, value FROM (
+        |  SELECT user_id, event_type, ts, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1""".stripMargin,
     "q_window_dedup" ->
       """WITH flagged AS (
         |  SELECT event_type,
