@@ -146,20 +146,13 @@ object Dfg {
     * rollup; the gap is map-side window arithmetic.
     */
   def edgePerformance(events: DataFrame, caseCol: String,
-      activityCol: String, tsCol: String, tieBreak: String): DataFrame = {
-    val w = Window.partitionBy(col(caseCol)).orderBy(col(tsCol), col(tieBreak))
-    events
-      .select(col(caseCol), col(activityCol), col(tsCol), col(tieBreak))
-      .withColumn("act_to", lead(col(activityCol), 1).over(w))
-      .withColumn("_wait_us",
-        unix_micros(lead(col(tsCol), 1).over(w)) - unix_micros(col(tsCol)))
-      .filter(col("act_to").isNotNull)
-      .groupBy(col(activityCol).as("act_from"), col("act_to"))
+      activityCol: String, tsCol: String, tieBreak: String): DataFrame =
+    transitionDelays(events, caseCol, activityCol, tsCol, tieBreak)
+      .groupBy(col("act_from"), col("act_to"))
       .agg(count(lit(1)).as("n"),
-        sum(col("_wait_us")).as("sum_wait_us"),
-        min(col("_wait_us")).as("min_wait_us"),
-        max(col("_wait_us")).as("max_wait_us"))
-  }
+        sum(col("wait_us")).as("sum_wait_us"),
+        min(col("wait_us")).as("min_wait_us"),
+        max(col("wait_us")).as("max_wait_us"))
 
   /** Per-transition waiting times, unaggregated: one row per
     * directly-follows occurrence `(act_from, act_to, wait_us)` — the

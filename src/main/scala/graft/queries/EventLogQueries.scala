@@ -29,6 +29,23 @@ object EventLogQueries {
   private val sessRun = new AtomicInteger(0)
   private val hopRun = new AtomicInteger(0)
 
+  /** Shared by q_window_dedup (batch lag-throttle) and
+    * q_stream_throttle_parity (StreamingThrottle) — identical output
+    * contract, one source of truth for the 600 s gap + tiebreak. */
+  private val windowDedupSql =
+    """WITH flagged AS (
+      |  SELECT event_type,
+      |    CASE WHEN lag(ts) OVER w IS NULL THEN 1
+      |         WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+      |              > CAST(600 AS BIGINT)*1000000 THEN 1
+      |         ELSE 0 END AS kept
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id))
+      |SELECT event_type, count(*) AS n_total,
+      |  CAST(sum(kept) AS BIGINT) AS n_kept
+      |FROM flagged
+      |GROUP BY event_type""".stripMargin
+
   /** Shared by q_funnel_steps (batch) and q_stream_funnel_parity
     * (streaming stage machine) — identical output contract. */
   private val funnelStepsSql =
@@ -582,8 +599,6 @@ object EventLogQueries {
         startCol = "t_start", endCol = "t_end", bucketUs = 3600000000L)
     },
 
-    // Batch sessionization: split each user's stream on 12h inactivity
-    // gaps; one window shuffle on the case key.
     // Changelog compaction (CDC apply / latest-wins upsert): the
     // events stream read as a changelog keyed by (user, type) — the
     // final state is each key's LATEST row (ts, then event_id as the
@@ -601,6 +616,8 @@ object EventLogQueries {
           col("_last.value").as("value"))
     },
 
+    // Batch sessionization: split each user's stream on 12h inactivity
+    // gaps; one window shuffle on the case key.
     "q_sessionize" -> { (s, dir) =>
       Sessionize.byGap(Tables(s, dir, "events"), "user_id", "ts",
           tieBreak = "event_id", gapSeconds = 43200L)
@@ -1253,20 +1270,9 @@ object EventLogQueries {
         |FROM sessions GROUP BY user_id, sid""".stripMargin,
 
     // identical semantics to q_window_dedup — the streaming operator
-    // must reproduce the batch lag-throttle exactly
-    "q_stream_throttle_parity" ->
-      """WITH flagged AS (
-        |  SELECT event_type,
-        |    CASE WHEN lag(ts) OVER w IS NULL THEN 1
-        |         WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
-        |              > CAST(600 AS BIGINT)*1000000 THEN 1
-        |         ELSE 0 END AS kept
-        |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id))
-        |SELECT event_type, count(*) AS n_total,
-        |  CAST(sum(kept) AS BIGINT) AS n_kept
-        |FROM flagged
-        |GROUP BY event_type""".stripMargin,
+    // must reproduce the batch lag-throttle exactly (shared val, same
+    // pattern as funnelStepsSql)
+    "q_stream_throttle_parity" -> windowDedupSql,
     "q_upsert_latest" ->
       """SELECT user_id, event_type, ts, event_id, value FROM (
         |  SELECT user_id, event_type, ts, event_id, value,
@@ -1274,19 +1280,7 @@ object EventLogQueries {
         |      ORDER BY ts DESC, event_id DESC) AS rn
         |  FROM events)
         |WHERE rn = 1""".stripMargin,
-    "q_window_dedup" ->
-      """WITH flagged AS (
-        |  SELECT event_type,
-        |    CASE WHEN lag(ts) OVER w IS NULL THEN 1
-        |         WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
-        |              > CAST(600 AS BIGINT)*1000000 THEN 1
-        |         ELSE 0 END AS kept
-        |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id))
-        |SELECT event_type, count(*) AS n_total,
-        |  CAST(sum(kept) AS BIGINT) AS n_kept
-        |FROM flagged
-        |GROUP BY event_type""".stripMargin,
+    "q_window_dedup" -> windowDedupSql,
     "q_sessionize" ->
       """WITH flagged AS (
         |  SELECT user_id, ts, event_id,

@@ -17,6 +17,11 @@ import graft.text.TextOps
   */
 object TextQueries {
 
+  // ingestion fixtures live with the repo (same convention as
+  // XesQueries/DedupQueries); the Spark path and its DuckDB-oracle
+  // twin must reference the same bytes
+  private val fixtures = "/root/repo/fixtures"
+
   /** q_text_bm25 query terms: one rare marker + three common terms. */
   private[queries] val Bm25Terms = Seq("dup", "spark", "hash", "key")
 
@@ -149,7 +154,7 @@ object TextQueries {
     "q_jsonl_ingest" -> { (s, _) =>
       s.read
         .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
-        .json("/root/repo/fixtures/docs_sample.jsonl")
+        .json(s"$fixtures/docs_sample.jsonl")
         .select(col("doc_id"), col("text"), col("lang"), col("source"),
           col("n_chars"), length(col("text")).as("text_len"))
     },
@@ -169,7 +174,7 @@ object TextQueries {
         .option("header", "true")
         .option("multiLine", "true")
         .option("escape", "\"")
-        .csv("/root/repo/fixtures/docs_sample.csv")
+        .csv(s"$fixtures/docs_sample.csv")
         .select(col("doc_id"), col("text"), col("lang"), col("source"),
           col("n_chars"), length(col("text")).as("text_len"))
     },
@@ -647,20 +652,20 @@ object TextQueries {
          |GROUP BY 1""".stripMargin,
 
     "q_csv_ingest" ->
-      """SELECT doc_id, text, lang, source, n_chars,
-        |  CAST(length(text) AS INT) AS text_len
-        |FROM read_csv('/root/repo/fixtures/docs_sample.csv',
-        |  header=true, quote='"', escape='"',
-        |  columns={doc_id:'BIGINT', text:'VARCHAR', lang:'VARCHAR',
-        |           source:'VARCHAR', n_chars:'BIGINT'})""".stripMargin,
+      s"""SELECT doc_id, text, lang, source, n_chars,
+         |  CAST(length(text) AS INT) AS text_len
+         |FROM read_csv('$fixtures/docs_sample.csv',
+         |  header=true, quote='"', escape='"',
+         |  columns={doc_id:'BIGINT', text:'VARCHAR', lang:'VARCHAR',
+         |           source:'VARCHAR', n_chars:'BIGINT'})""".stripMargin,
 
     "q_jsonl_ingest" ->
-      """SELECT doc_id, text, lang, source, n_chars,
-        |  CAST(length(text) AS INT) AS text_len
-        |FROM read_json('/root/repo/fixtures/docs_sample.jsonl',
-        |  format='newline_delimited',
-        |  columns={doc_id:'BIGINT', text:'VARCHAR', lang:'VARCHAR',
-        |           source:'VARCHAR', n_chars:'BIGINT'})""".stripMargin,
+      s"""SELECT doc_id, text, lang, source, n_chars,
+         |  CAST(length(text) AS INT) AS text_len
+         |FROM read_json('$fixtures/docs_sample.jsonl',
+         |  format='newline_delimited',
+         |  columns={doc_id:'BIGINT', text:'VARCHAR', lang:'VARCHAR',
+         |           source:'VARCHAR', n_chars:'BIGINT'})""".stripMargin,
 
     "q_text_keywords" -> {
       val stopList = graft.text.TextOps.Stopwords

@@ -13,6 +13,17 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * contract); within a micro-batch arrival order doesn't matter — the
   * group's rows are sorted by (ts, tie) before the scan.
   *
+  * Row-for-row agreement needs more than per-key order: the arrival
+  * stream must be GLOBALLY watermark-compatible — no event may lag
+  * the stream's maximum seen event time by more than the watermark
+  * delay, because flatMapGroupsWithState drops rows at-or-below the
+  * watermark BEFORE the handler sees them (a cross-key skew larger
+  * than the delay silently undercounts that key). Time-ordered
+  * ingestion (range-partitioned file drops, per-source offsets with
+  * bounded skew + a matching watermark delay) satisfies this; both
+  * repo harnesses do (single pre-start MemoryStream batch; the
+  * range-sliced file source in StreamScaleBench).
+  *
   * State is ONE timestamp per key, and a key whose last event has
   * fallen `gapSeconds` behind the watermark is evicted by event-time
   * timeout — a later event at that key would be kept regardless, and

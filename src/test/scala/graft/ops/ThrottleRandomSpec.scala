@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Randomized cross-checks (seeded, same convention as
+  * TraceClusterSpec/AsOfSpec): the distributed throttle dedup and the
+  * funnel conversion times against straight-line in-memory references
+  * over adversarial data — duplicate timestamps, key collisions,
+  * interleaved stages. */
+class ThrottleRandomSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("throttleDedup == in-memory lag fold on random data (dup timestamps included)") {
+    val rnd = new scala.util.Random(17)
+    // small key space + tiny time range forces collisions and gaps on
+    // both sides of the threshold, plus exact-duplicate timestamps
+    val rows = (1 to 4000).map { i =>
+      (rnd.nextInt(7).toLong, s"t${rnd.nextInt(3)}",
+        rnd.nextInt(300).toLong, i.toLong)
+    }
+    val gap = 20L
+    val df = rows.toDF("k", "typ", "t", "tie")
+      .withColumn("ts", timestamp_micros(col("t") * 1000000L))
+    val got = Sessionize.throttleDedup(df, Seq("k", "typ"), "ts", "tie", gap)
+      .filter(col("kept")).select(col("k"), col("typ"), col("tie"))
+      .as[(Long, String, Long)].collect().toSet
+    // reference: per key, sort by (t, tie), keep iff gap from the
+    // PREVIOUS event (kept or not) exceeds the threshold
+    val want = rows.groupBy(r => (r._1, r._2)).flatMap { case (_, rs) =>
+      val sorted = rs.sortBy(r => (r._3, r._4))
+      sorted.zip(None +: sorted.init.map(Some(_))).collect {
+        case (r, prev) if prev.forall(p => r._3 - p._3 > gap) =>
+          (r._1, r._2, r._4)
+      }
+    }.toSet
+    assert(got == want)
+  }
+
+  test("conversionTimes == in-memory strict-order replay on random stage data") {
+    val rnd = new scala.util.Random(23)
+    val stages = Seq("a", "b", "c")
+    val rows = (1 to 3000).map { i =>
+      (rnd.nextInt(40).toLong, stages(rnd.nextInt(3)), rnd.nextInt(1000).toLong, i.toLong)
+    }
+    val df = rows.toDF("k", "act", "t", "tie")
+      .withColumn("ts", timestamp_micros(col("t") * 1000000L))
+    val got = Funnel.conversionTimes(df, "k", "ts",
+        stages.map(s => s -> (col("act") === s)))
+      .as[(Long, Long)].collect().toMap
+    // reference: first reach of stage 0 = min ts of 'a'; stage i = min
+    // ts of stage-i events strictly after stage i-1's first reach
+    val want = rows.groupBy(_._1).flatMap { case (k, rs) =>
+      val byStage = stages.map(s => rs.filter(_._2 == s).map(_._3))
+      byStage.head.minOption.flatMap { t0 =>
+        byStage.tail.foldLeft(Option(t0)) { (prev, ts) =>
+          prev.flatMap(p => ts.filter(_ > p).minOption)
+        }.map(tLast => k -> (tLast - t0) * 1000000L)
+      }
+    }
+    assert(got == want)
+  }
+}
