@@ -305,6 +305,48 @@ object StreamScaleBench {
       results += s""""throttle":{"stream_s":$secs,"batch_s":$bSecs,"batches":$nb,"peak_state_rows":$peak,"match":$ok}"""
     }
 
+    // ---- exactly-once dedup: every slice DUPLICATED as a sibling
+    // file with the next mod-time (the at-least-once redelivery
+    // failure mode), so original and copy land in the same or the
+    // immediately following trigger — inside the watermark horizon,
+    // where dropDuplicatesWithinWatermark guarantees the drop. The
+    // per-type counts after online dedup must equal the single-copy
+    // batch counts exactly. ----
+    {
+      // batch truth MATERIALIZED before the dup files exist (batchEv
+      // is lazy — evaluating it later would scan the duplicates too).
+      // The dedup key (caseId, activity, tsMicros) is unique in the
+      // single-copy data (verified: 100k distinct of 100k at sf0.1;
+      // per-copy key offsets preserve it at any inflation), so plain
+      // counts ARE the post-dedup truth.
+      val batchCounts = batchEv.groupBy(col("activity"))
+        .agg(count(lit(1)).as("n"))
+        .as[(String, Long)].collect().toMap
+      val data = new File(s"$dir/data")
+      val originals = data.listFiles().filter(_.getName.startsWith("part-"))
+        .sortBy(_.lastModified())
+      val dups = originals.map { f =>
+        val d = new File(data, f.getName.replace("part-", "dup-part-"))
+        java.nio.file.Files.copy(f.toPath, d.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        d.setLastModified(f.lastModified() + 1L)
+        d
+      }
+      try {
+        val (rows, nb, peak, secs) = run(spark, dir, fpt, maxTs, GapDays) { df =>
+          df.dropDuplicatesWithinWatermark("caseId", "activity", "tsMicros")
+        } { batch =>
+          batch.filter(col("caseId") >= 0L)
+            .groupBy(col("activity")).agg(count(lit(1)).as("n"))
+        }
+        val streamCounts = rows.map(r => r.getString(0) -> r.getLong(1))
+          .groupBy(_._1).map { case (a, v) => a -> v.map(_._2).sum }
+        val ok = streamCounts == batchCounts
+        println(f"dedup   x$copies stream=$secs%6.1fs batches=$nb peakState=$peak match=$ok (${streamCounts.size} labels)")
+        results += s""""dedup":{"stream_s":$secs,"batches":$nb,"peak_state_rows":$peak,"match":$ok}"""
+      } finally dups.foreach(_.delete())
+    }
+
     val line = s"""{"metric":"stream_scale","copies":$copies,"files":$files,"fpt":$fpt,"base":"$base","ops":${results.mkString("{", ",", "}")}}"""
     println(line)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
