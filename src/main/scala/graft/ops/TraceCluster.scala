@@ -59,6 +59,21 @@ object TraceCluster {
     * single short-string bucket instead (truly bounded: at most
     * |Σ|^d distinct such strings exist). `levenshtein` runs once per
     * deduplicated candidate pair.
+    *
+    * CANDIDATE-VOLUME CONTRACT: the equi-join's output is
+    * Σ_seg |index(seg)|·|probe(seg)| — selectivity comes from the
+    * segments' CONTENT ENTROPY. On natural strings (trace variants,
+    * names, text) hub segments are rare and candidates track true
+    * near-pairs (q_trace_clusters ×100 ratio 1.16). On
+    * constant-prefix key universes ("Supplier#000…" serial IDs) the
+    * shared-prefix segment is held by EVERY string, candidates
+    * degenerate to ~n² codegen'd filter evaluations, and the join is
+    * no better than brute force (measured: 100 k such names did not
+    * finish in 45 min; 1 k finishes in ~1 s only because n² is
+    * small). Standard record-linkage practice applies: strip known
+    * constant prefixes / block on the variable region before calling
+    * this — edit distance on the full serial string is dominated by
+    * the digits anyway.
     */
   def editPairs(variants: DataFrame, maxDist: Int): DataFrame = {
     val v = withHists(variants)

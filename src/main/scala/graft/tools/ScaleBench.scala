@@ -141,9 +141,28 @@ object ScaleBench {
     ordOut.repartition(32).write.mode("overwrite").parquet(s"$dst/orders.parquet")
   }
 
+  /** Entity universe ×Copies for the fuzzy-match kernel: per-copy key
+    * offsets with the name re-rendered from the offset key in the
+    * original fixed-width format (12 digits so no copy's key ever
+    * truncates). Within-copy near-match structure is the original's
+    * (same low-digit neighborhoods); copies whose 2-digit prefixes
+    * differ in one digit contribute genuine cross-copy distance-1
+    * pairs — MORE adversarial for the blocking join, not less. */
+  private def inflateSupplier(spark: SparkSession, src: String, dst: String): Unit = {
+    val s = Tables(spark, src, "supplier")
+    val out = (0 until Copies).map { i =>
+      s.withColumn("s_suppkey",
+          (col("s_suppkey").cast("long") + lit(i.toLong * 100000000L)))
+        .withColumn("s_name",
+          concat(lit("Supplier#"), lpad(col("s_suppkey").cast("string"), 12, "0")))
+    }.reduce(_ unionAll _)
+    out.repartition(8).write.mode("overwrite").parquet(s"$dst/supplier.parquet")
+  }
+
   private def linkRest(spark: SparkSession, src: String, dst: String): Unit =
     for (t <- Tables.all
-         if !Set("events", "documents", "embeddings", "lineitem", "orders").contains(t))
+         if !Set("events", "documents", "embeddings", "lineitem", "orders",
+           "supplier").contains(t))
       Tables(spark, src, t).write.mode("overwrite").parquet(s"$dst/$t.parquet")
 
   def inflate(spark: SparkSession, src: String, dst: String): Unit = {
@@ -151,6 +170,7 @@ object ScaleBench {
     inflateDocuments(spark, src, dst)
     inflateEmbeddings(spark, src, dst)
     inflateTransactions(spark, src, dst)
+    inflateSupplier(spark, src, dst)
     linkRest(spark, src, dst)
   }
 
