@@ -65,19 +65,54 @@ object TraceCluster {
     * segments' CONTENT ENTROPY. On natural strings (trace variants,
     * names, text) hub segments are rare and candidates track true
     * near-pairs (q_trace_clusters ×100 ratio 1.16). On
-    * constant-prefix key universes ("Supplier#000…" serial IDs) the
-    * shared-prefix segment is held by EVERY string, candidates
-    * degenerate to ~n² codegen'd filter evaluations, and the join is
-    * no better than brute force (measured: 100 k such names did not
-    * finish in 45 min; 1 k finishes in ~1 s only because n² is
-    * small). Standard record-linkage practice applies: strip known
-    * constant prefixes / block on the variable region before calling
-    * this — edit distance on the full serial string is dominated by
-    * the digits anyway.
+    * constant-prefix key universes ("Supplier#000…" serial IDs) a
+    * shared-prefix segment would be held by EVERY string and
+    * candidates would degenerate to ~n² (measured r9: 100 k such
+    * names did not finish in 45 min). The kernel therefore
+    * SELF-DEFENDS: [[stripCommonAffixes]] removes the inventory-wide
+    * constant prefix and suffix in one agg pass before segmenting, so
+    * blocking runs on the variable region only. Unit-cost Levenshtein
+    * is invariant under common-affix removal (the standard trim
+    * lemma: some optimal alignment matches a shared prefix/suffix
+    * identically), so the output pair set and distances are EXACTLY
+    * those of the unstripped strings.
     */
   def editPairs(variants: DataFrame, maxDist: Int): DataFrame = {
-    val v = withHists(variants)
-    verifyPairs(v, rawCandidates(variants, maxDist).distinct(), maxDist)
+    val stripped = stripCommonAffixes(variants)
+    val v = withHists(stripped)
+    verifyPairs(v, rawCandidates(stripped, maxDist).distinct(), maxDist)
+  }
+
+  /** Remove the longest prefix and suffix shared by EVERY string in
+    * the inventory — the low-entropy-key self-defense. One map-side
+    * combinable agg: the set-wide common prefix equals
+    * `lcp(min(s), max(s))` (any string between min and max in
+    * code-point order starts with their shared prefix), and the
+    * set-wide common suffix equals the common prefix of the reversed
+    * strings, clamped so prefix+suffix never exceed the shortest
+    * string. Distance-preserving for unit-cost Levenshtein, so
+    * callers' results are unchanged; candidate volume drops from ~n²
+    * to entropy-proportional on serial-ID universes ("ORD-000…",
+    * "Supplier#000…").
+    */
+  private[graft] def stripCommonAffixes(variants: DataFrame): DataFrame = {
+    val row = variants.agg(
+      min(col("variant")), max(col("variant")),
+      min(reverse(col("variant"))), max(reverse(col("variant"))),
+      min(length(col("variant")))).head()
+    if (row.isNullAt(0)) return variants // empty inventory
+    def lcp(a: String, b: String): Int = {
+      val ai = a.codePoints().toArray; val bi = b.codePoints().toArray
+      var i = 0; val n = math.min(ai.length, bi.length)
+      while (i < n && ai(i) == bi(i)) i += 1
+      i
+    }
+    val pre = lcp(row.getString(0), row.getString(1))
+    val suf = math.min(lcp(row.getString(2), row.getString(3)),
+      row.getInt(4) - pre)
+    if (pre == 0 && suf <= 0) variants
+    else variants.withColumn("variant", col("variant")
+      .substr(lit(pre + 1), length(col("variant")) - (pre + math.max(suf, 0))))
   }
 
   private def withHists(variants: DataFrame): DataFrame =
@@ -186,9 +221,11 @@ object TraceCluster {
     longCands.unionByName(shortCands)
   }
 
-  /** Pre-distinct candidate stream (exposed for stage profiling). */
+  /** Pre-distinct candidate stream (exposed for stage profiling);
+    * affix-stripped like the production path. */
   private[graft] def debugCandidates(variants: DataFrame,
-      maxDist: Int): DataFrame = rawCandidates(variants, maxDist)
+      maxDist: Int): DataFrame =
+    rawCandidates(stripCommonAffixes(variants), maxDist)
 
   private def verifyPairs(v: DataFrame, candidates: DataFrame,
       maxDist: Int): DataFrame = {

@@ -198,9 +198,14 @@ object RelationalQueries {
     // within edit distance 1, candidates from the segment-pigeonhole
     // (PassJoin) equi-join — the same exact blocking kernel as
     // q_trace_clusters (ops/TraceCluster.editPairs), instantiated on
-    // entity names instead of behavior strings. No all-pairs scan:
-    // candidate volume tracks TRUE near-matches, so the join stays
-    // linear-ish as the entity table grows.
+    // entity names instead of behavior strings. Candidate volume
+    // follows the kernel's CONTENT-ENTROPY contract: linear-ish on
+    // natural strings, ~n² on constant-prefix serial IDs like these
+    // "Supplier#000…" names (the r9 ×100 run was killed at 45 min) —
+    // which is why editPairs now strips the inventory-wide constant
+    // affix first and segments only the variable digit region
+    // (TraceCluster.stripCommonAffixes; distance-preserving, so the
+    // brute-force oracle is unchanged).
     "q_entity_match" -> { (s, dir) =>
       val names = Tables(s, dir, "supplier").select(
         col("s_name").as("variant"),

@@ -60,7 +60,15 @@ object StreamingThrottle {
         var kept = 0L
         rows.foreach { e =>
           if (last == Long.MinValue || e.tsMicros - last > gapUs) kept += 1L
-          last = e.tsMicros
+          // max, not assignment: a cross-batch out-of-order row (above
+          // the watermark but below the stored timestamp — outside the
+          // per-key-order contract) must not rewind state, or later
+          // rows are judged against the rewound time and over-kept.
+          // With the max the late row itself is dropped (ts - last < 0
+          // <= gap) and the verdict degrades toward the sorted-batch
+          // rule; it also keeps the timeout timestamp monotone (Spark
+          // rejects a timeout at-or-below the current watermark).
+          last = math.max(last, e.tsMicros)
         }
         state.update(LastTs(last))
         state.setTimeoutTimestamp(last / 1000L + gapSeconds * 1000L)

@@ -76,6 +76,55 @@ class TraceClusterSpec extends SparkSpec {
     }
   }
 
+  test("stripCommonAffixes: serial-ID universe stays entropy-bounded and exact") {
+    // The r9 degenerate case in miniature: constant prefix AND suffix
+    // around a short variable digit region. Without affix stripping the
+    // shared-prefix segment is held by every string and candidates
+    // degenerate toward n²/2 = 124,750; with stripping, blocking runs
+    // on the 4 variable digits only.
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = dp(0); dp(0) = j
+        for (i <- 1 to a.length) {
+          val cur = dp(i)
+          dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(a.length)
+    }
+    val words = (0 until 500).map(i => (i.toLong, f"ORD-${i * 7}%09d-END"))
+    val expected = (for {
+      (ia, va) <- words; (ib, vb) <- words
+      if ia < ib && lev(va, vb) <= 1
+    } yield (ia, ib, lev(va, vb))).toSet
+    val reps = words.toDF("rep_case", "variant").withColumn("n_cases", lit(1L))
+    val got = TraceCluster.editPairs(reps, maxDist = 1)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+    // Candidate volume: the self-defense claim. 500 strings over a
+    // 4-digit variable region → segment buckets hold ~n/35 strings;
+    // anything within a small multiple of n·(n/buckets) passes, n²/2
+    // (the unstripped degenerate volume) must not.
+    val cands = TraceCluster.debugCandidates(reps, maxDist = 1).count()
+    assert(cands < 25000L, s"candidate volume $cands ~ n² — stripping broken")
+  }
+
+  test("stripCommonAffixes: identical strings and empty inventory are safe") {
+    val same = Seq((1L, "aaaa"), (2L, "aaaa"), (3L, "aaaa"))
+      .toDF("rep_case", "variant").withColumn("n_cases", lit(1L))
+    // all strings identical → variable region empty (short-string path)
+    val pairs = TraceCluster.editPairs(same, maxDist = 1)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(pairs == Set((1L, 2L, 0), (1L, 3L, 0), (2L, 3L, 0)))
+    val empty = Seq.empty[(Long, String)]
+      .toDF("rep_case", "variant").withColumn("n_cases", lit(1L))
+    assert(TraceCluster.editPairs(empty, maxDist = 1).count() == 0L)
+  }
+
   test("clusterVariants: components labeled by min rep; singletons keep own id") {
     val out = TraceCluster.clusterVariants(log, "case_id", "activity",
       "ts", "event_id", maxDist = 2)

@@ -62,6 +62,20 @@ class StreamingThrottleSpec extends SparkSpec {
     assert(r == Map("c" -> (3L, 2L)))
   }
 
+  test("cross-batch out-of-order row cannot rewind state (no over-keep)") {
+    // Outside the per-key-order contract: sec(95) arrives a batch
+    // AFTER sec(100) but above the watermark (100-10=90). It must not
+    // rewind the stored timestamp — otherwise sec(106) is judged
+    // against 95 (gap 11 > 10) and over-kept. The sorted-batch rule on
+    // {95,100,106} keeps exactly 1; state max keeps exactly 1 (the
+    // first-seen 100) instead of the rewound verdict of 2.
+    val r = run(Seq(
+      Seq(StreamingThrottle.InEvent(1L, "c", sec(100), 1L)),
+      Seq(StreamingThrottle.InEvent(1L, "c", sec(95), 2L),
+          StreamingThrottle.InEvent(1L, "c", sec(106), 3L))))
+    assert(r == Map("c" -> (3L, 1L)))
+  }
+
   test("eviction: an idle key re-keeps after the gap horizon (same verdict)") {
     // watermark advances far past key 1's last event + gap via key 2's
     // traffic; key 1's state is evicted, and its next event — which is
