@@ -10,6 +10,15 @@ package graft
   * with GC/JIT pressure (measured), and min-of-N is the standard
   * steady-state estimator; the runs count is emitted in the JSON.
   * No table caching: every run re-scans the parquet.
+  *
+  * Contention defense (the r9 driver artifact measured 1.5× a
+  * same-code run two hours earlier, with per-query min-of-2 deltas up
+  * to 26×): a GC + brief settle runs between queries so one query's
+  * garbage isn't billed to the next, any query whose runs disagree
+  * by >2× (and >0.5 s absolute) gets ONE extra run after a longer
+  * settle, and the artifact carries a per-query `"spread"` map
+  * (max/min over that query's runs) — so external contention is
+  * visible IN the artifact instead of silently inflating totals.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -23,19 +32,33 @@ object Bench {
     // session warmup: scheduler, codegen, parquet reader init
     spark.range(1000000L).selectExpr("sum(id)").collect()
     Tables(spark, sfDir, "region").count()
+    def settle(ms: Long): Unit = { System.gc(); Thread.sleep(ms) }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to runs).map { _ =>
+      def once(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      settle(50L)
+      var times = (1 to runs).map(_ => once())
+      // disagreement → likely external contention on one of the runs;
+      // one retry after a longer settle tightens the min AND records
+      // the spread honestly (all runs feed the spread figure)
+      if (runs > 1 && times.max > 2 * times.min && times.max - times.min > 0.5) {
+        settle(250L)
+        times = times :+ once()
+      }
+      name -> times
     }
     def line(fmt: Double => String): String = {
-      val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v.min) }
         .mkString("{", ",", "}")
-      val total = fmt(results.map(_._2).sum)
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"agg":"min"}"""
+      // spread = max/min per query; > ~2 flags a contended measurement
+      val spreads = results.map { case (k, v) =>
+        "\"" + k + "\":" + f"${v.max / v.min.max(1e-9)}%.1f"
+      }.mkString("{", ",", "}")
+      val total = fmt(results.map(_._2.min).sum)
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"sf":"$sfDir","runs":$runs,"agg":"min"}"""
     }
     // The driver captures only the LAST 2000 chars of stdout and parses
     // the JSON line out of that window — a full-precision per-query map
@@ -48,7 +71,7 @@ object Bench {
     val compact = line(v => f"$v%.2f")
     if (compact.length <= 1900) println(compact)
     else {
-      val total = results.map(_._2).sum
+      val total = results.map(_._2.min).sum
       println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","sf":"$sfDir","runs":$runs,"agg":"min","queries_in":"$out"}""")
     }
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out),

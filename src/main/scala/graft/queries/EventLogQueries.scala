@@ -185,6 +185,7 @@ object EventLogQueries {
         input.addData(("__sentinel__", maxTs + 20L * 86400L * 1000000L))
         q.processAllAvailable()
       } finally q.stop()
+      graft.streaming.LateDrops.assertNone(q, name)
       val res = s.table(name).filter(col("event_type") =!= "__sentinel__")
       val rows = res.collect() // window × type cardinality, bounded
       val out = s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
@@ -235,6 +236,7 @@ object EventLogQueries {
         input.addData((-2L, "__sentinel__", maxTs + 200L * 86400L * 1000000L))
         q.processAllAvailable()
       } finally q.stop()
+      graft.streaming.LateDrops.assertNone(q, name)
       val res = s.table(name).filter(col("event_type") =!= "__sentinel__")
         .groupBy("event_type").agg(sum(col("n")).as("n"))
       val rows = res.collect() // one row per event type
@@ -289,6 +291,7 @@ object EventLogQueries {
         input.addData((-1L, maxTs + 2L * 86400L * 1000000L))
         q.processAllAvailable()
       } finally q.stop()
+      graft.streaming.LateDrops.assertNone(q, name)
       val res = s.table(name).filter(col("user_id") =!= -1L)
         .select(col("user_id"), col("n_events"),
           unix_micros(col("t_start")).as("t_start_us"),
@@ -335,6 +338,7 @@ object EventLogQueries {
         input.addData(("_sentinel", maxDataTs + 3L * 86400L * 1000000L))
         q.processAllAvailable()
       } finally q.stop()
+      graft.streaming.LateDrops.assertNone(q, name)
       val res = s.table(name)
         .filter(col("windowStartMicros") <= maxDataTs)
         .select(col("windowStartMicros").as("window_start_us"),
@@ -381,6 +385,7 @@ object EventLogQueries {
         input.addData(("_sentinel", "y", maxTs + 2L * 86400L * 1000000L))
         q.processAllAvailable()
       } finally q.stop()
+      graft.streaming.LateDrops.assertNone(q, name)
       // fold to the 8-row per-template aggregate IN THE PLAN — the
       // per-(case × constraint) rows never cross to the driver (the
       // memory sink is the documented harness bound; the gate path
@@ -432,6 +437,7 @@ object EventLogQueries {
         .writeStream.format("memory").queryName(name)
         .outputMode(OutputMode.Complete()).start()
       try q.processAllAvailable() finally q.stop()
+      graft.streaming.LateDrops.assertNone(q, name)
       val res = s.table(name).agg(
         sum(when(col("caseId").isNotNull, lit(1L)).otherwise(lit(0L)))
           .as("n_traces"),
@@ -474,6 +480,7 @@ object EventLogQueries {
         .writeStream.format("memory").queryName(name)
         .outputMode(OutputMode.Append()).start()
       try q.processAllAvailable() finally q.stop()
+      graft.streaming.LateDrops.assertNone(q, name)
       val res = s.table(name).groupBy(col("label").as("event_type"))
         .agg(sum(col("nTotal")).as("n_total"),
           sum(col("nKept")).as("n_kept"))
@@ -794,6 +801,7 @@ object EventLogQueries {
           maxTs + 4L * 86400L * 1000000L))
         q.processAllAvailable()
       } finally q.stop()
+      graft.streaming.LateDrops.assertNone(q, name)
       // fold per-case reached rows to per-index counts IN THE PLAN;
       // only ≤ |stages| aggregate rows reach the driver, where the
       // (tiny) cumulative stage sums are formed

