@@ -67,6 +67,46 @@ object Sessionize {
       .drop("_prev")
   }
 
+  /** Input row for [[throttleClassicCounts]] (typed kernel — the
+    * scan is inherently sequential per key). */
+  case class ThrottleIn(caseId: Long, label: String, tsMicros: Long, tie: Long)
+
+  /** CLASSICAL rate-limit throttle — the keep-relative-to-last-KEPT
+    * semantics that [[throttleDedup]]'s scaladoc contrasts with
+    * debounce: an event is kept iff it is ≥ `gapSeconds` after the
+    * last KEPT event of its (case, label) key, so a steady sub-gap
+    * stream keeps one event per gap window (debounce keeps only the
+    * first). The recurrence `lastKept' = f(lastKept, ts)` is not
+    * expressible as a fixed window lag, so the kernel is a per-key
+    * sorted scan (`groupByKey` + `mapGroups` — ONE key shuffle;
+    * per-key memory = that key's events, the same bound every
+    * per-trace operator in this engine carries).
+    *
+    * Returns per-label totals `(label, n_total, n_kept)`; the
+    * per-key partials fold in-plan.
+    */
+  def throttleClassicCounts(spark: org.apache.spark.sql.SparkSession,
+      events: org.apache.spark.sql.Dataset[ThrottleIn],
+      gapSeconds: Long): DataFrame = {
+    import spark.implicits._
+    val gapUs = gapSeconds * 1000000L
+    events.groupByKey(e => (e.caseId, e.label))
+      .mapGroups { (key, it) =>
+        val rows = it.toArray.sortInPlaceBy(e => (e.tsMicros, e.tie))
+        var lastKept = Long.MinValue
+        var kept = 0L
+        rows.foreach { e =>
+          if (lastKept == Long.MinValue || e.tsMicros - lastKept > gapUs) {
+            kept += 1L; lastKept = e.tsMicros
+          }
+        }
+        (key._2, rows.length.toLong, kept)
+      }
+      .toDF("label", "n_total", "n_kept")
+      .groupBy(col("label"))
+      .agg(sum(col("n_total")).as("n_total"), sum(col("n_kept")).as("n_kept"))
+  }
+
   /** Run-length interval collapse (gaps-and-islands): per case,
     * consecutive events with the same label — in (ts, tieBreak)
     * order — collapse into one interval row. The SCD2-style "validity

@@ -491,6 +491,53 @@ object EventLogQueries {
       }
     },
 
+    // Streaming ↔ batch STREAM-STREAM interval join parity — the one
+    // stateful-operator class (join state) no other gate touches: for
+    // every purchase, the views by the same user in the preceding
+    // hour (inclusive bounds both ends). Both sides carry watermarks
+    // and the join condition carries the time range, so Spark can
+    // evict buffered rows as the watermark passes — the bounded-state
+    // requirement for stream-stream joins at any scale. Inner join
+    // emits matches per micro-batch; the single pre-start feed makes
+    // the emission exact vs the batch join, and LateDrops proves
+    // nothing was dropped. Oracle: the same self-join in plain SQL.
+    "q_stream_join_parity" -> { (s, dir) =>
+      ParityFeed.withStreamParallelism(s, 8) {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val batchDs = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("tsMicros"), col("event_id"))
+        .as[(Long, String, Long, Long)]
+      val input = MemoryStream[(Long, String, Long, Long)]
+      ParityFeed.feed(input, batchDs, (_: (Long, String, Long, Long))._3)
+      val src = input.toDS().toDF("user_id", "event_type", "tsMicros", "event_id")
+        .withColumn("ts", timestamp_micros(col("tsMicros")))
+      val views = src.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+          col("event_id").as("v_id"))
+        .withWatermark("v_ts", "10 seconds")
+      val buys = src.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("b_user"), col("ts").as("b_ts"),
+          col("event_id").as("b_id"))
+        .withWatermark("b_ts", "10 seconds")
+      val joined = views.join(buys, expr(
+        "v_user = b_user AND v_ts >= b_ts - interval 1 hour AND v_ts <= b_ts"))
+      val name = s"stream_join_parity_${sessRun.incrementAndGet()}"
+      val q = joined.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try q.processAllAvailable() finally q.stop()
+      graft.streaming.LateDrops.assertNone(q, name)
+      // fold per purchase IN THE PLAN: view count + earliest view id
+      val res = s.table(name).groupBy(col("b_id").as("purchase_id"))
+        .agg(count(lit(1)).as("n_views"), min(col("v_id")).as("first_view_id"))
+      val rows = res.collect() // ≤ one row per purchase event
+      val out = s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+      s.catalog.dropTempView(name)
+      out
+      }
+    },
+
     // Concept.filter_in (concept.rs:71-101): keep events whose activity
     // is in a set. Pushed down to the parquet scan.
     "q_filter_concept_in" -> { (s, dir) =>
@@ -645,6 +692,22 @@ object EventLogQueries {
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_total"),
           sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+    },
+
+    // CLASSICAL rate-limit throttle (keep-relative-to-last-KEPT) —
+    // the semantics q_window_dedup's debounce deliberately is NOT
+    // (see Sessionize.throttleDedup's semantics note). The kept chain
+    // is a running recurrence, so the kernel is a per-key sorted scan
+    // (one key shuffle) and the ORACLE is a recursive CTE walking row
+    // numbers — an exact, order-pinned replica of the recurrence.
+    "q_throttle_classic" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables(s, dir, "events")
+        .select(col("user_id").as("caseId"), col("event_type").as("label"),
+          unix_micros(col("ts")).as("tsMicros"), col("event_id").as("tie"))
+        .as[Sessionize.ThrottleIn]
+      Sessionize.throttleClassicCounts(s, ev, gapSeconds = 600L)
+        .select(col("label").as("event_type"), col("n_total"), col("n_kept"))
     },
 
     // Trace variants (the classifier-identity sequence per case,
@@ -1281,6 +1344,40 @@ object EventLogQueries {
     // must reproduce the batch lag-throttle exactly (shared val, same
     // pattern as funnelStepsSql)
     "q_stream_throttle_parity" -> windowDedupSql,
+    // The classical-throttle recurrence (lastKept' = f(lastKept, ts))
+    // walked exactly: row numbers per key, recursive CTE advancing one
+    // row per iteration — order pinned to (ts, event_id) like the
+    // Spark kernel's sort.
+    "q_throttle_classic" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |walk AS (
+        |  SELECT user_id, event_type, rn, us, us AS last_kept, TRUE AS kept
+        |  FROM e WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.event_type, e.rn, e.us,
+        |    CASE WHEN e.us - w.last_kept > CAST(600 AS BIGINT)*1000000
+        |         THEN e.us ELSE w.last_kept END,
+        |    e.us - w.last_kept > CAST(600 AS BIGINT)*1000000
+        |  FROM e JOIN walk w
+        |    ON e.user_id = w.user_id AND e.event_type = w.event_type
+        |   AND e.rn = w.rn + 1)
+        |SELECT event_type, count(*) AS n_total,
+        |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM walk GROUP BY event_type""".stripMargin,
+    "q_stream_join_parity" ->
+      """SELECT b.event_id AS purchase_id,
+        |  count(*) AS n_views,
+        |  min(v.event_id) AS first_view_id
+        |FROM events b JOIN events v
+        |  ON v.user_id = b.user_id
+        | AND b.event_type = 'purchase' AND v.event_type = 'view'
+        | AND epoch_us(v.ts) >= epoch_us(b.ts) - CAST(3600 AS BIGINT)*1000000
+        | AND epoch_us(v.ts) <= epoch_us(b.ts)
+        |GROUP BY 1""".stripMargin,
     "q_upsert_latest" ->
       """SELECT user_id, event_type, ts, event_id, value FROM (
         |  SELECT user_id, event_type, ts, event_id, value,

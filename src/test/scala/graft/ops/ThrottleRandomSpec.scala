@@ -39,6 +39,47 @@ class ThrottleRandomSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("throttleClassicCounts == in-memory kept-chain fold; differs from debounce") {
+    val rnd = new scala.util.Random(31)
+    val rows = (1 to 4000).map { i =>
+      (rnd.nextInt(7).toLong, s"t${rnd.nextInt(3)}",
+        rnd.nextInt(300).toLong, i.toLong)
+    }
+    val gap = 20L
+    val ds = rows.map { case (k, typ, t, tie) =>
+      Sessionize.ThrottleIn(k, typ, t * 1000000L, tie)
+    }.toDS()
+    val got = Sessionize.throttleClassicCounts(spark, ds, gap)
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // reference: per key, sort by (t, tie), keep iff > gap after the
+    // last KEPT event (the running recurrence)
+    val perKey = rows.groupBy(r => (r._1, r._2)).map { case ((_, typ), rs) =>
+      val sorted = rs.sortBy(r => (r._3, r._4))
+      var lastKept = Long.MinValue; var kept = 0L
+      sorted.foreach { r =>
+        if (lastKept == Long.MinValue || r._3 - lastKept > gap) {
+          kept += 1L; lastKept = r._3
+        }
+      }
+      (typ, sorted.size.toLong, kept)
+    }
+    val want = perKey.groupBy(_._1).map { case (typ, v) =>
+      typ -> (v.map(_._2).sum, v.map(_._3).sum)
+    }
+    assert(got == want)
+    // and the two throttles genuinely disagree on this data: a steady
+    // sub-gap run keeps 1 under debounce but one-per-gap-window here
+    val debounceKept = rows.groupBy(r => (r._1, r._2)).map { case (_, rs) =>
+      val sorted = rs.sortBy(r => (r._3, r._4))
+      sorted.zip(None +: sorted.init.map(Some(_))).count {
+        case (r, prev) => prev.forall(p => r._3 - p._3 > gap)
+      }.toLong
+    }.sum
+    assert(got.values.map(_._2).sum > debounceKept,
+      "classical throttle must keep at least as many as debounce (strictly more on dense data)")
+  }
+
   test("conversionTimes == in-memory strict-order replay on random stage data") {
     val rnd = new scala.util.Random(23)
     val stages = Seq("a", "b", "c")
