@@ -554,6 +554,95 @@ object StreamScaleBench {
       results += s""""conformance":{"stream_s":$secs,"batch_s":$bSecs,"batches":$nb,"peak_state_rows":$peak,"late_drops":$drops,"match":$ok}"""
     }
 
+    // ---- hopping windows: the pure watermarked window aggregation
+    // (1-day windows hopping every 6 h); windows close mid-stream as
+    // the watermark passes their end — compared via the order-free
+    // exact fingerprint. The sentinel rows MUST flow into the agg and
+    // be filtered in the FOLD: a pre-agg filter on `activity` is
+    // pushed BELOW the EventTimeWatermark node by Catalyst
+    // (predicates not referencing the event-time column move through
+    // it), which would kill the sentinels before the watermark node
+    // and leave the final open windows unflushed forever — measured:
+    // exactly the last 4 hop-starts × alphabet went missing. ----
+    {
+      val (rows, nb, peak, drops, secs) = run(spark, dir, fpt, maxTs, GapDays) { df =>
+        df.groupBy(window(col("ts"), "1 day", "6 hours").as("w"), col("activity"))
+          .agg(count(lit(1)).as("n"))
+          .select(unix_micros(col("w.start")).as("ws"), col("activity"), col("n"))
+      } { batch =>
+        batch.filter(col("activity") =!= "_s")
+          .agg(count(lit(1)).as("rows"),
+          coalesce(sum(col("n")), lit(0L)).as("ev"),
+          coalesce(expr("bit_xor(xxhash64(ws, activity, n))"), lit(0L)).as("h"))
+      }
+      val streamFp = (rows.map(_.getLong(0)).sum, rows.map(_.getLong(1)).sum,
+        rows.map(_.getLong(2)).reduceOption(_ ^ _).getOrElse(0L))
+      val t0 = System.nanoTime()
+      // batch truth: each event lands in the 4 hops covering it; hop
+      // start = the aligned 6 h grid points within (ts - 1d, ts]
+      val hopUs = 6L * 3600L * 1000000L
+      val bs = batchEv
+        .select(col("activity"), col("tsMicros"),
+          explode(sequence(lit(0), lit(3))).as("k"))
+        .withColumn("ws", (col("tsMicros") - col("tsMicros") % hopUs) - col("k") * hopUs)
+        .filter(col("tsMicros") < col("ws") + 4L * hopUs)
+        .groupBy(col("ws"), col("activity"))
+        .agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("rows"), coalesce(sum(col("n")), lit(0L)).as("ev"),
+          expr("bit_xor(xxhash64(ws, activity, n))").as("h"))
+        .head()
+      val batchFp = (bs.getLong(0), bs.getLong(1), bs.getLong(2))
+      val bSecs = (System.nanoTime() - t0) / 1e9
+      val ok = streamFp == batchFp
+      println(f"hopping x$copies stream=$secs%6.1fs batch=$bSecs%6.1fs batches=$nb peakState=$peak drops=$drops match=$ok (${streamFp._1} window rows)")
+      results += s""""hopping":{"stream_s":$secs,"batch_s":$bSecs,"batches":$nb,"peak_state_rows":$peak,"late_drops":$drops,"match":$ok}"""
+    }
+
+    // ---- stream-stream interval join: views within the hour before
+    // each purchase (q_stream_join_parity's shape under the REAL file
+    // source) — join state buffered per side, evicted by watermark +
+    // range bound; the one stateful class the r10 parity gate added,
+    // here with its eviction measured. The branch filters DO swallow
+    // the sentinels before the per-branch watermarks — harmless for an
+    // INNER join (matches emit eagerly per batch; no end-of-stream
+    // flush is needed), and eviction is driven by the data batches'
+    // own watermark advance, which is what peak_state_rows measures. ----
+    {
+      val (rows, nb, peak, drops, secs) = run(spark, dir, fpt, maxTs, GapDays,
+          sourceWatermark = false) { df =>
+        val views = df.filter(col("activity") === "view")
+          .select(col("caseId").as("v_user"), col("ts").as("v_ts"),
+            col("tsMicros").as("v_us"))
+          .withWatermark("v_ts", "10 seconds")
+        val buys = df.filter(col("activity") === "purchase")
+          .select(col("caseId").as("b_user"), col("ts").as("b_ts"),
+            col("tsMicros").as("b_us"))
+          .withWatermark("b_ts", "10 seconds")
+        views.join(buys, expr(
+          "v_user = b_user AND v_ts >= b_ts - interval 1 hour AND v_ts <= b_ts"))
+      } { batch =>
+        batch.agg(count(lit(1)).as("n"),
+          coalesce(expr("bit_xor(xxhash64(b_user, b_us, v_us))"), lit(0L)).as("h"))
+      }
+      val streamFp = (rows.map(_.getLong(0)).sum,
+        rows.map(_.getLong(1)).reduceOption(_ ^ _).getOrElse(0L))
+      val t0 = System.nanoTime()
+      val views = batchEv.filter(col("activity") === "view")
+        .select(col("caseId").as("v_user"), col("tsMicros").as("v_us"))
+      val buys = batchEv.filter(col("activity") === "purchase")
+        .select(col("caseId").as("b_user"), col("tsMicros").as("b_us"))
+      val bf = views.join(buys, expr(
+          "v_user = b_user AND v_us >= b_us - 3600000000 AND v_us <= b_us"))
+        .agg(count(lit(1)).as("n"),
+          coalesce(expr("bit_xor(xxhash64(b_user, b_us, v_us))"), lit(0L)).as("h"))
+        .head()
+      val batchFp = (bf.getLong(0), bf.getLong(1))
+      val bSecs = (System.nanoTime() - t0) / 1e9
+      val ok = streamFp == batchFp
+      println(f"join    x$copies stream=$secs%6.1fs batch=$bSecs%6.1fs batches=$nb peakState=$peak drops=$drops match=$ok (${streamFp._1} pairs)")
+      results += s""""join":{"stream_s":$secs,"batch_s":$bSecs,"batches":$nb,"peak_state_rows":$peak,"late_drops":$drops,"match":$ok}"""
+    }
+
     // ---- neardup: MinHash+LSH bucket claims with per-bucket
     // first-holder state — THE state that grows with corpus size, so
     // the TTL here deliberately covers the whole span (no mid-stream

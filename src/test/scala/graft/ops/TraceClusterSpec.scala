@@ -113,6 +113,43 @@ class TraceClusterSpec extends SparkSpec {
     assert(cands < 25000L, s"candidate volume $cands ~ n² — stripping broken")
   }
 
+  test("stripCommonAffixes: non-ASCII affixes and empty strings are safe") {
+    // BMP non-ASCII prefix/suffix (code point == Java char, so the
+    // in-spec brute force agrees with Spark's code-point levenshtein)
+    // + randomized Greek bodies; also an empty-string member, which
+    // pins the strip to a no-op (minLen 0 clamps both affixes).
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = dp(0); dp(0) = j
+        for (i <- 1 to a.length) {
+          val cur = dp(i)
+          dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(a.length)
+    }
+    val rnd = new scala.util.Random(13)
+    val bodies = (0 until 60).map { i =>
+      (i.toLong,
+        "日本-" + (0 until 1 + rnd.nextInt(6))
+          .map(_ => "αβγ".charAt(rnd.nextInt(3))).mkString + "-終")
+    }.distinctBy(_._2)
+    for (words <- Seq(bodies, bodies :+ (999L, ""))) {
+      val expected = (for {
+        (ia, va) <- words; (ib, vb) <- words
+        if ia < ib && lev(va, vb) <= 2
+      } yield (math.min(ia, ib), math.max(ia, ib), lev(va, vb))).toSet
+      val reps = words.toDF("rep_case", "variant").withColumn("n_cases", lit(1L))
+      val got = TraceCluster.editPairs(reps, maxDist = 2)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(got == expected,
+        s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+    }
+  }
+
   test("stripCommonAffixes: identical strings and empty inventory are safe") {
     val same = Seq((1L, "aaaa"), (2L, "aaaa"), (3L, "aaaa"))
       .toDF("rep_case", "variant").withColumn("n_cases", lit(1L))
