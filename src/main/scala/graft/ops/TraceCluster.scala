@@ -100,6 +100,18 @@ object TraceCluster {
     * callers' results are unchanged; candidate volume drops from ~n²
     * to entropy-proportional on serial-ID universes ("ORD-000…",
     * "Supplier#000…").
+    *
+    * KNOWN LIMIT (probed, TraceClusterSpec): the strip is
+    * inventory-GLOBAL, so a single contaminant without the majority
+    * affix sets lcp = 0 and disables it. Degradation is graceful, not
+    * quadratic — the per-digit-bin histogram filter in [[editPairs]]
+    * is an independent defense that prunes cross-serial candidates in
+    * codegen regardless of stripping (the ×100 serial run measured
+    * 34 s with bins alone vs 10 s with both vs killed-at-45-min with
+    * neither). A per-majority-prefix partition strip is NOT sound to
+    * add naively: cross-partition pairs can still be within the
+    * distance bound, and stripping different amounts per string
+    * breaks the trim lemma.
     */
   private[graft] def stripCommonAffixes(variants: DataFrame): DataFrame = {
     val row = variants.agg(

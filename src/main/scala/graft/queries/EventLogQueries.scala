@@ -538,6 +538,66 @@ object EventLogQueries {
       }
     },
 
+    // Streaming ↔ batch LEFT-OUTER stream-stream join parity — the
+    // outer-emission corner the inner-join gate can't reach: a
+    // purchase with NO view in the preceding hour must still emit,
+    // null-padded, and Spark only releases it when the WATERMARK
+    // proves no matching view can arrive (state eviction, not data,
+    // produces the row). Branch-passing sentinels (event_type
+    // view/purchase, user -1) drive both branch watermarks —
+    // necessary because the branch filters would swallow a neutral
+    // sentinel BEFORE the watermark nodes (the ProbeHop footgun) and
+    // the null rows would never flush. Oracle: plain SQL LEFT JOIN.
+    "q_stream_outer_join_parity" -> { (s, dir) =>
+      ParityFeed.withStreamParallelism(s, 8) {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val batchDs = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("tsMicros"), col("event_id"))
+        .as[(Long, String, Long, Long)]
+      val input = MemoryStream[(Long, String, Long, Long)]
+      val maxTs = ParityFeed.feed(input, batchDs, (_: (Long, String, Long, Long))._3)
+      def sentinels(days: Long) = Seq(
+        (-1L, "view", maxTs + days * 86400L * 1000000L, -1L),
+        (-1L, "purchase", maxTs + days * 86400L * 1000000L, -2L))
+      input.addData(sentinels(30L))
+      val src = input.toDS().toDF("user_id", "event_type", "tsMicros", "event_id")
+        .withColumn("ts", timestamp_micros(col("tsMicros")))
+      val views = src.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+          col("event_id").as("v_id"))
+        .withWatermark("v_ts", "10 seconds")
+      val buys = src.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("b_user"), col("ts").as("b_ts"),
+          col("event_id").as("b_id"))
+        .withWatermark("b_ts", "10 seconds")
+      val joined = buys.join(views, expr(
+        "v_user = b_user AND v_ts >= b_ts - interval 1 hour AND v_ts <= b_ts"),
+        "leftOuter")
+      val name = s"stream_ojoin_parity_${sessRun.incrementAndGet()}"
+      val q = joined.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        q.processAllAvailable()
+        input.addData(sentinels(60L))
+        q.processAllAvailable()
+        input.addData(sentinels(90L))
+        q.processAllAvailable()
+      } finally q.stop()
+      graft.streaming.LateDrops.assertNone(q, name)
+      // count(v_id) skips the null-padded rows → n_views = 0 for
+      // purchases the watermark released unmatched
+      val res = s.table(name).filter(col("b_user") =!= -1L)
+        .groupBy(col("b_id").as("purchase_id"))
+        .agg(count(col("v_id")).as("n_views"), min(col("v_id")).as("first_view_id"))
+      val rows = res.collect() // one row per purchase event
+      val out = s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+      s.catalog.dropTempView(name)
+      out
+      }
+    },
+
     // Concept.filter_in (concept.rs:71-101): keep events whose activity
     // is in a set. Pushed down to the parquet scan.
     "q_filter_concept_in" -> { (s, dir) =>
@@ -1375,6 +1435,16 @@ object EventLogQueries {
         |FROM events b JOIN events v
         |  ON v.user_id = b.user_id
         | AND b.event_type = 'purchase' AND v.event_type = 'view'
+        | AND epoch_us(v.ts) >= epoch_us(b.ts) - CAST(3600 AS BIGINT)*1000000
+        | AND epoch_us(v.ts) <= epoch_us(b.ts)
+        |GROUP BY 1""".stripMargin,
+    "q_stream_outer_join_parity" ->
+      """SELECT b.event_id AS purchase_id,
+        |  count(v.event_id) AS n_views,
+        |  min(v.event_id) AS first_view_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') b
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON v.user_id = b.user_id
         | AND epoch_us(v.ts) >= epoch_us(b.ts) - CAST(3600 AS BIGINT)*1000000
         | AND epoch_us(v.ts) <= epoch_us(b.ts)
         |GROUP BY 1""".stripMargin,

@@ -113,6 +113,43 @@ class TraceClusterSpec extends SparkSpec {
     assert(cands < 25000L, s"candidate volume $cands ~ n² — stripping broken")
   }
 
+  test("contaminated serial universe: stripping disabled, histogram bins still bound it") {
+    // The global-affix defense's own weak spot, probed deliberately:
+    // ONE name without the shared prefix makes lcp(min,max) = 0 and
+    // disables stripping entirely. The per-digit histogram bins are
+    // the INDEPENDENT second defense: same-prefix pairs differing in
+    // ≥2 cross-bin digits are pruned in codegen before the distinct,
+    // so candidates stay far under n²/2 even with stripping off.
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = dp(0); dp(0) = j
+        for (i <- 1 to a.length) {
+          val cur = dp(i)
+          dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(a.length)
+    }
+    val serials = (0 until 500).map(i => (i.toLong, f"ORD-${i * 7}%09d-END"))
+    val words = serials :+ (9999L, "acme corp")
+    val expected = (for {
+      (ia, va) <- words; (ib, vb) <- words
+      if ia < ib && lev(va, vb) <= 1
+    } yield (ia, ib, lev(va, vb))).toSet
+    val reps = words.toDF("rep_case", "variant").withColumn("n_cases", lit(1L))
+    val got = TraceCluster.editPairs(reps, maxDist = 1)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == expected)
+    // degradation is graceful, not quadratic: the histogram filter
+    // alone holds candidates well under the ~125k all-pairs volume
+    val cands = TraceCluster.debugCandidates(reps, maxDist = 1).count()
+    assert(cands < 60000L,
+      s"contaminated universe candidates $cands ~ n² — histogram defense broken")
+  }
+
   test("stripCommonAffixes: non-ASCII affixes and empty strings are safe") {
     // BMP non-ASCII prefix/suffix (code point == Java char, so the
     // in-spec brute force agrees with Spark's code-point levenshtein)
