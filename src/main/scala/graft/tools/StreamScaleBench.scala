@@ -643,6 +643,56 @@ object StreamScaleBench {
       results += s""""join":{"stream_s":$secs,"batch_s":$bSecs,"batches":$nb,"peak_state_rows":$peak,"late_drops":$drops,"match":$ok}"""
     }
 
+    // ---- LEFT-OUTER stream-stream join: the null-padded rows are
+    // produced by watermark-driven STATE EVICTION, not by data — the
+    // end-of-stream flush needs the sentinels to reach BOTH branch
+    // watermark nodes, so the branch filters deliberately let "_s"
+    // through (isin) and the fold drops the sentinel pairs ----
+    {
+      val (rows, nb, peak, drops, secs) = run(spark, dir, fpt, maxTs, GapDays,
+          sourceWatermark = false) { df =>
+        val views = df.filter(col("activity").isin("view", "_s"))
+          .select(col("caseId").as("v_user"), col("ts").as("v_ts"),
+            col("tsMicros").as("v_us"))
+          .withWatermark("v_ts", "10 seconds")
+        val buys = df.filter(col("activity").isin("purchase", "_s"))
+          .select(col("caseId").as("b_user"), col("ts").as("b_ts"),
+            col("tsMicros").as("b_us"))
+          .withWatermark("b_ts", "10 seconds")
+        buys.join(views, expr(
+          "v_user = b_user AND v_ts >= b_ts - interval 1 hour AND v_ts <= b_ts"),
+          "leftOuter")
+      } { batch =>
+        batch.filter(col("b_user") >= 0L)
+          .agg(count(lit(1)).as("n"),
+            coalesce(sum(when(col("v_us").isNull, 1L).otherwise(0L)), lit(0L))
+              .as("unmatched"),
+            coalesce(expr(
+              "bit_xor(xxhash64(b_user, b_us, coalesce(v_us, -1)))"), lit(0L)).as("h"))
+      }
+      val streamFp = (rows.map(_.getLong(0)).sum, rows.map(_.getLong(1)).sum,
+        rows.map(_.getLong(2)).reduceOption(_ ^ _).getOrElse(0L))
+      val t0 = System.nanoTime()
+      val views = batchEv.filter(col("activity") === "view")
+        .select(col("caseId").as("v_user"), col("tsMicros").as("v_us"))
+      val buys = batchEv.filter(col("activity") === "purchase")
+        .select(col("caseId").as("b_user"), col("tsMicros").as("b_us"))
+      val bf = buys.join(views, expr(
+          "v_user = b_user AND v_us >= b_us - 3600000000 AND v_us <= b_us"),
+          "leftOuter")
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum(when(col("v_us").isNull, 1L).otherwise(0L)), lit(0L))
+            .as("unmatched"),
+          coalesce(expr(
+            "bit_xor(xxhash64(b_user, b_us, coalesce(v_us, -1)))"), lit(0L)).as("h"))
+        .head()
+      val batchFp = (bf.getLong(0), bf.getLong(1), bf.getLong(2))
+      val bSecs = (System.nanoTime() - t0) / 1e9
+      val ok = streamFp == batchFp
+      println(f"ojoin   x$copies stream=$secs%6.1fs batch=$bSecs%6.1fs batches=$nb peakState=$peak drops=$drops match=$ok (${streamFp._1} rows, ${streamFp._2} unmatched)")
+      results += s""""outer_join":{"stream_s":$secs,"batch_s":$bSecs,"batches":$nb,"peak_state_rows":$peak,"late_drops":$drops,"match":$ok}"""
+    }
+
     // ---- neardup: MinHash+LSH bucket claims with per-bucket
     // first-holder state — THE state that grows with corpus size, so
     // the TTL here deliberately covers the whole span (no mid-stream
