@@ -404,12 +404,19 @@ object Dedup {
     * anti-join count. No node-proportional driver state anywhere.
     */
   private[graft] def starComponents(edges: DataFrame): (DataFrame, Int) = {
+    // self-loop-only nodes must still be labeled (n, n) — the driver
+    // union-find path does; dropping them here would make cluster
+    // membership depend on which side of driverMaxEdges the count
+    // lands (caught in review; spec-pinned)
+    val selfNodes = edges.filter(col("a") === col("b"))
+      .select(col("a").as("doc_id")).distinct()
     var e = edges
       .select(greatest(col("a"), col("b")).as("a"),
         least(col("a"), col("b")).as("b"))
       .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+    var eCount = e.count()
     var rounds = 0
-    var done = e.isEmpty
+    var done = eCount == 0L
     while (!done) {
       rounds += 1
       // large-star: full neighborhoods (symmetrize), per-node min,
@@ -431,14 +438,23 @@ object Dedup {
         .localCheckpoint()
       // fixpoint: the round changed nothing (star forest reached).
       // Both sides are distinct sets, so equality = equal counts +
-      // empty one-way difference.
-      done = ss.count() == e.count() && ss.exceptAll(e).isEmpty
+      // empty one-way difference; the previous round's count is
+      // carried in the driver var (one fewer job per round).
+      val ssCount = ss.count()
+      done = ssCount == eCount && ss.exceptAll(e).isEmpty
       e = ss
+      eCount = ssCount
     }
     val roots = e.select(col("b")).distinct()
       .select(col("b").as("doc_id"), col("b").as("cluster_id"))
-    (e.select(col("a").as("doc_id"), col("b").as("cluster_id"))
-      .unionByName(roots), rounds)
+    val starLabels = e.select(col("a").as("doc_id"), col("b").as("cluster_id"))
+      .unionByName(roots)
+    // self-loop-only nodes (not touched by any real edge) label as
+    // their own singleton component
+    val lonely = selfNodes
+      .join(starLabels.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+    (starLabels.unionByName(lonely), rounds)
   }
 
   /** Applies dedup decisions: keeps one canonical document per

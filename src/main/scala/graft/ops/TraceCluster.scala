@@ -21,7 +21,8 @@ import graft.dedup.Dedup
   * all-pairs within a length class (measured here: 101 s at sf0.1,
   * quadratic death at a million variants); the pigeonhole join does
   * not. Components reuse [[Dedup.clusters]] (bounded driver
-  * union-find below 2²² edges, distributed hash-to-min above).
+  * union-find below 2²² edges, distributed large-star/small-star
+  * contraction above).
   */
 object TraceCluster {
 
@@ -100,6 +101,13 @@ object TraceCluster {
     * callers' results are unchanged; candidate volume drops from ~n²
     * to entropy-proportional on serial-ID universes ("ORD-000…",
     * "Supplier#000…").
+    *
+    * EAGERNESS: the agg runs a Spark job at plan-CONSTRUCTION time,
+    * and the returned plan re-evaluates the input lineage — callers
+    * whose input is expensive should cache it first
+    * ([[clusterVariants]] does; q_entity_match's input is one
+    * projected dimension-table scan, where the second pass is
+    * cheaper than managing a cache entry).
     *
     * KNOWN LIMIT (probed, TraceClusterSpec): the strip is
     * inventory-GLOBAL, so a single contaminant without the majority

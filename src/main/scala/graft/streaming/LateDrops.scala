@@ -17,9 +17,13 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *
   * Progress retention: Spark keeps the last
   * `spark.sql.streaming.numRecentProgressUpdates` (default 100)
-  * progress entries. Queries with more micro-batches than that must
-  * sample [[count]] periodically (or raise the conf) — the scale
-  * harness ([[graft.tools.StreamScaleBench]]) accumulates per drain.
+  * progress entries — a query with more micro-batches than that
+  * would evict its early entries and [[count]] would silently
+  * undercount the very loss it guards against. Callers must either
+  * raise the conf before starting the query (the scale harness
+  * [[graft.tools.StreamScaleBench]] sets it to 4096, far above its
+  * ≤ 31-batch runs) or sample [[count]] at least once per retention
+  * window.
   */
 object LateDrops {
 

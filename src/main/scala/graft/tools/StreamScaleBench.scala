@@ -205,6 +205,10 @@ object StreamScaleBench {
       "/root/repo/bench_stream_scale.json")
     val spark = GraftSession.get(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     GraftSession.quietWindowWarnings()
+    // LateDrops folds over RETAINED progress entries; keep retention
+    // far above any batch count this harness can produce, or the
+    // loss guard itself could undercount (review finding)
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "4096")
     import spark.implicits._
 
     if (!new File(s"$dir/data").exists() || args.contains("--rebuild")) {

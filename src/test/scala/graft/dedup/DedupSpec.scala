@@ -98,6 +98,20 @@ class DedupSpec extends SparkSpec {
     assert(labels.count() == n)
   }
 
+  test("clusters: self-loop-only nodes keep their singleton label on BOTH paths") {
+    // review finding: the star-contraction branch filtered self-loops
+    // before clustering, vanishing a node whose only edge is (a, a) —
+    // cluster membership must not depend on which side of
+    // driverMaxEdges the edge count lands
+    val pairs = Seq((7L, 7L), (1L, 2L), (3L, 3L)).toDF("id_a", "id_b")
+    val expect = Map(7L -> 7L, 1L -> 1L, 2L -> 1L, 3L -> 3L)
+    val uf = Dedup.clusters(pairs).as[(Long, Long)].collect().toMap
+    assert(uf == expect)
+    val star = Dedup.clusters(pairs, driverMaxEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(star == expect)
+  }
+
   test("clusters: star contraction equals union-find on random graphs") {
     val rnd = new scala.util.Random(11)
     // sparse random graph: ~150 edges over 120 nodes → mixed component

@@ -119,8 +119,6 @@ def main(sf_dir, out_dir):
         else:
             warns = []
             for name in sorted(set(fresh) & set(prior)):
-                if name is None:
-                    continue
                 f, p = float(fresh[name]), float(prior[name])
                 if p > 0 and f > 2 * p and f - p > 0.5:
                     warns.append((name, p, f))
