@@ -19,6 +19,10 @@ package graft
   * settle, and the artifact carries a per-query `"spread"` map
   * (max/min over that query's runs) — so external contention is
   * visible IN the artifact instead of silently inflating totals.
+  *
+  * Failure visibility: a query that throws gets a per-query entry in
+  * the artifact's `"errs"` map (empty when green) and the process
+  * exits nonzero — a crash must never masquerade as a fast timing.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -33,10 +37,19 @@ object Bench {
     spark.range(1000000L).selectExpr("sum(id)").collect()
     Tables(spark, sfDir, "region").count()
     def settle(ms: Long): Unit = { System.gc(); Thread.sleep(ms) }
+    // A query that throws must NOT contribute a silently-green (fast)
+    // timing (r10 judge find): record the error per query and exit
+    // nonzero, so a bench-only regression (e.g. an sf0.1 OOM that
+    // sf0.01's correctness gate never hits) is loud in the artifact.
+    val errs = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+          errs.getOrElseUpdate(name,
+            e.getClass.getSimpleName + ": " +
+              String.valueOf(e.getMessage).replaceAll("\\s+", " ").take(160))
+        }
         (System.nanoTime() - t0) / 1e9
       }
       settle(50L)
@@ -58,7 +71,10 @@ object Bench {
         "\"" + k + "\":" + f"${v.max / v.min.max(1e-9)}%.1f"
       }.mkString("{", ",", "}")
       val total = fmt(results.map(_._2.min).sum)
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"sf":"$sfDir","runs":$runs,"agg":"min"}"""
+      val es = errs.map { case (k, v) =>
+        "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"errs":$es,"sf":"$sfDir","runs":$runs,"agg":"min"}"""
     }
     // The driver captures only the LAST 2000 chars of stdout and parses
     // the JSON line out of that window — a full-precision per-query map
@@ -72,11 +88,18 @@ object Bench {
     if (compact.length <= 1900) println(compact)
     else {
       val total = results.map(_._2.min).sum
-      println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","sf":"$sfDir","runs":$runs,"agg":"min","queries_in":"$out"}""")
+      println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","errors":${errs.size},"sf":"$sfDir","runs":$runs,"agg":"min","queries_in":"$out"}""")
     }
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
       line(_.toString) + "\n")
     catch { case _: Throwable => () }
     spark.stop()
+    // nonzero rc when any query threw: a crashed query must fail the
+    // bench run visibly, not just time its own stack unwind
+    if (errs.nonEmpty) {
+      System.err.println(s"[bench] ${errs.size} queries FAILED: " +
+        errs.keys.mkString(", "))
+      sys.exit(1)
+    }
   }
 }

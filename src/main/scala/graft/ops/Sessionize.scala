@@ -73,8 +73,8 @@ object Sessionize {
 
   /** CLASSICAL rate-limit throttle — the keep-relative-to-last-KEPT
     * semantics that [[throttleDedup]]'s scaladoc contrasts with
-    * debounce: an event is kept iff it is ≥ `gapSeconds` after the
-    * last KEPT event of its (case, label) key, so a steady sub-gap
+    * debounce: an event is kept iff it is strictly more than
+    * `gapSeconds` after the last KEPT event of its (case, label) key, so a steady sub-gap
     * stream keeps one event per gap window (debounce keeps only the
     * first). The recurrence `lastKept' = f(lastKept, ts)` is not
     * expressible as a fixed window lag, so the kernel is a per-key

@@ -21,7 +21,7 @@ import graft.streaming.{LateDrops, StreamingConformance, StreamingDeclare,
   * staged as TIME-SLICED parquet files with ascending modification
   * times, `readStream` + `maxFilesPerTrigger` consumes them as a
   * multi-micro-batch stream (the watermark advances between batches,
-  * exactly like a real ingestion tail), and ALL TEN streaming
+  * exactly like a real ingestion tail), and ALL THIRTEEN streaming
   * operators run with NOTHING data-proportional on the driver:
   *
   *  - funnel (StreamingFunnel.reached, whole-history gap): per-case

@@ -77,7 +77,7 @@ class ThrottleRandomSpec extends SparkSpec {
       }.toLong
     }.sum
     assert(got.values.map(_._2).sum > debounceKept,
-      "classical throttle must keep at least as many as debounce (strictly more on dense data)")
+      "classical throttle must keep strictly more than debounce on this dense fixture (seed-dependent strictness; >= holds in general)")
   }
 
   test("conversionTimes == in-memory strict-order replay on random stage data") {

@@ -9,7 +9,7 @@ on any mismatch.
 
 Usage: python3 tools/check.py <sfDir> <outDir>
 """
-import json, sys, math
+import json, os, sys, math
 import duckdb
 
 def canon(rows, cols):
@@ -36,6 +36,24 @@ def main(sf_dir, out_dir):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     failures = 0
+    # oracle-dump drift gate (r10 judge find: the committed dump replayed
+    # only 163/166): Verify writes the FULL oracle map every run, so the
+    # committed repo copy must carry exactly the same query names — a
+    # drifted committed dump means anyone replaying the gate from it
+    # silently checks fewer queries than the registry declares.
+    repo_dump = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "oracle_sql.json")
+    if os.path.exists(repo_dump):
+        committed = set(json.load(open(repo_dump)))
+        fresh_names = set(oracles)
+        if committed != fresh_names:
+            miss = sorted(fresh_names - committed)[:5]
+            extra = sorted(committed - fresh_names)[:5]
+            print(f"FAIL oracle_sql.json drift: committed {len(committed)} "
+                  f"vs registry {len(fresh_names)} queries "
+                  f"(missing {miss}, stale {extra}) — refresh the committed "
+                  f"dump: cp <outDir>/oracle_sql.json oracle_sql.json")
+            failures += 1
     for name, sql in sorted(oracles.items()):
         try:
             got = con.execute(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
@@ -74,7 +92,6 @@ def main(sf_dir, out_dir):
     # plan-digest gate: physical plans of the expensive queries must
     # match the reviewed pins (update tools/plan_digests.json
     # DELIBERATELY after an intentional plan change)
-    import os
     pin_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "plan_digests.json")
     got_path = f"{out_dir}/plan_digests.json"
@@ -101,6 +118,11 @@ def main(sf_dir, out_dir):
     # Usage: python3 tools/check.py <sfDir> <outDir> [--bench fresh.json prior.json]
     if "--bench" in sys.argv:
         i = sys.argv.index("--bench")
+        # WARN-only contract: a malformed invocation (fewer than two paths
+        # after --bench) must degrade to a warning, not an IndexError
+        if i + 2 >= len(sys.argv):
+            print("bench guard: usage --bench <fresh.json> <prior.json>")
+            return 1 if failures else 0
         fresh_p, prior_p = sys.argv[i + 1], sys.argv[i + 2]
         def qmap(path):
             d = json.load(open(path))

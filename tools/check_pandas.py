@@ -11,7 +11,7 @@ same failure surface as the driver.
 
 Usage: python3 tools/check_pandas.py <sfDir> <outDir>
 """
-import glob, json, sys
+import glob, json, os, sys
 
 import duckdb
 import pandas as pd
@@ -37,6 +37,17 @@ def main(sf_dir, out_dir):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     failures = 0
+    # oracle-dump drift gate (mirrors check.py): the committed repo dump
+    # must carry exactly the fresh dump's query names.
+    repo_dump = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "oracle_sql.json")
+    if os.path.exists(repo_dump):
+        committed = set(json.load(open(repo_dump)))
+        if committed != set(oracles):
+            print(f"FAIL oracle_sql.json drift: committed {len(committed)} "
+                  f"vs registry {len(oracles)} queries — refresh the "
+                  f"committed dump from <outDir>/oracle_sql.json")
+            failures += 1
     for name, sql in sorted(oracles.items()):
         try:
             spark = pd.concat([pd.read_parquet(f) for f in
