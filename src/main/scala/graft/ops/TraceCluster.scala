@@ -82,10 +82,33 @@ object TraceCluster {
     * is invariant under common-affix removal (the standard trim
     * lemma: some optimal alignment matches a shared prefix/suffix
     * identically), so the output pair set and distances are EXACTLY
-    * those of the unstripped strings.
+    * those of the unstripped strings. When contamination disables the
+    * global strip (one string without the majority affix ⇒ lcp = 0),
+    * the kernel falls back to [[dominantAffix]] + [[groupedPairs]]:
+    * strip within the dominant group only, with cross-group pairs
+    * recovered by blocking-independent filters — still exact, still
+    * entropy-bounded.
     */
-  def editPairs(variants: DataFrame, maxDist: Int): DataFrame = {
-    val stripped = stripCommonAffixes(variants)
+  def editPairs(variants: DataFrame, maxDist: Int): DataFrame =
+    stripCommonAffixesOpt(variants) match {
+      case Some(stripped) => pairsOf(stripped, maxDist)
+      case None =>
+        // Global strip disabled (no inventory-wide affix). Before
+        // accepting degraded bins-only blocking, probe for a DOMINANT
+        // affix: a contaminated serial universe (one string without
+        // the majority prefix kills the global lcp) still has a ≥90%
+        // group sharing it, and the grouped strip below recovers the
+        // entropy-bounded path soundly.
+        dominantAffix(variants) match {
+          case Some((affix, isSuffix)) =>
+            groupedPairs(variants, affix, isSuffix, maxDist)
+          case None => pairsOf(variants, maxDist)
+        }
+    }
+
+  /** The blocking+verify pipeline on an (already-stripped) inventory —
+    * exactly the pre-r11 `editPairs` body. */
+  private def pairsOf(stripped: DataFrame, maxDist: Int): DataFrame = {
     val v = withHists(stripped)
     verifyPairs(v, rawCandidates(stripped, maxDist).distinct(), maxDist)
   }
@@ -109,36 +132,136 @@ object TraceCluster {
     * projected dimension-table scan, where the second pass is
     * cheaper than managing a cache entry).
     *
-    * KNOWN LIMIT (probed, TraceClusterSpec): the strip is
+    * CONTAMINATION (the r10 limit, now defended): the strip is
     * inventory-GLOBAL, so a single contaminant without the majority
-    * affix sets lcp = 0 and disables it. Degradation is graceful, not
-    * quadratic — the per-digit-bin histogram filter in [[editPairs]]
-    * is an independent defense that prunes cross-serial candidates in
-    * codegen regardless of stripping (the ×100 serial run measured
-    * 34 s with bins alone vs 10 s with both vs killed-at-45-min with
-    * neither). A per-majority-prefix partition strip is NOT sound to
-    * add naively: cross-partition pairs can still be within the
-    * distance bound, and stripping different amounts per string
-    * breaks the trim lemma.
+    * affix sets lcp = 0 and disables it. [[editPairs]] then falls back
+    * to [[groupedPairs]]: strip within the DOMINANT-affix group only
+    * and route cross-group pairs through the blocking-independent
+    * length + histogram filters — sound because stripping different
+    * amounts per string is only ever applied to pairs wholly inside
+    * one group (where the trim lemma holds), never across groups.
+    * Last-resort degradation (no dominant affix either, e.g. two
+    * equal-mass serial families) is graceful, not quadratic: the
+    * per-digit-bin histogram filter prunes cross-serial candidates in
+    * codegen regardless of stripping (the r10 ×100 serial run
+    * measured 34 s with bins alone vs 10 s with the strip vs
+    * killed-at-45-min with neither).
     */
-  private[graft] def stripCommonAffixes(variants: DataFrame): DataFrame = {
+  private[graft] def stripCommonAffixes(variants: DataFrame): DataFrame =
+    stripCommonAffixesOpt(variants).getOrElse(variants)
+
+  /** [[stripCommonAffixes]], reporting `None` when there is nothing to
+    * strip (empty inventory or no inventory-wide common affix). */
+  private def stripCommonAffixesOpt(variants: DataFrame): Option[DataFrame] = {
     val row = variants.agg(
       min(col("variant")), max(col("variant")),
       min(reverse(col("variant"))), max(reverse(col("variant"))),
       min(length(col("variant")))).head()
-    if (row.isNullAt(0)) return variants // empty inventory
-    def lcp(a: String, b: String): Int = {
-      val ai = a.codePoints().toArray; val bi = b.codePoints().toArray
-      var i = 0; val n = math.min(ai.length, bi.length)
-      while (i < n && ai(i) == bi(i)) i += 1
-      i
-    }
-    val pre = lcp(row.getString(0), row.getString(1))
-    val suf = math.min(lcp(row.getString(2), row.getString(3)),
+    if (row.isNullAt(0)) return None // empty inventory
+    val pre = lcpLen(row.getString(0), row.getString(1))
+    val suf = math.min(lcpLen(row.getString(2), row.getString(3)),
       row.getInt(4) - pre)
-    if (pre == 0 && suf <= 0) variants
-    else variants.withColumn("variant", col("variant")
-      .substr(lit(pre + 1), length(col("variant")) - (pre + math.max(suf, 0))))
+    if (pre == 0 && suf <= 0) None
+    else Some(variants.withColumn("variant", col("variant")
+      .substr(lit(pre + 1), length(col("variant")) - (pre + math.max(suf, 0)))))
+  }
+
+  /** Longest common prefix of two strings, in code points. */
+  private def lcpLen(a: String, b: String): Int = {
+    val ai = a.codePoints().toArray; val bi = b.codePoints().toArray
+    var i = 0; val n = math.min(ai.length, bi.length)
+    while (i < n && ai(i) == bi(i)) i += 1
+    i
+  }
+
+  /** Sample size / guards for the dominant-affix fallback probe. */
+  private val SampleN = 1001
+  private val MinAffixLen = 4
+  private val MinSampleN = 50
+
+  /** Probe for an affix shared by the DOMINANT (~≥90%) slice of the
+    * inventory when no GLOBAL affix exists — the contaminated-serial
+    * defense. A deterministic hash-ordered sample (xxhash64 as the
+    * order key = uniform sample, reproducible across runs) is sorted
+    * by value; all strings between the 5% and 95% sample quantiles in
+    * code-point order share `lcp(q05, q95)`, so that lcp estimates
+    * the affix carried by the middle ~90% of the population. Returns
+    * `(affix, isSuffix)` — prefix probed first, then suffix on the
+    * reversed sample. ONLY a grouping heuristic: any partition of the
+    * inventory is sound under [[groupedPairs]], so a mis-estimate
+    * costs performance, never pairs. `None` on high-entropy
+    * inventories (natural strings: q05/q95 share no 4-char affix) and
+    * tiny ones (< 50 sampled — the plain path is already cheap).
+    * EAGERNESS: runs one TakeOrdered job at plan-construction time,
+    * same caveat as [[stripCommonAffixes]]; only reached when the
+    * global strip found nothing.
+    */
+  private[graft] def dominantAffix(variants: DataFrame): Option[(String, Boolean)] = {
+    val sample = variants
+      .select(col("variant"))
+      .orderBy(xxhash64(col("variant")), col("variant"))
+      .limit(SampleN).collect().map(_.getString(0))
+    if (sample.length < MinSampleN) return None
+    def probe(ss: Array[String]): Option[String] = {
+      val sorted = ss.sorted
+      val lo = sorted((sorted.length * 0.05).toInt)
+      val hi = sorted(math.min(sorted.length - 1, (sorted.length * 0.95).toInt))
+      val n = lcpLen(lo, hi)
+      if (n < MinAffixLen) None
+      else Some(lo.substring(0, lo.offsetByCodePoints(0, n)))
+    }
+    probe(sample).map((_, false))
+      .orElse(probe(sample.map(_.reverse)).map(p => (p.reverse, true)))
+  }
+
+  /** Edit pairs on a contaminated inventory: partition into the
+    * dominant-affix group G and the residue R, run the full
+    * strip+blocking pipeline WITHIN each side (the trim lemma holds
+    * within G because every member shares the group affix; R is
+    * blocked unstripped), and generate G×R cross candidates by a
+    * broadcast nested-loop over the (guarded-small) residue with the
+    * sound length-band + histogram-L1/2 necessary conditions, verified
+    * by levenshtein on the ORIGINAL strings. G-pairs ∪ R-pairs ∪
+    * cross-pairs is exactly all pairs (G, R partition the inventory),
+    * each path exact ⇒ the union is exact.
+    *
+    * Residue guard: the nested loop costs |G|·|R| codegen predicate
+    * evaluations, so if R exceeds max(2048, n/8) — the probe badly
+    * mis-estimated dominance — fall back to the plain bins-only
+    * pipeline (r10's measured-graceful 34 s path) instead.
+    */
+  private def groupedPairs(variants: DataFrame, affix: String,
+      isSuffix: Boolean, maxDist: Int): DataFrame = {
+    val member =
+      if (isSuffix) col("variant").endsWith(lit(affix))
+      else col("variant").startsWith(lit(affix))
+    val cnt = variants.agg(
+      count(lit(1)), sum(when(member, 0L).otherwise(1L))).head()
+    val total = cnt.getLong(0)
+    val resid = if (cnt.isNullAt(1)) 0L else cnt.getLong(1)
+    if (resid == 0) return pairsOf(stripCommonAffixes(variants), maxDist)
+    if (resid > math.max(2048L, total / 8)) return pairsOf(variants, maxDist)
+    val g = variants.filter(member)
+    val r = variants.filter(!member)
+    val within = pairsOf(stripCommonAffixes(g), maxDist)
+      .unionByName(pairsOf(r, maxDist))
+    val histL1 = (0 until HistBins)
+      .map(b => abs(col(s"_h${b}x") - col(s"_h${b}y"))).reduce(_ + _)
+    val gx = withHists(g).select(
+      (Seq(col("vid").as("vid_x"), col("variant").as("_vx"),
+        col("_len").as("_lx")) ++
+        (0 until HistBins).map(b => col(s"_h$b").as(s"_h${b}x"))): _*)
+    val rx = withHists(r).select(
+      (Seq(col("vid").as("vid_y"), col("variant").as("_vy"),
+        col("_len").as("_ly")) ++
+        (0 until HistBins).map(b => col(s"_h$b").as(s"_h${b}y"))): _*)
+    val cross = gx.join(broadcast(rx),
+        abs(col("_lx") - col("_ly")) <= maxDist && histL1 <= 2 * maxDist)
+      .withColumn("dist", levenshtein(col("_vx"), col("_vy")))
+      .filter(col("dist") <= maxDist)
+      .select(least(col("vid_x"), col("vid_y")).as("vid_a"),
+        greatest(col("vid_x"), col("vid_y")).as("vid_b"), col("dist"))
+    within.unionByName(cross)
   }
 
   private def withHists(variants: DataFrame): DataFrame =

@@ -108,10 +108,13 @@ object XesReader {
     * after a `withWatermark` on the derived ts column. Per-file
     * batches = per-file parallelism, same kernel as the batch reader.
     */
-  def readEventsStream(spark: SparkSession, dir: String): Dataset[XesEvent] = {
+  def readEventsStream(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): Dataset[XesEvent] = {
     import spark.implicits._
-    spark.readStream
-      .option("wholetext", "true")
+    val reader = spark.readStream.option("wholetext", "true")
+    maxFilesPerTrigger.foreach(n =>
+      reader.option("maxFilesPerTrigger", n.toString))
+    reader
       .text(dir)
       .select(col("value"), col("_metadata").getField("file_path").as("_path"))
       .as[(String, String)]

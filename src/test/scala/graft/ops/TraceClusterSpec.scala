@@ -113,13 +113,16 @@ class TraceClusterSpec extends SparkSpec {
     assert(cands < 25000L, s"candidate volume $cands ~ n² — stripping broken")
   }
 
-  test("contaminated serial universe: stripping disabled, histogram bins still bound it") {
-    // The global-affix defense's own weak spot, probed deliberately:
-    // ONE name without the shared prefix makes lcp(min,max) = 0 and
-    // disables stripping entirely. The per-digit histogram bins are
-    // the INDEPENDENT second defense: same-prefix pairs differing in
-    // ≥2 cross-bin digits are pruned in codegen before the distinct,
-    // so candidates stay far under n²/2 even with stripping off.
+  test("contaminated serial universe: grouped dominant-prefix strip stays exact") {
+    // The global-affix defense's weak spot, probed deliberately: ONE
+    // name without the shared prefix makes lcp(min,max) = 0 and
+    // disables the global strip. Since r11 editPairs then probes for
+    // the DOMINANT affix and takes the grouped path — strip within
+    // the dominant group, residue blocked unstripped, cross pairs via
+    // the blocking-independent length+histogram filters — which this
+    // test pins equal to brute force. The per-digit histogram bins
+    // remain the INDEPENDENT last-resort defense (asserted below on
+    // the deliberately-unstripped debugCandidates path).
     def lev(a: String, b: String): Int = {
       val dp = Array.tabulate(a.length + 1)(i => i)
       for (j <- 1 to b.length) {
@@ -143,11 +146,73 @@ class TraceClusterSpec extends SparkSpec {
     val got = TraceCluster.editPairs(reps, maxDist = 1)
       .as[(Long, Long, Int)].collect().toSet
     assert(got == expected)
-    // degradation is graceful, not quadratic: the histogram filter
-    // alone holds candidates well under the ~125k all-pairs volume
+    // the dominant-affix probe fires on this universe (the grouped
+    // path is the one under test, not the bins-only fallback) …
+    assert(TraceCluster.dominantAffix(reps).exists {
+      case (affix, isSuffix) => !isSuffix && affix.startsWith("ORD-")
+    })
+    // … and degradation WITHOUT it is still graceful, not quadratic:
+    // the histogram filter alone (debugCandidates = global strip only,
+    // which the contaminant disabled) holds candidates well under the
+    // ~125k all-pairs volume
     val cands = TraceCluster.debugCandidates(reps, maxDist = 1).count()
     assert(cands < 60000L,
       s"contaminated universe candidates $cands ~ n² — histogram defense broken")
+  }
+
+  test("grouped path: multiple contaminants incl. near-pairs inside the residue") {
+    // 3 contaminants: two of them a distance-1 pair WITHIN the residue
+    // (pins the R-side blocking) and each within distance 1 of nothing
+    // serial (cross filters must not invent pairs); plus serial pairs
+    // under the stripped dominant group. Exactness = brute force.
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = dp(0); dp(0) = j
+        for (i <- 1 to a.length) {
+          val cur = dp(i)
+          dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(a.length)
+    }
+    val serials = (0 until 400).map(i => (i.toLong, f"ORD-${i * 3}%09d"))
+    val words = serials ++ Seq(
+      (9001L, "acme corp"), (9002L, "acme korp"), (9003L, "zenith ltd"))
+    val expected = (for {
+      (ia, va) <- words; (ib, vb) <- words
+      if ia < ib && lev(va, vb) <= 1
+    } yield (ia, ib, lev(va, vb))).toSet
+    val reps = words.toDF("rep_case", "variant").withColumn("n_cases", lit(1L))
+    val got = TraceCluster.editPairs(reps, maxDist = 1)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+    assert(expected.contains((9001L, 9002L, 1)), "fixture sanity: residue pair")
+  }
+
+  test("grouped path: cross-group pair within the distance bound is kept") {
+    // The soundness trap the global scheme documents: a residue string
+    // within maxDist of a DOMINANT-group string (different strip
+    // amounts would break the trim lemma if applied across groups).
+    // The cross path compares ORIGINAL strings, so the pair survives.
+    val serials = (0 until 300).map(i => (i.toLong, f"ORD-${i * 3}%09d"))
+    // distance 1 from serial "ORD-000000000": drop the final char
+    val words = serials :+ (9001L, "ORD-00000000")
+    // "ORD-00000000" startsWith the dominant prefix "ORD-0000…" — so
+    // force it into the residue via a string that does NOT:
+    val words2 = words :+ (9002L, "XRD-000000000") // dist 1 from serial 0
+    val reps = words2.toDF("rep_case", "variant").withColumn("n_cases", lit(1L))
+    val got = TraceCluster.editPairs(reps, maxDist = 1)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got.contains((0L, 9002L, 1)),
+      s"cross-group distance-1 pair lost: ${got.filter(_._2 == 9002L)}")
+    // the one-char-shorter same-prefix member lands INSIDE the
+    // dominant group; within-G stripping must keep its pair too
+    assert(got.contains((0L, 9001L, 1)),
+      s"short same-prefix pair lost: ${got.filter(_._2 == 9001L)}")
   }
 
   test("stripCommonAffixes: non-ASCII affixes and empty strings are safe") {
