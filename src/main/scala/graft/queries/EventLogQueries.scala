@@ -580,9 +580,13 @@ object EventLogQueries {
         .outputMode(OutputMode.Append()).start()
       try {
         q.processAllAvailable()
+        // one post-start round suffices: the watermark set at batch 1's
+        // END (s1 - delay, past every real purchase's join horizon)
+        // evicts-and-emits the unmatched rows DURING batch 2 (the s2
+        // batch); only the s2 sentinels' own state stays buffered, and
+        // those rows are filtered out of the result anyway. (A third
+        // round was measured pure overhead: identical hash, ~0.5 s.)
         input.addData(sentinels(60L))
-        q.processAllAvailable()
-        input.addData(sentinels(90L))
         q.processAllAvailable()
       } finally q.stop()
       graft.streaming.LateDrops.assertNone(q, name)

@@ -43,13 +43,39 @@ private[queries] object ParityFeed {
   def withStreamParallelism[A](s: org.apache.spark.sql.SparkSession, n: Int)(f: => A): A = {
     val key = "spark.sql.shuffle.partitions"
     val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val ckKey = "spark.sql.streaming.checkpointLocation"
     val old = s.conf.get(key)
     val oldNd = s.conf.get(ndKey)
+    val oldCk = s.conf.getOption(ckKey)
+    // Checkpoint on tmpfs when available: the parity queries commit
+    // offsets + state deltas for exactly 2-4 micro-batches and the
+    // dirs are deleted right here, so disk durability buys nothing —
+    // ~0.1 s/query of fsync/IO measured (ProbeStream /tmp vs
+    // /dev/shm). Fresh UUID base per invocation ⇒ a rerun can never
+    // resume a previous run's state.
+    val ckDir: Option[java.nio.file.Path] =
+      try {
+        val base = java.nio.file.Paths.get("/dev/shm/graft_ckpt")
+        java.nio.file.Files.createDirectories(base)
+        Some(java.nio.file.Files.createTempDirectory(base, "p"))
+      } catch { case _: Exception => None } // no tmpfs: keep Spark's temp dir
     s.conf.set(key, n.toString)
     s.conf.set(ndKey, "false")
+    ckDir.foreach(d => s.conf.set(ckKey, d.toString))
     try f finally {
       s.conf.set(key, old)
       s.conf.set(ndKey, oldNd)
+      oldCk match {
+        case Some(v) => s.conf.set(ckKey, v)
+        case None => if (ckDir.isDefined) s.conf.unset(ckKey)
+      }
+      ckDir.foreach { d =>
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete()
+        }
+        rm(d.toFile)
+      }
     }
   }
 

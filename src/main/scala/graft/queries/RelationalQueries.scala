@@ -49,21 +49,19 @@ object RelationalQueries {
         expr("CAST(round(CAST(l_extendedprice AS DOUBLE) * 100) AS BIGINT)"),
         Seq(250, 500, 750, 900, 990))
     },
-    // Composition: per-group p99 threshold (ops/Quantiles, group-sized
-    // result) broadcast back onto the row stream — the "flag outliers
-    // against your own distribution" pipeline in one plan.
+    // "Flag outliers against your own p99" in ONE pass (r11; was a
+    // two-pass p99-then-rescan pipeline): the Quantiles cum table
+    // already holds, at the selected p99 row, the inclusive count of
+    // rows ≤ threshold — so the above-threshold count is pure
+    // algebra on the rank-selection output and lineitem is scanned
+    // once (ops/Quantiles.outlierCounts). Same oracle, one fewer
+    // full-table scan and no join-back at 100 TB.
     "q_outlier_flags" -> { (s, dir) =>
       val cents = expr("CAST(round(CAST(l_extendedprice AS DOUBLE) * 100) AS BIGINT)")
-      val li = Tables(s, dir, "lineitem")
-        .select(col("l_returnflag"), col("l_linestatus"), cents.as("v"))
-      val p99 = graft.ops.Quantiles.exactByGroup(
+      graft.ops.Quantiles.outlierCounts(
           Tables(s, dir, "lineitem"),
-          Seq("l_returnflag", "l_linestatus"), cents, Seq(990))
-        .select(col("l_returnflag"), col("l_linestatus"), col("value").as("thr"))
-      li.join(broadcast(p99), Seq("l_returnflag", "l_linestatus"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(count(lit(1)).as("n_total"),
-          sum(when(col("v") > col("thr"), 1L).otherwise(0L)).as("n_above_p99"))
+          Seq("l_returnflag", "l_linestatus"), cents, pPermille = 990)
+        .withColumnRenamed("n_above", "n_above_p99")
     },
     // Pivot (wide aggregation): documents count per source × language,
     // explicit pinned column set so the schema is static at any scale.

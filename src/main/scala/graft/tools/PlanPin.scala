@@ -66,7 +66,11 @@ object PlanPin {
     "q_text_keywords",
     "q_dfg_performance_quantiles",
     "q_funnel_time_quantiles",
-    "q_entity_match")
+    "q_entity_match",
+    // round-11: the one-pass outlier pipeline must keep lineitem to a
+    // SINGLE scan branch (the old shape rescanned the table to flag
+    // rows against the broadcast p99 — the digest pins the rescan out)
+    "q_outlier_flags")
 
   private val Salient = (
     "ReusedExchange|" +

@@ -23,10 +23,12 @@ object ProbeStream {
       println(f"[probe] $label%-22s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
       r
     }
+    val parts = sys.env.getOrElse("SPARK_GRAFT_PROBE_PARTS", "8")
+    val ckBase = sys.env.getOrElse("SPARK_GRAFT_PROBE_CKPT", "/dev/shm")
     (1 to 3).foreach { i =>
-      println(s"--- run $i")
+      println(s"--- run $i (parts=$parts ckpt=$ckBase)")
       val old = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
       spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
       try {
         val ev = Tables(spark, dir, "events")
@@ -50,7 +52,7 @@ object ProbeStream {
           .withColumn("ts", timestamp_micros(col("tsMicros")))
           .withWatermark("ts", "10 seconds")
           .as[graft.streaming.StreamingDrift.InEvent]
-        val ckpt = s"/dev/shm/graft_ckpt_probe_$i"
+        val ckpt = s"$ckBase/graft_ckpt_probe_$i"
         val q = t("start") {
           graft.streaming.StreamingDrift.monitor(spark, events, 86400L, baseline)
             .writeStream.format("memory").queryName(s"probe_$i")

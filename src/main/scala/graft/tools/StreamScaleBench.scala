@@ -898,9 +898,13 @@ object StreamScaleBench {
       results += s""""xes":{"stream_s":$secs,"batch_s":$bSecs,"batches":${batches.get()},"peak_state_rows":$peak,"late_drops":$drops,"match":$ok,"files":$nFiles}"""
     }
 
+    // a filtered (--ops=) run must not silently clobber a full
+    // artifact: suffix the default out path with .partial
+    val outPath = if (opsFilter.isDefined &&
+        !sys.env.contains("SPARK_GRAFT_STREAM_OUT")) out + ".partial" else out
     val line = s"""{"metric":"stream_scale","copies":$copies,"files":$files,"fpt":$fpt,"base":"$base","ops":${results.mkString("{", ",", "}")}}"""
     println(line)
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
     catch { case _: Throwable => () }
     spark.stop()
   }
