@@ -860,16 +860,23 @@ object StreamScaleBench {
             .agg(count(lit(1)).as("n"))
             .collect().foreach(acc.add)
         }.start()
-      val sentinels = try {
+      // track sentinel files as they are created and delete them in the
+      // finally: a mid-run failure must not leave them in the staged
+      // dir, where the NEXT run's batch comparator would read them
+      val sentinels = scala.collection.mutable.ArrayBuffer[java.nio.file.Path]()
+      try {
         qx.processAllAvailable()
-        val s1 = sentinelXes("s1",
+        sentinels += sentinelXes("s1",
           maxTsX + (delayDays + GapDays + 2L) * 86400000000L)
         qx.processAllAvailable()
-        val s2 = sentinelXes("s2",
+        sentinels += sentinelXes("s2",
           maxTsX + 2L * (delayDays + GapDays + 2L) * 86400000000L)
         qx.processAllAvailable()
-        Seq(s1, s2)
-      } finally qx.stop()
+      } finally {
+        qx.stop()
+        sentinels.foreach(p => try Files.delete(p)
+          catch { case _: Exception => () })
+      }
       val peak = qx.recentProgress.flatMap(p =>
         Option(p.stateOperators).toSeq.flatten.map(_.numRowsTotal)) match {
         case a if a.nonEmpty => a.max
@@ -877,7 +884,6 @@ object StreamScaleBench {
       }
       val drops = LateDrops.count(qx)
       val secs = (System.nanoTime() - t0s) / 1e9
-      sentinels.foreach(Files.delete)
       val streamEdges = acc.iterator().asScala.toSeq
         .groupBy(r => (r.getString(0), r.getString(1)))
         .map { case (k, v) => k -> v.map(_.getLong(2)).sum }

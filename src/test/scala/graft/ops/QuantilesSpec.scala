@@ -90,4 +90,37 @@ class QuantilesSpec extends SparkSpec {
       .as[(String, Int, Long)].collect().toSet
     assert(got == Set(("g", 500, -1L), ("g", 1000, 3L), ("h", 500, 7L), ("h", 1000, 7L)))
   }
+
+  test("outlierCounts == naive threshold-count on random data with ties") {
+    // the one-pass algebra (n_above = n − cum_inclusive at the selected
+    // quantile row) must equal the two-pass definition: count rows
+    // STRICTLY above the group's own rank-ceil threshold. Heavy ties
+    // stress the inclusive-count edge (tied-at-threshold rows are NOT
+    // above it); p=1000 pins n_above = 0.
+    val rnd = new scala.util.Random(99)
+    val rows = (1 to 4000).map(i => (s"g${i % 4}", rnd.nextInt(150).toLong))
+    val df = rows.toDF("grp", "v")
+    for (p <- Seq(250, 500, 990, 1000)) {
+      val expected = rows.groupBy(_._1).map { case (g, rs) =>
+        val vs = rs.map(_._2)
+        val thr = naive(vs, p)
+        g -> ((vs.size.toLong, vs.count(_ > thr).toLong))
+      }
+      val got = Quantiles.outlierCounts(df, Seq("grp"), col("v"), p)
+        .as[(String, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got == expected, s"p=$p got=$got expected=$expected")
+    }
+  }
+
+  test("outlierCounts: empty input and bucket-count invariance") {
+    val empty = Seq.empty[(String, Long)].toDF("grp", "v")
+    assert(Quantiles.outlierCounts(empty, Seq("grp"), col("v"), 990).count() == 0L)
+    val df = (1 to 1000).map(i => ("g", (i % 37).toLong)).toDF("grp", "v")
+    val a = Quantiles.outlierCounts(df, Seq("grp"), col("v"), 990, targetBuckets = 2)
+      .as[(String, Long, Long)].collect().toSet
+    val b = Quantiles.outlierCounts(df, Seq("grp"), col("v"), 990, targetBuckets = 4096)
+      .as[(String, Long, Long)].collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
 }
