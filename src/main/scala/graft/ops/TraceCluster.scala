@@ -99,10 +99,15 @@ object TraceCluster {
         // the majority prefix kills the global lcp) still has a ≥90%
         // group sharing it, and the grouped strip below recovers the
         // entropy-bounded path soundly.
-        dominantAffix(variants) match {
-          case Some((affix, isSuffix)) =>
-            groupedPairs(variants, affix, isSuffix, maxDist)
-          case None => pairsOf(variants, maxDist)
+        dominantAffixes(variants) match {
+          case affixes if affixes.size >= 2 =>
+            multiGroupedPairs(variants, affixes, maxDist)
+          case _ =>
+            dominantAffix(variants) match {
+              case Some((affix, isSuffix)) =>
+                groupedPairs(variants, affix, isSuffix, maxDist)
+              case None => pairsOf(variants, maxDist)
+            }
         }
     }
 
@@ -140,12 +145,15 @@ object TraceCluster {
     * length + histogram filters — sound because stripping different
     * amounts per string is only ever applied to pairs wholly inside
     * one group (where the trim lemma holds), never across groups.
-    * Last-resort degradation (no dominant affix either, e.g. two
-    * equal-mass serial families) is graceful, not quadratic: the
-    * per-digit-bin histogram filter prunes cross-serial candidates in
-    * codegen regardless of stripping (the r10 ×100 serial run
-    * measured 34 s with bins alone vs 10 s with the strip vs
-    * killed-at-45-min with neither).
+    * MULTIPLE serial families (e.g. "ORD-…" + "SUP-…" at 50/50, where
+    * no single affix dominates) take [[multiGroupedPairs]]: per-family
+    * strip + bipartite cross-family blocking after a uniform
+    * mutual-lcp strip — measured 8–9 s on the ×100 two-family
+    * universe. Last-resort degradation (no family structure at all)
+    * is graceful, not quadratic: the per-digit-bin histogram filter
+    * prunes cross-serial candidates in codegen regardless of
+    * stripping (the r10 ×100 serial run measured 34 s with bins alone
+    * vs 10 s with the strip vs killed-at-45-min with neither).
     */
   private[graft] def stripCommonAffixes(variants: DataFrame): DataFrame =
     stripCommonAffixesOpt(variants).getOrElse(variants)
@@ -178,6 +186,7 @@ object TraceCluster {
   private val SampleN = 1001
   private val MinAffixLen = 4
   private val MinSampleN = 50
+  private val MaxFamilies = 5
 
   /** Probe for an affix shared by the DOMINANT (~≥90%) slice of the
     * inventory when no GLOBAL affix exists — the contaminated-serial
@@ -243,25 +252,136 @@ object TraceCluster {
     if (resid > math.max(2048L, total / 8)) return pairsOf(variants, maxDist)
     val g = variants.filter(member)
     val r = variants.filter(!member)
-    val within = pairsOf(stripCommonAffixes(g), maxDist)
+    pairsOf(stripCommonAffixes(g), maxDist)
       .unionByName(pairsOf(r, maxDist))
+      .unionByName(filteredCrossPairs(g, r, maxDist))
+  }
+
+  /** All pairs (a ∈ big, b ∈ small) within `maxDist`, by a broadcast
+    * nested-loop over the SMALL side with the sound length-band +
+    * histogram-L1/2 necessary conditions in codegen and levenshtein on
+    * the ORIGINAL strings — the blocking-independent cross-partition
+    * path. Caller guards |small|. */
+  private def filteredCrossPairs(big: DataFrame, small: DataFrame,
+      maxDist: Int): DataFrame = {
     val histL1 = (0 until HistBins)
       .map(b => abs(col(s"_h${b}x") - col(s"_h${b}y"))).reduce(_ + _)
-    val gx = withHists(g).select(
+    val gx = withHists(big).select(
       (Seq(col("vid").as("vid_x"), col("variant").as("_vx"),
         col("_len").as("_lx")) ++
         (0 until HistBins).map(b => col(s"_h$b").as(s"_h${b}x"))): _*)
-    val rx = withHists(r).select(
+    val rx = withHists(small).select(
       (Seq(col("vid").as("vid_y"), col("variant").as("_vy"),
         col("_len").as("_ly")) ++
         (0 until HistBins).map(b => col(s"_h$b").as(s"_h${b}y"))): _*)
-    val cross = gx.join(broadcast(rx),
+    gx.join(broadcast(rx),
         abs(col("_lx") - col("_ly")) <= maxDist && histL1 <= 2 * maxDist)
       .withColumn("dist", levenshtein(col("_vx"), col("_vy")))
       .filter(col("dist") <= maxDist)
       .select(least(col("vid_x"), col("vid_y")).as("vid_a"),
         greatest(col("vid_x"), col("vid_y")).as("vid_b"), col("dist"))
-    within.unionByName(cross)
+  }
+
+  /** Up to [[MaxFamilies]] dominant PREFIX families from the same
+    * deterministic sample as [[dominantAffix]] — the multi-family
+    * contaminated case (e.g. two serial universes "ORD-…" + "SUP-…"
+    * merged 50/50, where no single affix dominates and the r10 global
+    * strip AND the single-group fallback are both blind). Sample
+    * strings are bucketed by their first [[MinAffixLen]] chars;
+    * buckets holding ≥ ~8% of the sample become families, each with
+    * its full internal lcp as the family affix. Families are
+    * prefix-incompatible by construction (distinct 4-char keys), so
+    * `startsWith` membership is unambiguous. Returns Nil unless ≥ 2
+    * families cover ≥ 75% of the sample — below that the residue
+    * guard in [[multiGroupedPairs]] would bail anyway. Heuristic
+    * only: any partition is sound (see [[multiGroupedPairs]]).
+    */
+  private[graft] def dominantAffixes(variants: DataFrame): Seq[String] = {
+    val sample = variants
+      .select(col("variant"))
+      .orderBy(xxhash64(col("variant")), col("variant"))
+      .limit(SampleN).collect().map(_.getString(0))
+    if (sample.length < MinSampleN) return Nil
+    val eligible = sample.filter(_.length >= MinAffixLen)
+    if (eligible.isEmpty) return Nil
+    // Low-entropy-KEY discriminator: a serial family's affix spans a
+    // large fraction of the string ("ORD-0000…" ≈ 0.6·len), so it
+    // swallows whole pigeonhole segments (len/(d+1) each) and creates
+    // hub keys; a natural shared first token ("view>") is short
+    // relative to the string and is NOT a degeneracy — blocking on it
+    // keeps entropy. Requiring affix ≥ max(4, medianLen/3) keeps
+    // natural variant inventories (q_trace_clusters) on the plain
+    // single-self-join plan (digest-pinned) and engages the family
+    // machinery only on key-shaped universes.
+    val lens = eligible.map(_.length).sorted
+    val minFamAffix = math.max(MinAffixLen, (lens(lens.length / 2) + 2) / 3)
+    val fams = eligible.groupBy(_.substring(0, MinAffixLen)).values
+      .filter(_.length >= sample.length / 12)
+      .map { g => g.min.substring(0, g.min.offsetByCodePoints(0,
+        lcpLen(g.min, g.max))) }
+      .filter(_.length >= minFamAffix)
+      .toSeq.sortBy(a => (-eligible.count(_.startsWith(a)), a))
+      .take(MaxFamilies)
+    val covered = eligible.count(s => fams.exists(s.startsWith))
+    if (fams.size >= 2 && covered * 4 >= sample.length * 3) fams else Nil
+  }
+
+  /** Edit pairs on a MULTI-family inventory: each family Gi is
+    * stripped by its OWN affixes and blocked internally (trim lemma
+    * within a family); cross-family pairs (Gi, Gj) go through
+    * BIPARTITE pigeonhole blocking after uniformly stripping
+    * `lcp(Ai, Aj)` from both sides — every member of Gi ∪ Gj starts
+    * with that mutual prefix (each family affix extends it), so the
+    * trim lemma applies to the pair-union and distances are exact.
+    * The bipartite join is entropy-bounded precisely because the
+    * mutual strip removes the shared low-entropy head: what remains
+    * differs at the first character between families, so one family's
+    * hub segments only meet the OTHER family's variable-region
+    * substrings. The residue (no family) is blocked internally and
+    * crossed against everything else via [[filteredCrossPairs]],
+    * under the same max(2048, n/8) guard as [[groupedPairs]].
+    * Gi-pairs ∪ Gj-pairs ∪ cross(i,j) ∪ R-paths partition the pair
+    * space, each path exact ⇒ the union is exact.
+    */
+  private def multiGroupedPairs(variants: DataFrame, affixes: Seq[String],
+      maxDist: Int): DataFrame = {
+    val grpOf: Column = affixes.zipWithIndex.foldLeft(lit(-1)) {
+      case (acc, (a, i)) =>
+        when(col("variant").startsWith(lit(a)), lit(i)).otherwise(acc)
+    }
+    val tagged = variants.withColumn("_grp", grpOf)
+    val cnts = tagged.groupBy(col("_grp")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val total = cnts.values.sum
+    val resid = cnts.getOrElse(-1, 0L)
+    if (resid > math.max(2048L, total / 8)) return pairsOf(variants, maxDist)
+    val groups = affixes.indices
+      .map(i => i -> tagged.filter(col("_grp") === i).drop("_grp"))
+      .filter { case (i, _) => cnts.getOrElse(i, 0L) > 0L }
+    val r = tagged.filter(col("_grp") === -1).drop("_grp")
+    val within = groups.map { case (_, g) =>
+      pairsOf(stripCommonAffixes(g), maxDist)
+    }
+    val cross = for {
+      ((i, gi), ii) <- groups.zipWithIndex
+      (j, gj) <- groups.drop(ii + 1)
+    } yield {
+      val m = lcpLen(affixes(i), affixes(j))
+      def stripM(df: DataFrame): DataFrame =
+        if (m == 0) df
+        else df.withColumn("variant",
+          col("variant").substr(lit(m + 1), length(col("variant")) - m))
+      val (gi2, gj2) = (stripM(gi), stripM(gj))
+      val cands = rawCandidatesFrom(gi2, gj2, maxDist)
+        .unionByName(rawCandidatesFrom(gj2, gi2, maxDist))
+      verifyPairs(withHists(gi2.unionByName(gj2)), cands.distinct(), maxDist)
+    }
+    val residue =
+      if (cnts.getOrElse(-1, 0L) == 0L) Seq.empty[DataFrame]
+      else Seq(pairsOf(r, maxDist),
+        filteredCrossPairs(tagged.filter(col("_grp") =!= -1).drop("_grp"),
+          r, maxDist))
+    (within ++ cross ++ residue).reduce(_ unionByName _)
   }
 
   private def withHists(variants: DataFrame): DataFrame =
@@ -273,10 +393,24 @@ object TraceCluster {
             length(translate(col("variant"), bin, ""))).cast("int").as(s"_h$b")
         }): _*)
 
-  private def rawCandidates(variants: DataFrame, maxDist: Int): DataFrame = {
+  private def rawCandidates(variants: DataFrame, maxDist: Int): DataFrame =
+    rawCandidatesFrom(variants, variants, maxDist)
+
+  /** Pigeonhole candidates with distinct index/probe sides — the
+    * bipartite form [[multiGroupedPairs]] uses for CROSS-family pairs.
+    * Covers exactly the pairs (a ∈ indexVars, b ∈ probeVars) where a
+    * is the no-longer string (the `_lp ≤ _ly` orientation, vid-ordered
+    * at equal length); callers wanting ALL cross pairs union both
+    * directions — equal-length pairs appear in exactly one direction
+    * thanks to the vid tiebreak, so the union never double-counts.
+    * The self-join case (`indexVars eq probeVars`) is the pre-r11
+    * `rawCandidates` body unchanged. */
+  private def rawCandidatesFrom(indexVars: DataFrame, probeVars: DataFrame,
+      maxDist: Int): DataFrame = {
     val d = maxDist
     val k = d + 1
-    val v = withHists(variants)
+    val v = withHists(indexVars)
+    val vP = if (probeVars eq indexVars) v else withHists(probeVars)
 
     // Even-partition arithmetic for a string of length `l` and
     // segment index `i` (both Columns): the last (l mod k) segments
@@ -310,8 +444,9 @@ object TraceCluster {
     // >= 1 edit, so at most d-i edits follow it and the net-indel
     // shift after it obeys |delta - shift| <= d-i; clamped to the
     // generic +/-d displacement and to string bounds.
+    val longP = vP.filter(col("_len") > d)
     val m = col("_len")
-    val probe = long
+    val probe = longP
       .select((Seq(col("vid").as("vid_y"), m.as("_ly"), col("variant"),
         explode(sequence(greatest(m - d, lit(d + 1)).cast("int"),
           m.cast("int"))).as("_lp")) ++
@@ -359,7 +494,7 @@ object TraceCluster {
     // build side is alphabet-bounded regardless of corpus size.
     val short = v.filter(col("_len") <= d)
       .select(col("vid").as("vid_x"), col("_len").as("_lx"))
-    val partners = v.filter(col("_len") <= 2 * d)
+    val partners = vP.filter(col("_len") <= 2 * d)
       .select(col("vid").as("vid_y"), col("_len").as("_ly"))
     val shortCands = partners.crossJoin(broadcast(short))
       .filter(col("_ly") - col("_lx") <= d &&

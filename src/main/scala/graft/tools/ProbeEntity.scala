@@ -28,7 +28,14 @@ object ProbeEntity {
     val contaminated = names.unionByName(spark.range(1).select(
       lit("acme corp").as("variant"),
       lit(999999999999L).as("rep_case"), lit(1L).as("n_cases")))
-    for ((tag, inv) <- Seq("clean" -> names, "contaminated" -> contaminated);
+    // r11 multi-family case: half the universe re-headed to a second
+    // serial family of the same length — no single dominant affix, the
+    // r10 global strip AND the single-group fallback both blind
+    val twoFamily = names.withColumn("variant",
+      when(col("rep_case") % 2 === 0, col("variant"))
+        .otherwise(concat(lit("Vendorrr#"), substring(col("variant"), 10, 99))))
+    for ((tag, inv) <- Seq("clean" -> names, "contaminated" -> contaminated,
+           "two-family" -> twoFamily);
          r <- 1 to runs) {
       val t0 = System.nanoTime()
       val n = TraceCluster.editPairs(inv, maxDist = 1).count()

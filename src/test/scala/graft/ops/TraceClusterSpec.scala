@@ -215,6 +215,90 @@ class TraceClusterSpec extends SparkSpec {
       s"short same-prefix pair lost: ${got.filter(_._2 == 9001L)}")
   }
 
+  test("TWO serial families: bipartite grouped path stays exact incl. cross-family pairs") {
+    // The r11 multi-family case: two equal-mass serial universes, no
+    // single dominant affix, global strip blind. maxDist = 3 makes
+    // genuine CROSS-family pairs exist (lev("ORD-x", "SUP-x") = 3), so
+    // the bipartite blocking path is actually exercised, not vacuous.
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = dp(0); dp(0) = j
+        for (i <- 1 to a.length) {
+          val cur = dp(i)
+          dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(a.length)
+    }
+    val words = (0 until 300).map(i => (i.toLong, f"ORD-${i * 3}%09d")) ++
+      (0 until 300).map(i => (5000L + i, f"SUP-${i * 3}%09d"))
+    val expected = (for {
+      (ia, va) <- words; (ib, vb) <- words
+      if ia < ib && lev(va, vb) <= 3
+    } yield (ia, ib, lev(va, vb))).toSet
+    val reps = words.toDF("rep_case", "variant").withColumn("n_cases", lit(1L))
+    assert(TraceCluster.dominantAffixes(reps).size == 2,
+      s"family probe: ${TraceCluster.dominantAffixes(reps)}")
+    val got = TraceCluster.editPairs(reps, maxDist = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+    // fixture sanity: the cross-family pair class is non-empty
+    assert(expected.exists { case (a, b, _) => a < 5000L && b >= 5000L })
+  }
+
+  test("TWO families sharing a prefix: mutual-lcp strip keeps the bipartite join exact") {
+    // Families "ORD-A…" and "ORD-B…" share the 4-char head: without
+    // the mutual strip the shared "ORD-" segment is a cross-family hub
+    // key; with it, the residual strings differ at char 1. Distance-3
+    // cross pairs ("ORD-Axxxx" vs "ORD-Bxxxx" differ in 1 char = lev 1)
+    // make the cross path load-bearing at maxDist = 1.
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = dp(0); dp(0) = j
+        for (i <- 1 to a.length) {
+          val cur = dp(i)
+          dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(a.length)
+    }
+    val words = (0 until 250).map(i => (i.toLong, f"ORD-A${i * 3}%08d")) ++
+      (0 until 250).map(i => (5000L + i, f"ORD-B${i * 3}%08d"))
+    val expected = (for {
+      (ia, va) <- words; (ib, vb) <- words
+      if ia < ib && lev(va, vb) <= 1
+    } yield (ia, ib, lev(va, vb))).toSet
+    val reps = words.toDF("rep_case", "variant").withColumn("n_cases", lit(1L))
+    val got = TraceCluster.editPairs(reps, maxDist = 1)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+    // cross-family distance-1 pairs exist and survive
+    assert(got.exists { case (a, b, _) => a < 5000L && b >= 5000L })
+  }
+
+  test("dominantAffixes: natural-shaped inventories stay on the plain path") {
+    // Variants sharing short first tokens (the q_trace_clusters shape):
+    // buckets are big but the affix is short relative to the string —
+    // the medianLen/3 discriminator must return Nil so the pinned
+    // single-self-join plan is untouched.
+    val rnd = new scala.util.Random(31)
+    val acts = Seq("view", "click", "purchase")
+    val words = (0 until 200).map { i =>
+      (i.toLong, (0 until 8 + rnd.nextInt(8))
+        .map(_ => acts(rnd.nextInt(3))).mkString(">"))
+    }.distinctBy(_._2)
+    val reps = words.toDF("rep_case", "variant").withColumn("n_cases", lit(1L))
+    assert(TraceCluster.dominantAffixes(reps).isEmpty)
+  }
+
   test("stripCommonAffixes: non-ASCII affixes and empty strings are safe") {
     // BMP non-ASCII prefix/suffix (code point == Java char, so the
     // in-spec brute force agrees with Spark's code-point levenshtein)
