@@ -186,6 +186,24 @@ object TextQueries {
         .groupBy("token").agg(count(lit(1)).as("n"))
     },
 
+    // EXACT heavy hitters over the 3-token shingle stream (a universe
+    // far larger than the token vocab — 16k distinct at sf0.01): all
+    // shingles at ≥ 75 ppm of the stream, WITHOUT a vocabulary-sized
+    // shuffle. Two-pass Misra-Gries (text/HeavyHitters): ≤ k global
+    // candidates from a 3-level weighted-summary merge tree, then an
+    // exact recount of candidates only — the intermediate sketch is
+    // partitioning-dependent, the OUTPUT is the exact ≥-threshold set
+    // (the superset guarantee k+1 > 1e6/ppm is a static check). The
+    // oracle is the plain GROUP BY … HAVING the sketch path avoids.
+    "q_token_heavy_hitters" -> { (s, dir) =>
+      val toked = Tables(s, dir, "documents")
+        .select(TextOps.tokens(col("text")).as("t"))
+      val sh = toked.select(explode(TextOps.shinglesOf(col("t"), 3)).as("gram"))
+      graft.text.HeavyHitters
+        .exactHeavyHitters(sh, col("gram"), ppm = 75, k = 1 << 15)
+        .withColumnRenamed("item", "gram")
+    },
+
     // The composed quality FILTER decision (metrics are diagnostics;
     // this is the keep/drop bit a pipeline acts on).
     "q_text_quality_filter" -> { (s, dir) =>
@@ -650,6 +668,21 @@ object TextQueries {
       s"""SELECT t AS token, count(*) AS n FROM (
          |  SELECT unnest($toksSql) AS t FROM documents)
          |GROUP BY 1""".stripMargin,
+
+    // The vocabulary-shuffle formulation the sketch path avoids; the
+    // ceil(N·ppm/1e6) threshold uses the same overflow-safe integer
+    // split as the Scala side.
+    "q_token_heavy_hitters" ->
+      s"""WITH tk AS (SELECT $toksSql AS t FROM documents),
+         |sh AS (SELECT unnest(CASE WHEN len(t) < 3 THEN []
+         |    ELSE [t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+         |          for i in generate_series(0, len(t)-3)] END) AS gram
+         |  FROM tk),
+         |tot AS (SELECT count(*) AS n FROM sh)
+         |SELECT gram, CAST(count(*) AS BIGINT) AS n
+         |FROM sh GROUP BY gram
+         |HAVING count(*) >= (SELECT (n // 1000000) * 75
+         |  + ((n % 1000000) * 75 + 999999) // 1000000 FROM tot)""".stripMargin,
 
     "q_csv_ingest" ->
       s"""SELECT doc_id, text, lang, source, n_chars,

@@ -1,0 +1,69 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Two-pass Misra-Gries heavy hitters: exactness vs a naive group-by
+  * on skewed data, partitioning independence of the OUTPUT (the
+  * intermediate sketch is partitioning-dependent by design), the
+  * undercount bound of the fold itself, and the static guarantee
+  * check.
+  */
+class HeavyHittersSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("exact vs naive group-by on a zipf-ish stream, incl. threshold boundary") {
+    val rnd = new scala.util.Random(17)
+    // zipf-ish: item i drawn with weight ~ 1/(i+1); ~60 distinct
+    val pool = (0 until 60).flatMap(i => Seq.fill(60 / (i + 1))(s"w$i"))
+    val rows = (1 to 20000).map(_ => pool(rnd.nextInt(pool.size)))
+    val n = rows.size.toLong
+    for (ppm <- Seq(2000, 10000, 50000)) {
+      val thr = (n / 1000000L) * ppm + ((n % 1000000L) * ppm + 999999L) / 1000000L
+      val expected = rows.groupBy(identity).view.mapValues(_.size.toLong)
+        .filter(_._2 >= thr).toMap
+      // k intentionally SMALL (but above the static bound) so the
+      // sketch actually evicts — superset-not-luck is what's under test
+      val k = (1000000 / ppm) + 7
+      val got = HeavyHitters
+        .exactHeavyHitters(rows.toDF("x"), col("x"), ppm, k)
+        .as[(String, Long)].collect().toMap
+      assert(got == expected, s"ppm=$ppm k=$k thr=$thr " +
+        s"missing=${(expected.keySet -- got.keySet).take(5)} " +
+        s"extra=${(got.keySet -- expected.keySet).take(5)}")
+    }
+  }
+
+  test("output is partitioning-independent (1 vs 17 partitions)") {
+    val rnd = new scala.util.Random(5)
+    val rows = (1 to 8000).map(_ => s"t${rnd.nextInt(300)}")
+    def run(parts: Int) = HeavyHitters
+      .exactHeavyHitters(rows.toDF("x").repartition(parts), col("x"),
+        ppm = 3000, k = 512)
+      .as[(String, Long)].collect().toMap
+    assert(run(1) == run(17) && run(1).nonEmpty)
+  }
+
+  test("mgMerge undercount bound: counter >= true - N/(k+1)") {
+    val rnd = new scala.util.Random(29)
+    val rows = (1 to 5000).map(_ => s"v${rnd.nextInt(400)}")
+    val k = 50
+    val truth = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val sketch = HeavyHitters.mgMerge(rows.iterator.map((_, 1L)), k).toMap
+    assert(sketch.size <= k)
+    val bound = rows.size.toLong / (k + 1)
+    truth.foreach { case (item, c) =>
+      val est = sketch.getOrElse(item, 0L)
+      assert(est <= c && est >= c - bound, s"$item true=$c est=$est bound=$bound")
+    }
+  }
+
+  test("static superset-guarantee check rejects an undersized k") {
+    intercept[IllegalArgumentException] {
+      HeavyHitters.exactHeavyHitters(Seq("a").toDF("x"), col("x"),
+        ppm = 75, k = 1000) // needs k+1 > 13333
+    }
+  }
+}
