@@ -89,27 +89,35 @@ object TraceCluster {
     * recovered by blocking-independent filters — still exact, still
     * entropy-bounded.
     */
-  def editPairs(variants: DataFrame, maxDist: Int): DataFrame =
-    stripCommonAffixesOpt(variants) match {
-      case Some(stripped) => pairsOf(stripped, maxDist)
-      case None =>
-        // Global strip disabled (no inventory-wide affix). Before
-        // accepting degraded bins-only blocking, probe for a DOMINANT
-        // affix: a contaminated serial universe (one string without
-        // the majority prefix kills the global lcp) still has a ≥90%
-        // group sharing it, and the grouped strip below recovers the
-        // entropy-bounded path soundly.
-        dominantAffixes(variants) match {
-          case affixes if affixes.size >= 2 =>
-            multiGroupedPairs(variants, affixes, maxDist)
-          case _ =>
-            dominantAffix(variants) match {
-              case Some((affix, isSuffix)) =>
-                groupedPairs(variants, affix, isSuffix, maxDist)
-              case None => pairsOf(variants, maxDist)
-            }
+  def editPairs(variants: DataFrame, maxDist: Int): DataFrame = {
+    // The family probes run AFTER any global strip, on its residue: a
+    // successful global strip can remove a shared head and still
+    // leave multiple low-entropy families behind ("OR1-…" + "OR2-…"
+    // share "OR"; stripping it leaves two serial families), so strip
+    // success must not end the defense chain. One deterministic
+    // sample feeds every probe (a single TakeOrdered job).
+    val afterGlobal = stripCommonAffixesOpt(variants).getOrElse(variants)
+    val sample = sampleVariants(afterGlobal)
+    dominantAffixes(sample) match {
+      case affixes if affixes.size >= 2 =>
+        multiGroupedPairs(afterGlobal, affixes, maxDist)
+      case _ =>
+        dominantAffix(sample) match {
+          case Some((affix, isSuffix)) =>
+            groupedPairs(afterGlobal, affix, isSuffix, maxDist)
+          case None => pairsOf(afterGlobal, maxDist)
         }
     }
+  }
+
+  /** The deterministic probe sample: hash-ordered (xxhash64 as the
+    * order key = uniform, reproducible) TakeOrdered of the inventory.
+    * One eager job at plan-construction time, shared by all probes —
+    * same eagerness caveat as [[stripCommonAffixes]]. */
+  private def sampleVariants(variants: DataFrame): Array[String] =
+    variants.select(col("variant"))
+      .orderBy(xxhash64(col("variant")), col("variant"))
+      .limit(SampleN).collect().map(_.getString(0))
 
   /** The blocking+verify pipeline on an (already-stripped) inventory —
     * exactly the pre-r11 `editPairs` body. */
@@ -205,22 +213,35 @@ object TraceCluster {
     * same caveat as [[stripCommonAffixes]]; only reached when the
     * global strip found nothing.
     */
-  private[graft] def dominantAffix(variants: DataFrame): Option[(String, Boolean)] = {
-    val sample = variants
-      .select(col("variant"))
-      .orderBy(xxhash64(col("variant")), col("variant"))
-      .limit(SampleN).collect().map(_.getString(0))
+  private[graft] def dominantAffix(variants: DataFrame): Option[(String, Boolean)] =
+    dominantAffix(sampleVariants(variants))
+
+  private def dominantAffix(sample: Array[String]): Option[(String, Boolean)] = {
     if (sample.length < MinSampleN) return None
+    val minAffix = minFamAffix(sample)
     def probe(ss: Array[String]): Option[String] = {
       val sorted = ss.sorted
       val lo = sorted((sorted.length * 0.05).toInt)
       val hi = sorted(math.min(sorted.length - 1, (sorted.length * 0.95).toInt))
       val n = lcpLen(lo, hi)
-      if (n < MinAffixLen) None
+      // the same low-entropy-KEY discriminator as the family probe: a
+      // short shared first token on long natural strings must NOT
+      // reroute the inventory off its (digest-pinned) plain plan
+      if (n < minAffix) None
       else Some(lo.substring(0, lo.offsetByCodePoints(0, n)))
     }
     probe(sample).map((_, false))
       .orElse(probe(sample.map(_.reverse)).map(p => (p.reverse, true)))
+  }
+
+  /** The minimum affix length worth grouping on: a serial family's
+    * key spans a large fraction of the string (it swallows whole
+    * pigeonhole segments of len/(d+1) each and creates hub keys); a
+    * natural shared first token is short relative to the string and
+    * is NOT a degeneracy. max(4, medianLen/3). */
+  private def minFamAffix(sample: Array[String]): Int = {
+    val lens = sample.map(_.length).sorted
+    math.max(MinAffixLen, (lens(lens.length / 2) + 2) / 3)
   }
 
   /** Edit pairs on a contaminated inventory: partition into the
@@ -296,11 +317,10 @@ object TraceCluster {
     * guard in [[multiGroupedPairs]] would bail anyway. Heuristic
     * only: any partition is sound (see [[multiGroupedPairs]]).
     */
-  private[graft] def dominantAffixes(variants: DataFrame): Seq[String] = {
-    val sample = variants
-      .select(col("variant"))
-      .orderBy(xxhash64(col("variant")), col("variant"))
-      .limit(SampleN).collect().map(_.getString(0))
+  private[graft] def dominantAffixes(variants: DataFrame): Seq[String] =
+    dominantAffixes(sampleVariants(variants))
+
+  private def dominantAffixes(sample: Array[String]): Seq[String] = {
     if (sample.length < MinSampleN) return Nil
     val eligible = sample.filter(_.length >= MinAffixLen)
     if (eligible.isEmpty) return Nil
@@ -313,14 +333,28 @@ object TraceCluster {
     // natural variant inventories (q_trace_clusters) on the plain
     // single-self-join plan (digest-pinned) and engages the family
     // machinery only on key-shaped universes.
-    val lens = eligible.map(_.length).sorted
-    val minFamAffix = math.max(MinAffixLen, (lens(lens.length / 2) + 2) / 3)
-    val fams = eligible.groupBy(_.substring(0, MinAffixLen)).values
-      .filter(_.length >= sample.length / 12)
-      .map { g => g.min.substring(0, g.min.offsetByCodePoints(0,
-        lcpLen(g.min, g.max))) }
-      .filter(_.length >= minFamAffix)
-      .toSeq.sortBy(a => (-eligible.count(_.startsWith(a)), a))
+    val minAffix = minFamAffix(sample)
+    val minSize = sample.length / 12
+    // Hierarchical bucket refinement: families sharing a short head
+    // ("ORD-A…" + "ORD-B…" both bucket under "ORD-") would be invisible
+    // at a fixed 4-char key — when a big bucket's internal lcp is too
+    // short to be a family affix, re-bucket its members at double the
+    // key length until either a family emerges or the sub-buckets drop
+    // below the size floor (guaranteed termination).
+    def families(ss: Array[String], keyLen: Int): Seq[String] =
+      if (keyLen > 64) Nil
+      else ss.filter(_.length >= keyLen).groupBy(_.substring(0, keyLen))
+        .values.toSeq.flatMap { g =>
+          if (g.length < minSize) Nil
+          else {
+            val n = lcpLen(g.min, g.max)
+            if (n >= minAffix)
+              Seq(g.min.substring(0, g.min.offsetByCodePoints(0, n)))
+            else families(g, keyLen * 2)
+          }
+        }
+    val fams = families(eligible, MinAffixLen)
+      .sortBy(a => (-eligible.count(_.startsWith(a)), a))
       .take(MaxFamilies)
     val covered = eligible.count(s => fams.exists(s.startsWith))
     if (fams.size >= 2 && covered * 4 >= sample.length * 3) fams else Nil

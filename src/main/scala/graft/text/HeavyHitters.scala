@@ -89,9 +89,13 @@ object HeavyHitters {
     val lvl1 = items.as[String]
       .mapPartitions(it => mgMerge(it.map((_, 1L)), k))
       .toDF("item", "_w")
+    // repartition (real shuffle boundaries), NOT coalesce: coalesce(1)
+    // would collapse the level-2 stage into the same single task and
+    // the "32-way re-summarize" would run serially over all k·P
+    // level-1 rows — exactly the bottleneck the tree exists to avoid
     val lvl2 = lvl1.repartition(32).as[(String, Long)]
       .mapPartitions(it => mgMerge(it, k))
-    val cands = lvl2.coalesce(1)
+    val cands = lvl2.repartition(1)
       .mapPartitions(it => mgMerge(it, k))
       .map(_._1).toDF("item")
     val n = items.count()

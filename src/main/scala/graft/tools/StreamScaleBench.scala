@@ -73,6 +73,16 @@ import graft.streaming.{LateDrops, StreamingConformance, StreamingDeclare,
   */
 object StreamScaleBench {
 
+  /** Materialized directory listing — Files.list must be closed or it
+    * leaks a directory file descriptor per call. */
+  private def listDir(dir: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    val st = java.nio.file.Files.list(dir)
+    try {
+      import scala.jdk.CollectionConverters._
+      st.iterator().asScala.toVector
+    } finally st.close()
+  }
+
   val Stages = Seq("view", "click", "purchase")
 
   private val schema = StructType(Seq(
@@ -231,6 +241,17 @@ object StreamScaleBench {
     // default runs everything.
     val opsFilter: Option[Set[String]] = args.find(_.startsWith("--ops="))
       .map(_.stripPrefix("--ops=").split(',').toSet)
+    // the valid tokens are exactly the artifact's op keys; a typo must
+    // fail loudly, not silently skip every block and write an empty
+    // artifact
+    val KnownOps = Set("funnel", "dfg", "drift", "throttle", "dedup",
+      "sessionize", "stats", "declare", "conformance", "hopping",
+      "join", "outer_join", "neardup", "xes")
+    opsFilter.foreach { f =>
+      val bad = f -- KnownOps
+      require(bad.isEmpty, s"unknown --ops tokens: ${bad.mkString(",")}; " +
+        s"valid: ${KnownOps.toSeq.sorted.mkString(",")}")
+    }
     def wanted(op: String): Boolean = opsFilter.forall(_.contains(op))
 
     // ---- funnel: per-case keyed state, final timer flush ----
@@ -367,7 +388,7 @@ object StreamScaleBench {
     // where dropDuplicatesWithinWatermark guarantees the drop. The
     // per-type counts after online dedup must equal the single-copy
     // batch counts exactly. ----
-    if (wanted("exactly")) {
+    if (wanted("dedup")) {
       // batch truth MATERIALIZED before the dup files exist (batchEv
       // is lazy — evaluating it later would scan the duplicates too).
       // The dedup key (caseId, activity, tsMicros) is unique in the
@@ -620,7 +641,7 @@ object StreamScaleBench {
     // INNER join (matches emit eagerly per batch; no end-of-stream
     // flush is needed), and eviction is driven by the data batches'
     // own watermark advance, which is what peak_state_rows measures. ----
-    if (wanted("stream")) {
+    if (wanted("join")) {
       val (rows, nb, peak, drops, secs) = run(spark, dir, fpt, maxTs, GapDays,
           sourceWatermark = false) { df =>
         val views = df.filter(col("activity") === "view")
@@ -661,7 +682,7 @@ object StreamScaleBench {
     // end-of-stream flush needs the sentinels to reach BOTH branch
     // watermark nodes, so the branch filters deliberately let "_s"
     // through (isin) and the fold drops the sentinel pairs ----
-    if (wanted("LEFT")) {
+    if (wanted("outer_join")) {
       val (rows, nb, peak, drops, secs) = run(spark, dir, fpt, maxTs, GapDays,
           sourceWatermark = false) { df =>
         val views = df.filter(col("activity").isin("view", "_s"))
@@ -805,10 +826,10 @@ object StreamScaleBench {
       if (!Files.exists(filesDir) || args.contains("--rebuild")) {
         println(s"staging xes corpus x$copies -> $xdir")
         if (Files.exists(filesDir)) {
-          Files.list(filesDir).iterator().asScala.foreach(Files.delete)
+          listDir(filesDir).foreach(Files.delete)
         } else Files.createDirectories(filesDir)
-        val srcs = Files.list(Paths.get(book)).iterator().asScala
-          .filter(_.toString.endsWith(".xes")).toSeq.sortBy(_.getFileName.toString)
+        val srcs = listDir(Paths.get(book))
+          .filter(_.toString.endsWith(".xes")).sortBy(_.getFileName.toString)
         val t0 = System.currentTimeMillis() - copies * srcs.size * 50L - 60000L
         var i = 0
         for (c <- 0 until copies; p <- srcs) {
@@ -899,7 +920,7 @@ object StreamScaleBench {
         .toMap
       val bSecs = (System.nanoTime() - t0b) / 1e9
       val ok = streamEdges == batchEdges
-      val nFiles = Files.list(filesDir).iterator().asScala.size
+      val nFiles = listDir(filesDir).size
       println(f"xes     x$copies stream=$secs%6.1fs batch=$bSecs%6.1fs batches=${batches.get()} peakState=$peak drops=$drops match=$ok (${streamEdges.values.sum} edges, $nFiles files)")
       results += s""""xes":{"stream_s":$secs,"batch_s":$bSecs,"batches":${batches.get()},"peak_state_rows":$peak,"late_drops":$drops,"match":$ok,"files":$nFiles}"""
     }

@@ -14,6 +14,22 @@ class TraceClusterSpec extends SparkSpec {
 
   import spark.implicits._
 
+  /** Brute-force Levenshtein (unit costs) — the oracle every test in
+    * this suite compares the blocking kernel against. */
+  private def lev(a: String, b: String): Int = {
+    val dp = Array.tabulate(a.length + 1)(i => i)
+    for (j <- 1 to b.length) {
+      var prev = dp(0); dp(0) = j
+      for (i <- 1 to a.length) {
+        val cur = dp(i)
+        dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+          prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        prev = cur
+      }
+    }
+    dp(a.length)
+  }
+
   // case 1: a b c  ("a>b>c", len 5)
   // case 2: a b    ("a>b",   len 3)
   // case 3: x y z q ("x>y>z>q", len 7)
@@ -44,19 +60,6 @@ class TraceClusterSpec extends SparkSpec {
     // Deterministic pseudo-random inventory over a tiny alphabet so
     // near-duplicates are common; includes lengths straddling the
     // short-string bucket (<= d) and every segment-scheme remainder.
-    def lev(a: String, b: String): Int = {
-      val dp = Array.tabulate(a.length + 1)(i => i)
-      for (j <- 1 to b.length) {
-        var prev = dp(0); dp(0) = j
-        for (i <- 1 to a.length) {
-          val cur = dp(i)
-          dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
-            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
-          prev = cur
-        }
-      }
-      dp(a.length)
-    }
     val rnd = new scala.util.Random(7)
     val words = (0 until 70).map { i =>
       val len = 1 + rnd.nextInt(14)
@@ -82,19 +85,6 @@ class TraceClusterSpec extends SparkSpec {
     // shared-prefix segment is held by every string and candidates
     // degenerate toward n²/2 = 124,750; with stripping, blocking runs
     // on the 4 variable digits only.
-    def lev(a: String, b: String): Int = {
-      val dp = Array.tabulate(a.length + 1)(i => i)
-      for (j <- 1 to b.length) {
-        var prev = dp(0); dp(0) = j
-        for (i <- 1 to a.length) {
-          val cur = dp(i)
-          dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
-            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
-          prev = cur
-        }
-      }
-      dp(a.length)
-    }
     val words = (0 until 500).map(i => (i.toLong, f"ORD-${i * 7}%09d-END"))
     val expected = (for {
       (ia, va) <- words; (ib, vb) <- words
@@ -123,19 +113,6 @@ class TraceClusterSpec extends SparkSpec {
     // test pins equal to brute force. The per-digit histogram bins
     // remain the INDEPENDENT last-resort defense (asserted below on
     // the deliberately-unstripped debugCandidates path).
-    def lev(a: String, b: String): Int = {
-      val dp = Array.tabulate(a.length + 1)(i => i)
-      for (j <- 1 to b.length) {
-        var prev = dp(0); dp(0) = j
-        for (i <- 1 to a.length) {
-          val cur = dp(i)
-          dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
-            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
-          prev = cur
-        }
-      }
-      dp(a.length)
-    }
     val serials = (0 until 500).map(i => (i.toLong, f"ORD-${i * 7}%09d-END"))
     val words = serials :+ (9999L, "acme corp")
     val expected = (for {
@@ -165,19 +142,6 @@ class TraceClusterSpec extends SparkSpec {
     // (pins the R-side blocking) and each within distance 1 of nothing
     // serial (cross filters must not invent pairs); plus serial pairs
     // under the stripped dominant group. Exactness = brute force.
-    def lev(a: String, b: String): Int = {
-      val dp = Array.tabulate(a.length + 1)(i => i)
-      for (j <- 1 to b.length) {
-        var prev = dp(0); dp(0) = j
-        for (i <- 1 to a.length) {
-          val cur = dp(i)
-          dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
-            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
-          prev = cur
-        }
-      }
-      dp(a.length)
-    }
     val serials = (0 until 400).map(i => (i.toLong, f"ORD-${i * 3}%09d"))
     val words = serials ++ Seq(
       (9001L, "acme corp"), (9002L, "acme korp"), (9003L, "zenith ltd"))
@@ -220,19 +184,6 @@ class TraceClusterSpec extends SparkSpec {
     // single dominant affix, global strip blind. maxDist = 3 makes
     // genuine CROSS-family pairs exist (lev("ORD-x", "SUP-x") = 3), so
     // the bipartite blocking path is actually exercised, not vacuous.
-    def lev(a: String, b: String): Int = {
-      val dp = Array.tabulate(a.length + 1)(i => i)
-      for (j <- 1 to b.length) {
-        var prev = dp(0); dp(0) = j
-        for (i <- 1 to a.length) {
-          val cur = dp(i)
-          dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
-            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
-          prev = cur
-        }
-      }
-      dp(a.length)
-    }
     val words = (0 until 300).map(i => (i.toLong, f"ORD-${i * 3}%09d")) ++
       (0 until 300).map(i => (5000L + i, f"SUP-${i * 3}%09d"))
     val expected = (for {
@@ -250,27 +201,46 @@ class TraceClusterSpec extends SparkSpec {
     assert(expected.exists { case (a, b, _) => a < 5000L && b >= 5000L })
   }
 
-  test("TWO families sharing a prefix: mutual-lcp strip keeps the bipartite join exact") {
-    // Families "ORD-A…" and "ORD-B…" share the 4-char head: without
-    // the mutual strip the shared "ORD-" segment is a cross-family hub
-    // key; with it, the residual strings differ at char 1. Distance-3
-    // cross pairs ("ORD-Axxxx" vs "ORD-Bxxxx" differ in 1 char = lev 1)
-    // make the cross path load-bearing at maxDist = 1.
-    def lev(a: String, b: String): Int = {
-      val dp = Array.tabulate(a.length + 1)(i => i)
-      for (j <- 1 to b.length) {
-        var prev = dp(0); dp(0) = j
-        for (i <- 1 to a.length) {
-          val cur = dp(i)
-          dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
-            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
-          prev = cur
-        }
-      }
-      dp(a.length)
-    }
+  test("TWO families sharing a prefix + contaminant: mutual-lcp strip stays exact") {
+    // The m > 0 branch of multiGroupedPairs, made genuinely reachable
+    // (the r11 self-review caught a vacuous first version where the
+    // GLOBAL strip handled the shared head before the family machinery
+    // ever ran): a contaminant kills the global strip, the two
+    // families share the 4-char bucket key "ORD-" (so the flat probe
+    // is blind and the HIERARCHICAL refinement must find them at key
+    // length 8), and their affixes share `lcp = 4` — the bipartite
+    // cross path must strip that mutual head uniformly or the shared
+    // "ORD-" segment is a cross-family hub key. Cross distance-1
+    // pairs (A↔B substitution, same digits) keep the path honest.
     val words = (0 until 250).map(i => (i.toLong, f"ORD-A${i * 3}%08d")) ++
-      (0 until 250).map(i => (5000L + i, f"ORD-B${i * 3}%08d"))
+      (0 until 250).map(i => (5000L + i, f"ORD-B${i * 3}%08d")) :+
+      (9999L, "zzz corp")
+    val expected = (for {
+      (ia, va) <- words; (ib, vb) <- words
+      if ia < ib && lev(va, vb) <= 1
+    } yield (ia, ib, lev(va, vb))).toSet
+    val reps = words.toDF("rep_case", "variant").withColumn("n_cases", lit(1L))
+    // the hierarchical probe finds BOTH families under the shared head
+    val fams = TraceCluster.dominantAffixes(reps)
+    assert(fams.size == 2 && fams.forall(_.startsWith("ORD-")) &&
+      fams.exists(_.startsWith("ORD-A")) && fams.exists(_.startsWith("ORD-B")),
+      s"family probe: $fams")
+    val got = TraceCluster.editPairs(reps, maxDist = 1)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+    // cross-family distance-1 pairs exist and survive the mutual strip
+    assert(got.exists { case (a, b, _) => a < 5000L && b >= 5000L && b != 9999L })
+  }
+
+  test("post-strip families: a global strip must not end the defense chain") {
+    // "OR1-…" + "OR2-…" share the head "OR": the global strip removes
+    // it and SUCCEEDS — but the residue is still two serial families
+    // ("1-A…", "2-B…"). Since the r11 self-review fix, the family
+    // probes run on the strip residue, so this universe takes the
+    // multi-family path instead of degenerating to hub blocking.
+    val words = (0 until 250).map(i => (i.toLong, f"OR1-A${i * 3}%07d")) ++
+      (0 until 250).map(i => (5000L + i, f"OR2-B${i * 3}%07d"))
     val expected = (for {
       (ia, va) <- words; (ib, vb) <- words
       if ia < ib && lev(va, vb) <= 1
@@ -280,8 +250,6 @@ class TraceClusterSpec extends SparkSpec {
       .as[(Long, Long, Int)].collect().toSet
     assert(got == expected,
       s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
-    // cross-family distance-1 pairs exist and survive
-    assert(got.exists { case (a, b, _) => a < 5000L && b >= 5000L })
   }
 
   test("dominantAffixes: natural-shaped inventories stay on the plain path") {
@@ -304,19 +272,6 @@ class TraceClusterSpec extends SparkSpec {
     // in-spec brute force agrees with Spark's code-point levenshtein)
     // + randomized Greek bodies; also an empty-string member, which
     // pins the strip to a no-op (minLen 0 clamps both affixes).
-    def lev(a: String, b: String): Int = {
-      val dp = Array.tabulate(a.length + 1)(i => i)
-      for (j <- 1 to b.length) {
-        var prev = dp(0); dp(0) = j
-        for (i <- 1 to a.length) {
-          val cur = dp(i)
-          dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
-            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
-          prev = cur
-        }
-      }
-      dp(a.length)
-    }
     val rnd = new scala.util.Random(13)
     val bodies = (0 until 60).map { i =>
       (i.toLong,

@@ -44,15 +44,17 @@ def main(sf_dir, out_dir):
     repo_dump = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "oracle_sql.json")
     if os.path.exists(repo_dump):
-        committed = set(json.load(open(repo_dump)))
-        fresh_names = set(oracles)
-        if committed != fresh_names:
-            miss = sorted(fresh_names - committed)[:5]
-            extra = sorted(committed - fresh_names)[:5]
+        committed = json.load(open(repo_dump))
+        if committed != oracles:  # full-dict compare: names AND SQL bodies
+            miss = sorted(set(oracles) - set(committed))[:5]
+            extra = sorted(set(committed) - set(oracles))[:5]
+            edited = sorted(k for k in set(committed) & set(oracles)
+                            if committed[k] != oracles[k])[:5]
             print(f"FAIL oracle_sql.json drift: committed {len(committed)} "
-                  f"vs registry {len(fresh_names)} queries "
-                  f"(missing {miss}, stale {extra}) — refresh the committed "
-                  f"dump: cp <outDir>/oracle_sql.json oracle_sql.json")
+                  f"vs registry {len(oracles)} queries "
+                  f"(missing {miss}, stale {extra}, edited bodies {edited}) — "
+                  f"refresh the committed dump: "
+                  f"cp <outDir>/oracle_sql.json oracle_sql.json")
             failures += 1
     for name, sql in sorted(oracles.items()):
         try:

@@ -42,11 +42,12 @@ def main(sf_dir, out_dir):
     repo_dump = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "oracle_sql.json")
     if os.path.exists(repo_dump):
-        committed = set(json.load(open(repo_dump)))
-        if committed != set(oracles):
+        committed = json.load(open(repo_dump))
+        if committed != oracles:  # full-dict compare: names AND SQL bodies
             print(f"FAIL oracle_sql.json drift: committed {len(committed)} "
-                  f"vs registry {len(oracles)} queries — refresh the "
-                  f"committed dump from <outDir>/oracle_sql.json")
+                  f"vs registry {len(oracles)} queries (or edited SQL "
+                  f"bodies) — refresh the committed dump from "
+                  f"<outDir>/oracle_sql.json")
             failures += 1
     for name, sql in sorted(oracles.items()):
         try:
