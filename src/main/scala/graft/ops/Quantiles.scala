@@ -87,6 +87,64 @@ object Quantiles {
     }
   }
 
+  /** One-pass WINSORIZED statistics per group — the robust-stats
+    * companion to [[outlierCounts]]: every value is clipped to the
+    * group's OWN [loPermille, hiPermille] quantile band and the clipped
+    * sum is computed without a second scan. With the value-weighted
+    * prefix `_vcumx = Σ v·c over smaller values`, the clipped sum is
+    * pure algebra on the two selected quantile rows:
+    *
+    *   Σ clip(v, lo, hi) = lo·|v<lo|                (lifted to lo)
+    *                     + (VSᵢ(hi) − VSₓ(lo))      (the untouched band)
+    *                     + hi·(n − |v≤hi|)          (clipped to hi)
+    *
+    * where VSₓ is the exclusive and VSᵢ = VSₓ + v·c the inclusive
+    * weighted cum. All integer/decimal — DECIMAL(38,0) because a
+    * 100 TB value-weighted sum breaches i64 — so both engines agree
+    * bit-for-bit.
+    *
+    * The DECIMAL is internal; the returned `winsorized_sum` is one
+    * correctly-rounded double cast of the finished exact value (the
+    * repo's standard decimal→double gate convention — DuckDB's
+    * DECIMAL(38,0) surfaces as float64 through pandas).
+    *
+    * @return (groupCols..., n_total, lo_value, hi_value,
+    *          winsorized_sum double)
+    */
+  def winsorizedStats(df: DataFrame, groupCols: Seq[String], valueCol: Column,
+                      loPermille: Int, hiPermille: Int,
+                      targetBuckets: Int = 4096): DataFrame = {
+    require(1 <= loPermille && loPermille < hiPermille && hiPermille <= 1000,
+      s"need 1 <= lo < hi <= 1000: ($loPermille, $hiPermille)")
+    val g = groupCols.map(col)
+    cumTable(df, groupCols, valueCol, targetBuckets, valueSums = true) match {
+      case None =>
+        df.select((g :+ lit(0L).as("n_total") :+ lit(0L).as("lo_value")
+          :+ lit(0L).as("hi_value")
+          :+ lit(0L).cast("double").as("winsorized_sum")): _*).limit(0)
+      case Some(cum) =>
+        def sel(p: Int, pfx: String) = cum
+          .withColumn("_rank", expr(s"($p * _n + 999) div 1000"))
+          .where(col("_cumx") < col("_rank") &&
+            col("_rank") <= col("_cumx") + col("_c"))
+          .select((g :+ col("_n") :+ col("_v").as(s"${pfx}_v")
+            :+ col("_c").as(s"${pfx}_c") :+ col("_cumx").as(s"${pfx}_cumx")
+            :+ col("_vcumx").as(s"${pfx}_vcumx")): _*)
+        val lo = sel(loPermille, "lo")
+        val hi = sel(hiPermille, "hi").drop("_n")
+        val dec = (c: Column) => c.cast("decimal(38,0)")
+        lo.join(hi, groupCols)
+          .select((g :+ col("_n").as("n_total")
+            :+ col("lo_v").as("lo_value") :+ col("hi_v").as("hi_value")
+            :+ (dec(col("lo_v")) * dec(col("lo_cumx"))
+              + (col("hi_vcumx") + dec(col("hi_v")) * dec(col("hi_c"))
+                - col("lo_vcumx"))
+              + dec(col("hi_v"))
+                * dec(col("_n") - col("hi_cumx") - col("hi_c")))
+              .cast("decimal(38,0)").cast("double").as("winsorized_sum")): _*)
+    }
+  }
+
   /** Permille-rank transform (the QuantileTransformer class): each row
     * gets the share of its group strictly below its value, in permille
     * — permille = (1000 · |rows < v|) div n, ties share a rank. One
@@ -112,10 +170,14 @@ object Quantiles {
   /** Shared core: the (group, value) count table with exclusive
     * cumulative counts `_cumx` (= rows with a smaller value in the
     * group) and group size `_n`. None on empty input. Columns:
-    * groupCols ++ (_v, _c, _cumx, _n).
+    * groupCols ++ (_v, _c, _cumx, _n); with `valueSums` additionally
+    * `_vcumx` = Σ v·c over rows with a smaller value (DECIMAL(38,0) —
+    * a 100 TB value-weighted prefix breaches i64). The default path
+    * constructs EXACTLY the pre-r11 plan (digest-pinned consumers).
     */
   private def cumTable(df: DataFrame, groupCols: Seq[String], valueCol: Column,
-                       targetBuckets: Int): Option[DataFrame] = {
+                       targetBuckets: Int,
+                       valueSums: Boolean = false): Option[DataFrame] = {
     val g = groupCols.map(col)
     val base = df.select((g :+ valueCol.cast("long").as("_v")): _*)
     val counts = base.groupBy((g :+ col("_v")): _*).agg(count(lit(1)).as("_c"))
@@ -129,6 +191,7 @@ object Quantiles {
     val width = math.max(1L, (r.getLong(1) - r.getLong(0)) / targetBuckets + 1L)
     val lo = r.getLong(0)
     val bucketed = counts.withColumn("_b", expr(s"(_v - ${lo}L) div ${width}L"))
+    val vc = (col("_v") * col("_c")).cast("decimal(38,0)")
 
     // within-bucket exclusive prefix (partitions bounded by bucket
     // population) + per-group bucket offsets (<= targetBuckets rows
@@ -136,16 +199,31 @@ object Quantiles {
     // ONE bounded single-partition window, the Packing contract)
     val wIn = Window.partitionBy((g :+ col("_b")): _*).orderBy(col("_v"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val within = bucketed.withColumn("_pre", coalesce(sum("_c").over(wIn), lit(0L)))
+    val within0 = bucketed.withColumn("_pre", coalesce(sum("_c").over(wIn), lit(0L)))
+    val within =
+      if (!valueSums) within0
+      else within0.withColumn("_vpre",
+        coalesce(sum(vc).over(wIn), lit(0L).cast("decimal(38,0)")))
     val wOff = Window.partitionBy(g: _*).orderBy(col("_b"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = bucketed.groupBy((g :+ col("_b")): _*).agg(sum("_c").as("_bc"))
+    val offAggs =
+      if (!valueSums) Seq(sum("_c").as("_bc"))
+      else Seq(sum("_c").as("_bc"), sum(vc).as("_vbc"))
+    val offsets0 = bucketed.groupBy((g :+ col("_b")): _*).agg(offAggs.head, offAggs.tail: _*)
       .withColumn("_off", coalesce(sum("_bc").over(wOff), lit(0L)))
-      .select((g :+ col("_b") :+ col("_off")): _*)
+    val offCols = g :+ col("_b") :+ col("_off")
+    val offsets =
+      if (!valueSums) offsets0.select(offCols: _*)
+      else offsets0.withColumn("_voff",
+          coalesce(sum("_vbc").over(wOff), lit(0L).cast("decimal(38,0)")))
+        .select((offCols :+ col("_voff")): _*)
     // offsets are bounded by groups × targetBuckets — broadcast, so
     // the windowed counts never reshuffle onto the (group, bucket) key
-    val cum = within.join(broadcast(offsets), groupCols :+ "_b")
+    val cum0 = within.join(broadcast(offsets), groupCols :+ "_b")
       .withColumn("_cumx", col("_pre") + col("_off")) // rows with value < _v
+    val cum =
+      if (!valueSums) cum0
+      else cum0.withColumn("_vcumx", (col("_vpre") + col("_voff")).cast("decimal(38,0)"))
 
     // group sizes: one row per group, broadcast back
     val ngrp = counts.groupBy(g: _*).agg(sum("_c").as("_n"))

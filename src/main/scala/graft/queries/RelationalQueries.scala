@@ -63,6 +63,18 @@ object RelationalQueries {
           Seq("l_returnflag", "l_linestatus"), cents, pPermille = 990)
         .withColumnRenamed("n_above", "n_above_p99")
     },
+    // Robust statistics: per-group winsorized sum against the group's
+    // OWN [p1, p99] band, in ONE pass — the clipped sum is algebra on
+    // the value-weighted cum table (ops/Quantiles.winsorizedStats), no
+    // clip-and-rescan. DECIMAL(38,0) keeps the weighted sums exact at
+    // any scale (a 100 TB value-weighted sum breaches i64).
+    "q_winsorized_stats" -> { (s, dir) =>
+      val cents = expr("CAST(round(CAST(l_extendedprice AS DOUBLE) * 100) AS BIGINT)")
+      graft.ops.Quantiles.winsorizedStats(
+        Tables(s, dir, "lineitem"),
+        Seq("l_returnflag", "l_linestatus"), cents,
+        loPermille = 10, hiPermille = 990)
+    },
     // Pivot (wide aggregation): documents count per source × language,
     // explicit pinned column set so the schema is static at any scale.
     "q_pivot_lang_source" -> { (s, dir) =>
@@ -284,6 +296,32 @@ object RelationalQueries {
         |SELECT t.l_returnflag, t.l_linestatus, count(*) AS n_total,
         |  CAST(sum(CASE WHEN t.v > thr.thr THEN 1 ELSE 0 END) AS BIGINT) AS n_above_p99
         |FROM t JOIN thr USING (l_returnflag, l_linestatus)
+        |GROUP BY t.l_returnflag, t.l_linestatus""".stripMargin,
+    // Two-pass clip-and-sum reference for the one-pass winsorized
+    // kernel; the rank-ceil thresholds use the identical integer
+    // formula, the clipped sum the same DECIMAL(38,0) cast.
+    "q_winsorized_stats" ->
+      """WITH t AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |         CAST(round(CAST(l_extendedprice AS DOUBLE) * 100) AS BIGINT) AS v
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT l_returnflag, l_linestatus, v,
+        |    row_number() OVER (PARTITION BY l_returnflag, l_linestatus ORDER BY v) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag, l_linestatus) AS n
+        |  FROM t),
+        |lo AS (SELECT l_returnflag, l_linestatus, v AS lo_v
+        |  FROM r WHERE rn = (10*n + 999)//1000),
+        |hi AS (SELECT l_returnflag, l_linestatus, v AS hi_v
+        |  FROM r WHERE rn = (990*n + 999)//1000)
+        |SELECT t.l_returnflag, t.l_linestatus, count(*) AS n_total,
+        |  min(lo.lo_v) AS lo_value, min(hi.hi_v) AS hi_value,
+        |  CAST(CAST(sum(CASE WHEN t.v < lo.lo_v THEN lo.lo_v
+        |               WHEN t.v > hi.hi_v THEN hi.hi_v
+        |               ELSE t.v END) AS DECIMAL(38,0)) AS DOUBLE) AS winsorized_sum
+        |FROM t
+        |JOIN lo USING (l_returnflag, l_linestatus)
+        |JOIN hi USING (l_returnflag, l_linestatus)
         |GROUP BY t.l_returnflag, t.l_linestatus""".stripMargin,
     "q_pivot_lang_source" ->
       """SELECT source,

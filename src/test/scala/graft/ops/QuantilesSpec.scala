@@ -113,6 +113,41 @@ class QuantilesSpec extends SparkSpec {
     }
   }
 
+  test("winsorizedStats == naive clip-and-sum on random data with ties") {
+    // the one-pass algebra (lo·|v<lo| + weighted-band sum + hi·|v>hi|)
+    // must equal the clip-then-sum definition; heavy ties stress the
+    // at-threshold edges (tied-at-lo rows are NOT lifted, tied-at-hi
+    // rows are NOT clipped). (1,1000) pins winsorized_sum == plain sum
+    // except rows strictly below the min-rank value (none).
+    val rnd = new scala.util.Random(77)
+    val rows = (1 to 4000).map(i => (s"g${i % 4}", rnd.nextInt(120).toLong - 20L))
+    val df = rows.toDF("grp", "v")
+    for ((lo, hi) <- Seq((10, 990), (250, 750), (1, 1000))) {
+      val expected = rows.groupBy(_._1).map { case (g, rs) =>
+        val vs = rs.map(_._2)
+        val (lv, hv) = (naive(vs, lo), naive(vs, hi))
+        g -> ((vs.size.toLong, lv, hv,
+          vs.map(v => math.min(math.max(v, lv), hv)).sum.toDouble))
+      }
+      val got = Quantiles.winsorizedStats(df, Seq("grp"), col("v"), lo, hi)
+        .as[(String, Long, Long, Long, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+      assert(got == expected, s"($lo,$hi) got=$got expected=$expected")
+    }
+  }
+
+  test("winsorizedStats: bucket-count invariance and empty input") {
+    val empty = Seq.empty[(String, Long)].toDF("grp", "v")
+    assert(Quantiles.winsorizedStats(empty, Seq("grp"), col("v"), 10, 990)
+      .count() == 0L)
+    val df = (1 to 900).map(i => ("g", (i % 53).toLong)).toDF("grp", "v")
+    val a = Quantiles.winsorizedStats(df, Seq("grp"), col("v"), 10, 990,
+      targetBuckets = 2).as[(String, Long, Long, Long, Double)].collect().toSet
+    val b = Quantiles.winsorizedStats(df, Seq("grp"), col("v"), 10, 990,
+      targetBuckets = 4096).as[(String, Long, Long, Long, Double)].collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
+
   test("outlierCounts: empty input and bucket-count invariance") {
     val empty = Seq.empty[(String, Long)].toDF("grp", "v")
     assert(Quantiles.outlierCounts(empty, Seq("grp"), col("v"), 990).count() == 0L)
