@@ -78,14 +78,23 @@ object Quantiles {
         df.select((g :+ lit(0L).as("n_total")
           :+ lit(0L).as("n_above")): _*).limit(0)
       case Some(cum) =>
-        cum.withColumn("_rank", expr(s"($pPermille * _n + 999) div 1000"))
-          .where(col("_cumx") < col("_rank") &&
-            col("_rank") <= col("_cumx") + col("_c"))
+        quantileRow(cum, pPermille)
           .select((g :+ col("_n").as("n_total")
             :+ (col("_n") - col("_cumx") - col("_c"))
               .as("n_above")): _*)
     }
   }
+
+  /** The single-permille quantile-row selection — the engine's
+    * cross-engine rank contract (`rank = ceil(p·n/1000)`, the unique
+    * value row with `cum_excl < rank ≤ cum_incl`) in ONE place for
+    * every single-p consumer. [[exactByGroup]] keeps its multi-p
+    * explode form of the same filter (hand-mirrored; its plan is
+    * digest-pinned). */
+  private def quantileRow(cum: DataFrame, pPermille: Int): DataFrame =
+    cum.withColumn("_rank", expr(s"($pPermille * _n + 999) div 1000"))
+      .where(col("_cumx") < col("_rank") &&
+        col("_rank") <= col("_cumx") + col("_c"))
 
   /** One-pass WINSORIZED statistics per group — the robust-stats
     * companion to [[outlierCounts]]: every value is clipped to the
@@ -123,17 +132,19 @@ object Quantiles {
           :+ lit(0L).as("hi_value")
           :+ lit(0L).cast("double").as("winsorized_sum")): _*).limit(0)
       case Some(cum) =>
-        def sel(p: Int, pfx: String) = cum
-          .withColumn("_rank", expr(s"($p * _n + 999) div 1000"))
-          .where(col("_cumx") < col("_rank") &&
-            col("_rank") <= col("_cumx") + col("_c"))
+        def sel(p: Int, pfx: String) = quantileRow(cum, p)
           .select((g :+ col("_n") :+ col("_v").as(s"${pfx}_v")
             :+ col("_c").as(s"${pfx}_c") :+ col("_cumx").as(s"${pfx}_cumx")
             :+ col("_vcumx").as(s"${pfx}_vcumx")): _*)
         val lo = sel(loPermille, "lo")
         val hi = sel(hiPermille, "hi").drop("_n")
         val dec = (c: Column) => c.cast("decimal(38,0)")
-        lo.join(hi, groupCols)
+        // groupCols may be empty (global stats): a zero-using-column
+        // join is a cartesian Spark may reject by conf; both sides are
+        // exactly one row there, so make the 1×1 cross explicit
+        val joined =
+          if (groupCols.isEmpty) lo.crossJoin(hi) else lo.join(hi, groupCols)
+        joined
           .select((g :+ col("_n").as("n_total")
             :+ col("lo_v").as("lo_value") :+ col("hi_v").as("hi_value")
             :+ (dec(col("lo_v")) * dec(col("lo_cumx"))
@@ -191,7 +202,11 @@ object Quantiles {
     val width = math.max(1L, (r.getLong(1) - r.getLong(0)) / targetBuckets + 1L)
     val lo = r.getLong(0)
     val bucketed = counts.withColumn("_b", expr(s"(_v - ${lo}L) div ${width}L"))
-    val vc = (col("_v") * col("_c")).cast("decimal(38,0)")
+    // decimal FIRST: a LongType product _v*_c can silently wrap before
+    // the cast (ANSI off), defeating the exactness the decimal path
+    // exists for; decimal(38,0)·long ≤ 8.5e37 stays in range
+    val vc = (col("_v").cast("decimal(38,0)") * col("_c"))
+      .cast("decimal(38,0)")
 
     // within-bucket exclusive prefix (partitions bounded by bucket
     // population) + per-group bucket offsets (<= targetBuckets rows

@@ -136,6 +136,16 @@ class QuantilesSpec extends SparkSpec {
     }
   }
 
+  test("winsorizedStats with no group columns (global robust stats)") {
+    val vs = (1L to 500L).toSeq
+    val df = vs.map(("x", _)).toDF("ignore", "v").select(col("v"))
+    val lv = naive(vs, 10); val hv = naive(vs, 990)
+    val got = Quantiles.winsorizedStats(df, Seq(), col("v"), 10, 990)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.toSeq == Seq((500L, lv, hv,
+      vs.map(v => math.min(math.max(v, lv), hv)).sum.toDouble)))
+  }
+
   test("winsorizedStats: bucket-count invariance and empty input") {
     val empty = Seq.empty[(String, Long)].toDF("grp", "v")
     assert(Quantiles.winsorizedStats(empty, Seq("grp"), col("v"), 10, 990)

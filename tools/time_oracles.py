@@ -14,7 +14,10 @@ def main(sf_dir, threads=32):
     con.execute(f"SET threads={threads}")
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        try:
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        except Exception as e:  # WARN-only tool: still produce an artifact
+            print(f"WARN cannot view {t}: {e}", file=sys.stderr)
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     oracles = json.load(open(os.path.join(here, "oracle_sql.json")))
     total, times, errs = 0.0, {}, {}
@@ -24,11 +27,13 @@ def main(sf_dir, threads=32):
             con.execute(sql).fetchall()
         except Exception as e:
             errs[name] = str(e)[:120]
+            continue  # a failed oracle's elapsed time is NOT DuckDB's
+            # cost for the query — including it would skew total_s
         dt = time.time() - t0
         times[name] = round(dt, 3)
         total += dt
     out = {"sf": sf_dir, "threads": threads, "total_s": round(total, 1),
-           "n": len(oracles), "errs": errs,
+           "n": len(oracles), "n_ok": len(times), "errs": errs,
            "slowest": dict(sorted(times.items(), key=lambda x: -x[1])[:10])}
     print(json.dumps(out))
 
