@@ -204,6 +204,22 @@ object TextQueries {
         .withColumnRenamed("item", "gram")
     },
 
+    // PER-LANGUAGE heavy shingles (the mixture-pipeline variant): all
+    // 3-shingles at ≥ 150 ppm of THEIR language's stream. Same
+    // two-pass superset-then-recount scheme per group, per-group
+    // thresholds computed IN-PLAN (no driver collect); the oracle is
+    // the per-group GROUP BY … HAVING the sketch path avoids.
+    "q_token_heavy_hitters_by_lang" -> { (s, dir) =>
+      val toked = Tables(s, dir, "documents")
+        .select(col("lang"), TextOps.tokens(col("text")).as("t"))
+      val sh = toked.select(col("lang"),
+        explode(TextOps.shinglesOf(col("t"), 3)).as("gram"))
+      graft.text.HeavyHitters
+        .exactHeavyHittersByGroup(sh, col("lang"), col("gram"),
+          ppm = 150, k = 1 << 13)
+        .select(col("grp").as("lang"), col("item").as("gram"), col("n"))
+    },
+
     // The composed quality FILTER decision (metrics are diagnostics;
     // this is the keep/drop bit a pipeline acts on).
     "q_text_quality_filter" -> { (s, dir) =>
@@ -668,6 +684,19 @@ object TextQueries {
       s"""SELECT t AS token, count(*) AS n FROM (
          |  SELECT unnest($toksSql) AS t FROM documents)
          |GROUP BY 1""".stripMargin,
+
+    "q_token_heavy_hitters_by_lang" ->
+      s"""WITH tk AS (SELECT lang, $toksSql AS t FROM documents),
+         |sh AS (SELECT lang, unnest(CASE WHEN len(t) < 3 THEN []
+         |    ELSE [t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+         |          for i in generate_series(0, len(t)-3)] END) AS gram
+         |  FROM tk),
+         |tot AS (SELECT lang, count(*) AS n FROM sh GROUP BY 1)
+         |SELECT sh.lang, gram, CAST(count(*) AS BIGINT) AS n
+         |FROM sh JOIN tot USING (lang)
+         |GROUP BY sh.lang, gram, tot.n
+         |HAVING count(*) >= (tot.n // 1000000) * 150
+         |  + ((tot.n % 1000000) * 150 + 999999) // 1000000""".stripMargin,
 
     // The vocabulary-shuffle formulation the sketch path avoids; the
     // ceil(N·ppm/1e6) threshold uses the same overflow-safe integer

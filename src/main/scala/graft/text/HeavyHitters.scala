@@ -46,9 +46,12 @@ object HeavyHitters {
     * rely only on the undercount bound, never on which borderline
     * items survive.
     */
-  private[text] def mgMerge(it: Iterator[(String, Long)], k: Int): Iterator[(String, Long)] = {
-    val m = new java.util.HashMap[String, Long](k * 2)
-    it.foreach { case (s, w) =>
+  /** Incremental weighted MG state with `k` counters — the fold
+    * behind [[mgMerge]], exposed so the per-group variant can keep one
+    * sketch per group key in a single partition pass. */
+  private[text] final class MgSketch(k: Int) {
+    private val m = new java.util.HashMap[String, Long](k * 2)
+    def add(s: String, w: Long): Unit = {
       val cur = m.getOrDefault(s, 0L)
       m.put(s, cur + w)
       if (m.size > k) {
@@ -63,10 +66,17 @@ object HeavyHitters {
         }
       }
     }
-    import scala.jdk.CollectionConverters._
-    // copy out: the HashMap must not be mutated under a lazy iterator
-    m.entrySet().iterator().asScala.map(e => (e.getKey, e.getValue))
-      .toVector.iterator
+    /** Copied out: the HashMap must not be mutated under a lazy iterator. */
+    def entries: Vector[(String, Long)] = {
+      import scala.jdk.CollectionConverters._
+      m.entrySet().iterator().asScala.map(e => (e.getKey, e.getValue)).toVector
+    }
+  }
+
+  private[text] def mgMerge(it: Iterator[(String, Long)], k: Int): Iterator[(String, Long)] = {
+    val sk = new MgSketch(k)
+    it.foreach { case (s, w) => sk.add(s, w) }
+    sk.entries.iterator
   }
 
   /** Exact `(item, n)` for every item with count ≥ ceil(N·ppm/10⁶),
@@ -105,5 +115,54 @@ object HeavyHitters {
     items.join(broadcast(cands), "item")
       .groupBy("item").agg(count(lit(1)).as("n"))
       .filter(col("n") >= thr)
+  }
+
+  /** PER-GROUP exact heavy hitters — items at ≥ `ppm` of THEIR GROUP's
+    * stream (heavy shingles per language / per domain, the
+    * mixture-pipeline variant). Same two-pass scheme per group: each
+    * group's per-partition substream gets its own MG sketch (memory ≤
+    * k × groups per partition — group cardinality must be bounded,
+    * the same contract as every per-group broadcast in this engine),
+    * group summaries merge through a per-group weighted re-summarize
+    * (one `groupByKey(group)` pass over ≤ k·P weighted rows per
+    * group), and the ≤ k·|groups| candidates broadcast into an exact
+    * recount. The per-group threshold `ceil(N_g·ppm/10⁶)` is computed
+    * IN-PLAN from a group-count join (no driver collect at all here —
+    * unlike the global variant there is no single literal to embed),
+    * with the same overflow-safe integer split.
+    *
+    * @return (group, item, n) — exact counts of exactly the items at
+    *         ≥ ppm of their group
+    */
+  def exactHeavyHittersByGroup(rows: DataFrame, groupExpr: Column,
+      itemExpr: Column, ppm: Int, k: Int = 1 << 15): DataFrame = {
+    require(ppm >= 1 && ppm <= 1000000, s"ppm out of range: $ppm")
+    require(k + 1L > 1000000L / ppm,
+      s"k=$k breaks the superset guarantee for ppm=$ppm: need k+1 > 1e6/ppm")
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val items = rows.select(groupExpr.cast("string").as("grp"),
+        itemExpr.cast("string").as("item"))
+      .filter(col("grp").isNotNull && col("item").isNotNull)
+    val lvl1 = items.as[(String, String)].mapPartitions { it =>
+      val sketches = scala.collection.mutable.HashMap.empty[String, MgSketch]
+      it.foreach { case (g, s) =>
+        sketches.getOrElseUpdate(g, new MgSketch(k)).add(s, 1L)
+      }
+      sketches.iterator.flatMap { case (g, sk) =>
+        sk.entries.map { case (s, w) => (g, s, w) }
+      }
+    }
+    val cands = lvl1.groupByKey(_._1)
+      .flatMapGroups { (g, it) =>
+        mgMerge(it.map(r => (r._2, r._3)), k).map { case (s, _) => (g, s) }
+      }.toDF("grp", "item")
+    val totals = items.groupBy("grp").agg(count(lit(1)).as("_ng"))
+    items.join(broadcast(cands), Seq("grp", "item"))
+      .groupBy("grp", "item").agg(count(lit(1)).as("n"))
+      .join(broadcast(totals), "grp")
+      .filter(col("n") >= expr(
+        s"(_ng div 1000000) * $ppm + ((_ng % 1000000) * $ppm + 999999) div 1000000"))
+      .select(col("grp"), col("item"), col("n"))
   }
 }

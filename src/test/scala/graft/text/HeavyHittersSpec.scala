@@ -60,6 +60,29 @@ class HeavyHittersSpec extends SparkSpec {
     }
   }
 
+  test("byGroup: exact vs naive per-group, incl. a group where nothing is heavy") {
+    val rnd = new scala.util.Random(41)
+    // group a: skewed (heavy items exist); group b: near-uniform over a
+    // wide universe (often nothing reaches the threshold); group c: tiny
+    val rows =
+      (1 to 6000).map(_ => ("a", s"w${(rnd.nextGaussian().abs * 8).toInt}")) ++
+      (1 to 6000).map(_ => ("b", s"u${rnd.nextInt(3000)}")) ++
+      (1 to 40).map(_ => ("c", s"t${rnd.nextInt(3)}"))
+    val ppm = 20000
+    val expected = rows.groupBy(_._1).flatMap { case (g, rs) =>
+      val n = rs.size.toLong
+      val thr = (n / 1000000L) * ppm + ((n % 1000000L) * ppm + 999999L) / 1000000L
+      rs.groupBy(_._2).view.mapValues(_.size.toLong)
+        .filter(_._2 >= thr).map { case (i, c) => (g, i, c) }
+    }.toSet
+    val got = HeavyHitters.exactHeavyHittersByGroup(
+        rows.toDF("g", "x").repartition(7), col("g"), col("x"),
+        ppm, k = (1000000 / ppm) + 5)
+      .as[(String, String, Long)].collect().toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+  }
+
   test("static superset-guarantee check rejects an undersized k") {
     intercept[IllegalArgumentException] {
       HeavyHitters.exactHeavyHitters(Seq("a").toDF("x"), col("x"),
