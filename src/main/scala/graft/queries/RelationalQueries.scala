@@ -279,7 +279,7 @@ object RelationalQueries {
         |  FROM t)
         |SELECT l_returnflag, l_linestatus, p AS p_permille, v AS value
         |FROM r JOIN (VALUES (250),(500),(750),(900),(990)) ps(p)
-        |  ON rn = (p*n + 999)//1000""".stripMargin,
+        |  ON rn = (n//1000)*p + ((n%1000)*p + 999)//1000""".stripMargin,
     "q_outlier_flags" ->
       """WITH t AS (
         |  SELECT l_returnflag, l_linestatus,
@@ -292,14 +292,18 @@ object RelationalQueries {
         |  FROM t),
         |thr AS (
         |  SELECT l_returnflag, l_linestatus, v AS thr
-        |  FROM r WHERE rn = (990*n + 999)//1000)
+        |  FROM r WHERE rn = (n//1000)*990 + ((n%1000)*990 + 999)//1000)
         |SELECT t.l_returnflag, t.l_linestatus, count(*) AS n_total,
         |  CAST(sum(CASE WHEN t.v > thr.thr THEN 1 ELSE 0 END) AS BIGINT) AS n_above_p99
         |FROM t JOIN thr USING (l_returnflag, l_linestatus)
         |GROUP BY t.l_returnflag, t.l_linestatus""".stripMargin,
     // Two-pass clip-and-sum reference for the one-pass winsorized
     // kernel; the rank-ceil thresholds use the identical integer
-    // formula, the clipped sum the same DECIMAL(38,0) cast.
+    // formula, the clipped moments the same exact-integer→DOUBLE
+    // casts, and the derived mean/var/std the identical IEEE
+    // expression tree (sumsq/n − (sum/n)·(sum/n), clamped, sqrt) —
+    // correctly-rounded binary ops on identical doubles are
+    // bit-deterministic across engines.
     "q_winsorized_stats" ->
       """WITH t AS (
         |  SELECT l_returnflag, l_linestatus,
@@ -311,18 +315,36 @@ object RelationalQueries {
         |    count(*) OVER (PARTITION BY l_returnflag, l_linestatus) AS n
         |  FROM t),
         |lo AS (SELECT l_returnflag, l_linestatus, v AS lo_v
-        |  FROM r WHERE rn = (10*n + 999)//1000),
+        |  FROM r WHERE rn = (n//1000)*10 + ((n%1000)*10 + 999)//1000),
         |hi AS (SELECT l_returnflag, l_linestatus, v AS hi_v
-        |  FROM r WHERE rn = (990*n + 999)//1000)
-        |SELECT t.l_returnflag, t.l_linestatus, count(*) AS n_total,
-        |  min(lo.lo_v) AS lo_value, min(hi.hi_v) AS hi_value,
-        |  CAST(CAST(sum(CASE WHEN t.v < lo.lo_v THEN lo.lo_v
-        |               WHEN t.v > hi.hi_v THEN hi.hi_v
-        |               ELSE t.v END) AS DECIMAL(38,0)) AS DOUBLE) AS winsorized_sum
-        |FROM t
-        |JOIN lo USING (l_returnflag, l_linestatus)
-        |JOIN hi USING (l_returnflag, l_linestatus)
-        |GROUP BY t.l_returnflag, t.l_linestatus""".stripMargin,
+        |  FROM r WHERE rn = (n//1000)*990 + ((n%1000)*990 + 999)//1000),
+        |c AS (
+        |  SELECT t.l_returnflag, t.l_linestatus, lo.lo_v, hi.hi_v,
+        |    CASE WHEN t.v < lo.lo_v THEN lo.lo_v
+        |         WHEN t.v > hi.hi_v THEN hi.hi_v
+        |         ELSE t.v END AS cl
+        |  FROM t
+        |  JOIN lo USING (l_returnflag, l_linestatus)
+        |  JOIN hi USING (l_returnflag, l_linestatus)),
+        |s AS (
+        |  SELECT l_returnflag, l_linestatus, count(*) AS n_total,
+        |    min(lo_v) AS lo_value, min(hi_v) AS hi_value,
+        |    CAST(CAST(sum(cl) AS DECIMAL(38,0)) AS DOUBLE) AS winsorized_sum,
+        |    CAST(CAST(sum(CAST(cl AS HUGEINT) * cl) AS DECIMAL(38,0)) AS DOUBLE)
+        |      AS winsorized_sumsq
+        |  FROM c GROUP BY l_returnflag, l_linestatus),
+        |m AS (
+        |  SELECT *,
+        |    winsorized_sum / CAST(n_total AS DOUBLE) AS winsorized_mean,
+        |    greatest(CAST(0 AS DOUBLE),
+        |      winsorized_sumsq / CAST(n_total AS DOUBLE)
+        |      - (winsorized_sum / CAST(n_total AS DOUBLE))
+        |        * (winsorized_sum / CAST(n_total AS DOUBLE))) AS winsorized_var
+        |  FROM s)
+        |SELECT l_returnflag, l_linestatus, n_total, lo_value, hi_value,
+        |  winsorized_sum, winsorized_sumsq, winsorized_mean, winsorized_var,
+        |  sqrt(winsorized_var) AS winsorized_std
+        |FROM m""".stripMargin,
     "q_pivot_lang_source" ->
       """SELECT source,
         |  CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS de,

@@ -821,7 +821,10 @@ object StreamScaleBench {
       val xdir = sys.env.getOrElse("SPARK_GRAFT_STREAM_XES_STAGE",
         "/tmp/graft_stream_xes")
       val xfpt = sys.env.getOrElse("SPARK_GRAFT_STREAM_XES_FPT", "32").toInt
-      val book = "/root/reference/static/xes/book"
+      // corpus dir is overridable so the row runs on boxes without the
+      // reference checkout at its canonical path (r11 advice)
+      val book = sys.env.getOrElse("SPARK_GRAFT_XES_BOOK",
+        "/root/reference/static/xes/book")
       val filesDir = Paths.get(s"$xdir/files")
       if (!Files.exists(filesDir) || args.contains("--rebuild")) {
         println(s"staging xes corpus x$copies -> $xdir")

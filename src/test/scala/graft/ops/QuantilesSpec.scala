@@ -113,25 +113,41 @@ class QuantilesSpec extends SparkSpec {
     }
   }
 
-  test("winsorizedStats == naive clip-and-sum on random data with ties") {
-    // the one-pass algebra (lo·|v<lo| + weighted-band sum + hi·|v>hi|)
-    // must equal the clip-then-sum definition; heavy ties stress the
-    // at-threshold edges (tied-at-lo rows are NOT lifted, tied-at-hi
-    // rows are NOT clipped). (1,1000) pins winsorized_sum == plain sum
-    // except rows strictly below the min-rank value (none).
+  /** Naive clip-then-compute reference for ALL winsorized moments,
+    * with the kernel's EXACT ieee expression tree for the derived
+    * doubles (sumsq/n − (sum/n)·(sum/n), clamped at 0, then sqrt) —
+    * equality below is bit-exact, which is the cross-engine
+    * determinism claim itself. */
+  private def naiveWinsor(vs: Seq[Long], lo: Int, hi: Int)
+      : (Long, Long, Long, Double, Double, Double, Double, Double) = {
+    val (lv, hv) = (naive(vs, lo), naive(vs, hi))
+    val cl = vs.map(v => math.min(math.max(v, lv), hv))
+    val s = cl.sum.toDouble
+    val s2 = cl.map(v => v * v).sum.toDouble
+    val n = vs.size.toDouble
+    val mean = s / n
+    val vr = math.max(0d, s2 / n - mean * mean)
+    (vs.size.toLong, lv, hv, s, s2, mean, vr, math.sqrt(vr))
+  }
+
+  test("winsorizedStats == naive clip moments on random data with ties") {
+    // the one-pass algebra (lo-lift + weighted band + hi-clip, for both
+    // Σclip and Σclip²) must equal the clip-then-compute definition;
+    // heavy ties stress the at-threshold edges (tied-at-lo rows are NOT
+    // lifted, tied-at-hi rows are NOT clipped). Negative values stress
+    // the signed prefix sums. (1,1000) pins winsorized_sum == plain sum.
     val rnd = new scala.util.Random(77)
     val rows = (1 to 4000).map(i => (s"g${i % 4}", rnd.nextInt(120).toLong - 20L))
     val df = rows.toDF("grp", "v")
     for ((lo, hi) <- Seq((10, 990), (250, 750), (1, 1000))) {
       val expected = rows.groupBy(_._1).map { case (g, rs) =>
-        val vs = rs.map(_._2)
-        val (lv, hv) = (naive(vs, lo), naive(vs, hi))
-        g -> ((vs.size.toLong, lv, hv,
-          vs.map(v => math.min(math.max(v, lv), hv)).sum.toDouble))
+        g -> naiveWinsor(rs.map(_._2), lo, hi)
       }
       val got = Quantiles.winsorizedStats(df, Seq("grp"), col("v"), lo, hi)
-        .as[(String, Long, Long, Long, Double)].collect()
-        .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+        .as[(String, Long, Long, Long, Double, Double, Double, Double, Double)]
+        .collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7, r._8, r._9)))
+        .toMap
       assert(got == expected, s"($lo,$hi) got=$got expected=$expected")
     }
   }
@@ -139,11 +155,20 @@ class QuantilesSpec extends SparkSpec {
   test("winsorizedStats with no group columns (global robust stats)") {
     val vs = (1L to 500L).toSeq
     val df = vs.map(("x", _)).toDF("ignore", "v").select(col("v"))
-    val lv = naive(vs, 10); val hv = naive(vs, 990)
     val got = Quantiles.winsorizedStats(df, Seq(), col("v"), 10, 990)
-      .as[(Long, Long, Long, Double)].collect()
-    assert(got.toSeq == Seq((500L, lv, hv,
-      vs.map(v => math.min(math.max(v, lv), hv)).sum.toDouble)))
+      .as[(Long, Long, Long, Double, Double, Double, Double, Double)].collect()
+    assert(got.toSeq == Seq(naiveWinsor(vs, 10, 990)))
+  }
+
+  test("winsorizedStats: constant group pins var = std = 0 exactly") {
+    // a constant column's clipped variance must be EXACTLY zero — the
+    // greatest(0, ·) clamp has to absorb any cancellation residue so
+    // sqrt never sees a negative
+    val df = (1 to 1200).map(_ => ("g", 41L)).toDF("grp", "v")
+    val got = Quantiles.winsorizedStats(df, Seq("grp"), col("v"), 10, 990)
+      .select("winsorized_var", "winsorized_std")
+      .as[(Double, Double)].collect()
+    assert(got.toSeq == Seq((0d, 0d)))
   }
 
   test("winsorizedStats: bucket-count invariance and empty input") {
@@ -151,10 +176,12 @@ class QuantilesSpec extends SparkSpec {
     assert(Quantiles.winsorizedStats(empty, Seq("grp"), col("v"), 10, 990)
       .count() == 0L)
     val df = (1 to 900).map(i => ("g", (i % 53).toLong)).toDF("grp", "v")
-    val a = Quantiles.winsorizedStats(df, Seq("grp"), col("v"), 10, 990,
-      targetBuckets = 2).as[(String, Long, Long, Long, Double)].collect().toSet
-    val b = Quantiles.winsorizedStats(df, Seq("grp"), col("v"), 10, 990,
-      targetBuckets = 4096).as[(String, Long, Long, Long, Double)].collect().toSet
+    def run(buckets: Int) =
+      Quantiles.winsorizedStats(df, Seq("grp"), col("v"), 10, 990,
+        targetBuckets = buckets)
+        .as[(String, Long, Long, Long, Double, Double, Double, Double, Double)]
+        .collect().toSet
+    val (a, b) = (run(2), run(4096))
     assert(a == b && a.nonEmpty)
   }
 

@@ -120,11 +120,13 @@ def main(sf_dir, out_dir):
     # Usage: python3 tools/check.py <sfDir> <outDir> [--bench fresh.json prior.json]
     if "--bench" in sys.argv:
         i = sys.argv.index("--bench")
-        # WARN-only contract: a malformed invocation (fewer than two paths
-        # after --bench) must degrade to a warning, not an IndexError
+        # fail-loudly contract (r11 advice): asking for the bench guard
+        # and not getting it is a gate failure, not a skipped warning —
+        # otherwise a typo'd invocation silently drops the regression
+        # check while correctness still exits 0
         if i + 2 >= len(sys.argv):
-            print("bench guard: usage --bench <fresh.json> <prior.json>")
-            return 1 if failures else 0
+            print("FAIL bench guard: --bench requires <fresh.json> <prior.json>")
+            return 1
         fresh_p, prior_p = sys.argv[i + 1], sys.argv[i + 2]
         def qmap(path):
             d = json.load(open(path))
