@@ -25,6 +25,9 @@ object TextQueries {
   /** q_text_bm25 query terms: one rare marker + three common terms. */
   private[queries] val Bm25Terms = Seq("dup", "spark", "hash", "key")
 
+  /** Unique memory-sink names across Verify's repeated invocations. */
+  private val hhRun = new java.util.concurrent.atomic.AtomicInteger
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // BM25-style ranked retrieval in exact integer arithmetic (no
     // logarithms — dyadic-rational idf and cleared-denominator tf
@@ -218,6 +221,84 @@ object TextQueries {
         .exactHeavyHittersByGroup(sh, col("lang"), col("gram"),
           ppm = 150, k = 1 << 13)
         .select(col("grp").as("lang"), col("item").as("gram"), col("n"))
+    },
+
+    // Streaming ↔ batch heavy-hitters parity — the 15th batch↔stream
+    // gate, closing the round's "every operator family has a streaming
+    // twin" rule for the profiling family. Pass 1: per-bucket
+    // Misra-Gries sketches as flatMapGroupsWithState state (items
+    // route by their own hash, so each item's whole substream folds
+    // into one bucket's sketch — the batch kernel's superset guarantee
+    // holds per bucket), flushed by watermark-driven timeout with a
+    // sound per-bucket prune. Pass 2: stream REPLAY through
+    // foreachBatch, exact-counting only the ≤ |candidates| items plus
+    // the exact stream length (the replayable-source trade the batch
+    // kernel makes with its own second scan). Same ppm/k contract as
+    // q_token_heavy_hitters; the oracle is the identical vocabulary
+    // GROUP BY … HAVING.
+    "q_stream_heavy_hitters_parity" -> { (s, dir) =>
+      ParityFeed.withStreamParallelism(s, 8) {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      import org.apache.spark.sql.streaming.OutputMode
+      import graft.streaming.StreamingHeavyHitters
+      val Ignore = " "
+      val ppm = 75
+      // feed DOCUMENTS (one driver row per doc); the shingle explosion
+      // runs stream-side. Event time = doc_id seconds (+1: strictly
+      // past the initial watermark 0).
+      val docsDs = Tables(s, dir, "documents")
+        .select(col("text"),
+          ((col("doc_id").cast("long") + 1L) * 1000000L).as("tsMicros"))
+        .as[(String, Long)]
+      def shingleStream(
+          input: org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long)],
+          sentinelAfter: Long) =
+        input.toDS().toDF("text", "tsMicros")
+          .select(explode(TextOps.shinglesOf(TextOps.tokens(col("text")), 3))
+            .as("gram"), col("tsMicros"))
+          // sentinel docs ("s s s", far-future ts) explode to exactly
+          // one shingle each; remap it to the Ignore marker IN a
+          // projection — a filter would be pushed below the watermark
+          // node and stall it (the repo's standing sentinel rule)
+          .select(when(col("tsMicros") > lit(sentinelAfter), lit(Ignore))
+            .otherwise(col("gram")).as("item"), col("tsMicros"))
+      // ---- pass 1: candidate sketches ----
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(String, Long)]
+      val maxTs = ParityFeed.feed(input, docsDs, (_: (String, Long))._2)
+      input.addData(("s s s", maxTs + 86400L * 1000000L))
+      val items = shingleStream(input, maxTs)
+        .withColumn("ts", timestamp_micros(col("tsMicros")))
+        .withWatermark("ts", "10 seconds")
+        .as[StreamingHeavyHitters.Item]
+      val name = s"stream_hh_parity_${hhRun.incrementAndGet()}"
+      val q = StreamingHeavyHitters.candidates(s, items, k = 1 << 14,
+          nBuckets = 8, ppm = ppm, gapSeconds = 3600L, ignoreItem = Ignore)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        q.processAllAvailable()
+        input.addData(("s s s", maxTs + 2L * 86400L * 1000000L))
+        q.processAllAvailable()
+      } finally q.stop()
+      graft.streaming.LateDrops.assertNone(q, name)
+      // bounded by the post-prune candidate set (≈ heavy set + border)
+      val cands = s.table(name).select(col("item")).distinct()
+        .as[String].collect()
+      s.catalog.dropTempView(name)
+      // ---- pass 2: exact recount over a stream replay ----
+      val input2 = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(String, Long)]
+      ParityFeed.feed(input2, docsDs, (_: (String, Long))._2)
+      val rec = new StreamingHeavyHitters.ExactRecount(s, cands, Ignore)
+      val q2 = shingleStream(input2, maxTs).writeStream
+        .foreachBatch((df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            id: Long) => rec.addBatch(df.toDF(), id))
+        .queryName(name + "_recount").start()
+      try q2.processAllAvailable() finally q2.stop()
+      rec.result(ppm).toDF("gram", "n")
+      }
     },
 
     // The composed quality FILTER decision (metrics are diagnostics;
@@ -697,6 +778,20 @@ object TextQueries {
          |GROUP BY sh.lang, gram, tot.n
          |HAVING count(*) >= (tot.n // 1000000) * 150
          |  + ((tot.n % 1000000) * 150 + 999999) // 1000000""".stripMargin,
+
+    // The streaming twin must produce EXACTLY the batch kernel's
+    // answer — same vocabulary GROUP BY … HAVING oracle, verbatim.
+    "q_stream_heavy_hitters_parity" ->
+      s"""WITH tk AS (SELECT $toksSql AS t FROM documents),
+         |sh AS (SELECT unnest(CASE WHEN len(t) < 3 THEN []
+         |    ELSE [t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+         |          for i in generate_series(0, len(t)-3)] END) AS gram
+         |  FROM tk),
+         |tot AS (SELECT count(*) AS n FROM sh)
+         |SELECT gram, CAST(count(*) AS BIGINT) AS n
+         |FROM sh GROUP BY gram
+         |HAVING count(*) >= (SELECT (n // 1000000) * 75
+         |  + ((n % 1000000) * 75 + 999999) // 1000000 FROM tot)""".stripMargin,
 
     // The vocabulary-shuffle formulation the sketch path avoids; the
     // ceil(N·ppm/1e6) threshold uses the same overflow-safe integer

@@ -1,0 +1,197 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.text.HeavyHitters.MgSketch
+
+/** Streaming twin of the exact heavy-hitters kernel
+  * ([[graft.text.HeavyHitters]]) — the same two-pass
+  * superset-then-recount scheme, re-expressed over an unbounded
+  * stream:
+  *
+  * PASS 1 (candidates, this file's stateful operator): items route by
+  * their OWN hash to one of `nBuckets` group keys, so an item's whole
+  * substream folds into ONE bucket's Misra-Gries sketch — keyed state
+  * in `flatMapGroupsWithState`, bounded at ≤ k counters per bucket
+  * (`HeavyHitters.MgSketch` is the state's fold). Per-bucket MG
+  * undercounts by at most N_b/(k+1) (N_b = the bucket's total weight),
+  * and N_b ≤ N, so with the batch kernel's static precondition
+  * `k+1 > 10⁶/ppm` every item with global count ≥ ceil(N·ppm/10⁶)
+  * keeps a positive counter in ITS bucket — the candidate set is a
+  * superset of the answer by the same argument as the batch kernel,
+  * per bucket. Candidates flush when the watermark passes the
+  * bucket's quiet horizon (event-time timeout), and are additionally
+  * PRUNED by a per-bucket sound cutoff: a qualifying item's counter is
+  * ≥ thr_global − N_b/(k+1) ≥ ceil(N_b·ppm/10⁶) − ⌊N_b/(k+1)⌋
+  * (thr_global ≥ thr_bucket because N ≥ N_b and ceil is monotone), so
+  * entries below that cutoff can be dropped without touching the
+  * superset guarantee — at stream scale this cuts the emitted
+  * candidates from k·buckets to ≈ the true heavy set.
+  *
+  * PASS 2 (exactness, [[ExactRecount]]): replay the stream — the
+  * standard replayable-source contract (file drop-dir, Kafka
+  * retention); the batch kernel makes the same trade with its second
+  * scan — through `foreachBatch`, counting ONLY the ≤ candidates
+  * items exactly (one bounded aggregation per micro-batch, ≤ |cands|+1
+  * rows to the driver) plus the exact stream length N for the
+  * threshold. Borderline candidates fall out here, so the OUTPUT is
+  * deterministic — exact counts of exactly the ≥-threshold items —
+  * even though the intermediate sketches are batching-dependent.
+  *
+  * Sentinel discipline (the repo's standard): far-future rows advance
+  * the watermark THROUGH the stateful operator and are filtered
+  * INSIDE the fold (`ignoreItem`) — filtering upstream would push the
+  * predicate below the watermark node and stall it. A bucket that
+  * keeps receiving sentinel rows can never time out (every call
+  * resets the timeout), so the data branch ALSO flushes when the
+  * current watermark has already passed the bucket's horizon —
+  * flush-on-data makes two sentinel nudges sufficient regardless of
+  * which bucket the sentinel hashes to. A late real row after its
+  * bucket flushed starts a fresh sketch and emits a second candidate
+  * batch — harmless: candidates are a set union, the recount dedups.
+  */
+object StreamingHeavyHitters {
+
+  case class Item(item: String, tsMicros: Long)
+
+  /** Keyed state: the MG counter map (≤ k entries), the bucket's total
+    * folded weight (for the prune cutoff), and the max event time seen
+    * (for the flush horizon; max-merged so out-of-order rows above the
+    * watermark can never rewind it). */
+  case class BucketState(m: Map[String, Long], nb: Long, maxTsMicros: Long)
+
+  case class Candidate(bucket: Int, item: String, wLower: Long)
+
+  /** Non-negative stable routing hash — String.hashCode is specified
+    * by the JLS, so routing is deterministic across JVMs. */
+  private[streaming] def bucketOf(item: String, nBuckets: Int): Int =
+    math.floorMod(item.hashCode, nBuckets)
+
+  /** Pass-1 candidate stream. `items` must carry a watermark on its
+    * event-time column (tsMicros is the raw micros twin the state
+    * fold uses). `gapSeconds` is the quiet horizon after the bucket's
+    * max seen event time at which the sketch flushes.
+    */
+  def candidates(spark: SparkSession, items: Dataset[Item], k: Int,
+      nBuckets: Int, ppm: Int, gapSeconds: Long,
+      ignoreItem: String): Dataset[Candidate] = {
+    import spark.implicits._
+    require(ppm >= 1 && ppm <= 1000000, s"ppm out of range: $ppm")
+    require(k + 1L > 1000000L / ppm,
+      s"k=$k breaks the superset guarantee for ppm=$ppm: need k+1 > 1e6/ppm")
+    require(nBuckets >= 1, s"nBuckets must be >= 1: $nBuckets")
+    val gapMs = gapSeconds * 1000L
+
+    def flush(bucket: Int, st: BucketState): Iterator[Candidate] = {
+      // sound prune: ceil(nb·ppm/1e6) − nb/(k+1), overflow-safe split
+      val nb = st.nb
+      val thrB = (nb / 1000000L) * ppm + ((nb % 1000000L) * ppm + 999999L) / 1000000L
+      val cutoff = thrB - nb / (k + 1L)
+      st.m.iterator.collect {
+        case (s, w) if w >= cutoff => Candidate(bucket, s, w)
+      }
+    }
+
+    def update(bucket: Int, in: Iterator[Item],
+        state: GroupState[BucketState]): Iterator[Candidate] = {
+      if (state.hasTimedOut) {
+        val st = state.get
+        state.remove()
+        flush(bucket, st)
+      } else {
+        val sk = new MgSketch(k)
+        val old = state.getOption
+        var nb = 0L
+        var maxTs = Long.MinValue
+        old.foreach { st =>
+          st.m.foreach { case (s, w) => sk.add(s, w) }
+          nb = st.nb; maxTs = math.max(maxTs, st.maxTsMicros)
+        }
+        in.foreach { e =>
+          if (e.item != ignoreItem) {
+            sk.add(e.item, 1L); nb += 1L
+            maxTs = math.max(maxTs, e.tsMicros)
+          }
+        }
+        if (nb == 0L) Iterator.empty // sentinel-only bucket, no state
+        else {
+          val horizonMs = maxTs / 1000L + gapMs
+          val wmMs = state.getCurrentWatermarkMs()
+          if (wmMs > horizonMs) {
+            // the stream already moved past this bucket's horizon
+            // (sentinel-fed bucket whose timeout can never fire):
+            // flush inline instead of re-arming
+            val st = BucketState(sk.entries.toMap, nb, maxTs)
+            state.remove()
+            flush(bucket, st)
+          } else {
+            state.update(BucketState(sk.entries.toMap, nb, maxTs))
+            // must be strictly above the watermark or the engine throws
+            state.setTimeoutTimestamp(math.max(horizonMs, wmMs + 1L))
+            Iterator.empty
+          }
+        }
+      }
+    }
+
+    items
+      .groupByKey(e => bucketOf(e.item, nBuckets))
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(update)
+  }
+
+  /** Pass-2 exactly-once recount sink for `foreachBatch`: exact
+    * per-candidate counts plus the exact stream length, folded on the
+    * driver from ≤ |candidates|+1 rows per micro-batch (one bounded
+    * left-join aggregation per batch; the non-candidate mass folds to
+    * a single null-key row that only feeds N). Replayed batch ids are
+    * dropped, so an at-least-once restart cannot double-count.
+    */
+  final class ExactRecount(spark: SparkSession, candidateItems: Array[String],
+      ignoreItem: String) {
+    private val seen = scala.collection.mutable.HashSet.empty[Long]
+    private val counts = scala.collection.mutable.HashMap.empty[String, Long]
+    private var total = 0L
+    private val candDf = {
+      import spark.implicits._
+      // distinct: pass 1 may emit the same item from a re-opened bucket
+      broadcast(candidateItems.distinct.toSeq.toDF("item")
+        .withColumn("_c", lit(1)))
+    }
+
+    /** Fold one micro-batch (a DataFrame with an `item` column). */
+    def addBatch(df: DataFrame, batchId: Long): Unit = synchronized {
+      if (!seen.add(batchId)) return
+      val rows = df.select(col("item"))
+        .join(candDf, Seq("item"), "left")
+        .groupBy(when(col("_c") === 1, col("item")).as("g"))
+        .agg(count(lit(1)).as("n"), // counts ignoreItem rows under g=null
+          count(when(col("item") === ignoreItem, 1)).as("n_ignored"))
+        .collect()
+      rows.foreach { r =>
+        val n = r.getLong(1)
+        if (r.isNullAt(0)) total += n - r.getLong(2)
+        else { // candidate key: ignoreItem can never be a candidate row
+          counts(r.getString(0)) = counts.getOrElse(r.getString(0), 0L) + n
+          total += n
+        }
+      }
+    }
+
+    /** Exact `(item, n)` at ≥ ppm of the replayed stream — the batch
+      * kernel's output contract. */
+    def result(ppm: Int): Seq[(String, Long)] = synchronized {
+      val thr = (total / 1000000L) * ppm +
+        ((total % 1000000L) * ppm + 999999L) / 1000000L
+      counts.iterator.filter(_._2 >= thr).toSeq
+    }
+
+    def streamLength: Long = synchronized(total)
+
+    /** Exact per-candidate counts (items never seen in the replay are
+      * absent) — the audit surface for per-item exactness checks. */
+    def candidateCounts: Map[String, Long] = synchronized(counts.toMap)
+  }
+}

@@ -48,8 +48,10 @@ object HeavyHitters {
     */
   /** Incremental weighted MG state with `k` counters — the fold
     * behind [[mgMerge]], exposed so the per-group variant can keep one
-    * sketch per group key in a single partition pass. */
-  private[text] final class MgSketch(k: Int) {
+    * sketch per group key in a single partition pass, and so the
+    * streaming twin ([[graft.streaming.StreamingHeavyHitters]]) can
+    * hold it as keyed state. */
+  private[graft] final class MgSketch(k: Int) {
     private val m = new java.util.HashMap[String, Long](k * 2)
     def add(s: String, w: Long): Unit = {
       val cur = m.getOrDefault(s, 0L)

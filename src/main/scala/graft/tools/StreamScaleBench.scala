@@ -21,8 +21,9 @@ import graft.streaming.{LateDrops, StreamingConformance, StreamingDeclare,
   * staged as TIME-SLICED parquet files with ascending modification
   * times, `readStream` + `maxFilesPerTrigger` consumes them as a
   * multi-micro-batch stream (the watermark advances between batches,
-  * exactly like a real ingestion tail), and ALL THIRTEEN streaming
-  * operators run with NOTHING data-proportional on the driver:
+  * exactly like a real ingestion tail), and ALL FOURTEEN stateful
+  * streaming operators run with NOTHING data-proportional on the
+  * driver:
   *
   *  - funnel (StreamingFunnel.reached, whole-history gap): per-case
   *    keyed state, all cases flushed by the final event-time timers;
@@ -39,9 +40,14 @@ import graft.streaming.{LateDrops, StreamingConformance, StreamingDeclare,
   *    (closed-trace checks against broadcast constraint set / mined
   *    alpha net), neardup (MinHash+LSH bucket claims — THE state that
   *    grows with corpus size; its TTL deliberately spans the stream
-  *    so peak_state_rows measures the bucket universe honestly).
+  *    so peak_state_rows measures the bucket universe honestly);
+  *  - heavy_hitters (per-bucket Misra-Gries sketches in
+  *    flatMapGroupsWithState + an exact candidate recount over a
+  *    stream REPLAY — the two-pass scheme under a real drop-dir,
+  *    per-candidate counts checked exactly against the vocabulary
+  *    shuffle).
   *
-  * A fourteenth row audits the streaming XES SOURCE itself (drop-dir
+  * A fifteenth row audits the streaming XES SOURCE itself (drop-dir
   * of replicated corpus files → readEventsStream → trace assembly →
   * DFG edges, exact vs the batch xes source over the same files).
   *
@@ -246,7 +252,7 @@ object StreamScaleBench {
     // artifact
     val KnownOps = Set("funnel", "dfg", "drift", "throttle", "dedup",
       "sessionize", "stats", "declare", "conformance", "hopping",
-      "join", "outer_join", "neardup", "xes")
+      "join", "outer_join", "neardup", "heavy_hitters", "xes")
     opsFilter.foreach { f =>
       val bad = f -- KnownOps
       require(bad.isEmpty, s"unknown --ops tokens: ${bad.mkString(",")}; " +
@@ -733,11 +739,15 @@ object StreamScaleBench {
     // expiry) and peak_state_rows IS the honest bucket-universe
     // measurement. Documents staged separately (per-copy character
     // bijection, dense 1 s event spacing). ----
-    if (wanted("neardup")) {
-      val docDir = sys.env.getOrElse("SPARK_GRAFT_STREAM_DOC_STAGE",
-        "/tmp/graft_stream_docs")
+    // shared staging for the document-stream rows. neardup wants the
+    // per-copy character bijection (plain replicas would collide in
+    // every MinHash bucket); heavy_hitters wants PLAIN replication
+    // (counts scale with N, so the heavy set is scale-invariant and
+    // the audit's output is nonempty — decorrelated copies dilute
+    // every count below any fixed ppm threshold by construction).
+    def ensureDocsStaged(docDir: String, decorrelate: Boolean): Unit = {
       if (!new File(s"$docDir/data").exists() || args.contains("--rebuild")) {
-        println(s"staging documents $base x$copies -> $docDir")
+        println(s"staging documents $base x$copies -> $docDir (decorrelate=$decorrelate)")
         val d = new File(s"$docDir/data")
         if (d.exists()) { d.listFiles().foreach(_.delete()); d.delete() }
         val docs = Tables(spark, base, "documents")
@@ -745,7 +755,8 @@ object StreamScaleBench {
         val inflated = (0 until copies).map { i =>
           docs.select(
             (col("doc_id") + lit(i.toLong * 100000000L)).as("docId"),
-            ScaleBench.decorrelateText(col("text"), i).as("text"),
+            (if (decorrelate) ScaleBench.decorrelateText(col("text"), i)
+             else col("text")).as("text"),
             // dense event time: copy-major rank, 1 s spacing
             ((col("doc_id") + lit(i * nDocs) + 1L) * 1000000L).as("tsMicros"))
         }.reduce(_ unionAll _)
@@ -758,6 +769,12 @@ object StreamScaleBench {
         val t0 = System.currentTimeMillis() - parts.length * 2000L - 60000L
         parts.zipWithIndex.foreach { case (f, i) => f.setLastModified(t0 + i * 2000L) }
       }
+    }
+    val docDir = sys.env.getOrElse("SPARK_GRAFT_STREAM_DOC_STAGE",
+      "/tmp/graft_stream_docs")
+
+    if (wanted("neardup")) {
+      ensureDocsStaged(docDir, decorrelate = true)
       val docMaxTs = maxDataTs(spark, docDir, docSchema)
       val ttl = docMaxTs / 1000000L + 86400L // whole span: no mid-stream expiry
       val (rows, nb, peak, drops, secs) = run(spark, docDir, fpt, docMaxTs,
@@ -802,11 +819,90 @@ object StreamScaleBench {
       results += s""""neardup":{"stream_s":$secs,"batch_s":$bSecs,"batches":$nb,"peak_state_rows":$peak,"late_drops":$drops,"match":$ok}"""
     }
 
+    // ---- heavy_hitters: the 15th gate's two-pass scheme under a REAL
+    // file source — pass 1 folds per-bucket Misra-Gries sketches as
+    // flatMapGroupsWithState state over the shingle stream (state rows
+    // = nBuckets, each ≤ k counters), flushed by the sentinel-driven
+    // timers; pass 2 REPLAYS the same drop-dir (the replayable-source
+    // contract) through foreachBatch, exact-counting only the emitted
+    // candidates. Batch truth: the vocabulary GROUP BY … HAVING the
+    // sketch path avoids, over the same staged files. Sentinel docs
+    // explode to one Ignore item (a plain "_s" doc has < 3 tokens and
+    // would vanish before the watermark node, stalling it). ----
+    if (wanted("heavy_hitters")) {
+      import graft.streaming.StreamingHeavyHitters
+      import graft.text.TextOps
+      // own staging (plain replication — see ensureDocsStaged)
+      val hhDir = docDir + "_hh"
+      ensureDocsStaged(hhDir, decorrelate = false)
+      val docMaxTs = maxDataTs(spark, hhDir, docSchema)
+      val Ignore = " "
+      val ppm = 75
+      val hhK = 1 << 14
+      val (rows, nb, peak, drops, secs) = run(spark, hhDir, fpt, docMaxTs,
+          GapDays, sch = docSchema, sourceWatermark = false) { df =>
+        val items = df.select(
+            explode(when(col("docId") < 0L, array(lit(Ignore)))
+              .otherwise(TextOps.shinglesOf(TextOps.tokens(col("text")), 3)))
+              .as("item"),
+            col("tsMicros"))
+          // watermark lives downstream of the explode (same rule as
+          // neardup: the source ts column is consumed by the projection)
+          .withColumn("ts", timestamp_micros(col("tsMicros")))
+          .withWatermark("ts", "10 seconds")
+          .as[StreamingHeavyHitters.Item]
+        StreamingHeavyHitters.candidates(spark, items, k = hhK,
+          nBuckets = 8, ppm = ppm, gapSeconds = GapDays * 86400L,
+          ignoreItem = Ignore).toDF()
+      } { batch => batch.select(col("item")) }
+      val cands = rows.map(_.getString(0)).distinct.toArray
+      // pass 2: replay the same staged files, exact-count candidates
+      val t1 = System.nanoTime()
+      val rec = new StreamingHeavyHitters.ExactRecount(spark, cands, Ignore)
+      val q2 = spark.readStream.schema(docSchema)
+        .option("maxFilesPerTrigger", fpt).parquet(s"$hhDir/data")
+        .filter(col("docId") >= 0L)
+        .select(explode(TextOps.shinglesOf(TextOps.tokens(col("text")), 3))
+          .as("item"))
+        .writeStream
+        .foreachBatch((df: DataFrame, id: Long) => rec.addBatch(df, id))
+        .start()
+      try q2.processAllAvailable() finally q2.stop()
+      val recountSecs = (System.nanoTime() - t1) / 1e9
+      val streamHeavy = rec.result(ppm).toMap
+      // batch truth: the vocabulary shuffle. The exactness check is
+      // TWO-LEVEL: the ≥-threshold output sets must be equal AND the
+      // recount's per-candidate exact counts must equal the batch
+      // counts of the same items (so the audit is non-vacuous even if
+      // the heavy set were empty at some scale).
+      val t0 = System.nanoTime()
+      val sh = spark.read.schema(docSchema).parquet(s"$hhDir/data")
+        .filter(col("docId") >= 0L)
+        .select(explode(TextOps.shinglesOf(TextOps.tokens(col("text")), 3))
+          .as("item"))
+      val nTot = sh.count()
+      val thr = (nTot / 1000000L) * ppm +
+        ((nTot % 1000000L) * ppm + 999999L) / 1000000L
+      val vocabCounts = sh.groupBy(col("item")).agg(count(lit(1)).as("n"))
+      val batchHeavy = vocabCounts.filter(col("n") >= thr)
+        .as[(String, Long)].collect().toMap
+      val batchCandCounts = vocabCounts
+        .join(broadcast(cands.toSeq.toDF("item")), "item")
+        .as[(String, Long)].collect().toMap // bounded by |candidates|
+      val bSecs = (System.nanoTime() - t0) / 1e9
+      val ok = streamHeavy == batchHeavy && rec.streamLength == nTot &&
+        rec.candidateCounts == batchCandCounts
+      val totalSecs = secs + recountSecs
+      println(f"hhitter x$copies stream=$totalSecs%6.1fs (sketch=$secs%.1f recount=$recountSecs%.1f) batch=$bSecs%6.1fs batches=$nb peakState=$peak drops=$drops match=$ok (${cands.length} cands, ${streamHeavy.size} heavy of $nTot shingles)")
+      results += s""""heavy_hitters":{"stream_s":$totalSecs,"batch_s":$bSecs,"batches":$nb,"peak_state_rows":$peak,"late_drops":$drops,"match":$ok,"candidates":${cands.length},"heavy":${streamHeavy.size}}"""
+    }
+
     // ---- xes: the streaming XES SOURCE under a real drop-dir (r10
     // judge item #4) — the book corpus replicated ×copies with
     // distinct file names (so (file, traceIdx) case keys never
-    // collide), consumed by XesReader.readEventsStream (wholetext +
-    // per-file StAX parse, maxFilesPerTrigger batches) → trace
+    // collide), consumed by XesReader.readEventsStream (the xes
+    // FileFormat as stream source: per-file StAX parse with the size
+    // guard, maxFilesPerTrigger batches) → trace
     // assembly → DFG edges. Replicas share one event-time range, so
     // arrival order is NOT event-time order across batches — the
     // watermark delay spans the corpus (span + 2 days) to keep the

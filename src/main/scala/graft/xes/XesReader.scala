@@ -102,8 +102,14 @@ object XesReader {
   }
 
   /** Streaming XES source (SURVEY.md §7.1.8): watches a directory for
-    * new XES files (`text` file-stream source with `wholetext`), parses
-    * each on arrival, emits its events. Feeds
+    * new XES files through the registered `xes` file format AS the
+    * file-stream source — the generic FileStreamSource drives any
+    * FileFormat, so the stream path shares the batch reader's StAX
+    * kernel, its column pruning, AND its loud per-file size contract
+    * ([[XesFileFormat.MaxXmlBytes]]: an oversized log throws a named
+    * XesParseException BEFORE allocation instead of dying opaquely
+    * inside a wholetext String materialization, which was the pre-r12
+    * stream path's undocumented ~1.9 GiB bound). Feeds
     * [[graft.streaming.TraceAssembly]] / [[graft.streaming.StreamingStats]]
     * after a `withWatermark` on the derived ts column. Per-file
     * batches = per-file parallelism, same kernel as the batch reader.
@@ -111,19 +117,11 @@ object XesReader {
   def readEventsStream(spark: SparkSession, dir: String,
       maxFilesPerTrigger: Option[Int] = None): Dataset[XesEvent] = {
     import spark.implicits._
-    val reader = spark.readStream.option("wholetext", "true")
+    val reader = spark.readStream.format("xes")
+      .schema(XesFileFormat.eventsSchema)
     maxFilesPerTrigger.foreach(n =>
       reader.option("maxFilesPerTrigger", n.toString))
-    reader
-      .text(dir)
-      .select(col("value"), col("_metadata").getField("file_path").as("_path"))
-      .as[(String, String)]
-      .flatMap { case (xml, p) =>
-        // real file name via the hidden _metadata column — a content
-        // hash would conflate two identical (or colliding) files into
-        // one (file, traceIdx) key space and silently merge their logs
-        XesParser.parseString(shortName(p), xml).events
-      }
+    reader.load(dir).as[XesEvent]
   }
 
   /** One-time conversion to the at-scale layout: events + traces

@@ -80,6 +80,27 @@ class XesFileFormatSpec extends SparkSpec {
     assert(df.count() === 0L)
   }
 
+  test("oversized-file guard: loud named contract, exact boundary") {
+    // the source reads a whole XML file per task — an oversized log
+    // must fail with a named exception carrying file + limit, not die
+    // opaquely in array allocation (or silently WRAP pf.length.toInt
+    // past 2 GiB and parse a truncated prefix). Limit-parameterized:
+    // a real 2 GiB fixture is not testable.
+    val e = intercept[XesModel.XesParseException] {
+      XesFileFormat.checkSize("big.xes", 1001L, limit = 1000L)
+    }
+    assert(e.file === "big.xes")
+    assert(e.message.contains("1001 bytes") && e.message.contains("1000 bytes"))
+    // at-limit and under-limit pass
+    XesFileFormat.checkSize("ok.xes", 1000L, limit = 1000L)
+    XesFileFormat.checkSize("ok.xes", 1L, limit = 1000L)
+    // the production bound rejects what the JVM array cannot hold
+    val big = intercept[XesModel.XesParseException] {
+      XesFileFormat.checkSize("huge.xes", Int.MaxValue.toLong + 1L)
+    }
+    assert(big.message.contains(XesFileFormat.MaxXmlBytes.toString))
+  }
+
   test("keepFor maps required columns to extension keys; attrs disables pruning") {
     import org.apache.spark.sql.types._
     val two = StructType(Seq(StructField("file", StringType),

@@ -128,30 +128,74 @@ def main(sf_dir, out_dir):
             print("FAIL bench guard: --bench requires <fresh.json> <prior.json>")
             return 1
         fresh_p, prior_p = sys.argv[i + 1], sys.argv[i + 2]
-        def qmap(path):
+        def artifact(path):
             d = json.load(open(path))
-            if "queries" in d:
-                return d["queries"]
-            # driver artifact shape: {"parsed": {...}} (per-query map only
-            # present when the stdout line carried it)
-            return d.get("parsed", {}).get("queries") or {}
+            if "queries" not in d and "parsed" in d:
+                # driver artifact shape: {"parsed": {...}} (per-query map
+                # only present when the stdout line carried it)
+                d = d.get("parsed") or {}
+            return d.get("queries") or {}, d.get("calib")
         try:
-            fresh, prior = qmap(fresh_p), qmap(prior_p)
+            (fresh, fcal), (prior, pcal) = artifact(fresh_p), artifact(prior_p)
         except Exception as e:
             print(f"bench guard: cannot read artifacts: {e}")
             fresh = prior = {}
+            fcal = pcal = None
+        # calibration-aware normalization (r11: a contended box inflated
+        # the whole artifact 21% and the spread map couldn't see it —
+        # SUSTAINED load slows every run equally). Each query's window
+        # gets the drift factor of its nearest calibration probe
+        # (probe_time / baseline, clamped >= 1 so calibration can only
+        # EXCUSE slowness, never manufacture a regression); a flagged
+        # query that un-flags after normalization is "contended box",
+        # one that survives is a real code regression.
+        def factor_for(rank, probes, base):
+            if not probes or not base or base <= 0:
+                return 1.0
+            p = min(probes, key=lambda pr: abs(pr[0] - rank))
+            return max(1.0, p[1] / base)
+        probes = (fcal or {}).get("probes") or []
+        # reference cost of the probe: the PRIOR artifact's median probe
+        # when it carries calib (cross-run comparable — the prior run
+        # could itself have been contended at its own baseline moment),
+        # else the fresh run's own post-warmup baseline
+        pprobes = (pcal or {}).get("probes") or []
+        if pprobes:
+            cbase = sorted(p[1] for p in pprobes)[len(pprobes) // 2]
+            ref = "prior median probe"
+        else:
+            cbase = (fcal or {}).get("baseline")
+            ref = "fresh baseline"
+        if probes and cbase:
+            drift = sorted(p[1] / cbase for p in probes)[len(probes) // 2]
+            loads = [p[2] for p in probes if len(p) > 2]
+            extra = (f", load avg {min(loads):.1f}-{max(loads):.1f}"
+                     if loads else "")
+            print(f"bench guard: calib ref {cbase:.3f}s ({ref}), median "
+                  f"drift {drift:.2f}x over {len(probes)} probes{extra}")
         if not fresh or not prior:
             print("bench guard: no per-query maps to compare")
         else:
-            warns = []
+            ranks = {n: i for i, n in enumerate(sorted(fresh))}
+            warns, excused = [], []
             for name in sorted(set(fresh) & set(prior)):
                 f, p = float(fresh[name]), float(prior[name])
                 if p > 0 and f > 2 * p and f - p > 0.5:
-                    warns.append((name, p, f))
-            for name, p, f in warns:
-                print(f"WARN bench regression {name}: {p:.2f}s -> {f:.2f}s ({f/p:.1f}x)")
+                    fn = f / factor_for(ranks.get(name, 0), probes, cbase)
+                    if fn > 2 * p and fn - p > 0.5:
+                        warns.append((name, p, f, fn))
+                    else:
+                        excused.append((name, p, f, fn))
+            for name, p, f, fn in warns:
+                print(f"WARN bench regression {name}: {p:.2f}s -> {f:.2f}s "
+                      f"({f/p:.1f}x; {fn:.2f}s normalized — code regression)")
+            for name, p, f, fn in excused:
+                print(f"note bench {name}: {p:.2f}s -> {f:.2f}s raw but "
+                      f"{fn:.2f}s calib-normalized — contended box, not code")
             print(f"bench guard: {len(warns)} regressions "
-                  f"(>2x and >0.5s) over {len(set(fresh) & set(prior))} common queries")
+                  f"(>2x and >0.5s{', calib-normalized' if probes else ''}) "
+                  f"+ {len(excused)} excused by calibration "
+                  f"over {len(set(fresh) & set(prior))} common queries")
     return 1 if failures else 0
 
 if __name__ == "__main__":
