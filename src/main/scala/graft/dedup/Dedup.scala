@@ -174,21 +174,8 @@ object Dedup {
     */
   def jaccardPairsPrefix(docs: DataFrame, idCol: String, textCol: String,
       k: Int, tauNum: Long, tauDen: Long): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val sh = docs.select(col(idCol).as("_id"),
-        shingleHashes(col(textCol), k).as("_sh"))
-      .filter(size(col("_sh")) > 0)
-    val inv = sh.select(col("_id"), explode(col("_sh")).as("_s"))
-    val dfreq = inv.groupBy("_s").agg(count(lit(1)).as("_df"))
-    val byDoc = Window.partitionBy(col("_id"))
-    val ranked = inv.join(dfreq, "_s")
-      .withColumn("_rk",
-        row_number().over(byDoc.orderBy(col("_df"), col("_s"))))
-      .withColumn("_n", count(lit(1)).over(byDoc))
-    val prefix = ranked.filter(col("_rk") <=
-      col("_n") - expr(s"CAST(($tauNum * _n + $tauDen - 1) div $tauDen AS BIGINT)") + 1L)
-    val cands = bucketPairs(prefix.select("_id", "_s"), Seq("_s"), "_id")
-      .select("id_a", "id_b").distinct()
+    val (sh, _, _, cands) =
+      jaccardPrefixStages(docs, idCol, textCol, k, tauNum, tauDen)
     val tau = tauNum.toDouble / tauDen.toDouble
     cands
       .join(sh.select(col("_id").as("id_a"), col("_sh").as("_sha")), "id_a")
@@ -200,6 +187,37 @@ object Dedup {
             - col("_inter")).cast("double"))
       .filter(col("jaccard") >= lit(tau))
       .select("id_a", "id_b", "jaccard")
+  }
+
+  /** [[jaccardPairsPrefix]]'s pipeline with its intermediate stages
+    * exposed — (shingle sets, prefix index rows, raw bucket pairs,
+    * distinct candidates) — so the scale probe (`tools/ProbeJaccard`)
+    * can decompose candidate VOLUME from shuffle constants. The
+    * production method composes exactly these frames (plan unchanged).
+    */
+  private[graft] def jaccardPrefixStages(docs: DataFrame, idCol: String,
+      textCol: String, k: Int, tauNum: Long, tauDen: Long)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = docs.select(col(idCol).as("_id"),
+        shingleHashes(col(textCol), k).as("_sh"))
+      .filter(size(col("_sh")) > 0)
+    // _n (set size) rides the explode — shingleHashes is DISTINCT
+    // per doc, so size(_sh) equals the per-doc inv row count and the
+    // unordered count-over-doc window (a second WindowExec over the
+    // whole inverted index — ~2 s of the ×100 point) is free to drop
+    val inv = sh.select(col("_id"), size(col("_sh")).cast("long").as("_n"),
+      explode(col("_sh")).as("_s"))
+    val dfreq = inv.groupBy("_s").agg(count(lit(1)).as("_df"))
+    val byDoc = Window.partitionBy(col("_id"))
+    val ranked = inv.join(dfreq, "_s")
+      .withColumn("_rk",
+        row_number().over(byDoc.orderBy(col("_df"), col("_s"))))
+    val prefix = ranked.filter(col("_rk") <=
+      col("_n") - expr(s"CAST(($tauNum * _n + $tauDen - 1) div $tauDen AS BIGINT)") + 1L)
+    val raw = bucketPairs(prefix.select("_id", "_s"), Seq("_s"), "_id")
+      .select("id_a", "id_b")
+    (sh, prefix, raw, raw.distinct())
   }
 
   /** MinHash signature: numHashes universal hashes over the shingle
