@@ -98,4 +98,24 @@ private[queries] object ParityFeed {
     require(maxTs != Long.MinValue, "parity feed: empty input")
     maxTs
   }
+
+  /** [[feed]] with every chunk added TWICE — the exactly-once dedup
+    * gate's duplicated feed as the same multiset `ds.union(ds)` would
+    * produce, at HALF the driver iteration (one Spark-side scan and
+    * one local pull instead of two). Order differs from the sequential
+    * union (copies interleave per chunk), which the dedup gate's
+    * operators are insensitive to: all pre-added blocks land in ONE
+    * micro-batch, `dropDuplicatesWithinWatermark` keys on the id, and
+    * the window counts are order-free. */
+  def feedDoubled[T](input: MemoryStream[T], ds: Dataset[T], tsOf: T => Long): Long = {
+    import scala.jdk.CollectionConverters._
+    var maxTs = Long.MinValue
+    ds.coalesce(4).toLocalIterator().asScala.grouped(ChunkRows).foreach { chunk =>
+      chunk.foreach { t => val ts = tsOf(t); if (ts > maxTs) maxTs = ts }
+      input.addData(chunk)
+      input.addData(chunk)
+    }
+    require(maxTs != Long.MinValue, "parity feed: empty input")
+    maxTs
+  }
 }
