@@ -1,0 +1,306 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming twin of the one-pass winsorized/quantile kernel
+  * ([[graft.ops.Quantiles]]) — the engine's "every operator family
+  * has a streaming twin" rule applied to the robust-stats family,
+  * with the same two-pass superset-then-refine scheme as
+  * [[StreamingHeavyHitters]]:
+  *
+  * PASS 1 (bucket histogram, this file's stateful operator): rows key
+  * by GROUP; the state is that group's value-bucket histogram —
+  * `bucket = floorDiv(v, width)` → exact count — plus the max event
+  * time for the flush horizon. State is bounded at
+  * (touched value range / width) rows per group (the streaming
+  * counterpart of the batch kernel's `targetBuckets`); the histogram
+  * is EXACT (a fold, not a sketch), so the bucket that contains any
+  * permille rank is decided exactly. Histograms flush on
+  * watermark-driven event-time timeout, with the repo's standard
+  * sentinel discipline (far-future rows route as `ignoreGroup`,
+  * dropped INSIDE the fold; a data-branch flush covers
+  * sentinel-pinned groups whose timers can never fire).
+  *
+  * PASS 2 (exact refinement, [[BandRefiner]]): replay the stream —
+  * the replayable-source contract the heavy-hitters twin documents —
+  * through `foreachBatch`, aggregating per group ONLY what the
+  * winsorized algebra needs: per-VALUE counts inside the (at most
+  * two) buckets that pass 1 proved contain the lo/hi permille ranks,
+  * and three-region (below / between / above) count + Σv + Σv²
+  * partials outside them. Driver residency per batch is
+  * O(groups · (distinct values in 2 buckets + 3)); sums fold as
+  * BigInt so a 100 TB value-weighted sum cannot wrap (the batch
+  * kernel's DECIMAL(38,0) bound, same argument). Replayed batch ids
+  * are dropped — an at-least-once restart cannot double-count.
+  *
+  * The OUTPUT is the batch kernel's contract verbatim: lo/hi are the
+  * values at ranks ceil(p·n/1000) (overflow-safe split form), the
+  * clipped moments are exact integers double-cast once, and the
+  * derived mean/var/std use the identical IEEE expression tree — so
+  * the result is bit-equal to [[graft.ops.Quantiles.winsorizedStats]]
+  * and hash-gates against the same two-pass clip-and-sum oracle.
+  * `width` is a pure tuning knob: it sizes pass-1 state and pass-2
+  * refinement volume, never the answer (specced).
+  */
+object StreamingWinsorized {
+
+  /** One stream row: the group key (pre-concatenated by the caller),
+    * the i64 value, and the event-time micros twin the fold uses. */
+  case class VItem(group: String, v: Long, tsMicros: Long)
+
+  /** Keyed state: the group's exact bucket histogram and the max seen
+    * event time (max-merged — out-of-order rows above the watermark
+    * can never rewind the flush horizon). */
+  case class HistState(m: Map[Long, Long], maxTsMicros: Long)
+
+  /** One flushed histogram row. */
+  case class BucketCount(group: String, bucket: Long, n: Long)
+
+  /** Pass-1 histogram stream. `items` must carry a watermark on its
+    * event-time column. A group that re-opens after its flush (late
+    * rows above the watermark) emits additional rows — harmless: the
+    * histogram is additive, [[bandBuckets]] sums duplicates.
+    */
+  def histogram(spark: SparkSession, items: Dataset[VItem], width: Long,
+      gapSeconds: Long, ignoreGroup: String): Dataset[BucketCount] = {
+    import spark.implicits._
+    require(width >= 1L, s"bucket width must be >= 1: $width")
+    val gapMs = gapSeconds * 1000L
+
+    def flush(group: String, st: HistState): Iterator[BucketCount] =
+      st.m.iterator.map { case (b, n) => BucketCount(group, b, n) }
+
+    def update(group: String, in: Iterator[VItem],
+        state: GroupState[HistState]): Iterator[BucketCount] = {
+      if (state.hasTimedOut) {
+        val st = state.get
+        state.remove()
+        flush(group, st)
+      } else {
+        var m = state.getOption.map(_.m).getOrElse(Map.empty[Long, Long])
+        var maxTs = state.getOption.map(_.maxTsMicros).getOrElse(Long.MinValue)
+        var n = 0L
+        in.foreach { e =>
+          if (e.group != ignoreGroup) {
+            val b = Math.floorDiv(e.v, width)
+            m = m.updated(b, m.getOrElse(b, 0L) + 1L)
+            n += 1L
+            maxTs = math.max(maxTs, e.tsMicros)
+          }
+        }
+        if (m.isEmpty) Iterator.empty // sentinel-only group, no state
+        else {
+          val horizonMs = maxTs / 1000L + gapMs
+          val wmMs = state.getCurrentWatermarkMs()
+          if (wmMs > horizonMs) {
+            // sentinel-pinned group whose timer can never fire: the
+            // stream already moved past the horizon, flush inline
+            state.remove()
+            flush(group, HistState(m, maxTs))
+          } else {
+            state.update(HistState(m, maxTs))
+            state.setTimeoutTimestamp(math.max(horizonMs, wmMs + 1L))
+            Iterator.empty
+          }
+        }
+      }
+    }
+
+    items
+      .groupByKey(_.group)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(update)
+  }
+
+  /** Per-group refinement targets derived from the flushed histogram:
+    * the buckets containing the lo/hi permille ranks (exact — the
+    * histogram is a fold). Duplicate (group, bucket) rows from
+    * re-opened state are summed. */
+  def bandBuckets(rows: Seq[BucketCount], loPermille: Int,
+      hiPermille: Int): Map[String, Band] = {
+    require(1 <= loPermille && loPermille < hiPermille && hiPermille <= 1000,
+      s"need 1 <= lo < hi <= 1000: ($loPermille, $hiPermille)")
+    rows.groupBy(_.group).map { case (g, rs) =>
+      val hist = rs.groupMapReduce(_.bucket)(_.n)(_ + _).toArray.sortBy(_._1)
+      val n = hist.iterator.map(_._2).sum
+      def bucketAt(p: Int): Long = {
+        // overflow-safe ceil(p·n/1000) — the kernel's split form
+        val rank = (n / 1000L) * p + ((n % 1000L) * p + 999L) / 1000L
+        var cum = 0L
+        var i = 0
+        while (i < hist.length && cum + hist(i)._2 < rank) {
+          cum += hist(i)._2; i += 1
+        }
+        hist(math.min(i, hist.length - 1))._1
+      }
+      g -> Band(bucketAt(loPermille), bucketAt(hiPermille), n)
+    }
+  }
+
+  /** The two rank-holding buckets (may coincide) and the group size
+    * pass 1 measured (audit surface; pass 2 recounts it). */
+  case class Band(loBucket: Long, hiBucket: Long, nPass1: Long)
+
+  /** Pass-2 exactly-once refinement sink for `foreachBatch`.
+    *
+    * Per batch, ONE bounded aggregation: rows classify against their
+    * group's band (below / in-lo-bucket / between / in-hi-bucket /
+    * above); in-bucket rows keep their exact value as the aggregation
+    * key, out-of-bucket rows fold into three per-group partial rows.
+    * Collected rows are ≤ groups · (|values in 2 buckets| + 3); the
+    * driver folds them as BigInt.
+    */
+  final class BandRefiner(spark: SparkSession, bands: Map[String, Band],
+      width: Long, ignoreGroup: String) {
+    import java.math.BigInteger
+    private val seen = scala.collection.mutable.HashSet.empty[Long]
+    // (group, region, valueOrMin) -> (count, Σv, Σv²)
+    private val acc = scala.collection.mutable.HashMap
+      .empty[(String, Int, Long), (Long, BigInteger, BigInteger)]
+    private val bandDf = {
+      import spark.implicits._
+      broadcast(bands.toSeq.map { case (g, b) => (g, b.loBucket, b.hiBucket) }
+        .toDF("group", "_loB", "_hiB"))
+    }
+
+    /** Fold one micro-batch (columns: group, v). Rows of groups with
+      * no band (possible only if pass 1 saw nothing for the group —
+      * cannot happen on a faithful replay) would fail loudly via the
+      * inner join. */
+    def addBatch(df: DataFrame, batchId: Long): Unit = synchronized {
+      if (!seen.add(batchId)) return
+      val rows = df.select(col("group"), col("v"))
+        .where(col("group") =!= lit(ignoreGroup))
+        .join(bandDf, Seq("group"))
+        .withColumn("_b", expr(s"v div ${width}L" +
+          s" - (CASE WHEN v % ${width}L < 0 THEN 1 ELSE 0 END)"))
+        .withColumn("_region",
+          when(col("_b") < col("_loB"), lit(0))
+            .when(col("_b") === col("_loB"), lit(1))
+            .when(col("_b") < col("_hiB"), lit(2))
+            .when(col("_b") === col("_hiB"), lit(3))
+            .otherwise(lit(4)))
+        .withColumn("_vk", when(col("_region") === 1 || col("_region") === 3,
+          col("v")).otherwise(lit(Long.MinValue)))
+        .groupBy(col("group"), col("_region"), col("_vk"))
+        .agg(count(lit(1)).as("_c"),
+          // decimal FIRST (the cumTable wrap guard): v·c and v²·c as
+          // DECIMAL(38,0) before any product can touch i64
+          sum(col("v").cast("decimal(38,0)")).cast("decimal(38,0)").as("_sv"),
+          sum((col("v").cast("decimal(38,0)") * col("v"))
+            .cast("decimal(38,0)")).cast("decimal(38,0)").as("_sv2"))
+        .collect()
+      rows.foreach { r =>
+        val key = (r.getString(0), r.getInt(1), r.getLong(2))
+        val c = r.getLong(3)
+        val sv = r.getDecimal(4).toBigInteger
+        val sv2 = r.getDecimal(5).toBigInteger
+        val (c0, s0, q0) = acc.getOrElse(key,
+          (0L, BigInteger.ZERO, BigInteger.ZERO))
+        acc(key) = (c0 + c, s0.add(sv), q0.add(sv2))
+      }
+    }
+
+    /** The batch kernel's output rows, computed from the folded
+      * refinement — (group, n_total, lo_value, hi_value,
+      * winsorized_sum, winsorized_sumsq, winsorized_mean,
+      * winsorized_var, winsorized_std), bit-equal to
+      * [[graft.ops.Quantiles.winsorizedStats]] (same rank formula,
+      * same exact-integer→double casts, same IEEE tree). */
+    def result(loPermille: Int, hiPermille: Int): Seq[WinsorizedRow] =
+      synchronized {
+        acc.keys.map(_._1).toSeq.distinct.sorted.map { g =>
+          val band = bands(g)
+          // per-value maps for the two refined buckets
+          def valuesIn(region: Int): Array[(Long, Long)] = acc.iterator
+            .collect { case ((`g`, `region`, v), (c, _, _)) => (v, c) }
+            .toArray.sortBy(_._1)
+          val loVals = valuesIn(1)
+          val hiVals = if (band.hiBucket == band.loBucket) loVals else valuesIn(3)
+          def regionAgg(region: Int): (Long, BigInteger, BigInteger) = acc.iterator
+            .collect { case ((`g`, `region`, _), t) => t }
+            .foldLeft((0L, BigInteger.ZERO, BigInteger.ZERO)) {
+              case ((c0, s0, q0), (c, sv, sv2)) =>
+                (c0 + c, s0.add(sv), q0.add(sv2))
+            }
+          val below = regionAgg(0)
+          val mid = regionAgg(2)
+          val above = regionAgg(4)
+          val loBucketAgg = regionAgg(1)
+          val hiBucketAgg = if (band.hiBucket == band.loBucket) loBucketAgg
+            else regionAgg(3)
+          val n = below._1 + mid._1 + above._1 + loBucketAgg._1 +
+            (if (band.hiBucket == band.loBucket) 0L else hiBucketAgg._1)
+          def rankOf(p: Int): Long =
+            (n / 1000L) * p + ((n % 1000L) * p + 999L) / 1000L
+          // value at rank r: cum counts walk below → loVals → mid → hiVals
+          def valueAt(r: Long): Long = {
+            var cum = below._1
+            loVals.foreach { case (v, c) =>
+              cum += c; if (cum >= r) return v
+            }
+            cum += mid._1
+            if (band.hiBucket != band.loBucket) {
+              // mid cannot hold a refined rank (pass 1 proved the rank
+              // buckets); falling through mid means the rank is in hiVals
+              hiVals.foreach { case (v, c) =>
+                cum += c; if (cum >= r) return v
+              }
+            }
+            // r == n and rounding put us past the end: the max value
+            (if (band.hiBucket != band.loBucket && hiVals.nonEmpty) hiVals
+             else loVals).last._1
+          }
+          val loV = valueAt(rankOf(loPermille))
+          val hiV = valueAt(rankOf(hiPermille))
+          val bi = (x: Long) => BigInteger.valueOf(x)
+          // exact region splits around loV / hiV
+          var nLess = below._1 // |v < loV|
+          var bandSum = BigInteger.ZERO // Σ v·c over loV ≤ v ≤ hiV
+          var bandSumSq = BigInteger.ZERO
+          var nAbove = above._1 // |v > hiV|
+          def addBand(v: Long, c: Long): Unit = {
+            bandSum = bandSum.add(bi(v).multiply(bi(c)))
+            bandSumSq = bandSumSq.add(bi(v).multiply(bi(v)).multiply(bi(c)))
+          }
+          loVals.foreach { case (v, c) =>
+            if (v < loV) nLess += c
+            else if (v <= hiV) addBand(v, c)
+            else nAbove += c // loBucket == hiBucket case
+          }
+          if (band.hiBucket != band.loBucket) {
+            bandSum = bandSum.add(mid._2); bandSumSq = bandSumSq.add(mid._3)
+            hiVals.foreach { case (v, c) =>
+              if (v <= hiV) addBand(v, c) else nAbove += c
+            }
+          }
+          val wSum = bi(loV).multiply(bi(nLess)).add(bandSum)
+            .add(bi(hiV).multiply(bi(nAbove)))
+          val wSumSq = bi(loV).multiply(bi(loV)).multiply(bi(nLess))
+            .add(bandSumSq)
+            .add(bi(hiV).multiply(bi(hiV)).multiply(bi(nAbove)))
+          // one correctly-rounded double cast of the exact integers,
+          // then the batch kernel's IEEE tree verbatim
+          val sumD = new java.math.BigDecimal(wSum).doubleValue()
+          val sumSqD = new java.math.BigDecimal(wSumSq).doubleValue()
+          val nD = n.toDouble
+          val mean = sumD / nD
+          val varr = math.max(0d, sumSqD / nD - mean * mean)
+          WinsorizedRow(g, n, loV, hiV, sumD, sumSqD, mean, varr,
+            math.sqrt(varr))
+        }
+      }
+
+    /** Exact per-group replay counts (audit surface vs pass 1). */
+    def groupCounts: Map[String, Long] = synchronized {
+      acc.iterator.toSeq.groupBy(_._1._1)
+        .map { case (g, rs) => g -> rs.iterator.map(_._2._1).sum }
+    }
+  }
+
+  case class WinsorizedRow(group: String, nTotal: Long, loValue: Long,
+    hiValue: Long, winsorizedSum: Double, winsorizedSumSq: Double,
+    winsorizedMean: Double, winsorizedVar: Double, winsorizedStd: Double)
+}
