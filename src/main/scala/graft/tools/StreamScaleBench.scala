@@ -21,7 +21,7 @@ import graft.streaming.{LateDrops, StreamingConformance, StreamingDeclare,
   * staged as TIME-SLICED parquet files with ascending modification
   * times, `readStream` + `maxFilesPerTrigger` consumes them as a
   * multi-micro-batch stream (the watermark advances between batches,
-  * exactly like a real ingestion tail), and ALL FOURTEEN stateful
+  * exactly like a real ingestion tail), and ALL FIFTEEN stateful
   * streaming operators run with NOTHING data-proportional on the
   * driver:
   *
@@ -45,9 +45,13 @@ import graft.streaming.{LateDrops, StreamingConformance, StreamingDeclare,
   *    flatMapGroupsWithState + an exact candidate recount over a
   *    stream REPLAY — the two-pass scheme under a real drop-dir,
   *    per-candidate counts checked exactly against the vocabulary
-  *    shuffle).
+  *    shuffle);
+  *  - winsorized (per-group exact bucket histograms in
+  *    flatMapGroupsWithState + a band refinement over a stream
+  *    REPLAY — the robust-stats two-pass scheme, output compared
+  *    BIT-FOR-BIT against the batch cum-table kernel).
   *
-  * A fifteenth row audits the streaming XES SOURCE itself (drop-dir
+  * A sixteenth row audits the streaming XES SOURCE itself (drop-dir
   * of replicated corpus files → readEventsStream → trace assembly →
   * DFG edges, exact vs the batch xes source over the same files).
   *
@@ -252,7 +256,7 @@ object StreamScaleBench {
     // artifact
     val KnownOps = Set("funnel", "dfg", "drift", "throttle", "dedup",
       "sessionize", "stats", "declare", "conformance", "hopping",
-      "join", "outer_join", "neardup", "heavy_hitters", "xes")
+      "join", "outer_join", "neardup", "heavy_hitters", "winsorized", "xes")
     opsFilter.foreach { f =>
       val bad = f -- KnownOps
       require(bad.isEmpty, s"unknown --ops tokens: ${bad.mkString(",")}; " +
@@ -895,6 +899,77 @@ object StreamScaleBench {
       val totalSecs = secs + recountSecs
       println(f"hhitter x$copies stream=$totalSecs%6.1fs (sketch=$secs%.1f recount=$recountSecs%.1f) batch=$bSecs%6.1fs batches=$nb peakState=$peak drops=$drops match=$ok (${cands.length} cands, ${streamHeavy.size} heavy of $nTot shingles)")
       results += s""""heavy_hitters":{"stream_s":$totalSecs,"batch_s":$bSecs,"batches":$nb,"peak_state_rows":$peak,"late_drops":$drops,"match":$ok,"candidates":${cands.length},"heavy":${streamHeavy.size}}"""
+    }
+
+    // ---- winsorized: the 16th gate's two-pass robust-stats scheme
+    // under a REAL file source — pass 1 folds exact per-(group,
+    // value-bucket) histograms as flatMapGroupsWithState state over
+    // the event stream (state = activities × touched buckets, NOT
+    // stream length), flushed by the sentinel-driven timers; pass 2
+    // REPLAYS the same drop-dir (the replayable-source contract the
+    // heavy-hitters row documents) through BandRefiner's foreachBatch,
+    // aggregating only the two rank buckets' per-value counts plus
+    // three-region BigInt partials. The value is a derived i64
+    // (pmod(xxhash64(caseId, tsMicros), 2e6) − 1e6 — signed, so the
+    // floor-div bucketing is exercised on both sides). Batch truth:
+    // Quantiles.winsorizedStats over the SAME staged files, compared
+    // BIT-FOR-BIT including the three derived doubles (the parity
+    // gate's bit-equality claim, now proven under multi-batch
+    // watermark advance at ×copies). ----
+    if (wanted("winsorized")) {
+      import graft.streaming.StreamingWinsorized
+      val Ignore = " "
+      val loP = 10; val hiP = 990
+      val W = 512L // tuning only: sizes state + refinement, never the answer
+      val vCol = pmod(xxhash64(col("caseId"), col("tsMicros")),
+        lit(2000000L)) - lit(1000000L)
+      val (rows, nb, peak, drops, secs) = run(spark, dir, fpt, maxTs,
+          GapDays, sourceWatermark = false) { df =>
+        // sentinel rows remap to Ignore IN a projection (the standing
+        // sentinel rule: a filter below the watermark node stalls it)
+        val items = df.select(when(col("caseId") < 0L, lit(Ignore))
+              .otherwise(col("activity")).as("group"),
+            vCol.as("v"), col("tsMicros"))
+          .withColumn("ts", timestamp_micros(col("tsMicros")))
+          .withWatermark("ts", "10 seconds")
+          .as[StreamingWinsorized.VItem]
+        StreamingWinsorized.histogram(spark, items, width = W,
+          gapSeconds = gapSeconds, ignoreGroup = Ignore).toDF()
+      } { batch => batch.select(col("group"), col("bucket"), col("n")) }
+      val bands = StreamingWinsorized.bandBuckets(
+        rows.map(r => StreamingWinsorized.BucketCount(
+          r.getString(0), r.getLong(1), r.getLong(2))), loP, hiP)
+      // pass 2: replay the same staged files through the refiner
+      val t1 = System.nanoTime()
+      val ref = new StreamingWinsorized.BandRefiner(spark, bands, W, Ignore)
+      val q2 = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", fpt).parquet(s"$dir/data")
+        .filter(col("caseId") >= 0L)
+        .select(col("activity").as("group"), vCol.as("v"))
+        .writeStream
+        .foreachBatch((df: DataFrame, id: Long) => ref.addBatch(df, id))
+        .start()
+      try q2.processAllAvailable() finally q2.stop()
+      val refineSecs = (System.nanoTime() - t1) / 1e9
+      val bits = (d: Double) => java.lang.Double.doubleToLongBits(d)
+      val streamRows = ref.result(loP, hiP).map(r => r.group ->
+        (r.nTotal, r.loValue, r.hiValue, bits(r.winsorizedSum),
+          bits(r.winsorizedSumSq), bits(r.winsorizedMean),
+          bits(r.winsorizedVar), bits(r.winsorizedStd))).toMap
+      // batch truth: the one-pass cum-table kernel over the same files
+      val t0 = System.nanoTime()
+      val batchRows = graft.ops.Quantiles.winsorizedStats(
+          batchEv.select(col("activity").as("group"), vCol.as("v")),
+          Seq("group"), col("v"), loP, hiP)
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), bits(r.getDouble(4)),
+            bits(r.getDouble(5)), bits(r.getDouble(6)), bits(r.getDouble(7)),
+            bits(r.getDouble(8)))).toMap
+      val bSecs = (System.nanoTime() - t0) / 1e9
+      val ok = streamRows == batchRows && streamRows.nonEmpty
+      val totalSecs = secs + refineSecs
+      println(f"winsor  x$copies stream=$totalSecs%6.1fs (hist=$secs%.1f refine=$refineSecs%.1f) batch=$bSecs%6.1fs batches=$nb peakState=$peak drops=$drops match=$ok (${streamRows.size} groups, bit-exact)")
+      results += s""""winsorized":{"stream_s":$totalSecs,"batch_s":$bSecs,"batches":$nb,"peak_state_rows":$peak,"late_drops":$drops,"match":$ok,"groups":${streamRows.size}}"""
     }
 
     // ---- xes: the streaming XES SOURCE under a real drop-dir (r10
