@@ -242,7 +242,7 @@ object TextQueries {
       implicit val sqlCtx = s.sqlContext
       import org.apache.spark.sql.streaming.OutputMode
       import graft.streaming.StreamingHeavyHitters
-      val Ignore = " "
+      val Ignore = "\u0000"
       val ppm = 75
       // feed DOCUMENTS (one driver row per doc); the shingle explosion
       // runs stream-side. Event time = doc_id seconds (+1: strictly
