@@ -27,6 +27,7 @@ object TextQueries {
 
   /** Unique memory-sink names across Verify's repeated invocations. */
   private val hhRun = new java.util.concurrent.atomic.AtomicInteger
+  private val sampleRun = new java.util.concurrent.atomic.AtomicInteger
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // BM25-style ranked retrieval in exact integer arithmetic (no
@@ -325,6 +326,60 @@ object TextQueries {
     "q_sample_weighted" -> { (s, dir) =>
       graft.ops.Sampling.sequentialPoisson(Tables(s, dir, "documents"),
         idCol = "doc_id", weightCol = "n_chars", k = 100, seed = 11L)
+    },
+
+    // Streaming πps sampling parity (the 17th batch↔stream gate; the
+    // sampling family's twin). The πps priority is a pure function of
+    // (id, weight, seed), so the unbounded-stream sample is a bounded
+    // top-k FOLD — per-bucket ≤ k-entry heaps as
+    // flatMapGroupsWithState state, flushed at watermark close, then
+    // one driver merge of ≤ nBuckets·k rows. ONE pass, no replay, no
+    // sketch: every output bit matches the batch kernel, so the gate
+    // shares q_sample_weighted's oracle verbatim.
+    "q_stream_sample_parity" -> { (s, dir) =>
+      ParityFeed.withStreamParallelism(s, 8) {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      import org.apache.spark.sql.streaming.OutputMode
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import graft.streaming.StreamingSample
+      val IgnoreId = Long.MinValue
+      val src = Tables(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("id"),
+          col("n_chars").cast("long").as("weight"),
+          ((col("doc_id").cast("long") + 1L) * 1000000L).as("tsMicros"))
+        .as[(Long, Long, Long)]
+      val input = MemoryStream[(Long, Long, Long)]
+      val maxTs = ParityFeed.feed(input, src, (_: (Long, Long, Long))._3)
+      input.addData((0L, 1L, maxTs + 86400L * 1000000L))
+      // sentinel rows remap to IgnoreId IN a projection — a filter
+      // would be pushed below the watermark node and stall it
+      val items = input.toDS().toDF("id", "weight", "tsMicros")
+        .select(when(col("tsMicros") > lit(maxTs), lit(IgnoreId))
+            .otherwise(col("id")).as("id"),
+          col("weight"), col("tsMicros"))
+        .withColumn("ts", timestamp_micros(col("tsMicros")))
+        .withWatermark("ts", "10 seconds")
+        .as[StreamingSample.Item]
+      val name = s"stream_sample_parity_${sampleRun.incrementAndGet()}"
+      val q = StreamingSample.topK(s, items, k = 100, seed = 11L,
+          nBuckets = 8, gapSeconds = 3600L, ignoreId = IgnoreId)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        q.processAllAvailable()
+        input.addData((0L, 1L, maxTs + 2L * 86400L * 1000000L))
+        q.processAllAvailable()
+      } finally q.stop()
+      graft.streaming.LateDrops.assertNone(q, name)
+      // bounded: ≤ nBuckets·k flushed rows
+      val flushed = s.table(name).as[StreamingSample.BucketTop]
+        .collect().toSeq
+      s.catalog.dropTempView(name)
+      StreamingSample.merge(flushed, k = 100)
+        .toDF().select(col("id").as("doc_id"), col("weight").as("n_chars"),
+          col("priority"))
+      }
     },
 
     // Stratified πps: per-language top-20 by the same hash-ratio
@@ -851,6 +906,17 @@ object TextQueries {
          |FROM documents""".stripMargin,
 
     "q_sample_weighted" ->
+      s"""SELECT doc_id, n_chars,
+         |  ${graft.ops.Sampling.prioritySql("doc_id", "n_chars", 11L)}
+         |    AS priority
+         |FROM documents
+         |WHERE n_chars >= 1
+         |ORDER BY priority, doc_id
+         |LIMIT 100""".stripMargin,
+
+    // The streaming sampler is a bounded top-k fold of the SAME pure
+    // priority — its answer is the batch kernel's, oracle verbatim.
+    "q_stream_sample_parity" ->
       s"""SELECT doc_id, n_chars,
          |  ${graft.ops.Sampling.prioritySql("doc_id", "n_chars", 11L)}
          |    AS priority

@@ -1,0 +1,149 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.ops.Sampling
+
+/** Streaming twin of the deterministic πps sampler
+  * ([[graft.ops.Sampling.sequentialPoisson]]) — the engine's "every
+  * operator family has a streaming twin" rule applied to the sampling
+  * family. Because the πps priority is a PURE FUNCTION of
+  * (id, weight, seed) — the portable integer hash ratio, no RNG state
+  * — a weighted sample-without-replacement over an unbounded stream is
+  * just a bounded top-k fold: keep the k smallest (priority, id) seen
+  * so far. Unlike the heavy-hitters / winsorized twins this needs ONE
+  * pass and NO replay: the top-k fold is exact and mergeable, never a
+  * sketch.
+  *
+  * Shape (mirrors the batch kernel's TakeOrdered = per-partition heaps
+  * + driver merge of k·partitions rows): items route by
+  * `floorMod(id, nBuckets)` into per-bucket keyed state — a bounded
+  * heap of ≤ k (priority, id, weight) entries in
+  * `flatMapGroupsWithState` — flushed by watermark-driven event-time
+  * timeout; the final sample is the k smallest of the ≤ nBuckets·k
+  * flushed rows ([[merge]], driver-side on a k·B-bounded set). State
+  * is ≤ nBuckets·k rows TOTAL regardless of stream length.
+  *
+  * Sentinel discipline (the repo's standard): far-future rows remap to
+  * `ignoreId` IN a projection and are skipped INSIDE the fold; a
+  * data-branch flush covers the sentinel's own bucket whose timer can
+  * never fire. Rows with weight < 1 are skipped in the fold — the
+  * batch kernel's enforced `weight >= 1` contract (a zero/negative
+  * weight breaks the priority arithmetic's engine parity).
+  *
+  * The priority ([[priorityOf]]) replicates `Sampling.priority`'s
+  * integer arithmetic exactly (all terms < 2^51, division truncates on
+  * non-negative operands in Scala, Spark `div` and DuckDB `//` alike),
+  * so the selected set — and every output bit — matches the batch
+  * kernel and its oracle: the gate shares q_sample_weighted's SQL
+  * verbatim.
+  */
+object StreamingSample extends Serializable {
+
+  /** One stream row: the item id, its positive integral weight, and
+    * the event-time micros twin the fold uses. */
+  case class Item(id: Long, weight: Long, tsMicros: Long)
+
+  /** One kept entry (priority, id, weight) — ordered by
+    * (priority, id), the batch kernel's sort key. */
+  case class Sel(priority: Long, id: Long, weight: Long)
+
+  /** Keyed state: the bucket's current top-k (ascending, ≤ k rows) and
+    * the max seen event time (max-merged — out-of-order rows above the
+    * watermark can never rewind the flush horizon). */
+  case class TopKState(entries: Vector[Sel], maxTsMicros: Long)
+
+  /** One flushed row. */
+  case class BucketTop(bucket: Int, priority: Long, id: Long, weight: Long)
+
+  private val ord: Ordering[Sel] = Ordering.by(s => (s.priority, s.id))
+
+  /** Scala twin of [[graft.ops.Sampling.priority]]'s SQL: the i=0
+    * universal hash of id, scaled by 10^6, integer-divided by the
+    * weight. Exact match: h < P ≈ 1e9 ⇒ h·10^6 < 2^51; all operands
+    * non-negative for id ≥ 0, and Scala `/`, Spark `div`, DuckDB `//`
+    * agree on truncation there (ids are non-negative by the same
+    * contract the batch query relies on). */
+  def priorityOf(id: Long, weight: Long, seed: Long): Long = {
+    val P = graft.functions.Portable.P
+    val K = graft.functions.Portable.Knuth
+    val a = (K + seed) % P
+    val b = (K * 7L + seed * 31L) % P
+    val h = (a * (id % P) + b) % P
+    (h * Sampling.Scale) / weight
+  }
+
+  /** Pass-1 (and only) stateful operator: per-bucket bounded top-k.
+    * `items` must carry a watermark on its event-time column. A bucket
+    * that re-opens after its flush (late rows above the watermark)
+    * emits a second partial top-k — harmless: [[merge]] dedups
+    * identical rows and re-selects.
+    */
+  def topK(spark: SparkSession, items: Dataset[Item], k: Int, seed: Long,
+      nBuckets: Int, gapSeconds: Long, ignoreId: Long): Dataset[BucketTop] = {
+    import spark.implicits._
+    require(k >= 1, s"k must be >= 1: $k")
+    require(nBuckets >= 1, s"nBuckets must be >= 1: $nBuckets")
+    val gapMs = gapSeconds * 1000L
+
+    def flush(bucket: Int, st: TopKState): Iterator[BucketTop] =
+      st.entries.iterator.map(e => BucketTop(bucket, e.priority, e.id, e.weight))
+
+    def update(bucket: Int, in: Iterator[Item],
+        state: GroupState[TopKState]): Iterator[BucketTop] = {
+      if (state.hasTimedOut) {
+        val st = state.get
+        state.remove()
+        flush(bucket, st)
+      } else {
+        // max-heap of size ≤ k: head = current worst kept entry
+        val heap = scala.collection.mutable.PriorityQueue.empty[Sel](ord)
+        val old = state.getOption
+        old.foreach(_.entries.foreach(heap.enqueue(_)))
+        var maxTs = old.map(_.maxTsMicros).getOrElse(Long.MinValue)
+        var saw = false
+        in.foreach { e =>
+          if (e.id != ignoreId && e.weight >= 1L) {
+            saw = true
+            maxTs = math.max(maxTs, e.tsMicros)
+            val s = Sel(priorityOf(e.id, e.weight, seed), e.id, e.weight)
+            if (heap.size < k) heap.enqueue(s)
+            else if (ord.lt(s, heap.head)) { heap.dequeue(); heap.enqueue(s) }
+          }
+        }
+        if (!saw && old.isEmpty) Iterator.empty // sentinel-only bucket
+        else {
+          val st = TopKState(heap.dequeueAll.toVector.reverse, maxTs)
+          val horizonMs = maxTs / 1000L + gapMs
+          val wmMs = state.getCurrentWatermarkMs()
+          if (wmMs > horizonMs) {
+            // sentinel-pinned bucket whose timer can never fire: the
+            // stream already moved past the horizon, flush inline
+            state.remove()
+            flush(bucket, st)
+          } else {
+            state.update(st)
+            state.setTimeoutTimestamp(math.max(horizonMs, wmMs + 1L))
+            Iterator.empty
+          }
+        }
+      }
+    }
+
+    items
+      .groupByKey(e => math.floorMod(e.id, nBuckets.toLong).toInt)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(update)
+  }
+
+  /** Final selection over the flushed per-bucket rows: global k
+    * smallest by (priority, id). Driver-side on a ≤ nBuckets·k set.
+    * Identical duplicate rows (a re-opened bucket re-emitting its
+    * survivors) collapse; duplicate INPUT rows are preserved — the
+    * batch kernel's LIMIT semantics over a multiset of distinct ids
+    * (the sampling contract: ids are unique per item). */
+  def merge(rows: Seq[BucketTop], k: Int): Seq[Sel] =
+    rows.distinct.map(r => Sel(r.priority, r.id, r.weight))
+      .sorted(ord).take(k)
+}

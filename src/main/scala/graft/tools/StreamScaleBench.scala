@@ -21,7 +21,7 @@ import graft.streaming.{LateDrops, StreamingConformance, StreamingDeclare,
   * staged as TIME-SLICED parquet files with ascending modification
   * times, `readStream` + `maxFilesPerTrigger` consumes them as a
   * multi-micro-batch stream (the watermark advances between batches,
-  * exactly like a real ingestion tail), and ALL FIFTEEN stateful
+  * exactly like a real ingestion tail), and ALL SIXTEEN stateful
   * streaming operators run with NOTHING data-proportional on the
   * driver:
   *
@@ -49,9 +49,13 @@ import graft.streaming.{LateDrops, StreamingConformance, StreamingDeclare,
   *  - winsorized (per-group exact bucket histograms in
   *    flatMapGroupsWithState + a band refinement over a stream
   *    REPLAY — the robust-stats two-pass scheme, output compared
-  *    BIT-FOR-BIT against the batch cum-table kernel).
+  *    BIT-FOR-BIT against the batch cum-table kernel);
+  *  - sample (per-bucket bounded top-k πps heaps in
+  *    flatMapGroupsWithState, ONE pass, no replay — state ≤
+  *    nBuckets·k rows regardless of stream length, output compared
+  *    exactly against the batch sequentialPoisson kernel).
   *
-  * A sixteenth row audits the streaming XES SOURCE itself (drop-dir
+  * A seventeenth row audits the streaming XES SOURCE itself (drop-dir
   * of replicated corpus files → readEventsStream → trace assembly →
   * DFG edges, exact vs the batch xes source over the same files).
   *
@@ -256,7 +260,8 @@ object StreamScaleBench {
     // artifact
     val KnownOps = Set("funnel", "dfg", "drift", "throttle", "dedup",
       "sessionize", "stats", "declare", "conformance", "hopping",
-      "join", "outer_join", "neardup", "heavy_hitters", "winsorized", "xes")
+      "join", "outer_join", "neardup", "heavy_hitters", "winsorized",
+      "sample", "xes")
     opsFilter.foreach { f =>
       val bad = f -- KnownOps
       require(bad.isEmpty, s"unknown --ops tokens: ${bad.mkString(",")}; " +
@@ -970,6 +975,54 @@ object StreamScaleBench {
       val totalSecs = secs + refineSecs
       println(f"winsor  x$copies stream=$totalSecs%6.1fs (hist=$secs%.1f refine=$refineSecs%.1f) batch=$bSecs%6.1fs batches=$nb peakState=$peak drops=$drops match=$ok (${streamRows.size} groups, bit-exact)")
       results += s""""winsorized":{"stream_s":$totalSecs,"batch_s":$bSecs,"batches":$nb,"peak_state_rows":$peak,"late_drops":$drops,"match":$ok,"groups":${streamRows.size}}"""
+    }
+
+    // ---- sample: the 17th gate's bounded top-k πps fold under a
+    // REAL file source — ONE pass, no replay: the πps priority is a
+    // pure function of (id, weight, seed), so per-bucket ≤ k-entry
+    // heaps in flatMapGroupsWithState ARE the whole stream-side
+    // computation (peak_state_rows here measures the ≤ nBuckets·k
+    // bound directly — the only operator whose state is CONSTANT in
+    // the stream length by construction). Ids are unique across
+    // copies (the +1e8·copy offset), weight = length(text). Batch
+    // truth: Sampling.sequentialPoisson over the same staged files,
+    // compared as the exact ordered (priority, id, weight) list. ----
+    if (wanted("sample")) {
+      import graft.streaming.StreamingSample
+      val sDir = docDir + "_hh" // shares heavy_hitters' plain staging
+      ensureDocsStaged(sDir, decorrelate = false)
+      val docMaxTs = maxDataTs(spark, sDir, docSchema)
+      val IgnoreId = Long.MinValue
+      val sK = 1000
+      val (rows, nb, peak, drops, secs) = run(spark, sDir, fpt, docMaxTs,
+          GapDays, sch = docSchema, sourceWatermark = false) { df =>
+        val items = df.select(
+            when(col("docId") < 0L, lit(IgnoreId)).otherwise(col("docId"))
+              .as("id"),
+            length(col("text")).cast("long").as("weight"), col("tsMicros"))
+          .withColumn("ts", timestamp_micros(col("tsMicros")))
+          .withWatermark("ts", "10 seconds")
+          .as[StreamingSample.Item]
+        StreamingSample.topK(spark, items, k = sK, seed = 42L,
+          nBuckets = 8, gapSeconds = gapSeconds, ignoreId = IgnoreId).toDF()
+      } { batch => batch.select(col("bucket"), col("priority"), col("id"),
+        col("weight")) }
+      val streamSel = StreamingSample.merge(rows.map(r =>
+        StreamingSample.BucketTop(r.getInt(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))), sK)
+      val t0 = System.nanoTime()
+      val batchSel = graft.ops.Sampling.sequentialPoisson(
+          spark.read.schema(docSchema).parquet(s"$sDir/data")
+            .filter(col("docId") >= 0L)
+            .select(col("docId"),
+              length(col("text")).cast("long").as("weight")),
+          "docId", "weight", sK, 42L)
+        .collect().map(r => StreamingSample.Sel(r.getLong(2), r.getLong(0),
+          r.getLong(1))).toSeq
+      val bSecs = (System.nanoTime() - t0) / 1e9
+      val ok = streamSel == batchSel && streamSel.size == sK
+      println(f"sample  x$copies stream=$secs%6.1fs batch=$bSecs%6.1fs batches=$nb peakState=$peak drops=$drops match=$ok (k=$sK, ${rows.size} flushed)")
+      results += s""""sample":{"stream_s":$secs,"batch_s":$bSecs,"batches":$nb,"peak_state_rows":$peak,"late_drops":$drops,"match":$ok,"flushed":${rows.size}}"""
     }
 
     // ---- xes: the streaming XES SOURCE under a real drop-dir (r10
