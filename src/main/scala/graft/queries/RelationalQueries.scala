@@ -111,6 +111,9 @@ object RelationalQueries {
       // sentinel rows remap to the Ignore group IN a projection — a
       // filter would be pushed below the watermark node and stall it
       // (the repo's standing sentinel rule)
+      // NO repartition here, unlike the heavy-hitters gate: this map
+      // side is three cheap projections (no explode), and the probed
+      // exchange of 600k rows cost more than it spread (5.7 → 8.3 s)
       def itemStream(input: MemoryStream[(String, Long, Long)],
           sentinelAfter: Long) =
         input.toDS().toDF("group", "v", "tsMicros")

@@ -252,10 +252,16 @@ object TextQueries {
         .select(col("text"),
           ((col("doc_id").cast("long") + 1L) * 1000000L).as("tsMicros"))
         .as[(String, Long)]
+      // repartition BEFORE the explode: the pre-start feed lands the
+      // whole input in one MemoryStream block = ONE source partition,
+      // so without the exchange the ~100-shingles/doc explode (the
+      // gate's real CPU) runs single-task — measured 21.8 s; with it,
+      // ~6 s (ProbeHh). Candidates are unaffected: routing stays
+      // by item hash, and the recount makes the output deterministic.
       def shingleStream(
           input: org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long)],
           sentinelAfter: Long) =
-        input.toDS().toDF("text", "tsMicros")
+        input.toDS().repartition(32).toDF("text", "tsMicros")
           .select(explode(TextOps.shinglesOf(TextOps.tokens(col("text")), 3))
             .as("gram"), col("tsMicros"))
           // sentinel docs ("s s s", far-future ts) explode to exactly
@@ -379,6 +385,59 @@ object TextQueries {
       StreamingSample.merge(flushed, k = 100)
         .toDF().select(col("id").as("doc_id"), col("weight").as("n_chars"),
           col("priority"))
+      }
+    },
+
+    // Streaming STRATIFIED πps parity (the 18th gate — completes the
+    // sampling family's 2×2: batch/stream × global/stratified). The
+    // same bounded top-k fold keyed by (lang, bucket): state ≤
+    // |langs|·nBuckets·k rows, one driver merge re-ranks 1..k per
+    // lang — exactly the batch kernel's per-group row_number, so the
+    // gate shares q_sample_stratified_weighted's oracle verbatim.
+    "q_stream_stratified_sample_parity" -> { (s, dir) =>
+      ParityFeed.withStreamParallelism(s, 8) {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      import org.apache.spark.sql.streaming.OutputMode
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import graft.streaming.StreamingSample
+      val IgnoreId = Long.MinValue
+      val src = Tables(s, dir, "documents")
+        .select(col("lang").as("group"), col("doc_id").cast("long").as("id"),
+          col("n_chars").cast("long").as("weight"),
+          ((col("doc_id").cast("long") + 1L) * 1000000L).as("tsMicros"))
+        .as[(String, Long, Long, Long)]
+      val input = MemoryStream[(String, Long, Long, Long)]
+      val maxTs = ParityFeed.feed(input, src,
+        (_: (String, Long, Long, Long))._4)
+      input.addData(("", 0L, 1L, maxTs + 86400L * 1000000L))
+      // sentinel rows remap to IgnoreId IN a projection (standing rule)
+      val items = input.toDS().toDF("group", "id", "weight", "tsMicros")
+        .select(col("group"),
+          when(col("tsMicros") > lit(maxTs), lit(IgnoreId))
+            .otherwise(col("id")).as("id"),
+          col("weight"), col("tsMicros"))
+        .withColumn("ts", timestamp_micros(col("tsMicros")))
+        .withWatermark("ts", "10 seconds")
+        .as[StreamingSample.GItem]
+      val name = s"stream_strat_sample_${sampleRun.incrementAndGet()}"
+      val q = StreamingSample.topKByGroup(s, items, k = 20, seed = 11L,
+          nBuckets = 8, gapSeconds = 3600L, ignoreId = IgnoreId)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        q.processAllAvailable()
+        input.addData(("", 0L, 1L, maxTs + 2L * 86400L * 1000000L))
+        q.processAllAvailable()
+      } finally q.stop()
+      graft.streaming.LateDrops.assertNone(q, name)
+      // bounded: ≤ |langs|·nBuckets·k flushed rows
+      val flushed = s.table(name).as[StreamingSample.GroupBucketTop]
+        .collect().toSeq
+      s.catalog.dropTempView(name)
+      StreamingSample.mergeByGroup(flushed, k = 20)
+        .toDF().select(col("group").as("lang"), col("id").as("doc_id"),
+          col("weight").as("n_chars"), col("priority"), col("rk"))
       }
     },
 
@@ -949,6 +1008,23 @@ object TextQueries {
 
     // the two-stage salted top-k is output-equivalent to the plain
     // per-group window (group top-k ⊆ per-salt top-ks)
+    // The streaming stratified sampler is the same bounded top-k fold
+    // per (group, bucket) — its answer is the batch kernel's, oracle
+    // verbatim.
+    "q_stream_stratified_sample_parity" ->
+      s"""WITH p AS (
+         |  SELECT lang, doc_id, n_chars,
+         |    ${graft.ops.Sampling.prioritySql("doc_id", "n_chars", 11L)}
+         |      AS priority
+         |  FROM documents
+         |  WHERE n_chars >= 1)
+         |SELECT lang, doc_id, n_chars, priority, rk FROM (
+         |  SELECT lang, doc_id, n_chars, priority,
+         |    CAST(row_number() OVER (
+         |      PARTITION BY lang ORDER BY priority, doc_id) AS INT) AS rk
+         |  FROM p)
+         |WHERE rk <= 20""".stripMargin,
+
     "q_sample_stratified_weighted" ->
       s"""WITH p AS (
          |  SELECT lang, doc_id, n_chars,

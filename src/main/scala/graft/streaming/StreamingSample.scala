@@ -38,6 +38,12 @@ import graft.ops.Sampling
   * so the selected set — and every output bit — matches the batch
   * kernel and its oracle: the gate shares q_sample_weighted's SQL
   * verbatim.
+  *
+  * [[topKByGroup]]/[[mergeByGroup]] are the stratified twin
+  * ([[graft.ops.Sampling.sequentialPoissonByGroup]]): the same fold
+  * keyed by (group, bucket) — state ≤ |groups|·nBuckets·k rows, final
+  * rank 1..k per group; its gate shares
+  * q_sample_stratified_weighted's SQL verbatim.
   */
 object StreamingSample extends Serializable {
 
@@ -74,6 +80,53 @@ object StreamingSample extends Serializable {
     (h * Sampling.Scale) / weight
   }
 
+  /** Shared per-key fold body for [[topK]] and [[topKByGroup]]:
+    * merges the batch's (id, weight, ts) triples into the key's ≤
+    * k-entry heap state, returning the FLUSHED entries — non-empty
+    * only on a timer firing or the sentinel-pinned inline flush
+    * (watermark already past the key's horizon). */
+  private def foldBucket(in: Iterator[(Long, Long, Long)],
+      state: GroupState[TopKState], k: Int, seed: Long, gapMs: Long,
+      ignoreId: Long): Vector[Sel] = {
+    if (state.hasTimedOut) {
+      val st = state.get
+      state.remove()
+      st.entries
+    } else {
+      // max-heap of size ≤ k: head = current worst kept entry
+      val heap = scala.collection.mutable.PriorityQueue.empty[Sel](ord)
+      val old = state.getOption
+      old.foreach(_.entries.foreach(heap.enqueue(_)))
+      var maxTs = old.map(_.maxTsMicros).getOrElse(Long.MinValue)
+      var saw = false
+      in.foreach { case (id, weight, ts) =>
+        if (id != ignoreId && weight >= 1L) {
+          saw = true
+          maxTs = math.max(maxTs, ts)
+          val s = Sel(priorityOf(id, weight, seed), id, weight)
+          if (heap.size < k) heap.enqueue(s)
+          else if (ord.lt(s, heap.head)) { heap.dequeue(); heap.enqueue(s) }
+        }
+      }
+      if (!saw && old.isEmpty) Vector.empty // sentinel-only key
+      else {
+        val st = TopKState(heap.dequeueAll.toVector.reverse, maxTs)
+        val horizonMs = maxTs / 1000L + gapMs
+        val wmMs = state.getCurrentWatermarkMs()
+        if (wmMs > horizonMs) {
+          // sentinel-pinned key whose timer can never fire: the
+          // stream already moved past the horizon, flush inline
+          state.remove()
+          st.entries
+        } else {
+          state.update(st)
+          state.setTimeoutTimestamp(math.max(horizonMs, wmMs + 1L))
+          Vector.empty
+        }
+      }
+    }
+  }
+
   /** Pass-1 (and only) stateful operator: per-bucket bounded top-k.
     * `items` must carry a watermark on its event-time column. A bucket
     * that re-opens after its flush (late rows above the watermark)
@@ -87,49 +140,11 @@ object StreamingSample extends Serializable {
     require(nBuckets >= 1, s"nBuckets must be >= 1: $nBuckets")
     val gapMs = gapSeconds * 1000L
 
-    def flush(bucket: Int, st: TopKState): Iterator[BucketTop] =
-      st.entries.iterator.map(e => BucketTop(bucket, e.priority, e.id, e.weight))
-
     def update(bucket: Int, in: Iterator[Item],
-        state: GroupState[TopKState]): Iterator[BucketTop] = {
-      if (state.hasTimedOut) {
-        val st = state.get
-        state.remove()
-        flush(bucket, st)
-      } else {
-        // max-heap of size ≤ k: head = current worst kept entry
-        val heap = scala.collection.mutable.PriorityQueue.empty[Sel](ord)
-        val old = state.getOption
-        old.foreach(_.entries.foreach(heap.enqueue(_)))
-        var maxTs = old.map(_.maxTsMicros).getOrElse(Long.MinValue)
-        var saw = false
-        in.foreach { e =>
-          if (e.id != ignoreId && e.weight >= 1L) {
-            saw = true
-            maxTs = math.max(maxTs, e.tsMicros)
-            val s = Sel(priorityOf(e.id, e.weight, seed), e.id, e.weight)
-            if (heap.size < k) heap.enqueue(s)
-            else if (ord.lt(s, heap.head)) { heap.dequeue(); heap.enqueue(s) }
-          }
-        }
-        if (!saw && old.isEmpty) Iterator.empty // sentinel-only bucket
-        else {
-          val st = TopKState(heap.dequeueAll.toVector.reverse, maxTs)
-          val horizonMs = maxTs / 1000L + gapMs
-          val wmMs = state.getCurrentWatermarkMs()
-          if (wmMs > horizonMs) {
-            // sentinel-pinned bucket whose timer can never fire: the
-            // stream already moved past the horizon, flush inline
-            state.remove()
-            flush(bucket, st)
-          } else {
-            state.update(st)
-            state.setTimeoutTimestamp(math.max(horizonMs, wmMs + 1L))
-            Iterator.empty
-          }
-        }
-      }
-    }
+        state: GroupState[TopKState]): Iterator[BucketTop] =
+      foldBucket(in.map(e => (e.id, e.weight, e.tsMicros)), state, k, seed,
+          gapMs, ignoreId)
+        .iterator.map(e => BucketTop(bucket, e.priority, e.id, e.weight))
 
     items
       .groupByKey(e => math.floorMod(e.id, nBuckets.toLong).toInt)
@@ -146,4 +161,58 @@ object StreamingSample extends Serializable {
   def merge(rows: Seq[BucketTop], k: Int): Seq[Sel] =
     rows.distinct.map(r => Sel(r.priority, r.id, r.weight))
       .sorted(ord).take(k)
+
+  /** One stream row of the stratified variant: the stratum plus the
+    * [[Item]] fields. */
+  case class GItem(group: String, id: Long, weight: Long, tsMicros: Long)
+
+  /** One flushed row of the stratified variant. */
+  case class GroupBucketTop(group: String, bucket: Int, priority: Long,
+      id: Long, weight: Long)
+
+  /** One final stratified selection row: rk = 1..k per group, the
+    * batch kernel's row_number. */
+  case class GSel(group: String, id: Long, weight: Long, priority: Long,
+      rk: Int)
+
+  /** Stratified twin of [[topK]] — the streaming face of
+    * [[graft.ops.Sampling.sequentialPoissonByGroup]]: per-(group,
+    * bucket) bounded top-k heaps, so one huge stratum never lands on a
+    * single state key (the same salt argument as the batch kernel's
+    * two-stage window). State ≤ |groups|·nBuckets·k rows TOTAL;
+    * [[mergeByGroup]] re-selects per group over the ≤ nBuckets·k
+    * flushed survivors of each. */
+  def topKByGroup(spark: SparkSession, items: Dataset[GItem], k: Int,
+      seed: Long, nBuckets: Int, gapSeconds: Long,
+      ignoreId: Long): Dataset[GroupBucketTop] = {
+    import spark.implicits._
+    require(k >= 1, s"k must be >= 1: $k")
+    require(nBuckets >= 1, s"nBuckets must be >= 1: $nBuckets")
+    val gapMs = gapSeconds * 1000L
+
+    def update(key: (String, Int), in: Iterator[GItem],
+        state: GroupState[TopKState]): Iterator[GroupBucketTop] =
+      foldBucket(in.map(e => (e.id, e.weight, e.tsMicros)), state, k, seed,
+          gapMs, ignoreId)
+        .iterator.map(e =>
+          GroupBucketTop(key._1, key._2, e.priority, e.id, e.weight))
+
+    items
+      .groupByKey(e => (e.group, math.floorMod(e.id, nBuckets.toLong).toInt))
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(update)
+  }
+
+  /** Per-group final selection over the flushed rows: k smallest by
+    * (priority, id) within each group, ranked 1..k — exactly the batch
+    * kernel's `row_number() OVER (PARTITION BY group ORDER BY
+    * priority, id) <= k`. Driver-side on a ≤ |groups|·nBuckets·k set;
+    * same dedup semantics as [[merge]]. */
+  def mergeByGroup(rows: Seq[GroupBucketTop], k: Int): Seq[GSel] =
+    rows.distinct.groupBy(_.group).toSeq.sortBy(_._1).flatMap {
+      case (g, rs) =>
+        rs.map(r => Sel(r.priority, r.id, r.weight)).distinct.sorted(ord)
+          .take(k).zipWithIndex
+          .map { case (s, i) => GSel(g, s.id, s.weight, s.priority, i + 1) }
+    }
 }

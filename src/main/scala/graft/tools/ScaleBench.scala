@@ -217,9 +217,22 @@ object ScaleBench {
     // --only=a,b,c picks an explicit subset (the x100 deep point)
     val only = args.find(_.startsWith("--only="))
       .map(_.stripPrefix("--only=").split(',').toSeq)
+    // MemoryStream-harness-bound gate: its TWO driver-buffered feeds
+    // (pass 1 + replay) hold ×10 lineitem = 120M boxed tuples on the
+    // driver heap — OOM at any reasonable -Xmx (measured: dies at 32g).
+    // That is the HARNESS, not the operator: the real-source scale
+    // audit is StreamScaleBench's winsorized row (×10 AND ×100,
+    // bit-exact, 0 late drops). Skipped in --all, recorded in the
+    // artifact, still runnable explicitly via --only.
+    val memoryHarnessBound = Set("q_stream_winsorized_parity")
+    val skipped =
+      if (args.contains("--all")) memoryHarnessBound.toSeq.sorted else Seq.empty
     val names =
-      if (args.contains("--all")) SparkEntry.queries.keys.toSeq.sorted
+      if (args.contains("--all"))
+        SparkEntry.queries.keys.toSeq.sorted.filterNot(memoryHarnessBound)
       else only.getOrElse(PlanPin.Pinned)
+    skipped.foreach(n => println(
+      s"$n skipped in --all: MemoryStream harness bound (see StreamScaleBench)"))
     val rows = names.map { name =>
       val b = timeQuery(spark, name, base, runs)
       val s = timeQuery(spark, name, scaled, runs)
@@ -229,8 +242,9 @@ object ScaleBench {
     val json = rows.map { case (n, b, s) =>
       f""""$n":{"base":$b%.3f,"x$Copies":$s%.3f,"ratio":${s / b}%.2f}"""
     }.mkString("{", ",", "}")
+    val skippedJson = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"scale_ratio","copies":$Copies,"runs":$runs,"base":"$base","scaled":"$scaled","queries":$json}"""
+      s"""{"metric":"scale_ratio","copies":$Copies,"runs":$runs,"base":"$base","scaled":"$scaled","skipped":$skippedJson,"queries":$json}"""
     println(line)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
     catch { case _: Throwable => () }

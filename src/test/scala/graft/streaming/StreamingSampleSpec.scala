@@ -53,8 +53,13 @@ class StreamingSampleSpec extends SparkSpec {
     val flushed = spark.table(name).as[StreamingSample.BucketTop]
       .collect().toSeq
     spark.catalog.dropTempView(name)
-    assert(flushed.groupBy(_.bucket).values.forall(_.size <= k),
-      "a bucket flushed more than k rows")
+    // single-batch runs flush each bucket exactly once, so ≤ k rows;
+    // multi-chunk runs can time a quiet bucket out mid-stream and
+    // re-open it — a second partial top-k is the DOCUMENTED contract
+    // (merge re-selects; top-k(A∪B) ⊆ top-k(A) ∪ top-k(B))
+    if (chunks == 1)
+      assert(flushed.groupBy(_.bucket).values.forall(_.size <= k),
+        "a bucket flushed more than k rows")
     StreamingSample.merge(flushed, k)
   }
 
@@ -128,6 +133,98 @@ class StreamingSampleSpec extends SparkSpec {
     val got = StreamingSample.merge(Seq(a, b, a, c), k = 2)
     assert(got === Seq(StreamingSample.Sel(10L, 1L, 5L),
       StreamingSample.Sel(20L, 2L, 5L)))
+  }
+
+  /** Full stratified pipeline over (group, id, weight, tsMicros). */
+  private def runGroupPipeline(rows: Seq[(String, Long, Long, Long)], k: Int,
+      seed: Long, nBuckets: Int,
+      chunks: Int = 1): Seq[StreamingSample.GSel] = {
+    implicit val sqlCtx = spark.sqlContext
+    val maxTs = rows.map(_._4).max
+    val name = s"gsample_spec_${runId.incrementAndGet()}"
+    val input = MemoryStream[(String, Long, Long, Long)]
+    val items = input.toDS().toDF("group", "id", "weight", "tsMicros")
+      .withColumn("ts", timestamp_micros(col("tsMicros")))
+      .withWatermark("ts", "10 seconds")
+      .as[StreamingSample.GItem]
+    val q = StreamingSample.topKByGroup(spark, items, k = k, seed = seed,
+        nBuckets = nBuckets, gapSeconds = 60L, ignoreId = IgnoreId)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val sorted = rows.sortBy(_._4)
+      val sz = math.max(1, (sorted.size + chunks - 1) / chunks)
+      sorted.grouped(sz).foreach { c =>
+        input.addData(c); q.processAllAvailable()
+      }
+      input.addData(("", IgnoreId, 1L, maxTs + sec(86400)))
+      q.processAllAvailable()
+      input.addData(("", IgnoreId, 1L, maxTs + 2L * sec(86400)))
+      q.processAllAvailable()
+    } finally q.stop()
+    LateDrops.assertNone(q, name)
+    val flushed = spark.table(name).as[StreamingSample.GroupBucketTop]
+      .collect().toSeq
+    spark.catalog.dropTempView(name)
+    // same single-flush bound caveat as runPipeline: a quiet
+    // (group, bucket) key can time out mid-stream and re-open
+    if (chunks == 1)
+      assert(flushed.groupBy(r => (r.group, r.bucket)).values
+        .forall(_.size <= k), "a (group, bucket) key flushed more than k rows")
+    StreamingSample.mergeByGroup(flushed, k)
+  }
+
+  private def batchGroupSample(rows: Seq[(String, Long, Long, Long)], k: Int,
+      seed: Long): Seq[StreamingSample.GSel] =
+    Sampling.sequentialPoissonByGroup(
+        rows.toDF("g", "doc_id", "w", "ts"), "g", "doc_id", "w", k, seed)
+      .collect().map(r => StreamingSample.GSel(r.getString(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getInt(4)))
+      .toSeq.sortBy(s => (s.group, s.rk))
+
+  private def randomGroupRows(n: Int,
+      seedv: Int): Seq[(String, Long, Long, Long)] = {
+    val rnd = new scala.util.Random(seedv)
+    val langs = Seq("en", "de", "fr", "ja")
+    (0 until n).map { i =>
+      (langs(rnd.nextInt(langs.size)), i.toLong,
+        1L + rnd.nextInt(5000).toLong, sec(i.toLong + 1L))
+    }
+  }
+
+  test("stratified stream top-k equals the batch per-group sample") {
+    val rows = randomGroupRows(500, 10)
+    assert(runGroupPipeline(rows, k = 15, seed = 11L, nBuckets = 8)
+      === batchGroupSample(rows, 15, 11L))
+  }
+
+  test("stratified parity holds across many micro-batches and any bucketing") {
+    val rows = randomGroupRows(400, 11)
+    val expected = batchGroupSample(rows, 10, 7L)
+    assert(runGroupPipeline(rows, k = 10, seed = 7L, nBuckets = 8,
+      chunks = 5) === expected)
+    for (b <- Seq(1, 3)) {
+      assert(runGroupPipeline(rows, k = 10, seed = 7L, nBuckets = b)
+        === expected, s"nBuckets=$b")
+    }
+  }
+
+  test("a group smaller than k returns all its rows, ranked") {
+    val rows = randomGroupRows(200, 12) :+ (("zz", 9999L, 42L, sec(9999)))
+    val got = runGroupPipeline(rows, k = 50, seed = 11L, nBuckets = 4)
+    assert(got.filter(_.group == "zz") ===
+      Seq(StreamingSample.GSel("zz", 9999L, 42L,
+        StreamingSample.priorityOf(9999L, 42L, 11L), 1)))
+    assert(got === batchGroupSample(rows, 50, 11L))
+  }
+
+  test("mergeByGroup dedups re-emitted rows and ranks per group") {
+    val a = StreamingSample.GroupBucketTop("en", 0, 10L, 1L, 5L)
+    val b = StreamingSample.GroupBucketTop("en", 1, 20L, 2L, 5L)
+    val c = StreamingSample.GroupBucketTop("de", 0, 30L, 3L, 5L)
+    val got = StreamingSample.mergeByGroup(Seq(a, b, a, c), k = 1)
+    assert(got === Seq(StreamingSample.GSel("de", 3L, 5L, 30L, 1),
+      StreamingSample.GSel("en", 1L, 5L, 10L, 1)))
   }
 
   test("negative ids route and select consistently") {
