@@ -21,7 +21,7 @@ import graft.streaming.{LateDrops, StreamingConformance, StreamingDeclare,
   * staged as TIME-SLICED parquet files with ascending modification
   * times, `readStream` + `maxFilesPerTrigger` consumes them as a
   * multi-micro-batch stream (the watermark advances between batches,
-  * exactly like a real ingestion tail), and ALL SIXTEEN stateful
+  * exactly like a real ingestion tail), and ALL SEVENTEEN stateful
   * streaming operators run with NOTHING data-proportional on the
   * driver:
   *
@@ -50,12 +50,13 @@ import graft.streaming.{LateDrops, StreamingConformance, StreamingDeclare,
   *    flatMapGroupsWithState + a band refinement over a stream
   *    REPLAY — the robust-stats two-pass scheme, output compared
   *    BIT-FOR-BIT against the batch cum-table kernel);
-  *  - sample (per-bucket bounded top-k πps heaps in
+  *  - sample + sample_by_group (per-bucket bounded top-k πps heaps in
   *    flatMapGroupsWithState, ONE pass, no replay — state ≤
-  *    nBuckets·k rows regardless of stream length, output compared
-  *    exactly against the batch sequentialPoisson kernel).
+  *    strata·nBuckets·k rows regardless of stream length, output
+  *    compared exactly against the batch sequentialPoisson /
+  *    sequentialPoissonByGroup kernels).
   *
-  * A seventeenth row audits the streaming XES SOURCE itself (drop-dir
+  * A further row audits the streaming XES SOURCE itself (drop-dir
   * of replicated corpus files → readEventsStream → trace assembly →
   * DFG edges, exact vs the batch xes source over the same files).
   *
@@ -261,7 +262,7 @@ object StreamScaleBench {
     val KnownOps = Set("funnel", "dfg", "drift", "throttle", "dedup",
       "sessionize", "stats", "declare", "conformance", "hopping",
       "join", "outer_join", "neardup", "heavy_hitters", "winsorized",
-      "sample", "xes")
+      "sample", "sample_by_group", "xes")
     opsFilter.foreach { f =>
       val bad = f -- KnownOps
       require(bad.isEmpty, s"unknown --ops tokens: ${bad.mkString(",")}; " +
@@ -1023,6 +1024,52 @@ object StreamScaleBench {
       val ok = streamSel == batchSel && streamSel.size == sK
       println(f"sample  x$copies stream=$secs%6.1fs batch=$bSecs%6.1fs batches=$nb peakState=$peak drops=$drops match=$ok (k=$sK, ${rows.size} flushed)")
       results += s""""sample":{"stream_s":$secs,"batch_s":$bSecs,"batches":$nb,"peak_state_rows":$peak,"late_drops":$drops,"match":$ok,"flushed":${rows.size}}"""
+    }
+
+    // ---- sample_by_group: the 18th gate's stratified fold under the
+    // same real file source — identical machinery, the key just adds
+    // the stratum (derived: pmod(docId, 5), so every copy populates
+    // all five strata); state = strata × nBuckets keys, peak measured.
+    // Batch truth: sequentialPoissonByGroup over the same staged
+    // files, compared as the exact per-group ranked list. ----
+    if (wanted("sample_by_group")) {
+      import graft.streaming.StreamingSample
+      val sDir = docDir + "_hh"
+      ensureDocsStaged(sDir, decorrelate = false)
+      val docMaxTs = maxDataTs(spark, sDir, docSchema)
+      val IgnoreId = Long.MinValue
+      val gK = 200
+      val grp = concat(lit("g"), pmod(col("docId"), lit(5L)).cast("string"))
+      val (rows, nb, peak, drops, secs) = run(spark, sDir, fpt, docMaxTs,
+          GapDays, sch = docSchema, sourceWatermark = false) { df =>
+        val items = df.select(grp.as("group"),
+            when(col("docId") < 0L, lit(IgnoreId)).otherwise(col("docId"))
+              .as("id"),
+            length(col("text")).cast("long").as("weight"), col("tsMicros"))
+          .withColumn("ts", timestamp_micros(col("tsMicros")))
+          .withWatermark("ts", "10 seconds")
+          .as[StreamingSample.GItem]
+        StreamingSample.topKByGroup(spark, items, k = gK, seed = 42L,
+          nBuckets = 8, gapSeconds = gapSeconds, ignoreId = IgnoreId).toDF()
+      } { batch => batch.select(col("group"), col("bucket"),
+        col("priority"), col("id"), col("weight")) }
+      val streamSel = StreamingSample.mergeByGroup(rows.map(r =>
+        StreamingSample.GroupBucketTop(r.getString(0), r.getInt(1),
+          r.getLong(2), r.getLong(3), r.getLong(4))), gK)
+      val t0 = System.nanoTime()
+      val batchSel = graft.ops.Sampling.sequentialPoissonByGroup(
+          spark.read.schema(docSchema).parquet(s"$sDir/data")
+            .filter(col("docId") >= 0L)
+            .select(grp.as("group"), col("docId"),
+              length(col("text")).cast("long").as("weight")),
+          "group", "docId", "weight", gK, 42L)
+        .collect().map(r => StreamingSample.GSel(r.getString(0), r.getLong(1),
+          r.getLong(2), r.getLong(3), r.getInt(4)))
+        .toSeq.sortBy(s => (s.group, s.rk))
+      val bSecs = (System.nanoTime() - t0) / 1e9
+      val ok = streamSel == batchSel && streamSel.size == 5 * gK
+      println(f"sampleG x$copies stream=$secs%6.1fs batch=$bSecs%6.1fs batches=$nb peakState=$peak drops=$drops match=$ok (k=$gK x 5 strata, ${rows.size} flushed)")
+      results += s""""sample_by_group":{"stream_s":$secs,"batch_s":$bSecs,"batches":$nb,"peak_state_rows":$peak,"late_drops":$drops,"match":$ok,"flushed":${rows.size}}"""
     }
 
     // ---- xes: the streaming XES SOURCE under a real drop-dir (r10
