@@ -144,6 +144,9 @@ object RelationalQueries {
       s.catalog.dropTempView(name)
       val bands = StreamingWinsorized.bandBuckets(hist, loP, hiP)
       // ---- pass 2: exact band refinement over a stream replay ----
+      // a FRESH MemoryStream + second feed: the first query's offset
+      // commits purge the shared stream's blocks, so re-reading the
+      // same MemoryStream yields an empty replay (probed — 0 rows)
       val input2 = MemoryStream[(String, Long, Long)]
       ParityFeed.feed(input2, src, (_: (String, Long, Long))._3)
       val ref = new StreamingWinsorized.BandRefiner(s, bands, W, Ignore)

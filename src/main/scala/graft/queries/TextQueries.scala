@@ -295,6 +295,9 @@ object TextQueries {
         .as[String].collect()
       s.catalog.dropTempView(name)
       // ---- pass 2: exact recount over a stream replay ----
+      // a FRESH MemoryStream + second feed: the first query's offset
+      // commits purge the shared stream's blocks, so re-reading the
+      // same MemoryStream yields an empty replay (probed — 0 rows)
       val input2 = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(String, Long)]
       ParityFeed.feed(input2, docsDs, (_: (String, Long))._2)
