@@ -54,6 +54,32 @@ object Org {
     * per-pair scalar, so results are bit-stable under any partial-agg
     * order.
     */
+  /** Subcontracting social network (the third classic org-mining
+    * metric alongside [[workingTogether]] and handover): actor a
+    * "subcontracts" to b when a case's event sequence runs a → b → a —
+    * a hands work out and gets it straight back. Counted over strict
+    * consecutive triples in (tsCol, seqCol) order, b ≠ a (a → a → a is
+    * continuation, not subcontracting). Reference anchor: the Org
+    * extension's resource view (organizational.rs:82-112); the metric
+    * itself is the standard social-network-miner family the extension
+    * exists to serve.
+    *
+    * Scale shape: ONE window pass (two leads over the same
+    * case-partitioned sort — one shuffle, shared by both leads), then
+    * a partial-agg count; never a self-join.
+    */
+  def subcontracting(df: DataFrame, caseCol: String, actorCol: String,
+      tsCol: String, seqCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(caseCol)).orderBy(col(tsCol), col(seqCol))
+    df.select(col(actorCol).as("_a"),
+        lead(col(actorCol), 1).over(w).as("_b"),
+        lead(col(actorCol), 2).over(w).as("_c"))
+      .filter(col("_c") === col("_a") && col("_b") =!= col("_a"))
+      .groupBy(col("_a").as("actor"), col("_b").as("sub_actor"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   def similarTask(df: DataFrame, actorCol: String,
       taskCol: String): DataFrame = {
     val prof = df.groupBy(col(actorCol).as("_actor"), col(taskCol).as("_task"))

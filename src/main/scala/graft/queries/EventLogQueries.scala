@@ -1130,6 +1130,20 @@ object EventLogQueries {
         caseCol = "user_id", labelCol = "event_type")
     },
 
+    // Subcontracting (Org.subcontracting — the third classic
+    // org-mining social network alongside handover and
+    // working-together, and the heuristics miner's length-2-loop
+    // measure when instantiated on activities): strict consecutive
+    // a → b → a triples, b ≠ a. Same activity instantiation as
+    // q_cooccurrence (the book corpus's resource view is
+    // single-resource — OrgMiningSpec pins the resource semantics).
+    // One window pass (two leads share the sort), partial-agg count.
+    "q_subcontracting" -> { (s, dir) =>
+      graft.dsl.Org.subcontracting(Tables(s, dir, "events"),
+        caseCol = "user_id", actorCol = "event_type",
+        tsCol = "ts", seqCol = "event_id")
+    },
+
     // Throughput-time histogram: case durations bucketed by hour —
     // integer buckets, bit-exact (the percentile view without FP
     // interpolation drift).
@@ -1898,6 +1912,18 @@ object EventLogQueries {
         |  CAST(n_applicable AS BIGINT) AS n_applicable, n_satisfied,
         |  CAST(n_satisfied AS DOUBLE) / CAST(n_applicable AS DOUBLE) AS support
         |FROM longform WHERE n_applicable > 0""".stripMargin,
+    // Same lead-window derivation as the handover oracle, one step
+    // deeper: strict consecutive triples a -> b -> a with b != a.
+    "q_subcontracting" ->
+      """SELECT actor, sub_actor, count(*) AS n FROM (
+        |  SELECT event_type AS actor,
+        |    lead(event_type, 1) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS sub_actor,
+        |    lead(event_type, 2) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS back
+        |  FROM events)
+        |WHERE back = actor AND sub_actor <> actor
+        |GROUP BY 1, 2""".stripMargin,
     "q_cooccurrence" ->
       """WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
         |SELECT a.event_type AS label_a, b.event_type AS label_b,

@@ -59,4 +59,32 @@ class OrgMiningSpec extends SparkSpec {
       .as[(String, String, Double)].collect()
     assert(st.isEmpty)
   }
+
+  test("subcontracting: strict a->b->a triples, b != a, overlaps counted") {
+    // case 1: A B A B A  -> A sub B twice (pos 0-2, 2-4 overlap),
+    //                       B sub A once (pos 1-3)
+    // case 2: A A A      -> continuation, never subcontracting
+    // case 3: A B C A    -> no triple returns to its head
+    val df = Seq(
+      ("c1", "A", 1L), ("c1", "B", 2L), ("c1", "A", 3L),
+      ("c1", "B", 4L), ("c1", "A", 5L),
+      ("c2", "A", 6L), ("c2", "A", 7L), ("c2", "A", 8L),
+      ("c3", "A", 9L), ("c3", "B", 10L), ("c3", "C", 11L), ("c3", "A", 12L)
+    ).map(t => (t._1, t._2, t._3, t._3)).toDF("case_id", "res", "ts", "seq")
+    val out = Org.subcontracting(df, "case_id", "res", "ts", "seq")
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(out === Map(("A", "B") -> 2L, ("B", "A") -> 1L))
+  }
+
+  test("subcontracting on extension_full: single-resource-per-activity traces yield none") {
+    // every trace's resources are distinct per event and never return
+    // within two steps in this corpus shape — guard against phantom
+    // pairs from cross-case leakage (window partitioned by trace)
+    val ev = XesReader.readEvents(spark,
+      "/root/reference/static/xes/test/extension_full.xes").toDF()
+    val out = Org.subcontracting(ev, "traceIdx", "resource",
+      "tsMicros", "seq").collect()
+    assert(out.isEmpty)
+  }
 }
