@@ -54,6 +54,30 @@ object Org {
     * per-pair scalar, so results are bit-stable under any partial-agg
     * order.
     */
+  def similarTask(df: DataFrame, actorCol: String,
+      taskCol: String): DataFrame = {
+    val prof = df.groupBy(col(actorCol).as("_actor"), col(taskCol).as("_task"))
+      .agg(count(lit(1)).as("_n"))
+    val norms = prof.groupBy("_actor")
+      .agg(sum(col("_n") * col("_n")).as("_ss"))
+    val a = prof.select(col("_task"), col("_actor").as("actor_a"),
+      col("_n").as("_na"))
+    val b = prof.select(col("_task"), col("_actor").as("actor_b"),
+      col("_n").as("_nb"))
+    a.join(b, "_task")
+      .filter(col("actor_a") < col("actor_b"))
+      .groupBy("actor_a", "actor_b")
+      .agg(sum(col("_na") * col("_nb")).as("_dot"))
+      .join(broadcast(norms.select(col("_actor").as("actor_a"),
+        col("_ss").as("_ssa"))), Seq("actor_a"))
+      .join(broadcast(norms.select(col("_actor").as("actor_b"),
+        col("_ss").as("_ssb"))), Seq("actor_b"))
+      .select(col("actor_a"), col("actor_b"),
+        (col("_dot").cast("double") /
+          (sqrt(col("_ssa").cast("double")) * sqrt(col("_ssb").cast("double"))))
+          .as("cosine"))
+  }
+
   /** Subcontracting social network (the third classic org-mining
     * metric alongside [[workingTogether]] and handover): actor a
     * "subcontracts" to b when a case's event sequence runs a → b → a —
@@ -78,29 +102,5 @@ object Org {
       .filter(col("_c") === col("_a") && col("_b") =!= col("_a"))
       .groupBy(col("_a").as("actor"), col("_b").as("sub_actor"))
       .agg(count(lit(1)).as("n"))
-  }
-
-  def similarTask(df: DataFrame, actorCol: String,
-      taskCol: String): DataFrame = {
-    val prof = df.groupBy(col(actorCol).as("_actor"), col(taskCol).as("_task"))
-      .agg(count(lit(1)).as("_n"))
-    val norms = prof.groupBy("_actor")
-      .agg(sum(col("_n") * col("_n")).as("_ss"))
-    val a = prof.select(col("_task"), col("_actor").as("actor_a"),
-      col("_n").as("_na"))
-    val b = prof.select(col("_task"), col("_actor").as("actor_b"),
-      col("_n").as("_nb"))
-    a.join(b, "_task")
-      .filter(col("actor_a") < col("actor_b"))
-      .groupBy("actor_a", "actor_b")
-      .agg(sum(col("_na") * col("_nb")).as("_dot"))
-      .join(broadcast(norms.select(col("_actor").as("actor_a"),
-        col("_ss").as("_ssa"))), Seq("actor_a"))
-      .join(broadcast(norms.select(col("_actor").as("actor_b"),
-        col("_ss").as("_ssb"))), Seq("actor_b"))
-      .select(col("actor_a"), col("actor_b"),
-        (col("_dot").cast("double") /
-          (sqrt(col("_ssa").cast("double")) * sqrt(col("_ssb").cast("double"))))
-          .as("cosine"))
   }
 }

@@ -1009,11 +1009,9 @@ object TextQueries {
          |ORDER BY lift_scaled DESC, gram ASC
          |LIMIT 20""".stripMargin,
 
-    // the two-stage salted top-k is output-equivalent to the plain
-    // per-group window (group top-k ⊆ per-salt top-ks)
     // The streaming stratified sampler is the same bounded top-k fold
     // per (group, bucket) — its answer is the batch kernel's, oracle
-    // verbatim.
+    // verbatim (below).
     "q_stream_stratified_sample_parity" ->
       s"""WITH p AS (
          |  SELECT lang, doc_id, n_chars,
@@ -1028,6 +1026,8 @@ object TextQueries {
          |  FROM p)
          |WHERE rk <= 20""".stripMargin,
 
+    // the two-stage salted top-k is output-equivalent to the plain
+    // per-group window (group top-k ⊆ per-salt top-ks)
     "q_sample_stratified_weighted" ->
       s"""WITH p AS (
          |  SELECT lang, doc_id, n_chars,

@@ -211,7 +211,9 @@ object StreamingSample extends Serializable {
   def mergeByGroup(rows: Seq[GroupBucketTop], k: Int): Seq[GSel] =
     rows.distinct.groupBy(_.group).toSeq.sortBy(_._1).flatMap {
       case (g, rs) =>
-        rs.map(r => Sel(r.priority, r.id, r.weight)).distinct.sorted(ord)
+        // no inner distinct: rows.distinct above already collapsed
+        // re-emissions, and one id maps to exactly one bucket
+        rs.map(r => Sel(r.priority, r.id, r.weight)).sorted(ord)
           .take(k).zipWithIndex
           .map { case (s, i) => GSel(g, s.id, s.weight, s.priority, i + 1) }
     }

@@ -119,10 +119,9 @@ class StreamingSampleSpec extends SparkSpec {
   test("weight < 1 rows are skipped — the batch kernel's contract") {
     val good = randomRows(100, 6)
     val bad = Seq((9000L, 0L, sec(500)), (9001L, -5L, sec(501)))
-    assert(runPipeline(good ++ bad, k = 100, seed = 11L, nBuckets = 4)
-      === batchSample(good, 100, 11L))
-    assert(!runPipeline(good ++ bad, k = 100, seed = 11L, nBuckets = 4)
-      .exists(s => s.id == 9000L || s.id == 9001L))
+    val got = runPipeline(good ++ bad, k = 100, seed = 11L, nBuckets = 4)
+    assert(got === batchSample(good, 100, 11L))
+    assert(!got.exists(s => s.id == 9000L || s.id == 9001L))
   }
 
   test("merge dedups identical re-emitted rows and re-selects") {
