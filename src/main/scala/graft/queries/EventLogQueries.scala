@@ -3,7 +3,6 @@ package graft.queries
 import java.util.concurrent.atomic.AtomicInteger
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
@@ -162,15 +161,12 @@ object EventLogQueries {
     // below). Hash-compared against the batch oracle arithmetic.
     "q_stream_hopping_parity" -> { (s, dir) =>
       ParityFeed.withStreamParallelism(s, 8) {
-      import s.implicits._
-      implicit val sqlCtx = s.sqlContext
-      val batchDs = Tables(s, dir, "events")
+      val src = Tables(s, dir, "events")
         .select(col("event_type"), unix_micros(col("ts")).as("tsMicros"))
-        .as[(String, Long)]
-      val input = MemoryStream[(String, Long)]
-      val maxTs = ParityFeed.feed(input, batchDs, (_: (String, Long))._2)
-      input.addData(("__sentinel__", maxTs + 10L * 86400L * 1000000L))
-      val ev = input.toDS().toDF("event_type", "tsMicros")
+      ParityFeed.withFeed(s, src) { (feed, maxTs) =>
+      ParityFeed.sentinel(s, feed, "__sentinel__",
+        maxTs + 10L * 86400L * 1000000L)
+      val ev = ParityFeed.stream(s, feed)
         .withColumn("ts", timestamp_micros(col("tsMicros")))
         .withWatermark("ts", "10 seconds")
       val name = s"stream_hop_parity_${hopRun.incrementAndGet()}"
@@ -182,7 +178,8 @@ object EventLogQueries {
         .outputMode(OutputMode.Append()).start()
       try {
         q.processAllAvailable()
-        input.addData(("__sentinel__", maxTs + 20L * 86400L * 1000000L))
+        ParityFeed.sentinel(s, feed, "__sentinel__",
+          maxTs + 20L * 86400L * 1000000L)
         q.processAllAvailable()
       } finally q.stop()
       graft.streaming.LateDrops.assertNone(q, name)
@@ -191,6 +188,7 @@ object EventLogQueries {
       val out = s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
       s.catalog.dropTempView(name)
       out
+      }
       }
     },
     // Streaming exactly-once ingest dedup parity: every event fed
@@ -206,20 +204,15 @@ object EventLogQueries {
     // touch.
     "q_stream_dedup_parity" -> { (s, dir) =>
       ParityFeed.withStreamParallelism(s, 8) {
-      import s.implicits._
-      implicit val sqlCtx = s.sqlContext
       val single = Tables(s, dir, "events")
         .select(col("event_id"), col("event_type"),
           unix_micros(col("ts")).as("tsMicros"))
-        .as[(Long, String, Long)]
-      // duplicated feed via per-chunk double-add (ParityFeed
-      // .feedDoubled): same multiset as single.union(single), half the
-      // driver iteration — the r11 floor shave
-      val input = MemoryStream[(Long, String, Long)]
-      val maxTs = ParityFeed.feedDoubled(input, single,
-        (_: (Long, String, Long))._3)
-      input.addData((-1L, "__sentinel__", maxTs + 100L * 86400L * 1000000L))
-      val ev = input.toDS().toDF("event_id", "event_type", "tsMicros")
+      // duplicated feed staged once (ParityFeed.withFeedDoubled): the
+      // same multiset as single.union(single), zero driver iteration
+      ParityFeed.withFeedDoubled(s, single) { (feed, maxTs) =>
+      ParityFeed.sentinel(s, feed, -1L, "__sentinel__",
+        maxTs + 100L * 86400L * 1000000L)
+      val ev = ParityFeed.stream(s, feed)
         .withColumn("ts", timestamp_micros(col("tsMicros")))
         .withWatermark("ts", "10 seconds")
         .dropDuplicatesWithinWatermark("event_id")
@@ -236,7 +229,8 @@ object EventLogQueries {
         .outputMode(OutputMode.Append()).start()
       try {
         q.processAllAvailable()
-        input.addData((-2L, "__sentinel__", maxTs + 200L * 86400L * 1000000L))
+        ParityFeed.sentinel(s, feed, -2L, "__sentinel__",
+          maxTs + 200L * 86400L * 1000000L)
         q.processAllAvailable()
       } finally q.stop()
       graft.streaming.LateDrops.assertNone(q, name)
@@ -247,41 +241,36 @@ object EventLogQueries {
       s.catalog.dropTempView(name)
       out
       }
+      }
     },
 
     // Streaming ↔ batch sessionization parity under the hash gate:
-    // the events table fed through MemoryStream → watermark →
+    // the events table staged to a tmpfs drop-dir → watermark →
     // session_window aggregation (StreamingStats.sessionStats), run to
     // completion; the oracle re-derives the same per-session rows with
     // the batch gap construction. Boundary semantics: session_window
     // windows are [ts, ts+gap) merged on OVERLAP, so a gap of exactly
     // `gapSeconds` starts a NEW session — the oracle flags with >=.
-    // MemoryStream is driver-fed by construction (harness input, not
-    // an operator collect) — the feed is chunked via ParityFeed so
-    // driver residency is the MemoryStream buffer + one chunk, and the
-    // result collect is bounded by the session count (≤ #users); both
-    // are parity-harness costs, not operator shapes. The memory sink
-    // registers a temp
+    // Nothing data-proportional touches the driver: the feed is staged
+    // parquet slices, and the result collect is bounded by the session
+    // count (≤ #users) — a parity-harness cost, not an operator shape.
+    // The memory sink registers a temp
     // view per invocation; it is dropped after materialization so
     // repeated runs (ScaleBench --all, runs ≥ 2) don't accumulate
     // sink tables in driver memory.
     "q_stream_sessionize_parity" -> { (s, dir) =>
       ParityFeed.withStreamParallelism(s, 8) {
-      import s.implicits._
-      implicit val sqlCtx = s.sqlContext
-      val batchDs = Tables(s, dir, "events")
+      val src = Tables(s, dir, "events")
         .select(col("user_id"), unix_micros(col("ts")).as("tsMicros"))
-        .as[(Long, Long)]
-      val input = MemoryStream[(Long, Long)]
-      // chunked pre-start feed (ParityFeed): the whole input + the
-      // first far-future sentinel land in ONE micro-batch (the
+      // staged drop-dir feed (ParityFeed.withFeed): the whole input +
+      // the first far-future sentinel land in ONE micro-batch (the
       // watermark only advances at the batch boundary, so no data
       // event is ever late); the second batch lets the closed sessions
       // emit. Two micro-batches total. The sentinel user is filtered
       // out below.
-      val maxTs = ParityFeed.feed(input, batchDs, (_: (Long, Long))._2)
-      input.addData((-1L, maxTs + 86400L * 1000000L))
-      val ev = input.toDS().toDF("user_id", "tsMicros")
+      ParityFeed.withFeed(s, src) { (feed, maxTs) =>
+      ParityFeed.sentinel(s, feed, -1L, maxTs + 86400L * 1000000L)
+      val ev = ParityFeed.stream(s, feed)
         .withColumn("ts", timestamp_micros(col("tsMicros")))
         .withWatermark("ts", "10 seconds")
       val name = s"stream_sess_parity_${sessRun.incrementAndGet()}"
@@ -291,7 +280,7 @@ object EventLogQueries {
         .outputMode(OutputMode.Append()).start()
       try {
         q.processAllAvailable()
-        input.addData((-1L, maxTs + 2L * 86400L * 1000000L))
+        ParityFeed.sentinel(s, feed, -1L, maxTs + 2L * 86400L * 1000000L)
         q.processAllAvailable()
       } finally q.stop()
       graft.streaming.LateDrops.assertNone(q, name)
@@ -304,10 +293,11 @@ object EventLogQueries {
       s.catalog.dropTempView(name)
       out
       }
+      }
     },
 
     // Streaming ↔ batch drift parity under the hash gate: the events
-    // table fed through MemoryStream → flatMapGroupsWithState keyed by
+    // table staged to a tmpfs drop-dir → flatMapGroupsWithState keyed by
     // tumbling-window start (StreamingDrift.monitor) with the table's
     // own global activity mix as the broadcast baseline; the oracle
     // recomputes the same per-window exact-integer L1 in SQL. The
@@ -318,16 +308,15 @@ object EventLogQueries {
     "q_stream_drift_parity" -> { (s, dir) =>
       ParityFeed.withStreamParallelism(s, 8) {
       import s.implicits._
-      implicit val sqlCtx = s.sqlContext
       val ev = Tables(s, dir, "events")
-      val batchDs = ev.select(col("event_type"), unix_micros(col("ts")))
-        .as[(String, Long)]
+      val src = ev.select(col("event_type").as("activity"),
+        unix_micros(col("ts")).as("tsMicros"))
       val baseline = ev.groupBy(col("event_type")).count()
         .as[(String, Long)].collect().toMap // alphabet-sized
-      val input = MemoryStream[(String, Long)]
-      val maxDataTs = ParityFeed.feed(input, batchDs, (_: (String, Long))._2)
-      input.addData(("_sentinel", maxDataTs + 86400L * 1000000L))
-      val events = input.toDS().toDF("activity", "tsMicros")
+      ParityFeed.withFeed(s, src) { (feed, maxDataTs) =>
+      ParityFeed.sentinel(s, feed, "_sentinel",
+        maxDataTs + 86400L * 1000000L)
+      val events = ParityFeed.stream(s, feed)
         .withColumn("ts", timestamp_micros(col("tsMicros")))
         .withWatermark("ts", "10 seconds")
         .as[graft.streaming.StreamingDrift.InEvent]
@@ -338,7 +327,8 @@ object EventLogQueries {
         .outputMode(OutputMode.Append()).start()
       try {
         q.processAllAvailable()
-        input.addData(("_sentinel", maxDataTs + 3L * 86400L * 1000000L))
+        ParityFeed.sentinel(s, feed, "_sentinel",
+          maxDataTs + 3L * 86400L * 1000000L)
         q.processAllAvailable()
       } finally q.stop()
       graft.streaming.LateDrops.assertNone(q, name)
@@ -351,6 +341,7 @@ object EventLogQueries {
       val out = s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
       s.catalog.dropTempView(name)
       out
+      }
       }
     },
 
@@ -366,15 +357,14 @@ object EventLogQueries {
     "q_stream_declare_parity" -> { (s, dir) =>
       ParityFeed.withStreamParallelism(s, 8) {
       import s.implicits._
-      implicit val sqlCtx = s.sqlContext
-      val batchDs = Tables(s, dir, "events")
-        .select(col("user_id").cast("string"), col("event_type"),
-          unix_micros(col("ts")))
-        .as[(String, String, Long)]
-      val input = MemoryStream[(String, String, Long)]
-      val maxTs = ParityFeed.feed(input, batchDs, (_: (String, String, Long))._3)
-      input.addData(("_sentinel", "x", maxTs + 86400L * 1000000L))
-      val events = input.toDS().toDF("caseId", "activity", "tsMicros")
+      val src = Tables(s, dir, "events")
+        .select(col("user_id").cast("string").as("caseId"),
+          col("event_type").as("activity"),
+          unix_micros(col("ts")).as("tsMicros"))
+      ParityFeed.withFeed(s, src) { (feed, maxTs) =>
+      ParityFeed.sentinel(s, feed, "_sentinel", "x",
+        maxTs + 86400L * 1000000L)
+      val events = ParityFeed.stream(s, feed)
         .withColumn("ts", timestamp_micros(col("tsMicros")))
         .withWatermark("ts", "10 seconds")
         .as[graft.streaming.TraceAssembly.InEvent]
@@ -385,7 +375,8 @@ object EventLogQueries {
         .outputMode(OutputMode.Append()).start()
       try {
         q.processAllAvailable()
-        input.addData(("_sentinel", "y", maxTs + 2L * 86400L * 1000000L))
+        ParityFeed.sentinel(s, feed, "_sentinel", "y",
+          maxTs + 2L * 86400L * 1000000L)
         q.processAllAvailable()
       } finally q.stop()
       graft.streaming.LateDrops.assertNone(q, name)
@@ -407,6 +398,7 @@ object EventLogQueries {
       s.catalog.dropTempView(name)
       out
       }
+      }
     },
 
     // StatsCollector (reference stats.rs:63-141): [n_traces, n_events].
@@ -417,7 +409,7 @@ object EventLogQueries {
     // Streaming ↔ batch StatsCollector parity under the hash gate:
     // the running per-case counters (StreamingStats.perCase — the
     // reference's incremental ct_trace state, stats.rs:63-141) run in
-    // Complete mode over the MemoryStream feed; the final state table
+    // Complete mode over the staged file feed; the final state table
     // folds IN THE PLAN to the same exact [n_traces, n_events_total,
     // n_orphan_events] triple as the batch LogStats — the oracle is
     // q_log_stats' SQL verbatim. Null-case events are orphans: they
@@ -425,14 +417,11 @@ object EventLogQueries {
     // count(DISTINCT)/count(col) null semantics exactly.
     "q_stream_stats_parity" -> { (s, dir) =>
       ParityFeed.withStreamParallelism(s, 8) {
-      import s.implicits._
-      implicit val sqlCtx = s.sqlContext
-      val batchDs = Tables(s, dir, "events")
-        .select(col("user_id").cast("string"), unix_micros(col("ts")))
-        .as[(String, Long)]
-      val input = MemoryStream[(String, Long)]
-      ParityFeed.feed(input, batchDs, (_: (String, Long))._2)
-      val events = input.toDS().toDF("caseId", "tsMicros")
+      val src = Tables(s, dir, "events")
+        .select(col("user_id").cast("string").as("caseId"),
+          unix_micros(col("ts")).as("tsMicros"))
+      ParityFeed.withFeed(s, src) { (feed, _) =>
+      val events = ParityFeed.stream(s, feed)
         .withColumn("ts", timestamp_micros(col("tsMicros")))
       val name = s"stream_stats_parity_${sessRun.incrementAndGet()}"
       val q = graft.streaming.StreamingStats
@@ -452,6 +441,7 @@ object EventLogQueries {
       s.catalog.dropTempView(name)
       out
       }
+      }
     },
 
     // Streaming ↔ batch windowed-dedup parity: the same lag-relative
@@ -464,17 +454,12 @@ object EventLogQueries {
     "q_stream_throttle_parity" -> { (s, dir) =>
       ParityFeed.withStreamParallelism(s, 8) {
       import s.implicits._
-      implicit val sqlCtx = s.sqlContext
       import graft.streaming.StreamingThrottle
-      val batchDs = Tables(s, dir, "events")
-        .select(col("user_id"), col("event_type"),
-          unix_micros(col("ts")), col("event_id"))
-        .as[(Long, String, Long, Long)]
-        .map(t => StreamingThrottle.InEvent(t._1, t._2, t._3, t._4))
-      val input = MemoryStream[StreamingThrottle.InEvent]
-      ParityFeed.feed(input, batchDs,
-        (_: StreamingThrottle.InEvent).tsMicros)
-      val events = input.toDS()
+      val src = Tables(s, dir, "events")
+        .select(col("user_id").as("caseId"), col("event_type").as("label"),
+          unix_micros(col("ts")).as("tsMicros"), col("event_id").as("tie"))
+      ParityFeed.withFeed(s, src) { (feed, _) =>
+      val events = ParityFeed.stream(s, feed)
         .withColumn("ts", timestamp_micros(col("tsMicros")))
         .withWatermark("ts", "10 seconds")
         .as[StreamingThrottle.InEvent]
@@ -492,6 +477,7 @@ object EventLogQueries {
       s.catalog.dropTempView(name)
       out
       }
+      }
     },
 
     // Streaming ↔ batch STREAM-STREAM interval join parity — the one
@@ -506,15 +492,11 @@ object EventLogQueries {
     // nothing was dropped. Oracle: the same self-join in plain SQL.
     "q_stream_join_parity" -> { (s, dir) =>
       ParityFeed.withStreamParallelism(s, 8) {
-      import s.implicits._
-      implicit val sqlCtx = s.sqlContext
-      val batchDs = Tables(s, dir, "events")
+      val evSrc = Tables(s, dir, "events")
         .select(col("user_id"), col("event_type"),
           unix_micros(col("ts")).as("tsMicros"), col("event_id"))
-        .as[(Long, String, Long, Long)]
-      val input = MemoryStream[(Long, String, Long, Long)]
-      ParityFeed.feed(input, batchDs, (_: (Long, String, Long, Long))._3)
-      val src = input.toDS().toDF("user_id", "event_type", "tsMicros", "event_id")
+      ParityFeed.withFeed(s, evSrc) { (feed, _) =>
+      val src = ParityFeed.stream(s, feed)
         .withColumn("ts", timestamp_micros(col("tsMicros")))
       val views = src.filter(col("event_type") === "view")
         .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
@@ -539,6 +521,7 @@ object EventLogQueries {
       s.catalog.dropTempView(name)
       out
       }
+      }
     },
 
     // Streaming ↔ batch LEFT-OUTER stream-stream join parity — the
@@ -553,19 +536,18 @@ object EventLogQueries {
     // the null rows would never flush. Oracle: plain SQL LEFT JOIN.
     "q_stream_outer_join_parity" -> { (s, dir) =>
       ParityFeed.withStreamParallelism(s, 8) {
-      import s.implicits._
-      implicit val sqlCtx = s.sqlContext
-      val batchDs = Tables(s, dir, "events")
+      val evSrc = Tables(s, dir, "events")
         .select(col("user_id"), col("event_type"),
           unix_micros(col("ts")).as("tsMicros"), col("event_id"))
-        .as[(Long, String, Long, Long)]
-      val input = MemoryStream[(Long, String, Long, Long)]
-      val maxTs = ParityFeed.feed(input, batchDs, (_: (Long, String, Long, Long))._3)
-      def sentinels(days: Long) = Seq(
-        (-1L, "view", maxTs + days * 86400L * 1000000L, -1L),
-        (-1L, "purchase", maxTs + days * 86400L * 1000000L, -2L))
-      input.addData(sentinels(30L))
-      val src = input.toDS().toDF("user_id", "event_type", "tsMicros", "event_id")
+      ParityFeed.withFeed(s, evSrc) { (feed, maxTs) =>
+      def sentinels(days: Long): Unit = {
+        ParityFeed.sentinel(s, feed,
+          -1L, "view", maxTs + days * 86400L * 1000000L, -1L)
+        ParityFeed.sentinel(s, feed,
+          -1L, "purchase", maxTs + days * 86400L * 1000000L, -2L)
+      }
+      sentinels(30L)
+      val src = ParityFeed.stream(s, feed)
         .withColumn("ts", timestamp_micros(col("tsMicros")))
       val views = src.filter(col("event_type") === "view")
         .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
@@ -589,7 +571,7 @@ object EventLogQueries {
         // batch); only the s2 sentinels' own state stays buffered, and
         // those rows are filtered out of the result anyway. (A third
         // round was measured pure overhead: identical hash, ~0.5 s.)
-        input.addData(sentinels(60L))
+        sentinels(60L)
         q.processAllAvailable()
       } finally q.stop()
       graft.streaming.LateDrops.assertNone(q, name)
@@ -602,6 +584,7 @@ object EventLogQueries {
       val out = s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
       s.catalog.dropTempView(name)
       out
+      }
       }
     },
 
@@ -894,7 +877,7 @@ object EventLogQueries {
     },
 
     // Streaming ↔ batch ordered-funnel parity under the hash gate:
-    // events fed through MemoryStream → per-user keyed state buffers
+    // events staged to a tmpfs drop-dir → per-user keyed state buffers
     // the case history, the strict-order stage machine runs at
     // watermark close (StreamingFunnel), per-user reached stages fold
     // into the same (stage_idx, stage, n_cases) rows as the batch
@@ -903,21 +886,17 @@ object EventLogQueries {
       ParityFeed.withStreamParallelism(s, 8) {
       import s.implicits._
       import graft.streaming.StreamingFunnel
-      implicit val sqlCtx = s.sqlContext
       val stages = Seq("view", "click", "purchase")
-      val batchDs = Tables(s, dir, "events")
+      val src = Tables(s, dir, "events")
         .select(col("user_id").as("caseId"),
           col("event_type").as("activity"),
           unix_micros(col("ts")).as("tsMicros"))
-        .as[StreamingFunnel.InEvent]
-      val input = MemoryStream[StreamingFunnel.InEvent]
-      val maxTs = ParityFeed.feed(input, batchDs,
-        (_: StreamingFunnel.InEvent).tsMicros)
+      ParityFeed.withFeed(s, src) { (feed, maxTs) =>
       // sentinel case: pushes the watermark past every case's
       // last-event + gap timeout so all cases close in batch two
-      input.addData(StreamingFunnel.InEvent(-1L, "_sentinel",
-        maxTs + 2L * 86400L * 1000000L))
-      val events = input.toDS()
+      ParityFeed.sentinel(s, feed, -1L, "_sentinel",
+        maxTs + 2L * 86400L * 1000000L)
+      val events = ParityFeed.stream(s, feed)
         .withColumn("ts", timestamp_micros(col("tsMicros")))
         .withWatermark("ts", "10 seconds")
         .as[StreamingFunnel.InEvent]
@@ -927,8 +906,8 @@ object EventLogQueries {
         .outputMode(OutputMode.Append()).start()
       try {
         q.processAllAvailable()
-        input.addData(StreamingFunnel.InEvent(-1L, "_sentinel",
-          maxTs + 4L * 86400L * 1000000L))
+        ParityFeed.sentinel(s, feed, -1L, "_sentinel",
+          maxTs + 4L * 86400L * 1000000L)
         q.processAllAvailable()
       } finally q.stop()
       graft.streaming.LateDrops.assertNone(q, name)
@@ -944,6 +923,7 @@ object EventLogQueries {
         .map { case (st, i) =>
           (i, st, byIdx.collect { case (idx, n) if idx >= i => n }.sum) }
         .toDF("stage_idx", "stage", "n_cases")
+      }
       }
     },
 

@@ -130,8 +130,9 @@ object StreamingSample extends Serializable {
   /** Pass-1 (and only) stateful operator: per-bucket bounded top-k.
     * `items` must carry a watermark on its event-time column. A bucket
     * that re-opens after its flush (late rows above the watermark)
-    * emits a second partial top-k — harmless: [[merge]] dedups
-    * identical rows and re-selects.
+    * emits a second partial top-k of the NEW rows only (the flush
+    * removed the old state) — harmless: [[merge]] re-selects over the
+    * disjoint union.
     */
   def topK(spark: SparkSession, items: Dataset[Item], k: Int, seed: Long,
       nBuckets: Int, gapSeconds: Long, ignoreId: Long): Dataset[BucketTop] = {
@@ -154,13 +155,26 @@ object StreamingSample extends Serializable {
 
   /** Final selection over the flushed per-bucket rows: global k
     * smallest by (priority, id). Driver-side on a ≤ nBuckets·k set.
-    * Identical duplicate rows (a re-opened bucket re-emitting its
-    * survivors) collapse; duplicate INPUT rows are preserved — the
-    * batch kernel's LIMIT semantics over a multiset of distinct ids
-    * (the sampling contract: ids are unique per item). */
-  def merge(rows: Seq[BucketTop], k: Int): Seq[Sel] =
-    rows.distinct.map(r => Sel(r.priority, r.id, r.weight))
-      .sorted(ord).take(k)
+    *
+    * Duplicate flushed rows are a CONTRACT VIOLATION and fail loudly
+    * (ADVICE r12 — was a silent `distinct` that would also shrink the
+    * sample under duplicate input ids): a flush REMOVES the bucket's
+    * state, so a re-opened bucket's later flush holds only rows that
+    * arrived after the first flush — two identical flushed rows can
+    * only mean the same (id, weight) item entered the stream twice,
+    * breaking the unique-id sampling contract the batch kernel's
+    * oracle relies on. */
+  def merge(rows: Seq[BucketTop], k: Int): Seq[Sel] = {
+    requireUnique(rows)
+    rows.map(r => Sel(r.priority, r.id, r.weight)).sorted(ord).take(k)
+  }
+
+  private def requireUnique(rows: Seq[_]): Unit = {
+    val dups = rows.groupBy(identity).filter(_._2.size > 1).keys
+    require(dups.isEmpty,
+      "duplicate flushed sample rows (input ids not unique — the " +
+        s"sampling contract): ${dups.take(3).mkString(", ")}")
+  }
 
   /** One stream row of the stratified variant: the stratum plus the
     * [[Item]] fields. */
@@ -207,14 +221,14 @@ object StreamingSample extends Serializable {
     * (priority, id) within each group, ranked 1..k — exactly the batch
     * kernel's `row_number() OVER (PARTITION BY group ORDER BY
     * priority, id) <= k`. Driver-side on a ≤ |groups|·nBuckets·k set;
-    * same dedup semantics as [[merge]]. */
-  def mergeByGroup(rows: Seq[GroupBucketTop], k: Int): Seq[GSel] =
-    rows.distinct.groupBy(_.group).toSeq.sortBy(_._1).flatMap {
+    * same unique-row contract enforcement as [[merge]]. */
+  def mergeByGroup(rows: Seq[GroupBucketTop], k: Int): Seq[GSel] = {
+    requireUnique(rows)
+    rows.groupBy(_.group).toSeq.sortBy(_._1).flatMap {
       case (g, rs) =>
-        // no inner distinct: rows.distinct above already collapsed
-        // re-emissions, and one id maps to exactly one bucket
         rs.map(r => Sel(r.priority, r.id, r.weight)).sorted(ord)
           .take(k).zipWithIndex
           .map { case (s, i) => GSel(g, s.id, s.weight, s.priority, i + 1) }
     }
+  }
 }

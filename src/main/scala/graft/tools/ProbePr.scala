@@ -2,24 +2,98 @@ package graft.tools
 
 import org.apache.spark.sql.functions._
 
-import graft.GraftSession
+import graft.{GraftSession, Tables}
 import graft.ops.PageRank
 
-/** Scratch dev probe for PageRank plan/runtime experiments. */
+/** Stage decomposition of `q_graph_pagerank` at scale — the r12
+  * judge's item #4: its ×100 deep point (17.14, the worst non-anchor
+  * ratio in any committed artifact) was undecomposed. This pins, for
+  * the base sf dir and the scaled dir, per-stage wall time and the
+  * volumes that drive each stage:
+  *
+  *  - edge BUILD: the lineitem⋈orders co-transaction join + groupBy +
+  *    symmetrize + out-weight join + repartition(src) + cache
+  *    materialization — edge-volume-bound (one pass over the facts,
+  *    one pair shuffle);
+  *  - per-ITERATION cost: round 1 (constant contribution, no rank
+  *    join) then rounds 2..3 (node-sized rank shuffle onto the cached
+  *    edge partitioning + edge-sized partial-agg groupBy(dst)) —
+  *    measured individually by materializing the rank table after
+  *    each round;
+  *  - TOPK: the final TakeOrdered.
+  *
+  * If the stage times grow ≈ with their input volumes (edges ×copies,
+  * nodes ×copies) while the total ratio sits far below ×copies, the
+  * deep point is volume-bound — fixed per-job overhead amortizing,
+  * not a plan defect. The numbers are pinned in SCALE.md.
+  *
+  * Usage: ProbePr [baseDir] [scaledDir] [runs]
+  */
 object ProbePr {
   def main(args: Array[String]): Unit = {
-    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = GraftSession.get("32")
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val scaled = args.lift(1).getOrElse("/tmp/graft_sf10")
+    val runs = args.lift(2).map(_.toInt).getOrElse(2)
+    val spark = GraftSession.get(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    GraftSession.quietWindowWarnings()
     spark.range(1000000L).selectExpr("sum(id)").collect()
 
-    val edges = PageRank.coTransactionEdges(spark, dir)
-    println(s"[probe] edges=${edges.count()}  nodes=${edges.select("src").distinct().count()}")
-
-    // end-to-end topK timing, repeated (first run = planning+codegen)
-    (1 to 4).foreach { i =>
+    def time[A](f: => A): (A, Double) = {
       val t0 = System.nanoTime()
-      PageRank.topK(spark, edges, 3, 50).count()
-      println(f"[probe] topK run $i: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+
+    for (dir <- Seq(base, scaled)) {
+      // stage timings (min of `runs` for each stage, cache rebuilt per
+      // run so the build cost is honest)
+      val samples = (1 to runs).map { _ =>
+        val edges = PageRank.coTransactionEdges(spark, dir)
+        val outw = edges.groupBy("src").agg(sum("w").as("ow"))
+        val esrc = edges.join(outw, "src")
+          .select(col("src"), col("dst"), col("w"), col("ow"))
+          .repartition(col("src")).cache()
+        try {
+          val (nEdges, tBuild) = time(esrc.count()) // materializes the cache
+          // round 1: constant damped contribution, no rank join
+          val teleport = 1000000L * 150L / 1000L
+          val damped0 = 1000000L * 850L / 1000L
+          var ranks = esrc
+            .select(col("dst"), expr(s"(${damped0}L * w) div ow").as("contrib"))
+            .groupBy(col("dst").as("node"))
+            .agg((sum("contrib") + lit(teleport)).as("r"))
+          val (nNodes, tIter1) = time(ranks.count())
+          // rounds 2..3: rank shuffle onto the cached edge partitioning
+          val iterTimes = (2 to 3).map { _ =>
+            ranks = esrc.join(
+                ranks.withColumnRenamed("node", "src").hint("SHUFFLE_HASH"),
+                "src")
+              .select(col("dst"),
+                expr("(((r * 850) div 1000) * w) div ow").as("contrib"))
+              .groupBy(col("dst").as("node"))
+              .agg((sum("contrib") + lit(teleport)).as("r"))
+            time(ranks.count())._2
+          }
+          val (_, tTopK) = time(
+            ranks.orderBy(col("r").desc, col("node").asc).limit(50).collect())
+          (nEdges, nNodes, tBuild, tIter1, iterTimes(0), iterTimes(1), tTopK)
+        } finally esrc.unpersist()
+      }
+      val nEdges = samples.head._1
+      val nNodes = samples.head._2
+      def mn(f: ((Long, Long, Double, Double, Double, Double, Double)) => Double) =
+        samples.map(f).min
+      val (tB, t1, t2, t3, tK) =
+        (mn(_._3), mn(_._4), mn(_._5), mn(_._6), mn(_._7))
+      // the graded query end-to-end, for the ratio this decomposes
+      val tFull = (1 to runs).map { _ =>
+        time(PageRank.topK(spark,
+          PageRank.coTransactionEdges(spark, dir), iters = 3, k = 50)
+          .count())._2
+      }.min
+      println(f"dir=$dir edges=$nEdges%d nodes=$nNodes%d " +
+        f"build=$tB%.2fs iter1=$t1%.2fs iter2=$t2%.2fs iter3=$t3%.2fs " +
+        f"topk=$tK%.2fs full=$tFull%.2fs (min of $runs)")
     }
     spark.stop()
   }

@@ -124,14 +124,20 @@ class StreamingSampleSpec extends SparkSpec {
     assert(!got.exists(s => s.id == 9000L || s.id == 9001L))
   }
 
-  test("merge dedups identical re-emitted rows and re-selects") {
+  test("merge fails loudly on duplicate flushed rows (unique-id contract)") {
     val a = StreamingSample.BucketTop(0, 10L, 1L, 5L)
     val b = StreamingSample.BucketTop(1, 20L, 2L, 5L)
     val c = StreamingSample.BucketTop(0, 30L, 3L, 5L)
-    // bucket 0 re-opened and re-emitted row `a`
-    val got = StreamingSample.merge(Seq(a, b, a, c), k = 2)
-    assert(got === Seq(StreamingSample.Sel(10L, 1L, 5L),
-      StreamingSample.Sel(20L, 2L, 5L)))
+    // a flush removes the bucket's state, so identical flushed rows
+    // can only come from a duplicate input id — a contract violation
+    // that must error, not silently shrink the sample (ADVICE r12)
+    val e = intercept[IllegalArgumentException] {
+      StreamingSample.merge(Seq(a, b, a, c), k = 2)
+    }
+    assert(e.getMessage.contains("ids not unique"))
+    assert(StreamingSample.merge(Seq(a, b, c), k = 2)
+      === Seq(StreamingSample.Sel(10L, 1L, 5L),
+        StreamingSample.Sel(20L, 2L, 5L)))
   }
 
   /** Full stratified pipeline over (group, id, weight, tsMicros). */
@@ -217,11 +223,14 @@ class StreamingSampleSpec extends SparkSpec {
     assert(got === batchGroupSample(rows, 50, 11L))
   }
 
-  test("mergeByGroup dedups re-emitted rows and ranks per group") {
+  test("mergeByGroup fails loudly on duplicates and ranks per group") {
     val a = StreamingSample.GroupBucketTop("en", 0, 10L, 1L, 5L)
     val b = StreamingSample.GroupBucketTop("en", 1, 20L, 2L, 5L)
     val c = StreamingSample.GroupBucketTop("de", 0, 30L, 3L, 5L)
-    val got = StreamingSample.mergeByGroup(Seq(a, b, a, c), k = 1)
+    intercept[IllegalArgumentException] {
+      StreamingSample.mergeByGroup(Seq(a, b, a, c), k = 1)
+    }
+    val got = StreamingSample.mergeByGroup(Seq(a, b, c), k = 1)
     assert(got === Seq(StreamingSample.GSel("de", 3L, 5L, 30L, 1),
       StreamingSample.GSel("en", 1L, 5L, 10L, 1)))
   }
