@@ -540,12 +540,10 @@ object EventLogQueries {
         .select(col("user_id"), col("event_type"),
           unix_micros(col("ts")).as("tsMicros"), col("event_id"))
       ParityFeed.withFeed(s, evSrc) { (feed, maxTs) =>
-      def sentinels(days: Long): Unit = {
-        ParityFeed.sentinel(s, feed,
-          -1L, "view", maxTs + days * 86400L * 1000000L, -1L)
-        ParityFeed.sentinel(s, feed,
-          -1L, "purchase", maxTs + days * 86400L * 1000000L, -2L)
-      }
+      def sentinels(days: Long): Unit =
+        ParityFeed.sentinelRows(s, feed, Seq(
+          Seq(-1L, "view", maxTs + days * 86400L * 1000000L, -1L),
+          Seq(-1L, "purchase", maxTs + days * 86400L * 1000000L, -2L)))
       sentinels(30L)
       val src = ParityFeed.stream(s, feed)
         .withColumn("ts", timestamp_micros(col("tsMicros")))

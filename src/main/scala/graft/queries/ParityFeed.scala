@@ -54,9 +54,12 @@ private[queries] object ParityFeed {
     * the round-robin repartition before the write — it is the feed's
     * source-side parallelism (each slice is its own scan task in the
     * single data micro-batch; the downstream stateful exchange is
-    * governed by [[withStreamParallelism]] independently). */
+    * governed by [[withStreamParallelism]] independently). The default
+    * 8 matches the stream parallelism the gates run at; gates whose
+    * map side is CPU-heavy (the heavy-hitters shingle explode) pass
+    * 32. */
   def withFeed[A](s: SparkSession, df: DataFrame, tsCol: String = "tsMicros",
-      slices: Int = 32)(f: (FileFeed, Long) => A): A = {
+      slices: Int = 8)(f: (FileFeed, Long) => A): A = {
     val dir = Files.createTempDirectory(feedBase(), "p")
     try {
       df.repartition(slices).write.mode("overwrite").parquet(dir.toString)
@@ -79,7 +82,7 @@ private[queries] object ParityFeed {
     * one micro-batch, `dropDuplicatesWithinWatermark` keys on the id,
     * and the window counts are order-free). */
   def withFeedDoubled[A](s: SparkSession, df: DataFrame,
-      tsCol: String = "tsMicros", slices: Int = 32)(
+      tsCol: String = "tsMicros", slices: Int = 8)(
       f: (FileFeed, Long) => A): A =
     withFeed(s, df.unionAll(df), tsCol, slices)(f)
 
@@ -104,7 +107,15 @@ private[queries] object ParityFeed {
   /** Appends a one-row slice (new file ⇒ next micro-batch). `values`
     * must match the staged schema's types positionally. */
   def sentinel(s: SparkSession, feed: FileFeed, values: Any*): Unit =
-    s.createDataFrame(java.util.Arrays.asList(Row(values: _*)), feed.schema)
+    sentinelRows(s, feed, Seq(values))
+
+  /** Appends SEVERAL sentinel rows as ONE slice (one write job — a
+    * gate that needs a sentinel per stream branch, like the outer
+    * join's view+purchase pair, pays one commit instead of two). */
+  def sentinelRows(s: SparkSession, feed: FileFeed,
+      rows: Seq[Seq[Any]]): Unit =
+    s.createDataFrame(
+        java.util.Arrays.asList(rows.map(v => Row(v: _*)): _*), feed.schema)
       .coalesce(1).write.mode("append").parquet(feed.dir)
 
   /** Runs `f` with `spark.sql.shuffle.partitions` lowered to `n` and

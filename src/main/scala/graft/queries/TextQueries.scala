@@ -255,7 +255,7 @@ object TextQueries {
       val docs = Tables(s, dir, "documents")
         .select(col("text"),
           ((col("doc_id").cast("long") + 1L) * 1000000L).as("tsMicros"))
-      ParityFeed.withFeed(s, docs) { (feed, maxTs) =>
+      ParityFeed.withFeed(s, docs, slices = 32) { (feed, maxTs) =>
       def shingleStream(df: org.apache.spark.sql.DataFrame) =
         df.select(explode(TextOps.shinglesOf(TextOps.tokens(col("text")), 3))
             .as("gram"), col("tsMicros"))
