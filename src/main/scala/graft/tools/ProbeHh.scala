@@ -8,7 +8,11 @@ import graft.{GraftSession, Tables}
 import graft.streaming.StreamingHeavyHitters
 import graft.text.TextOps
 
-/** Scratch phase-timing probe for q_stream_heavy_hitters_parity. */
+/** Scratch phase-timing probe for q_stream_heavy_hitters_parity —
+  * HISTORICAL (r12): probes the old MemoryStream harness shapes (the
+  * single-block explode and its repartition fix). The graded gate
+  * feeds from the tmpfs drop-dir file source since r13
+  * (queries/ParityFeed.withFeed) and no longer has these shapes. */
 object ProbeHh {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -8,7 +8,10 @@ import graft.{GraftSession, Tables}
 
 /** Scratch phase profiler for the MemoryStream parity floor (dev
   * tool): times feed / start / processAllAvailable / second batch /
-  * stop separately for a representative stateful parity query. */
+  * stop separately for a representative stateful parity query.
+  * HISTORICAL (≤ r12): the graded gates feed from the tmpfs drop-dir
+  * file source since r13 (queries/ParityFeed.withFeed); this probe
+  * pins the old harness's floor decomposition for the record. */
 object ProbeStream {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -867,8 +867,14 @@ object StreamScaleBench {
           .withColumn("ts", timestamp_micros(col("tsMicros")))
           .withWatermark("ts", "10 seconds")
           .as[StreamingHeavyHitters.Item]
+        // nBuckets is the stateful stage's PARALLELISM knob (distinct
+        // state keys = concurrently folding tasks) and output-invariant
+        // by construction (the recount makes the answer exact whatever
+        // the bucketing): 8 buckets left 24 of the 32 cores idle in the
+        // MG fold — the sketch pass was 255.8 s at ×100; 32 buckets
+        // spread it, peak state stays bounded at nBuckets rows
         StreamingHeavyHitters.candidates(spark, items, k = hhK,
-          nBuckets = 8, ppm = ppm, gapSeconds = GapDays * 86400L,
+          nBuckets = 32, ppm = ppm, gapSeconds = GapDays * 86400L,
           ignoreItem = Ignore).toDF()
       } { batch => batch.select(col("item")) }
       val cands = rows.map(_.getString(0)).distinct.toArray
