@@ -84,12 +84,16 @@ object StreamingWinsorized {
         state.remove()
         flush(group, st)
       } else {
-        var m = state.getOption.map(_.m).getOrElse(Map.empty[Long, Long])
+        // mutable fold buffer (r13): an immutable Map.updated per EVENT
+        // allocates O(log n) nodes 10M+ times at scale; the per-batch
+        // state copy in/out stays O(|histogram|) either way
+        val m = scala.collection.mutable.HashMap.empty[Long, Long]
+        state.getOption.foreach(_.m.foreach { case (b, c) => m(b) = c })
         var maxTs = state.getOption.map(_.maxTsMicros).getOrElse(Long.MinValue)
         in.foreach { e =>
           if (e.group != ignoreGroup) {
             val b = Math.floorDiv(e.v, width)
-            m = m.updated(b, m.getOrElse(b, 0L) + 1L)
+            m(b) = m.getOrElse(b, 0L) + 1L
             maxTs = math.max(maxTs, e.tsMicros)
           }
         }
@@ -101,9 +105,9 @@ object StreamingWinsorized {
             // sentinel-pinned group whose timer can never fire: the
             // stream already moved past the horizon, flush inline
             state.remove()
-            flush(group, HistState(m, maxTs))
+            flush(group, HistState(m.toMap, maxTs))
           } else {
-            state.update(HistState(m, maxTs))
+            state.update(HistState(m.toMap, maxTs))
             state.setTimeoutTimestamp(math.max(horizonMs, wmMs + 1L))
             Iterator.empty
           }
