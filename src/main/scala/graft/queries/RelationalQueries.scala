@@ -223,6 +223,63 @@ object RelationalQueries {
       }
       }
     },
+    // Streaming ↔ batch outlier-count parity — the 20th gate, closing
+    // the robust-stats family's last member (q_outlier_flags: each
+    // group's row count above its OWN p99). Pure algebra on the
+    // quantiles twin's state: the threshold is the value at rank
+    // ceil(990·n/1000) and n_above = n − |v ≤ threshold| falls out of
+    // the same below-bucket + in-bucket walk
+    // (StreamingQuantiles.RankResolver.outlierCounts — the batch
+    // kernel's `n − (_cumx + _c)` identity). Same two-pass shape and
+    // enforced replay-faithfulness guard; the gate shares
+    // q_outlier_flags's oracle VERBATIM.
+    "q_stream_outliers_parity" -> { (s, dir) =>
+      ParityFeed.withStreamParallelism(s, 8) {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.OutputMode
+      import graft.streaming.{StreamingQuantiles, StreamingWinsorized}
+      val Ignore = " ignore"
+      val W = 2048L // tuning only: sizes state + join volume, never the answer
+      val src = Tables(s, dir, "lineitem").select(
+        concat_ws("|", col("l_returnflag"), col("l_linestatus")).as("group"),
+        expr("CAST(round(CAST(l_extendedprice AS DOUBLE) * 100) AS BIGINT)").as("v"),
+        ((col("l_orderkey").cast("long") * 8L
+          + col("l_linenumber").cast("long")) * 1000000L).as("tsMicros"))
+      ParityFeed.withFeed(s, src) { (feed, maxTs) =>
+      ParityFeed.sentinel(s, feed, Ignore, 0L, maxTs + 86400L * 1000000L)
+      val items = ParityFeed.stream(s, feed)
+        .select(when(col("tsMicros") > lit(maxTs), lit(Ignore))
+          .otherwise(col("group")).as("group"), col("v"), col("tsMicros"))
+        .withColumn("ts", timestamp_micros(col("tsMicros")))
+        .withWatermark("ts", "10 seconds")
+        .as[StreamingWinsorized.VItem]
+      val name = s"stream_outliers_parity_${winsRun.incrementAndGet()}"
+      val q = StreamingWinsorized.histogram(s, items, width = W,
+          gapSeconds = 3600L, ignoreGroup = Ignore)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        q.processAllAvailable()
+        ParityFeed.sentinel(s, feed, Ignore, 0L,
+          maxTs + 2L * 86400L * 1000000L)
+        q.processAllAvailable()
+      } finally q.stop()
+      graft.streaming.LateDrops.assertNone(q, name)
+      val hist = s.table(name).as[StreamingWinsorized.BucketCount]
+        .collect().toSeq
+      s.catalog.dropTempView(name)
+      val res = new StreamingQuantiles.RankResolver(s, hist, Seq(990), W,
+        Ignore)
+      res.addBatch(ParityFeed.replay(s, feed)
+        .where(col("tsMicros") <= maxTs)
+        .select(col("group"), col("v")), 0L)
+      res.outlierCounts(990).toDF()
+        .select(substring_index(col("group"), "|", 1).as("l_returnflag"),
+          substring_index(col("group"), "|", -1).as("l_linestatus"),
+          col("nTotal").as("n_total"), col("nAbove").as("n_above_p99"))
+      }
+      }
+    },
     // Pivot (wide aggregation): documents count per source × language,
     // explicit pinned column set so the schema is static at any scale.
     "q_pivot_lang_source" -> { (s, dir) =>
@@ -391,6 +448,24 @@ object RelationalQueries {
     * identical IEEE expression tree (sumsq/n − (sum/n)·(sum/n),
     * clamped, sqrt) — correctly-rounded binary ops on identical
     * doubles are bit-deterministic across engines. */
+  private val outlierFlagsSql =
+    """WITH t AS (
+      |  SELECT l_returnflag, l_linestatus,
+      |         CAST(round(CAST(l_extendedprice AS DOUBLE) * 100) AS BIGINT) AS v
+      |  FROM lineitem),
+      |r AS (
+      |  SELECT l_returnflag, l_linestatus, v,
+      |    row_number() OVER (PARTITION BY l_returnflag, l_linestatus ORDER BY v) AS rn,
+      |    count(*) OVER (PARTITION BY l_returnflag, l_linestatus) AS n
+      |  FROM t),
+      |thr AS (
+      |  SELECT l_returnflag, l_linestatus, v AS thr
+      |  FROM r WHERE rn = (n//1000)*990 + ((n%1000)*990 + 999)//1000)
+      |SELECT t.l_returnflag, t.l_linestatus, count(*) AS n_total,
+      |  CAST(sum(CASE WHEN t.v > thr.thr THEN 1 ELSE 0 END) AS BIGINT) AS n_above_p99
+      |FROM t JOIN thr USING (l_returnflag, l_linestatus)
+      |GROUP BY t.l_returnflag, t.l_linestatus""".stripMargin
+
   private val winsorizedSql =
     """WITH t AS (
       |  SELECT l_returnflag, l_linestatus,
@@ -478,23 +553,10 @@ object RelationalQueries {
         |SELECT l_returnflag, l_linestatus, p AS p_permille, v AS value
         |FROM r JOIN (VALUES (250),(500),(750),(900),(990)) ps(p)
         |  ON rn = (n//1000)*p + ((n%1000)*p + 999)//1000""".stripMargin,
-    "q_outlier_flags" ->
-      """WITH t AS (
-        |  SELECT l_returnflag, l_linestatus,
-        |         CAST(round(CAST(l_extendedprice AS DOUBLE) * 100) AS BIGINT) AS v
-        |  FROM lineitem),
-        |r AS (
-        |  SELECT l_returnflag, l_linestatus, v,
-        |    row_number() OVER (PARTITION BY l_returnflag, l_linestatus ORDER BY v) AS rn,
-        |    count(*) OVER (PARTITION BY l_returnflag, l_linestatus) AS n
-        |  FROM t),
-        |thr AS (
-        |  SELECT l_returnflag, l_linestatus, v AS thr
-        |  FROM r WHERE rn = (n//1000)*990 + ((n%1000)*990 + 999)//1000)
-        |SELECT t.l_returnflag, t.l_linestatus, count(*) AS n_total,
-        |  CAST(sum(CASE WHEN t.v > thr.thr THEN 1 ELSE 0 END) AS BIGINT) AS n_above_p99
-        |FROM t JOIN thr USING (l_returnflag, l_linestatus)
-        |GROUP BY t.l_returnflag, t.l_linestatus""".stripMargin,
+    "q_outlier_flags" -> outlierFlagsSql,
+    // The 20th parity gate computes the identical own-p99 algebra from
+    // the streaming quantile machinery — it shares the oracle verbatim.
+    "q_stream_outliers_parity" -> outlierFlagsSql,
     // Two-pass clip-and-sum reference for the one-pass winsorized
     // kernel; the rank-ceil thresholds use the identical integer
     // formula, the clipped moments the same exact-integer→DOUBLE

@@ -130,6 +130,32 @@ object StreamingQuantiles {
       * replay: every rank bucket's pass-2 recount must equal its
       * pass-1 histogram count. */
     def result(): Seq[QuantileRow] = synchronized {
+      assertFaithful()
+      byGroup.keys.toSeq.sorted.flatMap { g =>
+        psPermille.map(p => QuantileRow(g, p, valueAt(g, p)._1))
+      }
+    }
+
+    /** Streaming twin of [[graft.ops.Quantiles.outlierCounts]] —
+      * (group, n_total, n_above the group's own permille-p value), a
+      * pure read of state the resolver already holds: the threshold
+      * is the value at rank ceil(p·n/1000) and
+      * n_above = n − |v ≤ threshold| falls out of the same below +
+      * in-bucket walk (the batch kernel's `n − (_cumx + _c)` algebra).
+      * `p` must be one of the constructor's psPermille. Same
+      * faithfulness guard as [[result]]. */
+    def outlierCounts(p: Int): Seq[OutlierRow] = synchronized {
+      require(psPermille.contains(p),
+        s"p=$p was not a constructor target: $psPermille")
+      assertFaithful()
+      byGroup.keys.toSeq.sorted.map { g =>
+        val n = byGroup(g)._2
+        val (_, cumLeq) = valueAt(g, p)
+        OutlierRow(g, n, n - cumLeq)
+      }
+    }
+
+    private def assertFaithful(): Unit =
       // enforced faithfulness: per (group, rank bucket) exact recount
       targetPairs.foreach { case (g, b) =>
         val replayed = acc.iterator
@@ -139,22 +165,26 @@ object StreamingQuantiles {
           s"unfaithful replay: group $g bucket $b recounted $replayed " +
             s"rows, pass 1 saw $pass1")
       }
-      byGroup.keys.toSeq.sorted.flatMap { g =>
-        val n = byGroup(g)._2
-        psPermille.map { p =>
-          val (b, below) = targets(g)(p)
-          val rank = rankOf(n, p)
-          val vals = acc.iterator
-            .collect { case ((`g`, `b`, v), c) => (v, c) }
-            .toArray.sortBy(_._1)
-          var cum = below
-          var i = 0
-          while (i < vals.length - 1 && cum + vals(i)._2 < rank) {
-            cum += vals(i)._2; i += 1
-          }
-          QuantileRow(g, p, vals(i)._1)
-        }
+
+    /** The value at group `g`'s rank ceil(p·n/1000) plus the exact
+      * count of rows ≤ that value (the inclusive cum the outlier
+      * algebra needs). */
+    private def valueAt(g: String, p: Int): (Long, Long) = {
+      val n = byGroup(g)._2
+      val (b, below) = targets(g)(p)
+      val rank = rankOf(n, p)
+      val vals = acc.iterator
+        .collect { case ((`g`, `b`, v), c) => (v, c) }
+        .toArray.sortBy(_._1)
+      var cum = below
+      var i = 0
+      while (i < vals.length - 1 && cum + vals(i)._2 < rank) {
+        cum += vals(i)._2; i += 1
       }
+      (vals(i)._1, cum + vals(i)._2)
     }
   }
+
+  /** One outlier-count row per group. */
+  case class OutlierRow(group: String, nTotal: Long, nAbove: Long)
 }

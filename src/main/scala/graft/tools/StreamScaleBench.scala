@@ -1033,9 +1033,21 @@ object StreamScaleBench {
         .toMap
       val bSecs = (System.nanoTime() - t0) / 1e9
       val ok = streamVals == batchVals && streamVals.nonEmpty
+      // the 20th gate's outlier algebra rides the SAME resolver state
+      // (threshold at rank p, n_above = n − |v ≤ thr|) — audited here
+      // against the batch outlierCounts kernel rather than as its own
+      // row (same pass-1 operator, zero extra streaming work)
+      val streamOut = res.outlierCounts(990)
+        .map(r => r.group -> (r.nTotal, r.nAbove)).toMap
+      val batchOut = graft.ops.Quantiles.outlierCounts(
+          batchEv.select(col("activity").as("group"), vCol.as("v")),
+          Seq("group"), col("v"), 990)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+      val okOut = streamOut == batchOut && streamOut.nonEmpty
       val totalSecs = secs + resolveSecs
-      println(f"quant   x$copies stream=$totalSecs%6.1fs (hist=$secs%.1f resolve=$resolveSecs%.1f) batch=$bSecs%6.1fs batches=$nb peakState=$peak drops=$drops match=$ok (${streamVals.size} group-permille rows, exact)")
-      results += s""""quantiles":{"stream_s":$totalSecs,"batch_s":$bSecs,"batches":$nb,"peak_state_rows":$peak,"late_drops":$drops,"match":$ok,"rows":${streamVals.size}}"""
+      println(f"quant   x$copies stream=$totalSecs%6.1fs (hist=$secs%.1f resolve=$resolveSecs%.1f) batch=$bSecs%6.1fs batches=$nb peakState=$peak drops=$drops match=$ok outliers=$okOut (${streamVals.size} group-permille rows, exact)")
+      results += s""""quantiles":{"stream_s":$totalSecs,"batch_s":$bSecs,"batches":$nb,"peak_state_rows":$peak,"late_drops":$drops,"match":$ok,"outliers_match":$okOut,"rows":${streamVals.size}}"""
     }
 
     // ---- sample: the 17th gate's bounded top-k πps fold under a

@@ -146,6 +146,30 @@ class StreamingQuantilesSpec extends SparkSpec {
     assert(e.getMessage.contains("unfaithful replay"))
   }
 
+  test("outlierCounts == the batch own-p99 kernel on random data") {
+    val rows = randomRows(seed = 23L, n = 3000, groups = 3,
+      lo = 0L, hi = 500000L)
+    // full two-pass pipeline, then the outlier algebra off the resolver
+    implicit val sqlCtx = spark.sqlContext
+    val hist = rows.groupBy(r => (r._1, Math.floorDiv(r._2, 512L))).toSeq
+      .map { case ((g, b), rs) =>
+        StreamingWinsorized.BucketCount(g, b, rs.size.toLong) }
+    val res = new StreamingQuantiles.RankResolver(spark, hist, Seq(990),
+      width = 512L, Ignore)
+    res.addBatch(rows.toDF("group", "v", "tsMicros")
+      .select(col("group"), col("v")), 0L)
+    val got = res.outlierCounts(990)
+      .map(r => r.group -> (r.nTotal, r.nAbove)).toMap
+    val want = graft.ops.Quantiles.outlierCounts(
+        rows.map(r => (r._1, r._2)).toDF("group", "_val"),
+        Seq("group"), col("_val"), 990)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got == want)
+    // p must be a constructor target
+    intercept[IllegalArgumentException](res.outlierCounts(500))
+  }
+
   test("sentinel rows are dropped inside the pass-2 fold") {
     val rows = (1 to 300).map(i => ("g", i.toLong, sec(i.toLong)))
     val got = runPipeline(rows, width = 64L, Seq(500))
