@@ -14,60 +14,34 @@ import org.apache.spark.sql.functions._
   *
   *   n_containing(t) = #{starts ≤ t} − #{ends < t}
   *
-  * Each side is a distributed rank: union the marks (interval
-  * endpoints) with the points, tile time into `bucketUs` buckets, and
-  * take a bucket-partitioned running sum of marks (one exchange,
-  * partitions balanced by time density); a tiny bucket-level cumsum
-  * (one row per occupied bucket) carries counts across buckets and is
-  * broadcast back. Work is O((|points| + |intervals|) per side — linear
-  * in the inputs regardless of overlap density. The former shape
+  * and BOTH ranks come out of ONE pass (r14; the former shape ran a
+  * rank pass per side and joined them back on the point id — two
+  * extra row-proportional exchanges a sort order already subsumed):
+  * union starts, points and ends with a kind tag ordered
+  * start < point < end, tile time into `bucketUs` buckets, and take
+  * TWO running sums (starts seen, ends seen) in the same
+  * bucket-partitioned window — the kind order bakes in both tie
+  * rules at once. A tiny bucket-level cumsum (one row per occupied
+  * bucket) carries both counts across buckets and is broadcast back.
+  * Work is O(|points| + |intervals|) — one exchange of the union, one
+  * within-bucket sort, partitions balanced by time density — linear
+  * in the inputs regardless of overlap density. The original shape
   * (explode intervals to covered buckets + equi-join on bucket)
-  * materialized every candidate pair, which on dense overlaps (every
-  * interval spanning most points) is quadratic — measured 45× runtime
-  * at 10× data on the two-point scale bench; this shape re-measured at
-  * ~linear.
+  * materialized every candidate pair, which on dense overlaps is
+  * quadratic — measured 45× runtime at 10× data on the two-point
+  * scale bench.
   *
   * Tie semantics (both checked against the BETWEEN oracle): a point AT
   * an interval start is contained (starts sort before points at equal
-  * ts), a point AT an interval end is contained (points sort before
-  * ends at equal ts, so the end is not yet counted by `#ends < t`).
+  * ts, so the start is already in `#starts ≤ t`), a point AT an
+  * interval end is contained (points sort before ends at equal ts, so
+  * the end is not yet counted by `#ends < t`).
   *
   * Contract: point ids must be unique (each output row is one point).
   * Points contained by nothing are dropped (inner semantics),
   * mirroring the plain SQL `JOIN … ON t BETWEEN start AND end`.
   */
 object RangeJoin {
-
-  /** Rank each point against a stream of mark timestamps: for every
-    * point row, the number of marks at-or-before it (`marksFirstOnTie`
-    * = true → `#marks ≤ t`; false → `#marks < t`). `pts` must carry
-    * (`idCol`, `_t_us`); `marks` carries (`_t_us`). */
-  private def rankAgainstMarks(pts: DataFrame, idCol: String,
-      marks: DataFrame, bucketUs: Long, marksFirstOnTie: Boolean,
-      outCol: String): DataFrame = {
-    val p = pts.select(col(idCol), col("_t_us"), lit(0L).as("_m"), lit(1).as("_isp"))
-    val m = marks.select(lit(null).cast(pts.schema(idCol).dataType).as(idCol),
-      col("_t_us"), lit(1L).as("_m"), lit(0).as("_isp"))
-    val u = p.unionByName(m)
-      .withColumn("_b", floor(col("_t_us") / bucketUs).cast("long"))
-    val tieOrd = if (marksFirstOnTie) col("_isp").asc else col("_isp").desc
-    val w = Window.partitionBy(col("_b")).orderBy(col("_t_us").asc, tieOrd)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val ranked = u.withColumn("_within", sum(col("_m")).over(w))
-      .filter(col("_isp") === 1)
-    // marks in buckets strictly before _b: one row per occupied bucket
-    // (span/bucketUs rows — bounded, broadcastable), cumsum'd once
-    val totals = u.filter(col("_isp") === 0).groupBy(col("_b"))
-      .agg(sum(col("_m")).as("_n"))
-    val wc = Window.orderBy(col("_b").asc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val cum = u.select(col("_b")).distinct()
-      .join(totals, Seq("_b"), "left")
-      .withColumn("_cum", coalesce(sum(col("_n")).over(wc), lit(0L)))
-      .select(col("_b"), col("_cum"))
-    ranked.join(broadcast(cum), Seq("_b"))
-      .select(col(idCol), (col("_within") + col("_cum")).as(outCol))
-  }
 
   /** Count of containing intervals per point: `points(idCol, tsCol)` ×
     * `intervals(startCol, endCol)` → (idCol, n_containing).
@@ -82,15 +56,40 @@ object RangeJoin {
   def containmentCounts(points: DataFrame, intervals: DataFrame,
       idCol: String, tsCol: String, startCol: String, endCol: String,
       bucketUs: Long): DataFrame = {
-    val pts = points.select(col(idCol), unix_micros(col(tsCol)).as("_t_us"))
-    val starts = intervals.select(unix_micros(col(startCol)).as("_t_us"))
-    val ends = intervals.select(unix_micros(col(endCol)).as("_t_us"))
-    val nStart = rankAgainstMarks(pts, idCol, starts, bucketUs,
-      marksFirstOnTie = true, outCol = "_n_start_le")
-    val nEnd = rankAgainstMarks(pts, idCol, ends, bucketUs,
-      marksFirstOnTie = false, outCol = "_n_end_lt")
-    nStart.join(nEnd, Seq(idCol))
-      .withColumn("n_containing", col("_n_start_le") - col("_n_end_lt"))
+    val idType = points.schema(idCol).dataType
+    // kind order start(0) < point(1) < end(2) IS the tie rule (see doc)
+    val p = points.select(col(idCol), unix_micros(col(tsCol)).as("_t_us"),
+      lit(1).as("_k"))
+    val st = intervals.select(lit(null).cast(idType).as(idCol),
+      unix_micros(col(startCol)).as("_t_us"), lit(0).as("_k"))
+    val en = intervals.select(lit(null).cast(idType).as(idCol),
+      unix_micros(col(endCol)).as("_t_us"), lit(2).as("_k"))
+    val u = p.unionByName(st).unionByName(en)
+      .withColumn("_b", floor(col("_t_us") / bucketUs).cast("long"))
+    val w = Window.partitionBy(col("_b"))
+      .orderBy(col("_t_us").asc, col("_k").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = u
+      .withColumn("_s_within",
+        sum(when(col("_k") === 0, 1L).otherwise(0L)).over(w))
+      .withColumn("_e_within",
+        sum(when(col("_k") === 2, 1L).otherwise(0L)).over(w))
+      .filter(col("_k") === 1)
+    // marks in buckets strictly before _b: one row per occupied bucket
+    // (span/bucketUs rows — bounded, broadcastable), cumsum'd once
+    val totals = u.filter(col("_k") =!= 1).groupBy(col("_b"))
+      .agg(sum(when(col("_k") === 0, 1L).otherwise(0L)).as("_ns"),
+        sum(when(col("_k") === 2, 1L).otherwise(0L)).as("_ne"))
+    val wc = Window.orderBy(col("_b").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = u.select(col("_b")).distinct()
+      .join(totals, Seq("_b"), "left")
+      .withColumn("_cs", coalesce(sum(col("_ns")).over(wc), lit(0L)))
+      .withColumn("_ce", coalesce(sum(col("_ne")).over(wc), lit(0L)))
+      .select(col("_b"), col("_cs"), col("_ce"))
+    ranked.join(broadcast(cum), Seq("_b"))
+      .withColumn("n_containing",
+        col("_s_within") + col("_cs") - col("_e_within") - col("_ce"))
       .filter(col("n_containing") > 0)
       .select(col(idCol), col("n_containing"))
   }

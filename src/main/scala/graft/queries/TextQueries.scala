@@ -267,9 +267,9 @@ object TextQueries {
             .otherwise(col("gram")).as("item"), col("tsMicros"))
       // ---- pass 1: candidate sketches ----
       ParityFeed.sentinel(s, feed, "s s s", maxTs + 86400L * 1000000L)
+      // no withWatermark here: candidates() attaches the query's one
+      // watermark itself, downstream of its map-side pre-combine
       val items = shingleStream(ParityFeed.stream(s, feed))
-        .withColumn("ts", timestamp_micros(col("tsMicros")))
-        .withWatermark("ts", "10 seconds")
         .as[StreamingHeavyHitters.Item]
       val name = s"stream_hh_parity_${hhRun.incrementAndGet()}"
       val q = StreamingHeavyHitters.candidates(s, items, k = 1 << 14,

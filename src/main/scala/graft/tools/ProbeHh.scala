@@ -52,8 +52,6 @@ object ProbeHh {
           .as("gram"), col("tsMicros"))
         .select(when(col("tsMicros") > lit(maxTs), lit(Ignore))
           .otherwise(col("gram")).as("item"), col("tsMicros"))
-        .withColumn("ts", timestamp_micros(col("tsMicros")))
-        .withWatermark("ts", "10 seconds")
         .as[StreamingHeavyHitters.Item]
       val q = StreamingHeavyHitters.candidates(spark, items, k = 1 << 14,
           nBuckets = 8, ppm = 75, gapSeconds = 3600L, ignoreItem = Ignore)

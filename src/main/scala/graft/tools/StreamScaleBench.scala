@@ -267,7 +267,7 @@ object StreamScaleBench {
     val KnownOps = Set("funnel", "dfg", "drift", "throttle", "dedup",
       "sessionize", "stats", "declare", "conformance", "hopping",
       "join", "outer_join", "neardup", "heavy_hitters", "winsorized",
-      "quantiles", "sample", "sample_by_group", "xes")
+      "quantiles", "quantiles_sketch", "sample", "sample_by_group", "xes")
     opsFilter.foreach { f =>
       val bad = f -- KnownOps
       require(bad.isEmpty, s"unknown --ops tokens: ${bad.mkString(",")}; " +
@@ -862,10 +862,8 @@ object StreamScaleBench {
               .otherwise(TextOps.shinglesOf(TextOps.tokens(col("text")), 3)))
               .as("item"),
             col("tsMicros"))
-          // watermark lives downstream of the explode (same rule as
-          // neardup: the source ts column is consumed by the projection)
-          .withColumn("ts", timestamp_micros(col("tsMicros")))
-          .withWatermark("ts", "10 seconds")
+          // no withWatermark here: candidates() attaches the query's
+          // one watermark itself, downstream of its map-side pre-combine
           .as[StreamingHeavyHitters.Item]
         // nBuckets is the stateful stage's PARALLELISM knob (distinct
         // state keys = concurrently folding tasks) and output-invariant
@@ -1048,6 +1046,80 @@ object StreamScaleBench {
       val totalSecs = secs + resolveSecs
       println(f"quant   x$copies stream=$totalSecs%6.1fs (hist=$secs%.1f resolve=$resolveSecs%.1f) batch=$bSecs%6.1fs batches=$nb peakState=$peak drops=$drops match=$ok outliers=$okOut (${streamVals.size} group-permille rows, exact)")
       results += s""""quantiles":{"stream_s":$totalSecs,"batch_s":$bSecs,"batches":$nb,"peak_state_rows":$peak,"late_drops":$drops,"match":$ok,"outliers_match":$okOut,"rows":${streamVals.size}}"""
+    }
+
+    // ---- quantiles_sketch: the 21st gate's ONE-PASS Munro–Paterson
+    // sketch under a REAL file source — keyed state is the group's
+    // serialized sketch (a bounded Array[Long] independent of stream
+    // length), NO pass 2 and NO replay: the no-retention-regime member
+    // of the robust-stats family. The audit certifies BOTH sides'
+    // estimates within the shared a-priori rank-error bound against
+    // exact rank windows (one batch conditional-agg pass over the
+    // staged files — the CERTIFICATION, not the operator) and requires
+    // stream n/bound == batch n/bound exactly. Batch truth timing:
+    // SketchQuantiles.approxByGroup (the one-pass batch sketch) over
+    // the same staged files. ----
+    if (wanted("quantiles_sketch")) {
+      import graft.ops.SketchQuantiles
+      import graft.streaming.{StreamingSketchQuantiles, StreamingWinsorized}
+      val Ignore = " "
+      val ps = Seq(250, 500, 750, 900, 990)
+      val K = 4096
+      val vCol = pmod(xxhash64(col("caseId"), col("tsMicros")),
+        lit(2000000L)) - lit(1000000L)
+      val (rows, nb, peak, drops, secs) = run(spark, dir, fpt, maxTs,
+          GapDays, sourceWatermark = false) { df =>
+        // sentinel rows remap to Ignore IN a projection (the standing
+        // sentinel rule: a filter below the watermark node stalls it)
+        val items = df.select(when(col("caseId") < 0L, lit(Ignore))
+              .otherwise(col("activity")).as("group"),
+            vCol.as("v"), col("tsMicros"))
+          .withColumn("ts", timestamp_micros(col("tsMicros")))
+          .withWatermark("ts", "10 seconds")
+          .as[StreamingWinsorized.VItem]
+        StreamingSketchQuantiles.quantiles(spark, items, k = K,
+          psPermille = ps, gapSeconds = gapSeconds,
+          ignoreGroup = Ignore).toDF()
+      } { batch => batch.select(col("group"), col("pPermille"),
+          col("valueEst"), col("nTotal"), col("errBoundRank")) }
+      val streamEst = rows.map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      // batch truth: the one-pass batch sketch over the same files
+      val t0 = System.nanoTime()
+      val batchEst = SketchQuantiles.approxByGroup(
+          batchEv.select(col("activity").as("group"), vCol.as("v")),
+          col("group"), col("v"), ps, k = K)
+        .collect().map(r => (r.getString(0), r.getInt(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      val bSecs = (System.nanoTime() - t0) / 1e9
+      // audit: both sides' estimates certified within the bound
+      val t1 = System.nanoTime()
+      val estAll = (streamEst.toSeq.map { case ((g, p), (v, n, b)) =>
+          (g, p, v, n, b, "s") } ++
+        batchEst.toSeq.map { case ((g, p), (v, n, b)) =>
+          (g, p, v, n, b, "b") })
+        .toDF("group", "p_permille", "value_est", "n_total",
+          "err_bound_rank", "side")
+      val audit = batchEv
+        .select(col("activity").as("group"), vCol.as("v"))
+        .join(broadcast(estAll), Seq("group"))
+        .groupBy(col("group"), col("p_permille"), col("value_est"),
+          col("n_total"), col("err_bound_rank"), col("side"))
+        .agg(sum(when(col("v") < col("value_est"), 1L).otherwise(0L)).as("_lt"),
+          sum(when(col("v") <= col("value_est"), 1L).otherwise(0L)).as("_le"))
+        .withColumn("_target", expr("(n_total div 1000) * p_permille" +
+          " + ((n_total % 1000) * p_permille + 999) div 1000"))
+        .select((col("_lt") < col("_target") + col("err_bound_rank") &&
+          col("_le") >= col("_target") - col("err_bound_rank")).as("ok"))
+        .as[Boolean].collect()
+      val auditSecs = (System.nanoTime() - t1) / 1e9
+      val nbOk = streamEst.keySet == batchEst.keySet &&
+        streamEst.forall { case (kk, (_, n, b)) =>
+          val (_, bn, bb) = batchEst(kk); n == bn && b == bb }
+      val ok = audit.length == 2 * streamEst.size &&
+        audit.forall(identity) && nbOk && streamEst.nonEmpty
+      println(f"qsketch x$copies stream=$secs%6.1fs batch=$bSecs%6.1fs audit=$auditSecs%.1fs batches=$nb peakState=$peak drops=$drops match=$ok (${streamEst.size} group-permille rows, within-bound)")
+      results += s""""quantiles_sketch":{"stream_s":$secs,"batch_s":$bSecs,"batches":$nb,"peak_state_rows":$peak,"late_drops":$drops,"match":$ok,"rows":${streamEst.size}}"""
     }
 
     // ---- sample: the 17th gate's bounded top-k πps fold under a

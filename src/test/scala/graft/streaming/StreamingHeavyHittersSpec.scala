@@ -27,9 +27,9 @@ class StreamingHeavyHittersSpec extends SparkSpec {
     input.addData(rows)
     val maxTs = rows.map(_._2).max
     input.addData((Ignore, maxTs + sec(86400)))
+    // no withWatermark: candidates() attaches the query's one watermark
+    // itself, downstream of its map-side pre-combine
     val items = input.toDS().toDF("item", "tsMicros")
-      .withColumn("ts", timestamp_micros(col("tsMicros")))
-      .withWatermark("ts", "10 seconds")
       .as[StreamingHeavyHitters.Item]
     val q = StreamingHeavyHitters.candidates(spark, items, k = k,
         nBuckets = nBuckets, ppm = ppm, gapSeconds = 60L,
@@ -133,8 +133,6 @@ class StreamingHeavyHittersSpec extends SparkSpec {
     val (chunk1, chunk2) = skewed.splitAt(40)
     val input = MemoryStream[(String, Long)]
     val items = input.toDS().toDF("item", "tsMicros")
-      .withColumn("ts", timestamp_micros(col("tsMicros")))
-      .withWatermark("ts", "10 seconds")
       .as[StreamingHeavyHitters.Item]
     val q = StreamingHeavyHitters.candidates(spark, items, k = 19,
         nBuckets = 4, ppm = ppm, gapSeconds = 3600L, ignoreItem = Ignore)
