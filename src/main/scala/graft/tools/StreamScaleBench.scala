@@ -857,7 +857,12 @@ object StreamScaleBench {
       val hhK = 1 << 14
       val (rows, nb, peak, drops, secs) = run(spark, hhDir, fpt, docMaxTs,
           GapDays, sch = docSchema, sourceWatermark = false) { df =>
-        val items = df.select(
+        // spread the DOC rows (tiny — ~40 MB/batch) across all cores
+        // BEFORE the explode: with fpt files per trigger the scan stage
+        // has ≤ fpt partitions, which serialized the shingle explode +
+        // the operator's map-side pre-combine onto 4 tasks (r14 probe:
+        // pass 1 245.8 s; 32-way it parallelizes both)
+        val items = df.repartition(32).select(
             explode(when(col("docId") < 0L, array(lit(Ignore)))
               .otherwise(TextOps.shinglesOf(TextOps.tokens(col("text")), 3)))
               .as("item"),
