@@ -47,25 +47,7 @@ case class HllRegistersAgg(child: Expression, m: Int, budgetBits: Int,
 
   override def update(b: Array[Int], input: InternalRow): Array[Int] = {
     val v = child.eval(input)
-    if (v != null) {
-      val h = v.asInstanceOf[Long]
-      // square-mod-P remix (same construction as the LSH plane
-      // weights): leading-zero ranks read the MAGNITUDE of the value,
-      // and a raw polynomial charHash of short strings concentrates in
-      // a narrow magnitude band (rank ≈ constant, estimator
-      // collapses). Every intermediate fits a BIGINT, so the SQL
-      // oracle replicates the mix exactly.
-      val h1 = (h * Portable.Knuth) % Portable.P
-      val h2 = (h1 * h1) % Portable.P
-      val h3 = (h2 * Portable.Knuth + h) % Portable.P
-      val j = (h3 % m).toInt
-      val w = h3 / m
-      // rank = budgetBits - bitLength(w) + 1; bitLength(0) := 0
-      val rank =
-        if (w == 0L) budgetBits + 1
-        else budgetBits - (64 - java.lang.Long.numberOfLeadingZeros(w)) + 1
-      if (rank > b(j)) b(j) = rank
-    }
+    if (v != null) HllSketch.updateRegister(b, v.asInstanceOf[Long], m, budgetBits)
     b
   }
 
@@ -109,4 +91,27 @@ object HllSketch {
   def registers(hash: Column, m: Int, budgetBits: Int): Column =
     GraftColumnBridge.column(HllRegistersAgg(
       GraftColumnBridge.expression(hash), m, budgetBits).toAggregateExpression())
+
+  /** The ONE per-value register update, shared by the batch aggregate
+    * and the streaming twin ([[graft.streaming.StreamingSketches]]) so
+    * their arithmetic cannot drift.
+    *
+    * Square-mod-P remix (same construction as the LSH plane weights):
+    * leading-zero ranks read the MAGNITUDE of the value, and a raw
+    * polynomial charHash of short strings concentrates in a narrow
+    * magnitude band (rank ≈ constant, estimator collapses). Every
+    * intermediate fits a BIGINT, so the SQL oracle replicates the mix
+    * exactly. rank = budgetBits - bitLength(w) + 1; bitLength(0) := 0. */
+  private[graft] def updateRegister(b: Array[Int], h: Long, m: Int,
+      budgetBits: Int): Unit = {
+    val h1 = (h * Portable.Knuth) % Portable.P
+    val h2 = (h1 * h1) % Portable.P
+    val h3 = (h2 * Portable.Knuth + h) % Portable.P
+    val j = (h3 % m).toInt
+    val w = h3 / m
+    val rank =
+      if (w == 0L) budgetBits + 1
+      else budgetBits - (64 - java.lang.Long.numberOfLeadingZeros(w)) + 1
+    if (rank > b(j)) b(j) = rank
+  }
 }

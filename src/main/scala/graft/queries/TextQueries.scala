@@ -114,6 +114,84 @@ object TextQueries {
         .select(col("token"), col("est_n"),
           coalesce(col("true_n"), lit(0L)).as("true_n"))
     },
+    // Streaming ↔ batch count-min parity — the 23rd gate, the sketch
+    // family's second ORDER-FREE streaming twin: bucket counts are
+    // plain sums (commutative), so the one-pass streaming fold
+    // (StreamingSketches.cmCells — keyed state is one Array[Long](w)
+    // per hash row, d keys total, the whole sketch d·w longs
+    // regardless of stream length; NO pass 2, NO replay for the
+    // OPERATOR) is BIT-EQUAL to the batch cell table under any
+    // batching. The bucket arithmetic runs IN-PLAN via the batch
+    // kernel's own CmSketch.bucket column. true_n (the gate's label
+    // column, batch-side in the batch gate too) comes from one exact
+    // count over the retained staged files. Shares q_token_cm_est's
+    // oracle VERBATIM.
+    "q_stream_cm_parity" -> { (s, dir) =>
+      ParityFeed.withStreamParallelism(s, 8) {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.OutputMode
+      import graft.text.CmSketch
+      import graft.streaming.StreamingSketches
+      val d = 4; val w = 64; val seed = 42L
+      val src = Tables(s, dir, "documents").select(
+        col("lang"), col("text"),
+        ((col("doc_id").cast("long") + 1L) * 1000000L).as("tsMicros"))
+      // the same shared doc feed as the HLL twin (one staging per JVM)
+      ParityFeed.withSharedFeed(s, s"docs:$dir", src, slices = 32) { (feed, maxTs) =>
+      // sentinel doc tokenizes to one token; its (row, bucket) pairs
+      // remap to the ignore row by their far-future ts
+      ParityFeed.sentinel(s, feed, "zz_ignore", "s", maxTs + 86400L * 1000000L)
+      val items = ParityFeed.stream(s, feed)
+        .select(explode(TextOps.tokens(col("text"))).as("token"),
+          col("tsMicros"))
+        .select(explode(array((0 until d).map(r =>
+            struct(lit(r).as("r"),
+              CmSketch.bucket(col("token"), r, w, seed).as("b"))): _*))
+            .as("rb"),
+          col("tsMicros"))
+        .select(when(col("tsMicros") > lit(maxTs), lit(-1))
+            .otherwise(col("rb.r")).as("row"),
+          col("rb.b").as("bucket"), col("tsMicros"))
+        .withColumn("ts", timestamp_micros(col("tsMicros")))
+        .withWatermark("ts", "10 seconds")
+        .as[StreamingSketches.CItem]
+      val name = s"stream_cm_parity_${hhRun.incrementAndGet()}"
+      val q = StreamingSketches.cmCells(s, items, w = w,
+          gapSeconds = 3600L)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        q.processAllAvailable()
+        ParityFeed.sentinel(s, feed, "zz_ignore", "s",
+          maxTs + 2L * 86400L * 1000000L)
+        q.processAllAvailable()
+      } finally q.stop()
+      graft.streaming.LateDrops.assertNone(q, name)
+      // bounded: ≤ d·w cell rows
+      val cellRows = s.table(name)
+        .select(col("row"), col("bucket"), col("n")).collect()
+      s.catalog.dropTempView(name)
+      val cells = s.createDataFrame(
+        java.util.Arrays.asList(cellRows: _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("row",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("bucket",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("n",
+            org.apache.spark.sql.types.LongType))))
+      val probes = (TextOps.Stopwords :+ "zzz_absent").toDF("token")
+      val exact = ParityFeed.replay(s, feed)
+        .where(col("tsMicros") <= maxTs)
+        .select(explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("true_n"))
+      CmSketch.estimate(cells, probes, d = d, w = w, seed = seed)
+        .join(exact, Seq("token"), "left")
+        .select(col("token"), col("est_n"),
+          coalesce(col("true_n"), lit(0L)).as("true_n"))
+      }
+      }
+    },
 
     // Keyword extraction: per-document top-3 tokens by integer
     // tf·idf — idf as the exact quotient (N·10⁶ // df), the product
@@ -690,6 +768,32 @@ object TextQueries {
   private def markersSql(markers: Seq[String]): String =
     markers.map(m => s"'$m'").mkString("[", ",", "]")
 
+  /** Count-min cell/estimate oracle (per-row seed 42 + r, mirrored
+    * from CmSketch.bucket) — shared verbatim by the batch sketch gate
+    * and its bit-equal streaming twin. */
+  private val cmEstSql = {
+    val rows = (0 until 4).map { r =>
+      s"SELECT $r AS r, (((${Portable.charHashSql("t", 42L + r)} % 64) + 64) % 64) AS bucket FROM tok"
+    }.mkString(" UNION ALL ")
+    val prows = (0 until 4).map { r =>
+      s"SELECT token, $r AS r, (((${Portable.charHashSql("token", 42L + r)} % 64) + 64) % 64) AS bucket FROM probes"
+    }.mkString(" UNION ALL ")
+    val probeList = (graft.text.TextOps.Stopwords :+ "zzz_absent")
+      .map(t => s"'$t'").mkString(", ")
+    s"""WITH tok AS (SELECT unnest($toksSql) AS t FROM documents),
+       |cm AS (SELECT r, bucket, count(*) AS n FROM ($rows) GROUP BY 1, 2),
+       |probes AS (SELECT unnest([$probeList]) AS token),
+       |pb AS ($prows),
+       |est AS (SELECT pb.token,
+       |    CAST(min(coalesce(cm.n, 0)) AS BIGINT) AS est_n
+       |  FROM pb LEFT JOIN cm ON cm.r = pb.r AND cm.bucket = pb.bucket
+       |  GROUP BY pb.token),
+       |exact AS (SELECT t AS token, count(*) AS c FROM tok GROUP BY 1)
+       |SELECT est.token, est.est_n,
+       |  CAST(coalesce(exact.c, 0) AS BIGINT) AS true_n
+       |FROM est LEFT JOIN exact ON exact.token = est.token""".stripMargin
+  }
+
   def oracle: Map[String, String] = Map(
     // merge-closure derivation in the query's scaladoc: tokens =
     // chars − applied merges; each merge count is a non-overlapping
@@ -835,29 +939,11 @@ object TextQueries {
          |  FROM documents)""".stripMargin
     },
 
-    "q_token_cm_est" -> {
-      // per-row seed 42 + r, mirrored from CmSketch.bucket
-      val rows = (0 until 4).map { r =>
-        s"SELECT $r AS r, (((${Portable.charHashSql("t", 42L + r)} % 64) + 64) % 64) AS bucket FROM tok"
-      }.mkString(" UNION ALL ")
-      val prows = (0 until 4).map { r =>
-        s"SELECT token, $r AS r, (((${Portable.charHashSql("token", 42L + r)} % 64) + 64) % 64) AS bucket FROM probes"
-      }.mkString(" UNION ALL ")
-      val probeList = (graft.text.TextOps.Stopwords :+ "zzz_absent")
-        .map(t => s"'$t'").mkString(", ")
-      s"""WITH tok AS (SELECT unnest($toksSql) AS t FROM documents),
-         |cm AS (SELECT r, bucket, count(*) AS n FROM ($rows) GROUP BY 1, 2),
-         |probes AS (SELECT unnest([$probeList]) AS token),
-         |pb AS ($prows),
-         |est AS (SELECT pb.token,
-         |    CAST(min(coalesce(cm.n, 0)) AS BIGINT) AS est_n
-         |  FROM pb LEFT JOIN cm ON cm.r = pb.r AND cm.bucket = pb.bucket
-         |  GROUP BY pb.token),
-         |exact AS (SELECT t AS token, count(*) AS c FROM tok GROUP BY 1)
-         |SELECT est.token, est.est_n,
-         |  CAST(coalesce(exact.c, 0) AS BIGINT) AS true_n
-         |FROM est LEFT JOIN exact ON exact.token = est.token""".stripMargin
-    },
+    "q_token_cm_est" -> cmEstSql,
+    // The 23rd parity gate's cell table is bit-equal to the batch
+    // sketch (order-free bucket sums, in-plan bucket arithmetic) — it
+    // gates against the identical oracle.
+    "q_stream_cm_parity" -> cmEstSql,
 
     "q_token_freq" ->
       s"""SELECT t AS token, count(*) AS n FROM (

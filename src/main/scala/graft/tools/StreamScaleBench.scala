@@ -267,7 +267,8 @@ object StreamScaleBench {
     val KnownOps = Set("funnel", "dfg", "drift", "throttle", "dedup",
       "sessionize", "stats", "declare", "conformance", "hopping",
       "join", "outer_join", "neardup", "heavy_hitters", "winsorized",
-      "quantiles", "quantiles_sketch", "sample", "sample_by_group", "xes")
+      "quantiles", "quantiles_sketch", "hll", "cm", "sample",
+      "sample_by_group", "xes")
     opsFilter.foreach { f =>
       val bad = f -- KnownOps
       require(bad.isEmpty, s"unknown --ops tokens: ${bad.mkString(",")}; " +
@@ -1125,6 +1126,87 @@ object StreamScaleBench {
         audit.forall(identity) && nbOk && streamEst.nonEmpty
       println(f"qsketch x$copies stream=$secs%6.1fs batch=$bSecs%6.1fs audit=$auditSecs%.1fs batches=$nb peakState=$peak drops=$drops match=$ok (${streamEst.size} group-permille rows, within-bound)")
       results += s""""quantiles_sketch":{"stream_s":$secs,"batch_s":$bSecs,"batches":$nb,"peak_state_rows":$peak,"late_drops":$drops,"match":$ok,"rows":${streamEst.size}}"""
+    }
+
+    // ---- hll: the 22nd gate's order-free register fold under a REAL
+    // file source — keyed state is one m-register vector per group,
+    // ONE pass, NO replay; the per-value update is the batch
+    // aggregate's own method, so the flushed registers must be
+    // BIT-EQUAL to the batch TypedImperativeAggregate over the same
+    // staged files (register maxima commute with any batching). Group
+    // = activity (events staging); hash = the portable charHash of the
+    // derived value column, computed in-plan. ----
+    if (wanted("hll")) {
+      import graft.functions.{HllSketch, NativeExpressions}
+      import graft.streaming.StreamingSketches
+      val Ignore = " "
+      val m = 64; val budgetBits = 24
+      val hCol = NativeExpressions.charHash(
+        concat_ws("_", col("caseId"), col("tsMicros")), 7L)
+      val (rows, nb, peak, drops, secs) = run(spark, dir, fpt, maxTs,
+          GapDays, sourceWatermark = false) { df =>
+        val items = df.select(when(col("caseId") < 0L, lit(Ignore))
+              .otherwise(col("activity")).as("group"),
+            hCol.as("h"), col("tsMicros"))
+          .withColumn("ts", timestamp_micros(col("tsMicros")))
+          .withWatermark("ts", "10 seconds")
+          .as[StreamingSketches.HItem]
+        StreamingSketches.hllRegisters(spark, items, m = m,
+          budgetBits = budgetBits, gapSeconds = gapSeconds,
+          ignoreGroup = Ignore).toDF()
+      } { batch => batch.select(col("group"), col("regs")) }
+      val got = rows.map(r => r.getString(0) ->
+        r.getSeq[Int](1).toVector).toMap
+      val t0 = System.nanoTime()
+      val want = batchEv
+        .groupBy(col("activity").as("group"))
+        .agg(HllSketch.registers(hCol, m = m, budgetBits = budgetBits)
+          .as("regs"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Int](1).toVector)
+        .toMap
+      val bSecs = (System.nanoTime() - t0) / 1e9
+      val ok = got == want && got.nonEmpty
+      println(f"hll     x$copies stream=$secs%6.1fs batch=$bSecs%6.1fs batches=$nb peakState=$peak drops=$drops match=$ok (${got.size} groups, bit-exact registers)")
+      results += s""""hll":{"stream_s":$secs,"batch_s":$bSecs,"batches":$nb,"peak_state_rows":$peak,"late_drops":$drops,"match":$ok,"groups":${got.size}}"""
+    }
+
+    // ---- cm: the 23rd gate's order-free bucket-sum fold under a REAL
+    // file source — keyed state is one Array[Long](w) per hash row
+    // (d keys, the whole sketch d·w longs), ONE pass, NO replay; cells
+    // must be BIT-EQUAL to the batch (row, bucket, n) table over the
+    // same staged files (sums commute with any batching). Tokens =
+    // the activity column (bounded alphabet exercises collisions). ----
+    if (wanted("cm")) {
+      import graft.text.CmSketch
+      import graft.streaming.StreamingSketches
+      val d = 4; val w = 64; val seed = 42L
+      val (rows, nb, peak, drops, secs) = run(spark, dir, fpt, maxTs,
+          GapDays, sourceWatermark = false) { df =>
+        val items = df
+          .select(explode(array((0 until d).map(r =>
+              struct(lit(r).as("r"),
+                CmSketch.bucket(col("activity"), r, w, seed).as("b"))): _*))
+              .as("rb"),
+            col("caseId"), col("tsMicros"))
+          .select(when(col("caseId") < 0L, lit(-1))
+              .otherwise(col("rb.r")).as("row"),
+            col("rb.b").as("bucket"), col("tsMicros"))
+          .withColumn("ts", timestamp_micros(col("tsMicros")))
+          .withWatermark("ts", "10 seconds")
+          .as[StreamingSketches.CItem]
+        StreamingSketches.cmCells(spark, items, w = w,
+          gapSeconds = gapSeconds).toDF()
+      } { batch => batch.select(col("row"), col("bucket"), col("n")) }
+      val got = rows.map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+      val t0 = System.nanoTime()
+      val want = CmSketch.sketch(
+          batchEv.select(col("activity").as("token")), "token",
+          d = d, w = w, seed = seed)
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+      val bSecs = (System.nanoTime() - t0) / 1e9
+      val ok = got == want && got.nonEmpty
+      println(f"cm      x$copies stream=$secs%6.1fs batch=$bSecs%6.1fs batches=$nb peakState=$peak drops=$drops match=$ok (${got.size} cells, bit-exact)")
+      results += s""""cm":{"stream_s":$secs,"batch_s":$bSecs,"batches":$nb,"peak_state_rows":$peak,"late_drops":$drops,"match":$ok,"cells":${got.size}}"""
     }
 
     // ---- sample: the 17th gate's bounded top-k πps fold under a
