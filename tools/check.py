@@ -36,13 +36,16 @@ def main(sf_dir, out_dir):
     # audit. Control characters belong in source as \uXXXX escapes.
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     binary_src = []
-    for dirpath, _, fnames in os.walk(os.path.join(repo_root, "src")):
-        for fn in fnames:
-            p = os.path.join(dirpath, fn)
-            with open(p, "rb") as fh:
-                chunk = fh.read()
-            if any(b < 9 or b in (11, 12) or (13 < b < 32) for b in chunk):
-                binary_src.append(os.path.relpath(p, repo_root))
+    doc_mds = [os.path.join(repo_root, f) for f in os.listdir(repo_root)
+               if f.endswith(".md")]
+    src_files = [os.path.join(dirpath, fn)
+                 for dirpath, _, fnames in os.walk(os.path.join(repo_root, "src"))
+                 for fn in fnames]
+    for p in src_files + doc_mds:
+        with open(p, "rb") as fh:
+            chunk = fh.read()
+        if any(b < 9 or b in (11, 12) or (13 < b < 32) for b in chunk):
+            binary_src.append(os.path.relpath(p, repo_root))
     failures0 = 0
     if binary_src:
         print(f"FAIL grep-binary source files (raw control bytes — "
