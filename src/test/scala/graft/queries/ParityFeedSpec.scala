@@ -58,6 +58,41 @@ class ParityFeedSpec extends SparkSpec {
     }
   }
 
+  test("withSharedFeed: one staging per key, maxTs frozen at staging, sentinels absorbed") {
+    val k = s"spec:${System.identityHashCode(this)}"
+    val (dir1, max1) = ParityFeed.withSharedFeed(spark, k, srcDf(50)) {
+      (feed, maxTs) => (feed.dir, maxTs)
+    }
+    assert(max1 == 50L * 1000000L)
+    // a later gate on the same key: SAME staged dir, NO restaging —
+    // the df argument must not even be evaluated
+    val (dir2, max2) = ParityFeed.withSharedFeed(spark, k,
+      sys.error("must not restage"): org.apache.spark.sql.DataFrame) {
+      (feed, maxTs) => (feed.dir, maxTs)
+    }
+    assert(dir2 == dir1 && max2 == max1)
+    // sentinel slices appended by an earlier gate must NOT move a
+    // later gate's maxTs (computed at staging time), and replay's
+    // ts filter must exclude them — the absorption contract the
+    // robust-stats + sketch gates rely on
+    ParityFeed.sentinel(spark, feed = ParityFeed.FileFeed(dir1,
+      srcDf(1).schema), -9L, "_s", max1 + 86400000000L)
+    val (_, max3) = ParityFeed.withSharedFeed(spark, k,
+      sys.error("must not restage"): org.apache.spark.sql.DataFrame) {
+      (feed, maxTs) =>
+        val replayed = ParityFeed.replay(spark, feed)
+          .where(col("tsMicros") <= maxTs)
+        assert(replayed.count() == 50L)
+        (feed.dir, maxTs)
+    }
+    assert(max3 == max1)
+    // distinct key: distinct staging
+    val dirB = ParityFeed.withSharedFeed(spark, k + ":b", srcDf(5)) {
+      (feed, _) => feed.dir
+    }
+    assert(dirB != dir1)
+  }
+
   test("withFeed cleans up its drop-dir; withFeedDoubled stages the doubled multiset") {
     val dir = ParityFeed.withFeed(spark, srcDf(10)) { (feed, _) => feed.dir }
     assert(!new java.io.File(dir).exists(), s"feed dir $dir survived the bracket")
