@@ -324,27 +324,29 @@ object TextQueries {
       import graft.streaming.StreamingHeavyHitters
       val Ignore = "\u0000"
       val ppm = 75
-      // stage DOCUMENTS (one staged row per doc); the shingle
+      // the SHARED staged doc feed (one staging per JVM serves the
+      // hll/cm twins and both heavy-hitter gates); the shingle
       // explosion runs stream-side, parallel across the staged slices
       // (the file feed retires the old single-block MemoryStream
       // explode and its repartition(32) workaround — the slices ARE
       // the source partitions). Event time = doc_id seconds (+1:
       // strictly past the initial watermark 0).
       val docs = Tables(s, dir, "documents")
-        .select(col("text"),
+        .select(col("lang"), col("text"),
           ((col("doc_id").cast("long") + 1L) * 1000000L).as("tsMicros"))
-      ParityFeed.withFeed(s, docs, slices = 32) { (feed, maxTs) =>
+      ParityFeed.withSharedFeed(s, s"docs:$dir", docs, slices = 32) { (feed, maxTs) =>
       def shingleStream(df: org.apache.spark.sql.DataFrame) =
         df.select(explode(TextOps.shinglesOf(TextOps.tokens(col("text")), 3))
             .as("gram"), col("tsMicros"))
-          // sentinel docs ("s s s", far-future ts) explode to exactly
-          // one shingle each; remap it to the Ignore marker IN a
-          // projection — a filter would be pushed below the watermark
-          // node and stall it (the repo's standing sentinel rule)
+          // far-future sentinel docs explode to ≥0 shingles ("s s s"
+          // to one, a stale "s" from the hll/cm twins to none); any
+          // that survive remap to the Ignore marker IN a projection —
+          // a filter would be pushed below the watermark node and
+          // stall it (the repo's standing sentinel rule)
           .select(when(col("tsMicros") > lit(maxTs), lit(Ignore))
             .otherwise(col("gram")).as("item"), col("tsMicros"))
       // ---- pass 1: candidate sketches ----
-      ParityFeed.sentinel(s, feed, "s s s", maxTs + 86400L * 1000000L)
+      ParityFeed.sentinel(s, feed, "zz_ignore", "s s s", maxTs + 86400L * 1000000L)
       // no withWatermark here: candidates() attaches the query's one
       // watermark itself, downstream of its map-side pre-combine
       val items = shingleStream(ParityFeed.stream(s, feed))
@@ -356,7 +358,8 @@ object TextQueries {
         .outputMode(OutputMode.Append()).start()
       try {
         q.processAllAvailable()
-        ParityFeed.sentinel(s, feed, "s s s", maxTs + 2L * 86400L * 1000000L)
+        ParityFeed.sentinel(s, feed, "zz_ignore", "s s s",
+          maxTs + 2L * 86400L * 1000000L)
         q.processAllAvailable()
       } finally q.stop()
       graft.streaming.LateDrops.assertNone(q, name)
@@ -373,6 +376,99 @@ object TextQueries {
         .select(explode(TextOps.shinglesOf(TextOps.tokens(col("text")), 3))
           .as("item")), 0L)
       rec.result(ppm).toDF("gram", "n")
+      }
+      }
+    },
+
+    // ONE-PASS approximate heavy hitters (text/HeavyHitters
+    // .sketchHeavyHitters) — the no-second-scan member of the
+    // profiling family, for sources that cannot be scanned twice. One
+    // data scan: per-partition MG summaries + exact partition counts
+    // reduce through the 3-level merge tree; the final stage prunes
+    // in-sketch with the sound cutoff, so the output is a SUPERSET of
+    // the heavy set with certified per-item lower bounds. Borderline
+    // rows are merge-order-dependent, so the GATE hashes the
+    // deterministic mgAudit certificate instead (the quantile-sketch
+    // rule): per TRUE heavy item, the exact count, exact N, the
+    // a-priori bound ⌊N/(k+1)⌋ recomputed by DuckDB with identical
+    // integer arithmetic, and three flags the MG proof forces TRUE.
+    "q_token_hh_sketch" -> { (s, dir) =>
+      val sh = Tables(s, dir, "documents")
+        .select(TextOps.tokens(col("text")).as("t"))
+        .select(explode(TextOps.shinglesOf(col("t"), 3)).as("gram"))
+      val est = graft.text.HeavyHitters
+        .sketchHeavyHitters(sh, col("gram"), ppm = 75, k = 1 << 14)
+      graft.text.HeavyHitters
+        .mgAudit(sh, col("gram"), est.select("item", "w_lower"),
+          ppm = 75, k = 1 << 14)
+        .withColumnRenamed("item", "gram")
+    },
+
+    // Streaming one-pass heavy-hitters sketch — the 24th gate, and the
+    // NO-RETENTION member of the profiling family (the twin of
+    // q_stream_quantiles_sketch_parity's role for quantiles): pass 1's
+    // per-bucket MG fold IS the whole operator — NO recount, NO replay
+    // required by the operator, keyed state ≤ k counters per bucket
+    // regardless of stream length. The flushed candidates carry
+    // certified lower bounds (per-bucket MG undercounts by ≤
+    // N_b/(k+1) ≤ N/(k+1), and an item's whole substream folds into
+    // ONE bucket, so the global superset + bound guarantees hold with
+    // the global ⌊N/(k+1)⌋). The staged feed is read back ONLY to
+    // certify (mgAudit — the audit, not the operator); the hashed
+    // columns are deterministic and shared with q_token_hh_sketch's
+    // oracle VERBATIM.
+    "q_stream_hh_sketch_parity" -> { (s, dir) =>
+      ParityFeed.withStreamParallelism(s, 8) {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.OutputMode
+      import graft.streaming.StreamingHeavyHitters
+      val Ignore = "\u0000"
+      val ppm = 75; val k = 1 << 14
+      val docs = Tables(s, dir, "documents")
+        .select(col("lang"), col("text"),
+          ((col("doc_id").cast("long") + 1L) * 1000000L).as("tsMicros"))
+      // the same shared staged doc feed as the exact-hh/hll/cm twins
+      ParityFeed.withSharedFeed(s, s"docs:$dir", docs, slices = 32) { (feed, maxTs) =>
+      ParityFeed.sentinel(s, feed, "zz_ignore", "s s s",
+        maxTs + 86400L * 1000000L)
+      val items = ParityFeed.stream(s, feed)
+        .select(explode(TextOps.shinglesOf(TextOps.tokens(col("text")), 3))
+          .as("gram"), col("tsMicros"))
+        .select(when(col("tsMicros") > lit(maxTs), lit(Ignore))
+          .otherwise(col("gram")).as("item"), col("tsMicros"))
+        .as[StreamingHeavyHitters.Item]
+      val name = s"stream_hh_sketch_${hhRun.incrementAndGet()}"
+      val q = StreamingHeavyHitters.candidates(s, items, k = k,
+          nBuckets = 8, ppm = ppm, gapSeconds = 3600L, ignoreItem = Ignore)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        q.processAllAvailable()
+        ParityFeed.sentinel(s, feed, "zz_ignore", "s s s",
+          maxTs + 2L * 86400L * 1000000L)
+        q.processAllAvailable()
+      } finally q.stop()
+      graft.streaming.LateDrops.assertNone(q, name)
+      // bounded: the post-prune candidate superset (≈ heavy + border)
+      val candRows = s.table(name)
+        .select(col("item"), col("wLower").as("w_lower")).collect()
+      s.catalog.dropTempView(name)
+      val estDf = s.createDataFrame(
+        java.util.Arrays.asList(candRows: _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("item",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("w_lower",
+            org.apache.spark.sql.types.LongType))))
+      // audit-only read of the retained files (sentinels excluded by
+      // ts): certifies found / lower_le_exact / gap_le_bound per true
+      // heavy item against exact counts
+      val sh = ParityFeed.replay(s, feed)
+        .where(col("tsMicros") <= maxTs)
+        .select(explode(TextOps.shinglesOf(TextOps.tokens(col("text")), 3))
+          .as("gram"))
+      graft.text.HeavyHitters.mgAudit(sh, col("gram"), estDf, ppm, k)
+        .withColumnRenamed("item", "gram")
       }
       }
     },
@@ -794,6 +890,26 @@ object TextQueries {
        |FROM est LEFT JOIN exact ON exact.token = est.token""".stripMargin
   }
 
+  /** One-pass MG heavy-hitters certificate oracle (ppm=75, k=2¹⁴ ⇒
+    * k+1 = 16385): the exact heavy set with exact counts, exact N, the
+    * a-priori bound ⌊N/16385⌋, and the three deterministically-TRUE
+    * flags — shared verbatim by q_token_hh_sketch and its streaming
+    * no-retention twin. */
+  private val hhSketchAuditSql =
+    s"""WITH tk AS (SELECT $toksSql AS t FROM documents),
+       |sh AS (SELECT unnest(CASE WHEN len(t) < 3 THEN []
+       |    ELSE [t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+       |          for i in generate_series(0, len(t)-3)] END) AS gram
+       |  FROM tk),
+       |tot AS (SELECT count(*) AS n FROM sh)
+       |SELECT gram, CAST(count(*) AS BIGINT) AS n_exact,
+       |  (SELECT CAST(n AS BIGINT) FROM tot) AS n_total,
+       |  (SELECT CAST(n // 16385 AS BIGINT) FROM tot) AS err_bound_cnt,
+       |  TRUE AS found, TRUE AS lower_le_exact, TRUE AS gap_le_bound
+       |FROM sh GROUP BY gram
+       |HAVING count(*) >= (SELECT (n // 1000000) * 75
+       |  + ((n % 1000000) * 75 + 999999) // 1000000 FROM tot)""".stripMargin
+
   def oracle: Map[String, String] = Map(
     // merge-closure derivation in the query's scaladoc: tokens =
     // chars − applied merges; each merge count is a non-overlapping
@@ -976,6 +1092,16 @@ object TextQueries {
          |FROM sh GROUP BY gram
          |HAVING count(*) >= (SELECT (n // 1000000) * 75
          |  + ((n % 1000000) * 75 + 999999) // 1000000 FROM tot)""".stripMargin,
+
+    // The one-pass-sketch certificate: per TRUE heavy item (the same
+    // GROUP BY … HAVING), the exact count, exact N, the a-priori MG
+    // bound ⌊N/(k+1)⌋ with k = 2¹⁴ recomputed with identical integer
+    // arithmetic, and the three flags the mergeable-MG proof forces
+    // TRUE under any merge order (found / lower_le_exact /
+    // gap_le_bound). The streaming no-retention twin certifies the
+    // SAME facts — one oracle, verbatim, for both.
+    "q_token_hh_sketch" -> hhSketchAuditSql,
+    "q_stream_hh_sketch_parity" -> hhSketchAuditSql,
 
     // The vocabulary-shuffle formulation the sketch path avoids; the
     // ceil(N·ppm/1e6) threshold uses the same overflow-safe integer

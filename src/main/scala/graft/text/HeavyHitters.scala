@@ -119,6 +119,117 @@ object HeavyHitters {
       .filter(col("n") >= thr)
   }
 
+  /** ONE-PASS approximate heavy hitters — the NO-SECOND-SCAN member of
+    * the family, for the regime [[exactHeavyHitters]] can't serve: a
+    * source that cannot be scanned twice (short-retention stream, a
+    * one-shot pipe) or a pipeline that won't pay the recount. ONE scan
+    * of the data: each partition folds its substream into a k-counter
+    * MG summary AND its exact row count; summaries and counts reduce
+    * through the same 3-level merge tree as the exact kernel (counts
+    * ride the tree as null-item rows — count-additive, so any routing
+    * is sound). The final stage knows the EXACT stream length N, so it
+    * applies the sound prune cutoff `ceil(N·ppm/10⁶) − ⌊N/(k+1)⌋`
+    * in-sketch: every item with true count ≥ the threshold keeps a
+    * counter ≥ cutoff (the merged-MG undercount is ≤ N/(k+1), Agarwal
+    * et al. PODS'12), so the output is a SUPERSET of the exact heavy
+    * set, each row carrying a certified LOWER BOUND on its true count
+    * (MG only ever undercounts). Which borderline items appear is
+    * merge-order-dependent — gates hash [[mgAudit]]'s deterministic
+    * certificate, never this row set (the quantile-sketch rule,
+    * ops/SketchQuantiles).
+    *
+    * @return (item, w_lower, n_total): the pruned candidate superset
+    *         with per-item lower bounds and the exact stream length
+    */
+  def sketchHeavyHitters(rows: DataFrame, itemExpr: Column, ppm: Int,
+      k: Int = 1 << 14): DataFrame = {
+    require(ppm >= 1 && ppm <= 1000000, s"ppm out of range: $ppm")
+    require(k + 1L > 1000000L / ppm,
+      s"k=$k breaks the superset guarantee for ppm=$ppm: need k+1 > 1e6/ppm")
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val items = rows.select(itemExpr.cast("string").as("item"))
+      .filter(col("item").isNotNull)
+    val lvl1 = items.as[String].mapPartitions { it =>
+      val sk = new MgSketch(k); var n = 0L
+      it.foreach { s => sk.add(s, 1L); n += 1L }
+      Iterator.single((null: String, n)) ++ sk.entries.iterator
+    }
+    // same tree discipline as the exact kernel: real repartition
+    // boundaries, never coalesce (see exactHeavyHitters)
+    val lvl2 = lvl1.repartition(32).mapPartitions(it => mgMergeN(it, k))
+    lvl2.repartition(1).mapPartitions { it =>
+      val sk = new MgSketch(k); var n = 0L
+      it.foreach { case (s, w) => if (s == null) n += w else sk.add(s, w) }
+      val thr = (n / 1000000L) * ppm + ((n % 1000000L) * ppm + 999999L) / 1000000L
+      val cutoff = thr - n / (k + 1L)
+      sk.entries.iterator.collect {
+        case (s, w) if w >= cutoff => (s, w, n)
+      }
+    }.toDF("item", "w_lower", "n_total")
+  }
+
+  /** [[mgMerge]] with the stream-length rows threaded through: null
+    * items are exact partition counts — summed and re-emitted as one
+    * null row, never folded into the sketch. */
+  private def mgMergeN(it: Iterator[(String, Long)], k: Int)
+      : Iterator[(String, Long)] = {
+    val sk = new MgSketch(k); var n = 0L
+    it.foreach { case (s, w) => if (s == null) n += w else sk.add(s, w) }
+    Iterator.single((null: String, n)) ++ sk.entries.iterator
+  }
+
+  /** Deterministic certificate for a one-pass MG estimate (the
+    * heavy-hitters twin of SketchQuantiles.rankAudit): recomputes the
+    * EXACT heavy set (full-vocabulary group-by — this verification
+    * scan is the CERTIFICATION, not the operator) and, per true heavy
+    * item, checks the three facts the MG proof forces to hold under
+    * ANY merge order or batching:
+    *   found          — the item is in the estimate (superset),
+    *   lower_le_exact — its w_lower never overcounts,
+    *   gap_le_bound   — its undercount is ≤ ⌊N/(k+1)⌋.
+    * The output is a pure function of the DATA (exact counts, exact N,
+    * the a-priori bound recomputed with the same integer arithmetic,
+    * three flags that are deterministically TRUE), so it hashes
+    * stably even though `est`'s borderline rows are merge-order
+    * dependent. `est` may carry one row per flushed segment of an
+    * item's substream (the streaming fold re-opens buckets on late
+    * data): segment lower bounds are summed — each segment's MG
+    * undercounts its own slice, so the sum still lower-bounds the
+    * total and the per-slice gaps still sum to ≤ ⌊N/(k+1)⌋.
+    *
+    * @param est (item, w_lower) rows from [[sketchHeavyHitters]] or
+    *            the streaming fold's flushed candidates
+    * @return one row per EXACT heavy item:
+    *         (item, n_exact, n_total, err_bound_cnt, found,
+    *          lower_le_exact, gap_le_bound)
+    */
+  def mgAudit(rows: DataFrame, itemExpr: Column, est: DataFrame,
+      ppm: Int, k: Int): DataFrame = {
+    require(ppm >= 1 && ppm <= 1000000, s"ppm out of range: $ppm")
+    require(k + 1L > 1000000L / ppm,
+      s"k=$k breaks the superset guarantee for ppm=$ppm: need k+1 > 1e6/ppm")
+    val items = rows.select(itemExpr.cast("string").as("item"))
+      .filter(col("item").isNotNull)
+    val n = items.count()
+    val thr = (n / 1000000L) * ppm + ((n % 1000000L) * ppm + 999999L) / 1000000L
+    val bound = n / (k + 1L)
+    val cand = est.groupBy("item").agg(sum("w_lower").as("w_lower"))
+    items.groupBy("item").agg(count(lit(1)).as("n_exact"))
+      .filter(col("n_exact") >= thr)
+      .join(broadcast(cand), Seq("item"), "left")
+      .select(col("item"), col("n_exact"),
+        lit(n).as("n_total"), lit(bound).as("err_bound_cnt"),
+        col("w_lower").isNotNull.as("found"),
+        // null-safe: an item the estimate MISSED fails all three flags
+        // (rather than nulling them) — the doctored-estimate detection
+        // the spec pins
+        coalesce(col("w_lower") <= col("n_exact"), lit(false))
+          .as("lower_le_exact"),
+        coalesce(col("n_exact") - col("w_lower") <= lit(bound), lit(false))
+          .as("gap_le_bound"))
+  }
+
   /** PER-GROUP exact heavy hitters — items at ≥ `ppm` of THEIR GROUP's
     * stream (heavy shingles per language / per domain, the
     * mixture-pipeline variant). Same two-pass scheme per group: each

@@ -266,13 +266,16 @@ object StreamScaleBench {
     // artifact
     val KnownOps = Set("funnel", "dfg", "drift", "throttle", "dedup",
       "sessionize", "stats", "declare", "conformance", "hopping",
-      "join", "outer_join", "neardup", "heavy_hitters", "winsorized",
-      "quantiles", "quantiles_sketch", "hll", "cm", "sample",
-      "sample_by_group", "xes")
+      "join", "outer_join", "neardup", "heavy_hitters", "hh_sketch",
+      "winsorized", "quantiles", "quantiles_sketch", "hll", "cm",
+      "sample", "sample_by_group", "xes")
     opsFilter.foreach { f =>
       val bad = f -- KnownOps
       require(bad.isEmpty, s"unknown --ops tokens: ${bad.mkString(",")}; " +
         s"valid: ${KnownOps.toSeq.sorted.mkString(",")}")
+      require(!f.contains("hh_sketch") || f.contains("heavy_hitters"),
+        "hh_sketch certifies heavy_hitters' pass-1 output (the same " +
+          "fold IS the no-retention operator): include heavy_hitters too")
     }
     def wanted(op: String): Boolean = opsFilter.forall(_.contains(op))
 
@@ -880,7 +883,7 @@ object StreamScaleBench {
         StreamingHeavyHitters.candidates(spark, items, k = hhK,
           nBuckets = 32, ppm = ppm, gapSeconds = GapDays * 86400L,
           ignoreItem = Ignore).toDF()
-      } { batch => batch.select(col("item")) }
+      } { batch => batch.select(col("item"), col("wLower")) }
       val cands = rows.map(_.getString(0)).distinct.toArray
       // pass 2: ONE bounded batch aggregation over the RETAINED files
       // (the replayable-source contract; r12 judge item #1 — was a
@@ -919,6 +922,54 @@ object StreamScaleBench {
       val totalSecs = secs + recountSecs
       println(f"hhitter x$copies stream=$totalSecs%6.1fs (sketch=$secs%.1f recount=$recountSecs%.1f) batch=$bSecs%6.1fs batches=$nb peakState=$peak drops=$drops match=$ok (${cands.length} cands, ${streamHeavy.size} heavy of $nTot shingles)")
       results += s""""heavy_hitters":{"stream_s":$totalSecs,"batch_s":$bSecs,"batches":$nb,"peak_state_rows":$peak,"late_drops":$drops,"match":$ok,"candidates":${cands.length},"heavy":${streamHeavy.size}}"""
+
+      // ---- hh_sketch: the NO-RETENTION face of the SAME pass-1 fold
+      // (the 24th gate at scale). The flushed candidates with their MG
+      // lower bounds ARE the operator's whole output — no recount, no
+      // replay — so stream_s is pass 1's wall, already measured above.
+      // Batch twin: the one-pass sketchHeavyHitters (one scan, NO
+      // vocabulary shuffle). Certification (reported as audit_s, the
+      // qsketch convention): mgAudit over the staged files — per TRUE
+      // heavy item, found / lower_le_exact / gap_le_bound must be
+      // deterministically TRUE for BOTH estimates. ----
+      if (wanted("hh_sketch")) {
+        import graft.text.HeavyHitters
+        val t2 = System.nanoTime()
+        val bEst = HeavyHitters.sketchHeavyHitters(
+            spark.read.schema(docSchema).parquet(s"$hhDir/data")
+              .filter(col("docId") >= 0L)
+              .select(explode(
+                TextOps.shinglesOf(TextOps.tokens(col("text")), 3))
+                .as("item")),
+            col("item"), ppm, hhK)
+          .select(col("item"), col("w_lower")).collect() // ≤ k rows
+        val bSketchSecs = (System.nanoTime() - t2) / 1e9
+        val streamEst = spark.createDataFrame(
+          java.util.Arrays.asList(rows.map(r =>
+            org.apache.spark.sql.Row(r.getString(0), r.getLong(1))): _*),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("item",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("w_lower",
+              org.apache.spark.sql.types.LongType))))
+        val bEstDf = spark.createDataFrame(
+          java.util.Arrays.asList(bEst: _*),
+          streamEst.schema)
+        val t3 = System.nanoTime()
+        def allCertified(est: org.apache.spark.sql.DataFrame): (Long, Boolean) = {
+          val a = HeavyHitters.mgAudit(sh, col("item"), est, ppm, hhK)
+            .select(col("found") && col("lower_le_exact") &&
+              col("gap_le_bound")).as[Boolean].collect()
+          (a.length.toLong, a.nonEmpty && a.forall(identity))
+        }
+        val (nHeavyS, okS) = allCertified(streamEst)
+        val (nHeavyB, okB) = allCertified(bEstDf)
+        val auditSecs = (System.nanoTime() - t3) / 1e9
+        val okSk = okS && okB && nHeavyS == nHeavyB &&
+          nHeavyS == batchHeavy.size.toLong
+        println(f"hh_sketch x$copies stream=$secs%6.1fs batch=$bSketchSecs%6.1fs audit=$auditSecs%.1fs batches=$nb peakState=$peak drops=$drops match=$okSk ($nHeavyS heavy certified, stream ${rows.length} / batch ${bEst.length} est rows)")
+        results += s""""hh_sketch":{"stream_s":$secs,"batch_s":$bSketchSecs,"audit_s":$auditSecs,"batches":$nb,"peak_state_rows":$peak,"late_drops":$drops,"match":$okSk,"heavy":$nHeavyS}"""
+      }
     }
 
     // ---- winsorized: the 16th gate's two-pass robust-stats scheme
