@@ -31,13 +31,17 @@ import graft.functions.Portable
   */
 object Bloom {
 
-  /** k probe positions (array of i64 bit positions) for key column x. */
-  private def positions(x: Column, kHashes: Int, mBits: Int, seed: Long): Column =
+  /** k probe positions (array of i64 bit positions) for key column x.
+    * `private[graft]` so the streaming build twin projects the SAME
+    * arithmetic in-plan (one source of truth for the bit layout). */
+  private[graft] def positions(x: Column, kHashes: Int = 4, mBits: Int = 65536,
+      seed: Long = 42L): Column =
     array((0 until kHashes).map { i =>
       pmod(Portable.ihash(x, i, seed), lit(mBits.toLong))
     }: _*)
 
-  private val maskExpr = "shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))"
+  private[graft] val maskExpr =
+    "shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))"
 
   /** Build the filter: ≤ mBits/32 rows of (word: long, bits: long). */
   def build(ref: DataFrame, keyCol: Column, kHashes: Int = 4,

@@ -31,6 +31,16 @@ object EventLogQueries {
   /** Shared by q_window_dedup (batch lag-throttle) and
     * q_stream_throttle_parity (StreamingThrottle) — identical output
     * contract, one source of truth for the 600 s gap + tiebreak. */
+  /** Latest-wins compaction oracle — shared verbatim by the batch
+    * upsert gate and its bit-equal streaming twin. */
+  private val upsertSql =
+    """SELECT user_id, event_type, ts, event_id, value FROM (
+      |  SELECT user_id, event_type, ts, event_id, value,
+      |    row_number() OVER (PARTITION BY user_id, event_type
+      |      ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events)
+      |WHERE rn = 1""".stripMargin
+
   private val windowDedupSql =
     """WITH flagged AS (
       |  SELECT event_type,
@@ -716,6 +726,56 @@ object EventLogQueries {
         .select(col("user_id"), col("event_type"),
           col("_last.ts").as("ts"), col("_last.event_id").as("event_id"),
           col("_last.value").as("value"))
+    },
+
+    // Streaming ↔ batch upsert parity: the changelog compaction above
+    // maintained ONLINE (StreamingUpsert.latest). The lexicographic
+    // max over (ts, event_id) is a commutative idempotent monoid, so
+    // the flushed rows are BIT-EQUAL to the batch max(struct(...))
+    // aggregate under any batching/arrival order — the gate shares
+    // q_upsert_latest's oracle VERBATIM. One pass, NO replay; keyed
+    // state is ONE (ts, event_id, value) triple per live (user, type)
+    // key — the batch shuffle's reducer state kept warm, never
+    // stream-length-proportional. The 100 TB shape: CDC apply where
+    // the compacted table is the stream's standing output, not a
+    // nightly recompute.
+    "q_stream_upsert_parity" -> { (s, dir) =>
+      ParityFeed.withStreamParallelism(s, 8) {
+      import s.implicits._
+      import graft.streaming.StreamingUpsert
+      val src = Tables(s, dir, "events").select(
+        col("user_id").as("userId"), col("event_type").as("eventType"),
+        col("event_id").as("eventId"), col("value"),
+        unix_micros(col("ts")).as("tsMicros"))
+      ParityFeed.withFeed(s, src) { (feed, maxTs) =>
+      ParityFeed.sentinel(s, feed, -1L, "__sentinel__", -1L, 0.0,
+        maxTs + 86400L * 1000000L)
+      val items = ParityFeed.stream(s, feed)
+        .withColumn("ts", timestamp_micros(col("tsMicros")))
+        .withWatermark("ts", "10 seconds")
+        .as[StreamingUpsert.UItem]
+      val name = s"stream_upsert_parity_${sessRun.incrementAndGet()}"
+      val q = StreamingUpsert.latest(s, items, gapSeconds = 3600L,
+          ignoreType = "__sentinel__")
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        q.processAllAvailable()
+        ParityFeed.sentinel(s, feed, -2L, "__sentinel__", -2L, 0.0,
+          maxTs + 2L * 86400L * 1000000L)
+        q.processAllAvailable()
+      } finally q.stop()
+      graft.streaming.LateDrops.assertNone(q, name)
+      val res = s.table(name).select(
+        col("userId").as("user_id"), col("eventType").as("event_type"),
+        timestamp_micros(col("tsMicros")).as("ts"),
+        col("eventId").as("event_id"), col("value"))
+      val rows = res.collect() // one row per live key — the gate output
+      val out = s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+      s.catalog.dropTempView(name)
+      out
+      }
+      }
     },
 
     // Batch sessionization: split each user's stream on 12h inactivity
@@ -1447,13 +1507,8 @@ object EventLogQueries {
         | AND epoch_us(v.ts) >= epoch_us(b.ts) - CAST(3600 AS BIGINT)*1000000
         | AND epoch_us(v.ts) <= epoch_us(b.ts)
         |GROUP BY 1""".stripMargin,
-    "q_upsert_latest" ->
-      """SELECT user_id, event_type, ts, event_id, value FROM (
-        |  SELECT user_id, event_type, ts, event_id, value,
-        |    row_number() OVER (PARTITION BY user_id, event_type
-        |      ORDER BY ts DESC, event_id DESC) AS rn
-        |  FROM events)
-        |WHERE rn = 1""".stripMargin,
+    "q_upsert_latest" -> upsertSql,
+    "q_stream_upsert_parity" -> upsertSql,
     "q_window_dedup" -> windowDedupSql,
     "q_sessionize" ->
       """WITH flagged AS (

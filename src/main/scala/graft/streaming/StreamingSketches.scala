@@ -6,10 +6,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 import graft.functions.HllSketch
 
 /** Streaming twins for the ORDER-FREE sketch family (HyperLogLog
-  * registers, count-min cells) — the easy end of the streaming
-  * spectrum, and worth gating precisely because of WHY it is easy:
-  * both sketches are commutative-monoid folds (register MAX, bucket
-  * SUM), so the streaming result is BIT-EQUAL to the batch aggregate
+  * registers, Bloom filter words, count-min cells) — the easy end of
+  * the streaming spectrum, and worth gating precisely because of WHY
+  * it is easy: all three sketches are commutative-monoid folds
+  * (register MAX, bit OR, bucket SUM), so the streaming result is
+  * BIT-EQUAL to the batch aggregate
   * under any batching, any partitioning, any arrival order — the
   * parity gates share the batch queries' DuckDB oracles verbatim, no
   * audit-style weakening needed (contrast
@@ -84,6 +85,74 @@ object StreamingSketches {
 
     items
       .groupByKey(_.group)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(update)
+  }
+
+  // ---- Bloom filter words ----
+
+  /** One stream row: the 32-bit word index of a set bit, the single-bit
+    * mask inside that word, event-time micros. Both come out of
+    * [[graft.dedup.Bloom.positions]]' in-plan arithmetic (the batch
+    * build's exact bit layout); sentinels route as `word = ignoreWord`.
+    */
+  case class BItem(word: Long, mask: Long, tsMicros: Long)
+
+  case class BloomState(bits: Long, maxTsMicros: Long)
+
+  /** One flushed non-empty filter word — [[graft.dedup.Bloom.build]]'s
+    * (word, bits) row contract, so the flushed table IS the filter the
+    * batch [[graft.dedup.Bloom.probe]] broadcasts. */
+  case class BloomWord(word: Long, bits: Long)
+
+  /** `items` must carry a watermark on its event-time column. Bit OR
+    * commutes, so the flushed words are BIT-EQUAL to the batch
+    * `bit_or` group-by under any batching/arrival order. State is one
+    * long per touched word — ≤ mBits/32 keys total (2048 at the
+    * default 65536 bits) regardless of stream length: the online
+    * "have we ingested this before?" ledger a drop-dir ingest keeps
+    * warm between batch probes. */
+  def bloomWords(spark: SparkSession, items: Dataset[BItem],
+      gapSeconds: Long, ignoreWord: Long = -1L): Dataset[BloomWord] = {
+    import spark.implicits._
+    val gapMs = gapSeconds * 1000L
+
+    def update(word: Long, in: Iterator[BItem],
+        state: GroupState[BloomState]): Iterator[BloomWord] = {
+      if (state.hasTimedOut) {
+        val st = state.get
+        state.remove()
+        Iterator.single(BloomWord(word, st.bits))
+      } else {
+        val old = state.getOption
+        var bits = old.map(_.bits).getOrElse(0L)
+        var maxTs = old.map(_.maxTsMicros).getOrElse(Long.MinValue)
+        var saw = false
+        in.foreach { e =>
+          if (e.word != ignoreWord) {
+            bits |= e.mask
+            saw = true
+            maxTs = math.max(maxTs, e.tsMicros)
+          }
+        }
+        if (!saw && old.isEmpty) Iterator.empty // sentinel-only key
+        else {
+          val horizonMs = maxTs / 1000L + gapMs
+          val wmMs = state.getCurrentWatermarkMs()
+          if (wmMs > horizonMs) {
+            state.remove()
+            Iterator.single(BloomWord(word, bits))
+          } else {
+            state.update(BloomState(bits, maxTs))
+            state.setTimeoutTimestamp(math.max(horizonMs, wmMs + 1L))
+            Iterator.empty
+          }
+        }
+      }
+    }
+
+    items
+      .groupByKey(_.word)
       .flatMapGroupsWithState(OutputMode.Append(),
         GroupStateTimeout.EventTimeTimeout())(update)
   }

@@ -268,7 +268,7 @@ object StreamScaleBench {
       "sessionize", "stats", "declare", "conformance", "hopping",
       "join", "outer_join", "neardup", "heavy_hitters", "hh_sketch",
       "winsorized", "quantiles", "quantiles_sketch", "hll", "cm",
-      "sample", "sample_by_group", "xes")
+      "bloom", "upsert", "sample", "sample_by_group", "xes")
     opsFilter.foreach { f =>
       val bad = f -- KnownOps
       require(bad.isEmpty, s"unknown --ops tokens: ${bad.mkString(",")}; " +
@@ -1258,6 +1258,97 @@ object StreamScaleBench {
       val ok = got == want && got.nonEmpty
       println(f"cm      x$copies stream=$secs%6.1fs batch=$bSecs%6.1fs batches=$nb peakState=$peak drops=$drops match=$ok (${got.size} cells, bit-exact)")
       results += s""""cm":{"stream_s":$secs,"batch_s":$bSecs,"batches":$nb,"peak_state_rows":$peak,"late_drops":$drops,"match":$ok,"cells":${got.size}}"""
+    }
+
+    // ---- bloom: the 25th gate's order-free bit-OR fold under a REAL
+    // file source — keyed state is one long per touched filter word
+    // (≤ mBits/32 = 2048 keys TOTAL regardless of stream length: the
+    // only operator whose key space IS the sketch), ONE pass, NO
+    // replay; flushed words must be BIT-EQUAL to the batch bit_or
+    // build over the same staged files (OR commutes with any
+    // batching). Key = the portable charHash of the derived value
+    // column; positions computed in-plan with Bloom.positions' own
+    // arithmetic — one source of truth for the bit layout. ----
+    if (wanted("bloom")) {
+      import graft.dedup.Bloom
+      import graft.functions.NativeExpressions
+      import graft.streaming.StreamingSketches
+      val kCol = NativeExpressions.charHash(
+        concat_ws("_", col("caseId"), col("tsMicros")), 7L)
+      val (rows, nb, peak, drops, secs) = run(spark, dir, fpt, maxTs,
+          GapDays, sourceWatermark = false) { df =>
+        val items = df
+          .select(explode(when(col("caseId") < 0L, array(lit(-1L)))
+              .otherwise(Bloom.positions(kCol))).as("pos"), col("tsMicros"))
+          .selectExpr(
+            "CASE WHEN pos < 0 THEN CAST(-1 AS BIGINT) ELSE pos div 32 END AS word",
+            s"CASE WHEN pos < 0 THEN CAST(0 AS BIGINT) ELSE ${Bloom.maskExpr} END AS mask",
+            "tsMicros")
+          .withColumn("ts", timestamp_micros(col("tsMicros")))
+          .withWatermark("ts", "10 seconds")
+          .as[StreamingSketches.BItem]
+        StreamingSketches.bloomWords(spark, items,
+          gapSeconds = gapSeconds).toDF()
+      } { batch => batch.select(col("word"), col("bits")) }
+      val got = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val t0 = System.nanoTime()
+      val want = Bloom.build(batchEv, kCol)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val bSecs = (System.nanoTime() - t0) / 1e9
+      val ok = got == want && got.nonEmpty
+      println(f"bloom   x$copies stream=$secs%6.1fs batch=$bSecs%6.1fs batches=$nb peakState=$peak drops=$drops match=$ok (${got.size} words, bit-exact)")
+      results += s""""bloom":{"stream_s":$secs,"batch_s":$bSecs,"batches":$nb,"peak_state_rows":$peak,"late_drops":$drops,"match":$ok,"words":${got.size}}"""
+    }
+
+    // ---- upsert: the 26th gate's latest-wins compaction under a REAL
+    // file source — keyed state is ONE (ts, id, value) triple per live
+    // (caseId, activity) key (exactly the batch shuffle's reducer
+    // state, never stream-length-proportional), ONE pass, NO replay;
+    // the lexicographic max commutes, so the flushed rows must be
+    // BIT-EQUAL to the batch max(struct(...)) aggregate. Compared via
+    // an order-free exact fingerprint (count + two independent xors of
+    // row hashes — no sums: ANSI overflow at inflated key counts), so
+    // nothing key-proportional crosses to the driver. ----
+    if (wanted("upsert")) {
+      import graft.streaming.StreamingUpsert
+      val idCol = xxhash64(col("caseId"), col("activity"), col("tsMicros"))
+      val vCol = (pmod(xxhash64(col("tsMicros"), col("caseId")),
+        lit(100000L)) / lit(100.0))
+      def fp(batch: DataFrame): DataFrame =
+        batch.agg(count(lit(1)).as("n"),
+          coalesce(expr("bit_xor(xxhash64(userId, eventType, tsMicros," +
+            " eventId, value))"), lit(0L)).as("h1"),
+          coalesce(expr("bit_xor(xxhash64(eventId, value, tsMicros," +
+            " eventType, userId, 7))"), lit(0L)).as("h2"))
+      val (rows, nb, peak, drops, secs) = run(spark, dir, fpt, maxTs,
+          GapDays, sourceWatermark = false) { df =>
+        val items = df.select(col("caseId").as("userId"),
+            col("activity").as("eventType"), idCol.as("eventId"),
+            vCol.as("value"), col("tsMicros"))
+          .withColumn("ts", timestamp_micros(col("tsMicros")))
+          .withWatermark("ts", "10 seconds")
+          .as[StreamingUpsert.UItem]
+        StreamingUpsert.latest(spark, items, gapSeconds = gapSeconds,
+          ignoreType = "_s").toDF()
+      } { batch => fp(batch) }
+      val streamFp = (rows.map(_.getLong(0)).sum,
+        rows.map(_.getLong(1)).reduceOption(_ ^ _).getOrElse(0L),
+        rows.map(_.getLong(2)).reduceOption(_ ^ _).getOrElse(0L))
+      val t0 = System.nanoTime()
+      val bs = fp(batchEv
+          .groupBy(col("caseId").as("userId"),
+            col("activity").as("eventType"))
+          .agg(max(struct(col("tsMicros"), idCol.as("eventId"),
+            vCol.as("value"))).as("l"))
+          .select(col("userId"), col("eventType"),
+            col("l.tsMicros").as("tsMicros"), col("l.eventId").as("eventId"),
+            col("l.value").as("value")))
+        .head()
+      val batchFp = (bs.getLong(0), bs.getLong(1), bs.getLong(2))
+      val bSecs = (System.nanoTime() - t0) / 1e9
+      val ok = streamFp == batchFp && streamFp._1 > 0L
+      println(f"upsert  x$copies stream=$secs%6.1fs batch=$bSecs%6.1fs batches=$nb peakState=$peak drops=$drops match=$ok (${streamFp._1} keys, fingerprint-exact)")
+      results += s""""upsert":{"stream_s":$secs,"batch_s":$bSecs,"batches":$nb,"peak_state_rows":$peak,"late_drops":$drops,"match":$ok,"keys":${streamFp._1}}"""
     }
 
     // ---- sample: the 17th gate's bounded top-k πps fold under a

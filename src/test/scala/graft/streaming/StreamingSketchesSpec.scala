@@ -61,6 +61,46 @@ class StreamingSketchesSpec extends SparkSpec {
     assert(got.keySet == Set("en", "de"))
   }
 
+  test("bloom twin: flushed words bit-equal to the batch build across batches") {
+    import graft.dedup.Bloom
+    import graft.functions.NativeExpressions
+    implicit val sqlCtx = spark.sqlContext
+    val maxTs = docs.map(_._3).max
+    val key = NativeExpressions.charHash(col("text"), 7L)
+    val input = MemoryStream[(String, String, Long)]
+    val items = input.toDS().toDF("lang", "text", "tsMicros")
+      .where(col("lang") === "en" || col("tsMicros") > lit(maxTs))
+      .select(explode(when(col("tsMicros") > lit(maxTs), array(lit(-1L)))
+          .otherwise(Bloom.positions(key))).as("pos"), col("tsMicros"))
+      .selectExpr(
+        "CASE WHEN pos < 0 THEN CAST(-1 AS BIGINT) ELSE pos div 32 END AS word",
+        s"CASE WHEN pos < 0 THEN CAST(0 AS BIGINT) ELSE ${Bloom.maskExpr} END AS mask",
+        "tsMicros")
+      .withColumn("ts", timestamp_micros(col("tsMicros")))
+      .withWatermark("ts", "10 seconds")
+      .as[StreamingSketches.BItem]
+    val q = StreamingSketches.bloomWords(spark, items, gapSeconds = 60L)
+      .writeStream.format("memory").queryName("bloom_tw")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val (c1, c2) = docs.splitAt(3)
+      input.addData(c2); q.processAllAvailable() // out of staged order
+      input.addData(c1); q.processAllAvailable()
+      input.addData(("??", "", maxTs + sec(86400))); q.processAllAvailable()
+      input.addData(("??", "", maxTs + 2L * sec(86400))); q.processAllAvailable()
+    } finally q.stop()
+    LateDrops.assertNone(q, "bloom_tw")
+    val got = spark.table("bloom_tw")
+      .as[StreamingSketches.BloomWord].collect()
+      .map(w => w.word -> w.bits).toMap
+    spark.catalog.dropTempView("bloom_tw")
+    val want = Bloom.build(
+        docs.toDF("lang", "text", "tsMicros").where(col("lang") === "en"), key)
+      .as[(Long, Long)].collect().toMap
+    assert(got == want) // bit-equal words
+    assert(got.nonEmpty)
+  }
+
   test("cm twin: cell table bit-equal to the batch sketch across batches") {
     import graft.text.CmSketch
     implicit val sqlCtx = spark.sqlContext
