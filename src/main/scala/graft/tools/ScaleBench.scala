@@ -197,10 +197,23 @@ object ScaleBench {
     val spark = GraftSession.get(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     GraftSession.quietWindowWarnings() // bench-only (see GraftSession)
 
+    // scale stamp (r14, shared with StreamScaleBench's staging guard):
+    // the scratch dir lives at a fixed default path, so a ×100 deep
+    // point's leftover inflation would silently feed a later ×10 sweep
+    // — every row still "works", the artifact is just labeled the
+    // wrong scale. Reuse requires the stamp to match this run's Copies.
+    val stampP = java.nio.file.Paths.get(scaled, "_scale_stamp")
+    val stampOk = java.nio.file.Files.exists(stampP) &&
+      new String(java.nio.file.Files.readAllBytes(stampP)).trim ==
+        s"copies=$Copies"
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$scaled/embeddings.parquet"))
-        || args.contains("--rebuild")) {
+        || !stampOk || args.contains("--rebuild")) {
+      if (!stampOk &&
+          java.nio.file.Files.exists(java.nio.file.Paths.get(s"$scaled/embeddings.parquet")))
+        println(s"scratch dir $scaled stamp mismatch (wants copies=$Copies) — re-inflating")
       println(s"inflating $base x$Copies -> $scaled")
       inflate(spark, base, scaled)
+      java.nio.file.Files.writeString(stampP, s"copies=$Copies")
     } else if (args.contains("--rebuild-supplier")) {
       // refresh just the entity universe (cheap) when the scratch dir
       // predates the supplier-inflation scheme

@@ -105,6 +105,42 @@ object StreamScaleBench {
 
   val Stages = Seq("view", "click", "purchase")
 
+  /** Staging-scale stamp (r14 footgun, caught live): the doc stagings
+    * live at FIXED default paths, so a ×100 run's leftover staging
+    * would feed a later ×10 run silently — every row still
+    * self-matches (stream and batch read the same files), the artifact
+    * is just labeled the wrong scale. A staged dir now records the
+    * (copies, files) it was built at; reuse REQUIRES an exact match,
+    * else the dir is deleted and the caller re-stages. Returns true
+    * when the existing staging is reusable as-is. */
+  private def stagingReusable(dir: String, copies: Int, files: Int,
+      sub: String = "data"): Boolean = {
+    if (!new File(s"$dir/$sub").exists()) return false
+    val stampF = new File(dir, "_scale_stamp")
+    val want = s"copies=$copies files=$files"
+    val got =
+      if (stampF.exists())
+        new String(java.nio.file.Files.readAllBytes(stampF.toPath)).trim
+      else "unstamped"
+    if (got == want) true
+    else {
+      println(s"staged dir $dir was built at [$got], this run wants " +
+        s"[$want] — re-staging (reusing a mismatched staging would " +
+        s"mislabel every row's scale)")
+      def rm(x: File): Unit = {
+        if (x.isDirectory) Option(x.listFiles()).foreach(_.foreach(rm))
+        x.delete()
+      }
+      rm(new File(dir))
+      false
+    }
+  }
+
+  private def writeStamp(dir: String, copies: Int, files: Int): Unit =
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "_scale_stamp"),
+      s"copies=$copies files=$files")
+
   private val schema = StructType(Seq(
     StructField("caseId", LongType), StructField("activity", StringType),
     StructField("tsMicros", LongType)))
@@ -245,11 +281,12 @@ object StreamScaleBench {
     spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "4096")
     import spark.implicits._
 
-    if (!new File(s"$dir/data").exists() || args.contains("--rebuild")) {
+    if (!stagingReusable(dir, copies, files) || args.contains("--rebuild")) {
       println(s"staging $base x$copies -> $dir ($files slices)")
       val d = new File(s"$dir/data")
       if (d.exists()) { d.listFiles().foreach(_.delete()); d.delete() }
       stage(spark, base, dir, copies, files)
+      writeStamp(dir, copies, files)
     }
     val maxTs = maxDataTs(spark, dir)
     val batchEv = spark.read.schema(schema).parquet(s"$dir/data")
@@ -257,6 +294,21 @@ object StreamScaleBench {
 
     val gapSeconds = GapDays * 86400L
     val results = scala.collection.mutable.ArrayBuffer[String]()
+    // calibration probes (the Bench/ScaleBench scheme, extended here
+    // in r14 after an external load burst inflated half an ×10 sweep
+    // 2–3× with nothing in the artifact able to show it): a fixed CPU
+    // probe runs before every selected op row and lands in the
+    // artifact with the 1-min load average, so a contended window is
+    // visible NEXT TO the row it contaminated.
+    def calibProbe(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(1000000L).selectExpr("sum(id)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val calibBase = (1 to 3).map(_ => calibProbe()).min
+    val calib =
+      scala.collection.mutable.ArrayBuffer.empty[(String, Double, Double)]
     // --ops=a,b,c reruns a subset of rows (iteration / targeted refresh);
     // default runs everything.
     val opsFilter: Option[Set[String]] = args.find(_.startsWith("--ops="))
@@ -277,7 +329,14 @@ object StreamScaleBench {
         "hh_sketch certifies heavy_hitters' pass-1 output (the same " +
           "fold IS the no-retention operator): include heavy_hitters too")
     }
-    def wanted(op: String): Boolean = opsFilter.forall(_.contains(op))
+    def wanted(op: String): Boolean = {
+      val w = opsFilter.forall(_.contains(op))
+      // probe at block entry: each selected row gets its own window
+      // evidence (hh_sketch probes inside the heavy_hitters block —
+      // its measurement is the shared fold, so that is its window)
+      if (w) calib += ((op, calibProbe(), osBean.getSystemLoadAverage))
+      w
+    }
 
     // ---- funnel: per-case keyed state, final timer flush ----
     if (wanted("funnel")) {
@@ -765,7 +824,7 @@ object StreamScaleBench {
     // the audit's output is nonempty — decorrelated copies dilute
     // every count below any fixed ppm threshold by construction).
     def ensureDocsStaged(docDir: String, decorrelate: Boolean): Unit = {
-      if (!new File(s"$docDir/data").exists() || args.contains("--rebuild")) {
+      if (!stagingReusable(docDir, copies, files) || args.contains("--rebuild")) {
         println(s"staging documents $base x$copies -> $docDir (decorrelate=$decorrelate)")
         val d = new File(s"$docDir/data")
         if (d.exists()) { d.listFiles().foreach(_.delete()); d.delete() }
@@ -787,6 +846,7 @@ object StreamScaleBench {
           .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
         val t0 = System.currentTimeMillis() - parts.length * 2000L - 60000L
         parts.zipWithIndex.foreach { case (f, i) => f.setLastModified(t0 + i * 2000L) }
+        writeStamp(docDir, copies, files)
       }
     }
     val docDir = sys.env.getOrElse("SPARK_GRAFT_STREAM_DOC_STAGE",
@@ -1470,7 +1530,8 @@ object StreamScaleBench {
       val book = sys.env.getOrElse("SPARK_GRAFT_XES_BOOK",
         "/root/reference/static/xes/book")
       val filesDir = Paths.get(s"$xdir/files")
-      if (!Files.exists(filesDir) || args.contains("--rebuild")) {
+      if (!stagingReusable(xdir, copies, files, sub = "files") ||
+          args.contains("--rebuild")) {
         println(s"staging xes corpus x$copies -> $xdir")
         if (Files.exists(filesDir)) {
           listDir(filesDir).foreach(Files.delete)
@@ -1484,6 +1545,7 @@ object StreamScaleBench {
           Files.copy(p, dst, StandardCopyOption.REPLACE_EXISTING)
           dst.toFile.setLastModified(t0 + i * 50L); i += 1
         }
+        writeStamp(xdir, copies, files)
       }
       val batchEvX = graft.xes.XesReader
         .readEvents(spark, s"$xdir/files/*.xes").toDF()
@@ -1576,7 +1638,10 @@ object StreamScaleBench {
     // artifact: suffix the default out path with .partial
     val outPath = if (opsFilter.isDefined &&
         !sys.env.contains("SPARK_GRAFT_STREAM_OUT")) out + ".partial" else out
-    val line = s"""{"metric":"stream_scale","copies":$copies,"files":$files,"fpt":$fpt,"base":"$base","ops":${results.mkString("{", ",", "}")}}"""
+    calib += (("end", calibProbe(), osBean.getSystemLoadAverage))
+    val calibJson = calib.map { case (op, s, l) => f"""["$op",$s%.3f,$l%.2f]""" }
+      .mkString(s"""{"baseline":${f"$calibBase%.3f"},"probes":[""", ",", "]}")
+    val line = s"""{"metric":"stream_scale","copies":$copies,"files":$files,"fpt":$fpt,"base":"$base","calib":$calibJson,"ops":${results.mkString("{", ",", "}")}}"""
     println(line)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
     catch { case _: Throwable => () }
