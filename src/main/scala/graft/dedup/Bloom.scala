@@ -32,16 +32,33 @@ import graft.functions.Portable
 object Bloom {
 
   /** k probe positions (array of i64 bit positions) for key column x.
-    * `private[graft]` so the streaming build twin projects the SAME
-    * arithmetic in-plan (one source of truth for the bit layout). */
-  private[graft] def positions(x: Column, kHashes: Int = 4, mBits: Int = 65536,
+    * The streaming build twin projects the SAME arithmetic in-plan via
+    * [[streamWordMasks]] — one source of truth for the bit layout. */
+  private def positions(x: Column, kHashes: Int = 4, mBits: Int = 65536,
       seed: Long = 42L): Column =
     array((0 until kHashes).map { i =>
       pmod(Portable.ihash(x, i, seed), lit(mBits.toLong))
     }: _*)
 
-  private[graft] val maskExpr =
+  private val maskExpr =
     "shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))"
+
+  /** The streaming build's (word, mask, tsMicros) projection — ONE
+    * source of truth for the bit layout shared by the parity gate, the
+    * scale harness, and the spec: explode keyCol's k positions for
+    * data rows; rows matching `sentinel` route to word = -1 / mask = 0
+    * so the stateful fold drops them after they advance the watermark.
+    * `df` must carry a `tsMicros` column; `sentinel` is evaluated
+    * against `df`'s columns before the projection narrows them. */
+  def streamWordMasks(df: DataFrame, keyCol: Column, sentinel: Column,
+      kHashes: Int = 4, mBits: Int = 65536, seed: Long = 42L): DataFrame =
+    df.select(explode(when(sentinel, array(lit(-1L)))
+        .otherwise(positions(keyCol, kHashes, mBits, seed))).as("pos"),
+        col("tsMicros"))
+      .selectExpr(
+        "CASE WHEN pos < 0 THEN CAST(-1 AS BIGINT) ELSE pos div 32 END AS word",
+        s"CASE WHEN pos < 0 THEN CAST(0 AS BIGINT) ELSE $maskExpr END AS mask",
+        "tsMicros")
 
   /** Build the filter: ≤ mBits/32 rows of (word: long, bits: long). */
   def build(ref: DataFrame, keyCol: Column, kHashes: Int = 4,

@@ -28,9 +28,6 @@ object EventLogQueries {
   private val sessRun = new AtomicInteger(0)
   private val hopRun = new AtomicInteger(0)
 
-  /** Shared by q_window_dedup (batch lag-throttle) and
-    * q_stream_throttle_parity (StreamingThrottle) — identical output
-    * contract, one source of truth for the 600 s gap + tiebreak. */
   /** Latest-wins compaction oracle — shared verbatim by the batch
     * upsert gate and its bit-equal streaming twin. */
   private val upsertSql =
@@ -41,6 +38,9 @@ object EventLogQueries {
       |  FROM events)
       |WHERE rn = 1""".stripMargin
 
+  /** Shared by q_window_dedup (batch lag-throttle) and
+    * q_stream_throttle_parity (StreamingThrottle) — identical output
+    * contract, one source of truth for the 600 s gap + tiebreak. */
   private val windowDedupSql =
     """WITH flagged AS (
       |  SELECT event_type,

@@ -10,10 +10,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * arrives instead of recomputed per snapshot.
   *
   * Order-free by the same argument as [[StreamingSketches]]: the
-  * lexicographic max over (tsMicros, eventId) is a commutative
-  * idempotent monoid, so the flushed rows are BIT-EQUAL to the batch
-  * aggregate under any batching, partitioning, or arrival order — the
-  * parity gate shares the batch oracle verbatim. One pass, NO replay;
+  * lexicographic max over (tsMicros, eventId, value) — the batch
+  * struct's full field order — is a commutative idempotent monoid, so
+  * the flushed rows are BIT-EQUAL to the batch aggregate under any
+  * batching, partitioning, or arrival order — the parity gate shares
+  * the batch oracle verbatim. One pass, NO replay;
   * keyed state is ONE (ts, event_id, value) triple per live key —
   * proportional to the key space (exactly the batch shuffle's reducer
   * state), never to stream length.
@@ -27,7 +28,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object StreamingUpsert {
 
   /** One changelog row: key columns, total-order tiebreak columns
-    * (tsMicros then eventId), and the carried value. */
+    * (tsMicros, then eventId, then value — the FULL struct order of
+    * the batch `max(struct(ts, event_id, value))`, so even duplicate
+    * (ts, id) rows with amended payloads resolve identically on both
+    * paths), and the carried value. */
   case class UItem(userId: Long, eventType: String, eventId: Long,
       value: Double, tsMicros: Long)
 
@@ -43,8 +47,12 @@ object StreamingUpsert {
     import spark.implicits._
     val gapMs = gapSeconds * 1000L
 
-    def better(a: UpState, ts: Long, id: Long): Boolean =
-      ts > a.tsMicros || (ts == a.tsMicros && id > a.eventId)
+    // full struct order (ts, id, value): value compares via
+    // java.lang.Double.compare — the same total order (-0.0 < 0.0,
+    // NaN greatest) Spark's struct max applies to a DoubleType field
+    def better(a: UpState, ts: Long, id: Long, v: Double): Boolean =
+      ts > a.tsMicros || (ts == a.tsMicros && (id > a.eventId ||
+        (id == a.eventId && java.lang.Double.compare(v, a.value) > 0)))
 
     def update(key: (Long, String), in: Iterator[UItem],
         state: GroupState[UpState]): Iterator[ULatest] = {
@@ -58,7 +66,7 @@ object StreamingUpsert {
         var best = state.getOption.orNull
         in.foreach { e =>
           if (e.eventType != ignoreType &&
-              (best == null || better(best, e.tsMicros, e.eventId)))
+              (best == null || better(best, e.tsMicros, e.eventId, e.value)))
             best = UpState(e.tsMicros, e.eventId, e.value)
         }
         if (best == null) Iterator.empty // sentinel-only key

@@ -212,6 +212,11 @@ object ScaleBench {
           java.nio.file.Files.exists(java.nio.file.Paths.get(s"$scaled/embeddings.parquet")))
         println(s"scratch dir $scaled stamp mismatch (wants copies=$Copies) — re-inflating")
       println(s"inflating $base x$Copies -> $scaled")
+      // stamps bracket the write: cleared BEFORE, written AFTER — a
+      // crash mid-inflate must not leave the OLD valid stamp beside
+      // mixed-scale tables (review finding)
+      java.nio.file.Files.deleteIfExists(stampP)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(scaled))
       inflate(spark, base, scaled)
       java.nio.file.Files.writeString(stampP, s"copies=$Copies")
     } else if (args.contains("--rebuild-supplier")) {

@@ -113,19 +113,18 @@ object StreamScaleBench {
     * (copies, files) it was built at; reuse REQUIRES an exact match,
     * else the dir is deleted and the caller re-stages. Returns true
     * when the existing staging is reusable as-is. */
-  private def stagingReusable(dir: String, copies: Int, files: Int,
+  private def stagingReusable(dir: String, stamp: String,
       sub: String = "data"): Boolean = {
     if (!new File(s"$dir/$sub").exists()) return false
     val stampF = new File(dir, "_scale_stamp")
-    val want = s"copies=$copies files=$files"
     val got =
       if (stampF.exists())
         new String(java.nio.file.Files.readAllBytes(stampF.toPath)).trim
       else "unstamped"
-    if (got == want) true
+    if (got == stamp) true
     else {
       println(s"staged dir $dir was built at [$got], this run wants " +
-        s"[$want] — re-staging (reusing a mismatched staging would " +
+        s"[$stamp] — re-staging (reusing a mismatched staging would " +
         s"mislabel every row's scale)")
       def rm(x: File): Unit = {
         if (x.isDirectory) Option(x.listFiles()).foreach(_.foreach(rm))
@@ -136,10 +135,18 @@ object StreamScaleBench {
     }
   }
 
-  private def writeStamp(dir: String, copies: Int, files: Int): Unit =
+  /** Stamps bracket the staging write: [[clearStamp]] BEFORE, write
+    * AFTER — a crash mid-stage leaves NO stamp beside the partial
+    * data, so the next run re-stages instead of silently reusing a
+    * truncated staging (review finding on the first stamp cut, whose
+    * --rebuild path kept a valid stamp through the rewrite). */
+  private def clearStamp(dir: String): Unit =
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(dir, "_scale_stamp"))
+
+  private def writeStamp(dir: String, stamp: String): Unit =
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(dir, "_scale_stamp"),
-      s"copies=$copies files=$files")
+      java.nio.file.Paths.get(dir, "_scale_stamp"), stamp)
 
   private val schema = StructType(Seq(
     StructField("caseId", LongType), StructField("activity", StringType),
@@ -281,12 +288,14 @@ object StreamScaleBench {
     spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "4096")
     import spark.implicits._
 
-    if (!stagingReusable(dir, copies, files) || args.contains("--rebuild")) {
+    val evStamp = s"copies=$copies files=$files"
+    if (!stagingReusable(dir, evStamp) || args.contains("--rebuild")) {
       println(s"staging $base x$copies -> $dir ($files slices)")
+      clearStamp(dir)
       val d = new File(s"$dir/data")
       if (d.exists()) { d.listFiles().foreach(_.delete()); d.delete() }
       stage(spark, base, dir, copies, files)
-      writeStamp(dir, copies, files)
+      writeStamp(dir, evStamp)
     }
     val maxTs = maxDataTs(spark, dir)
     val batchEv = spark.read.schema(schema).parquet(s"$dir/data")
@@ -329,12 +338,17 @@ object StreamScaleBench {
         "hh_sketch certifies heavy_hitters' pass-1 output (the same " +
           "fold IS the no-retention operator): include heavy_hitters too")
     }
+    // wanted() doubles as the calib hook: the FIRST evaluation for an
+    // op records its block-entry probe (hh_sketch probes inside the
+    // heavy_hitters block — its measurement is the shared fold, so
+    // that is its window). The seen-set makes re-evaluation harmless:
+    // a combined condition like wanted("hll") || wanted("cm") cannot
+    // insert duplicate probe rows (review finding).
+    val probed = scala.collection.mutable.Set.empty[String]
     def wanted(op: String): Boolean = {
       val w = opsFilter.forall(_.contains(op))
-      // probe at block entry: each selected row gets its own window
-      // evidence (hh_sketch probes inside the heavy_hitters block —
-      // its measurement is the shared fold, so that is its window)
-      if (w) calib += ((op, calibProbe(), osBean.getSystemLoadAverage))
+      if (w && probed.add(op))
+        calib += ((op, calibProbe(), osBean.getSystemLoadAverage))
       w
     }
 
@@ -824,8 +838,9 @@ object StreamScaleBench {
     // the audit's output is nonempty — decorrelated copies dilute
     // every count below any fixed ppm threshold by construction).
     def ensureDocsStaged(docDir: String, decorrelate: Boolean): Unit = {
-      if (!stagingReusable(docDir, copies, files) || args.contains("--rebuild")) {
+      if (!stagingReusable(docDir, evStamp) || args.contains("--rebuild")) {
         println(s"staging documents $base x$copies -> $docDir (decorrelate=$decorrelate)")
+        clearStamp(docDir)
         val d = new File(s"$docDir/data")
         if (d.exists()) { d.listFiles().foreach(_.delete()); d.delete() }
         val docs = Tables(spark, base, "documents")
@@ -846,7 +861,7 @@ object StreamScaleBench {
           .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
         val t0 = System.currentTimeMillis() - parts.length * 2000L - 60000L
         parts.zipWithIndex.foreach { case (f, i) => f.setLastModified(t0 + i * 2000L) }
-        writeStamp(docDir, copies, files)
+        writeStamp(docDir, evStamp)
       }
     }
     val docDir = sys.env.getOrElse("SPARK_GRAFT_STREAM_DOC_STAGE",
@@ -1337,13 +1352,8 @@ object StreamScaleBench {
         concat_ws("_", col("caseId"), col("tsMicros")), 7L)
       val (rows, nb, peak, drops, secs) = run(spark, dir, fpt, maxTs,
           GapDays, sourceWatermark = false) { df =>
-        val items = df
-          .select(explode(when(col("caseId") < 0L, array(lit(-1L)))
-              .otherwise(Bloom.positions(kCol))).as("pos"), col("tsMicros"))
-          .selectExpr(
-            "CASE WHEN pos < 0 THEN CAST(-1 AS BIGINT) ELSE pos div 32 END AS word",
-            s"CASE WHEN pos < 0 THEN CAST(0 AS BIGINT) ELSE ${Bloom.maskExpr} END AS mask",
-            "tsMicros")
+        val items = Bloom.streamWordMasks(df, kCol,
+            sentinel = col("caseId") < 0L)
           .withColumn("ts", timestamp_micros(col("tsMicros")))
           .withWatermark("ts", "10 seconds")
           .as[StreamingSketches.BItem]
@@ -1530,9 +1540,13 @@ object StreamScaleBench {
       val book = sys.env.getOrElse("SPARK_GRAFT_XES_BOOK",
         "/root/reference/static/xes/book")
       val filesDir = Paths.get(s"$xdir/files")
-      if (!stagingReusable(xdir, copies, files, sub = "files") ||
+      // the corpus staging depends only on copies — the --files knob
+      // sizes event-parquet slices, not this dir (review finding: an
+      // over-keyed stamp would re-copy book × copies for nothing)
+      if (!stagingReusable(xdir, s"copies=$copies", sub = "files") ||
           args.contains("--rebuild")) {
         println(s"staging xes corpus x$copies -> $xdir")
+        clearStamp(xdir)
         if (Files.exists(filesDir)) {
           listDir(filesDir).foreach(Files.delete)
         } else Files.createDirectories(filesDir)
@@ -1545,7 +1559,7 @@ object StreamScaleBench {
           Files.copy(p, dst, StandardCopyOption.REPLACE_EXISTING)
           dst.toFile.setLastModified(t0 + i * 50L); i += 1
         }
-        writeStamp(xdir, copies, files)
+        writeStamp(xdir, s"copies=$copies")
       }
       val batchEvX = graft.xes.XesReader
         .readEvents(spark, s"$xdir/files/*.xes").toDF()

@@ -68,14 +68,10 @@ class StreamingSketchesSpec extends SparkSpec {
     val maxTs = docs.map(_._3).max
     val key = NativeExpressions.charHash(col("text"), 7L)
     val input = MemoryStream[(String, String, Long)]
-    val items = input.toDS().toDF("lang", "text", "tsMicros")
-      .where(col("lang") === "en" || col("tsMicros") > lit(maxTs))
-      .select(explode(when(col("tsMicros") > lit(maxTs), array(lit(-1L)))
-          .otherwise(Bloom.positions(key))).as("pos"), col("tsMicros"))
-      .selectExpr(
-        "CASE WHEN pos < 0 THEN CAST(-1 AS BIGINT) ELSE pos div 32 END AS word",
-        s"CASE WHEN pos < 0 THEN CAST(0 AS BIGINT) ELSE ${Bloom.maskExpr} END AS mask",
-        "tsMicros")
+    val items = Bloom.streamWordMasks(
+        input.toDS().toDF("lang", "text", "tsMicros")
+          .where(col("lang") === "en" || col("tsMicros") > lit(maxTs)),
+        key, sentinel = col("tsMicros") > lit(maxTs))
       .withColumn("ts", timestamp_micros(col("tsMicros")))
       .withWatermark("ts", "10 seconds")
       .as[StreamingSketches.BItem]

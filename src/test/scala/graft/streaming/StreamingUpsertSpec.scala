@@ -16,7 +16,10 @@ class StreamingUpsertSpec extends SparkSpec {
   private def sec(s: Long): Long = s * 1000000L
 
   // (userId, eventType, eventId, value, tsMicros): key (7, "b") has an
-  // exact-ts tie broken by event_id; key (5, "a") updates out of order
+  // exact-ts tie broken by event_id; key (5, "a") updates out of order;
+  // key (11, "c") is a redelivered id with an AMENDED payload — same
+  // (ts, event_id), different value — resolved by the struct's third
+  // field exactly as the batch max(struct(ts, event_id, value)) does
   private val rows: Seq[(Long, String, Long, Double, Long)] = Seq(
     (5L, "a", 1L, 1.0, sec(10)),
     (5L, "a", 4L, 4.0, sec(40)),
@@ -24,6 +27,8 @@ class StreamingUpsertSpec extends SparkSpec {
     (7L, "b", 3L, 3.0, sec(30)),
     (7L, "b", 6L, 6.0, sec(30)),
     (7L, "b", 5L, 5.0, sec(30)),
+    (11L, "c", 8L, 1.5, sec(25)),
+    (11L, "c", 8L, 9.5, sec(25)),
     (9L, "a", 7L, 7.0, sec(15)))
 
   private def run(batches: Seq[Seq[(Long, String, Long, Double, Long)]])
@@ -72,6 +77,7 @@ class StreamingUpsertSpec extends SparkSpec {
     val got = run(Seq(rows))
     assert(got == want)
     assert(got((7L, "b")) == ((sec(30), 6L, 6.0))) // ts tie -> max event_id
+    assert(got((11L, "c")) == ((sec(25), 8L, 9.5))) // (ts, id) tie -> max value
   }
 
   test("order-free: per-row batches in reverse arrival order, same rows") {
