@@ -28,6 +28,16 @@ object EventLogQueries {
   private val sessRun = new AtomicInteger(0)
   private val hopRun = new AtomicInteger(0)
 
+  /** Backward as-of oracle — shared verbatim by the batch as-of gate
+    * and its streaming twin. */
+  private val asofSql =
+    """SELECT p.user_id, p.event_id AS purchase_id, c.ts AS last_click_ts
+      |FROM (SELECT user_id, event_id, ts FROM events
+      |      WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT user_id, ts FROM events
+      |      WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id AND c.ts <= p.ts""".stripMargin
+
   /** Latest-wins compaction oracle — shared verbatim by the batch
     * upsert gate and its bit-equal streaming twin. */
   private val upsertSql =
@@ -695,6 +705,57 @@ object EventLogQueries {
           keyCol = "user_id", idCol = "purchase_id", tsCol = "ts")
         .withColumnRenamed("asof_ts", "last_click_ts")
         .drop("ts")
+    },
+
+    // Streaming ↔ batch as-of parity — the 27th gate, completing the
+    // join family's streaming twins (inner + left-outer INTERVAL
+    // joins have gates; as-of is the flavor Spark's built-in
+    // stream-stream join cannot express, since no lower time bound
+    // means no click-side eviction bound). StreamingAsOf.backward
+    // gets the bound the built-in cannot: clicks older than the
+    // watermark compact to ONE max value (any unfinalized purchase is
+    // at-or-after the watermark), so state is that long + the
+    // horizon's clicks/pending purchases. A purchase finalizes when
+    // the watermark passes its ts (a later qualifying click would be
+    // late-dropped, and LateDrops gates zero), answering max click ≤
+    // its ts over ALL clicks — exactly the batch ASOF LEFT JOIN row.
+    // Shares q_asof_last_click's DuckDB oracle VERBATIM.
+    "q_stream_asof_parity" -> { (s, dir) =>
+      ParityFeed.withStreamParallelism(s, 8) {
+      import s.implicits._
+      import graft.streaming.StreamingAsOf
+      val src = Tables(s, dir, "events")
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("user_id").as("userId"),
+          col("event_type").as("kind"), col("event_id").as("eventId"),
+          unix_micros(col("ts")).as("tsMicros"))
+      ParityFeed.withFeed(s, src) { (feed, maxTs) =>
+      ParityFeed.sentinel(s, feed, -1L, "__sentinel__", -1L,
+        maxTs + 86400L * 1000000L)
+      val items = ParityFeed.stream(s, feed)
+        .withColumn("ts", timestamp_micros(col("tsMicros")))
+        .withWatermark("ts", "10 seconds")
+        .as[StreamingAsOf.AItem]
+      val name = s"stream_asof_parity_${sessRun.incrementAndGet()}"
+      val q = StreamingAsOf.backward(s, items, gapSeconds = 3600L)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        q.processAllAvailable()
+        ParityFeed.sentinel(s, feed, -2L, "__sentinel__", -2L,
+          maxTs + 2L * 86400L * 1000000L)
+        q.processAllAvailable()
+      } finally q.stop()
+      graft.streaming.LateDrops.assertNone(q, name)
+      val res = s.table(name).select(
+        col("userId").as("user_id"), col("purchaseId").as("purchase_id"),
+        timestamp_micros(col("lastClickTsMicros")).as("last_click_ts"))
+      val rows = res.collect() // one row per purchase — the gate output
+      val out = s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+      s.catalog.dropTempView(name)
+      out
+      }
+      }
     },
 
     // Interval (range) join: per purchase, how many users' activity
@@ -1432,13 +1493,8 @@ object EventLogQueries {
         |      FROM events GROUP BY user_id) i
         |  ON p.ts BETWEEN i.t_start AND i.t_end
         |GROUP BY 1""".stripMargin,
-    "q_asof_last_click" ->
-      """SELECT p.user_id, p.event_id AS purchase_id, c.ts AS last_click_ts
-        |FROM (SELECT user_id, event_id, ts FROM events
-        |      WHERE event_type = 'purchase') p
-        |ASOF LEFT JOIN (SELECT user_id, ts FROM events
-        |      WHERE event_type = 'click') c
-        |  ON p.user_id = c.user_id AND c.ts <= p.ts""".stripMargin,
+    "q_asof_last_click" -> asofSql,
+    "q_stream_asof_parity" -> asofSql,
     // Same gap construction as q_sessionize but with the
     // session_window boundary (diff >= gap starts a new session) and
     // per-session rows instead of indexed sessions — the multiset the

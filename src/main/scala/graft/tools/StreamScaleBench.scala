@@ -329,7 +329,7 @@ object StreamScaleBench {
       "sessionize", "stats", "declare", "conformance", "hopping",
       "join", "outer_join", "neardup", "heavy_hitters", "hh_sketch",
       "winsorized", "quantiles", "quantiles_sketch", "hll", "cm",
-      "bloom", "upsert", "sample", "sample_by_group", "xes")
+      "bloom", "upsert", "asof", "sample", "sample_by_group", "xes")
     opsFilter.foreach { f =>
       val bad = f -- KnownOps
       require(bad.isEmpty, s"unknown --ops tokens: ${bad.mkString(",")}; " +
@@ -1419,6 +1419,58 @@ object StreamScaleBench {
       val ok = streamFp == batchFp && streamFp._1 > 0L
       println(f"upsert  x$copies stream=$secs%6.1fs batch=$bSecs%6.1fs batches=$nb peakState=$peak drops=$drops match=$ok (${streamFp._1} keys, fingerprint-exact)")
       results += s""""upsert":{"stream_s":$secs,"batch_s":$bSecs,"batches":$nb,"peak_state_rows":$peak,"late_drops":$drops,"match":$ok,"keys":${streamFp._1}}"""
+    }
+
+    // ---- asof: the 27th gate's backward as-of join under a REAL
+    // file source — the join flavor the built-in stream-stream join
+    // cannot express (no lower time bound ⇒ no eviction bound).
+    // Clicks older than the watermark compact to ONE long per key;
+    // state is that value + the horizon's clicks/pending purchases,
+    // evicted CONTINUOUSLY as the watermark advances (peak measures
+    // it). Batch truth: a range window (all same-ts rows included, so
+    // the ≤ tie matches the fold) over the same staged files;
+    // compared via the order-free fingerprint — purchase rows are
+    // data-proportional and never cross to the driver. ----
+    if (wanted("asof")) {
+      import graft.streaming.StreamingAsOf
+      val pidCol = xxhash64(col("caseId"), col("tsMicros"))
+      def fp(batch: DataFrame): DataFrame =
+        batch.agg(count(lit(1)).as("n"),
+          coalesce(expr("bit_xor(xxhash64(userId, purchaseId," +
+            " lastClickTsMicros))"), lit(0L)).as("h1"),
+          coalesce(expr("bit_xor(xxhash64(lastClickTsMicros, userId," +
+            " purchaseId, 7))"), lit(0L)).as("h2"))
+      val (rows, nb, peak, drops, secs) = run(spark, dir, fpt, maxTs,
+          GapDays, sourceWatermark = false) { df =>
+        val items = df.select(col("caseId").as("userId"),
+            col("activity").as("kind"), pidCol.as("eventId"),
+            col("tsMicros"))
+          .withColumn("ts", timestamp_micros(col("tsMicros")))
+          .withWatermark("ts", "10 seconds")
+          .as[StreamingAsOf.AItem]
+        StreamingAsOf.backward(spark, items,
+          gapSeconds = gapSeconds).toDF()
+      } { batch => fp(batch) }
+      val streamFp = (rows.map(_.getLong(0)).sum,
+        rows.map(_.getLong(1)).reduceOption(_ ^ _).getOrElse(0L),
+        rows.map(_.getLong(2)).reduceOption(_ ^ _).getOrElse(0L))
+      val t0 = System.nanoTime()
+      // (caseId, activity, tsMicros) is unique in the staging (see the
+      // dedup row), so pidCol is unique among a case's purchases
+      val w = Window.partitionBy(col("caseId")).orderBy(col("tsMicros"))
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      val bs = fp(batchEv
+          .withColumn("lastClick",
+            max(when(col("activity") === "click", col("tsMicros"))).over(w))
+          .filter(col("activity") === "purchase")
+          .select(col("caseId").as("userId"), pidCol.as("purchaseId"),
+            col("lastClick").as("lastClickTsMicros")))
+        .head()
+      val batchFp = (bs.getLong(0), bs.getLong(1), bs.getLong(2))
+      val bSecs = (System.nanoTime() - t0) / 1e9
+      val ok = streamFp == batchFp && streamFp._1 > 0L
+      println(f"asof    x$copies stream=$secs%6.1fs batch=$bSecs%6.1fs batches=$nb peakState=$peak drops=$drops match=$ok (${streamFp._1} purchases, fingerprint-exact)")
+      results += s""""asof":{"stream_s":$secs,"batch_s":$bSecs,"batches":$nb,"peak_state_rows":$peak,"late_drops":$drops,"match":$ok,"purchases":${streamFp._1}}"""
     }
 
     // ---- sample: the 17th gate's bounded top-k πps fold under a
