@@ -44,7 +44,7 @@ object EventLogQueries {
     """SELECT user_id, event_type, ts, event_id, value FROM (
       |  SELECT user_id, event_type, ts, event_id, value,
       |    row_number() OVER (PARTITION BY user_id, event_type
-      |      ORDER BY ts DESC, event_id DESC) AS rn
+      |      ORDER BY ts DESC, event_id DESC, value DESC) AS rn
       |  FROM events)
       |WHERE rn = 1""".stripMargin
 

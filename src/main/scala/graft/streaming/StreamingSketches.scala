@@ -111,7 +111,16 @@ object StreamingSketches {
     * long per touched word — ≤ mBits/32 keys total (2048 at the
     * default 65536 bits) regardless of stream length: the online
     * "have we ingested this before?" ledger a drop-dir ingest keeps
-    * warm between batch probes. */
+    * warm between batch probes.
+    *
+    * CONTRACT: `gapSeconds` must exceed the stream's event-time span.
+    * A word quiet for longer than the gap flushes mid-stream and, if
+    * touched again, re-creates its state and flushes a SECOND row for
+    * the same word — the flushed table is then an OR-decomposition of
+    * the filter, not the filter itself. A violation fails loudly
+    * downstream (duplicate words break the probe's word-count
+    * fingerprint), but callers should size the gap up front;
+    * StreamScaleBench asserts gap > span before running. */
   def bloomWords(spark: SparkSession, items: Dataset[BItem],
       gapSeconds: Long, ignoreWord: Long = -1L): Dataset[BloomWord] = {
     import spark.implicits._

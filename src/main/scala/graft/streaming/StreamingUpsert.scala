@@ -41,7 +41,14 @@ object StreamingUpsert {
   case class ULatest(userId: Long, eventType: String, tsMicros: Long,
       eventId: Long, value: Double)
 
-  /** `items` must carry a watermark on its event-time column. */
+  /** `items` must carry a watermark on its event-time column.
+    *
+    * CONTRACT: `gapSeconds` must exceed the stream's event-time span.
+    * A key quiet for longer than the gap flushes mid-stream and, if
+    * touched again, re-creates its state and flushes a SECOND row for
+    * the same key — the output is then a changelog segment list, not
+    * one latest row per key. StreamScaleBench asserts gap > span
+    * before running; other callers must size the gap the same way. */
   def latest(spark: SparkSession, items: Dataset[UItem], gapSeconds: Long,
       ignoreType: String): Dataset[ULatest] = {
     import spark.implicits._

@@ -130,7 +130,12 @@ object StreamScaleBench {
         if (x.isDirectory) Option(x.listFiles()).foreach(_.foreach(rm))
         x.delete()
       }
-      rm(new File(dir))
+      // Blast radius is ONLY the staging payload ($dir/$sub) plus the
+      // stamp — $dir comes from a user-controlled env var, so deleting
+      // the whole directory would wipe unrelated siblings if someone
+      // pointed the var at a shared path (r14 advice finding).
+      rm(new File(s"$dir/$sub"))
+      clearStamp(dir)
       false
     }
   }
@@ -302,6 +307,22 @@ object StreamScaleBench {
       .filter(col("caseId") >= 0L)
 
     val gapSeconds = GapDays * 86400L
+    // The flush-once contract of the one-pass sketch/upsert ops
+    // (StreamingSketches.bloomWords, StreamingUpsert.latest, …)
+    // requires gap > event-time span: a key quiet for more than the
+    // gap mid-stream flushes, then re-emits if touched again. Assert
+    // it here rather than relying on GapDays happening to exceed the
+    // staged data (r14 advice finding).
+    locally {
+      val minTs = spark.read.schema(schema).parquet(s"$dir/data")
+        .filter(col("caseId") >= 0L)
+        .agg(min("tsMicros")).head().getLong(0)
+      val spanSec = (maxTs - minTs) / 1000000L
+      require(gapSeconds > spanSec,
+        s"gapSeconds=$gapSeconds must exceed the staged event-time span " +
+          s"($spanSec s): a smaller gap lets a quiet key flush and " +
+          s"re-emit, breaking the flushed-table-IS-the-sketch contract")
+    }
     val results = scala.collection.mutable.ArrayBuffer[String]()
     // calibration probes (the Bench/ScaleBench scheme, extended here
     // in r14 after an external load burst inflated half an ×10 sweep
