@@ -315,6 +315,30 @@ object RelationalQueries {
           col("p_permille"), col("n_total"), col("err_bound_rank"),
           col("rank_ok"))
     },
+    // WEIGHTED one-pass approximate quantiles (r14 judge item #4) —
+    // the value-weighted member the batch robust-stats family already
+    // has (winsorizedStats, πps) and the sketch lacked: each lineitem
+    // row carries mass l_quantity, n_total is the group's total MASS,
+    // and the bound is errBoundRank(mass, k) — the SAME integer
+    // formula, fed the mass, because the collapse-count proof never
+    // used unit weights (MpSketch.addWeighted doc). Per-row cost is
+    // O(popcount(w)) fill inserts, not O(w) unit adds. The gate hashes
+    // the weighted-rank audit exactly like the unit gate.
+    "q_quantiles_sketch_weighted" -> { (s, dir) =>
+      import graft.ops.SketchQuantiles
+      val src = Tables(s, dir, "lineitem").select(
+        concat_ws("|", col("l_returnflag"), col("l_linestatus")).as("group"),
+        expr("CAST(round(CAST(l_extendedprice AS DOUBLE) * 100) AS BIGINT)").as("v"),
+        col("l_quantity").cast("long").as("w"))
+      val est = SketchQuantiles.approxByGroupWeighted(src, col("group"),
+        col("v"), col("w"), Seq(250, 500, 750, 900, 990), k = 4096)
+      SketchQuantiles.rankAuditWeighted(src, col("group"), col("v"),
+        col("w"), est)
+        .select(substring_index(col("group"), "|", 1).as("l_returnflag"),
+          substring_index(col("group"), "|", -1).as("l_linestatus"),
+          col("p_permille"), col("n_total"), col("err_bound_rank"),
+          col("rank_ok"))
+    },
     // Streaming ↔ batch sketch-quantiles parity — the 21st gate, and
     // the ONE-PASS member of the streaming robust-stats family: keyed
     // state is the group's Munro–Paterson sketch (bounded Array[Long],
@@ -644,6 +668,28 @@ object RelationalQueries {
       |  TRUE AS rank_ok
       |FROM lv JOIN (VALUES (250),(500),(750),(900),(990)) ps(p) ON TRUE""".stripMargin
 
+  /** The weighted sketch gate's audit oracle: identical arithmetic to
+    * [[sketchAuditSql]] with n = the group's total MASS Σ l_quantity
+    * (the weighted proof's W) instead of the row count. */
+  private val sketchAuditWeightedSql =
+    """WITH t AS (
+      |  SELECT l_returnflag, l_linestatus,
+      |         CAST(l_quantity AS BIGINT) AS w
+      |  FROM lineitem),
+      |g AS (
+      |  SELECT l_returnflag, l_linestatus, CAST(sum(w) AS BIGINT) AS n
+      |  FROM t GROUP BY 1, 2),
+      |lv AS (
+      |  SELECT l_returnflag, l_linestatus, n,
+      |    (SELECT min(l) FROM generate_series(0, 50) s(l)
+      |     WHERE 4096 * (CAST(1 AS BIGINT) << l) >= n) AS lvl
+      |  FROM g)
+      |SELECT l_returnflag, l_linestatus, p AS p_permille,
+      |  CAST(n AS BIGINT) AS n_total,
+      |  CAST(((lvl + 4) * n) // (2 * 4096) + 1 AS BIGINT) AS err_bound_rank,
+      |  TRUE AS rank_ok
+      |FROM lv JOIN (VALUES (250),(500),(750),(900),(990)) ps(p) ON TRUE""".stripMargin
+
   def oracle: Map[String, String] = Map(
     // Same integer PageRank contract as ops/PageRank.rankFp: scale 1e6,
     // teleport floor(1e6*150/1000)=150000, per-edge
@@ -726,6 +772,7 @@ object RelationalQueries {
     // arithmetic, and the certified rank_ok) — the estimate itself is
     // merge-order-dependent by design and never reaches the output.
     "q_quantiles_sketch" -> sketchAuditSql,
+    "q_quantiles_sketch_weighted" -> sketchAuditWeightedSql,
     "q_stream_quantiles_sketch_parity" -> sketchAuditSql,
     "q_pivot_lang_source" ->
       """SELECT source,

@@ -136,6 +136,91 @@ class SketchQuantilesSpec extends SparkSpec {
     }
   }
 
+  /** Weighted brute force: the gate's ok-inequality against an
+    * (value, weight) list, ranks by mass. */
+  private def rankOkW(items: Array[(Long, Long)], est: Long, target: Long,
+      bound: Long): Boolean = {
+    val lt = items.collect { case (v, w) if v < est => w }.sum
+    val le = items.collect { case (v, w) if v <= est => w }.sum
+    lt < target + bound && le >= target - bound
+  }
+
+  test("weighted: addWeighted(v, 1) leaves the unit wire format untouched") {
+    val a = new MpSketch(64); val b = new MpSketch(64)
+    lcg(777, seed = 13L).foreach { v => a.add(v); b.addWeighted(v, 1L) }
+    assert(java.util.Arrays.equals(a.toLongs, b.toLongs))
+    assert(b.toLongs.head == 64L) // unit format, no extended marker
+  }
+
+  test("weighted: bound holds vs mass-expanded brute force, incl. heavy and power-of-two weights") {
+    val vs = lcg(4000, seed = 21L)
+    val ws = lcg(4000, seed = 22L).map(w => (w % 97L) + 1L) // 1..97: bits 0..6
+      .zipWithIndex.map { case (w, i) =>
+        if (i % 503 == 0) 1L << 17 // a few heavy single items
+        else if (i % 101 == 0) 64L // exact power of two: only bit 6
+        else w
+      }
+    val items = vs.zip(ws)
+    val sk = new MpSketch(64)
+    items.foreach { case (v, w) => sk.addWeighted(v, w) }
+    val mass = ws.sum
+    assert(sk.n == mass)
+    val bound = SketchQuantiles.errBoundRank(mass, 64)
+    assert(sk.trackedErrRank <= SketchQuantiles.levelsFor(mass, 64)
+      .toLong * mass / (2L * 64) + 1L)
+    ps.foreach { p =>
+      val t = targetRank(mass, p)
+      assert(rankOkW(items, sk.valueAtRank(t), t, bound),
+        s"p=$p bound=$bound mass=$mass")
+    }
+  }
+
+  test("weighted: merge folds fill partials; serialization round-trips the extended format") {
+    val vs = lcg(3000, seed = 31L)
+    val ws = lcg(3000, seed = 32L).map(w => (w % 1000L) + 1L)
+    val items = vs.zip(ws)
+    val chunks = items.grouped(700).toSeq
+    val sketches = chunks.map { c =>
+      val sk = new MpSketch(64)
+      c.foreach { case (v, w) => sk.addWeighted(v, w) }
+      // round-trip EVERY partial through the wire format, as the
+      // operator does between map and reduce sides
+      MpSketch.fromLongs(sk.toLongs)
+    }
+    assert(sketches.exists(_.toLongs.head == -64L)) // extended marker in play
+    val acc = new MpSketch(64)
+    sketches.foreach(acc.mergeInPlace)
+    val mass = ws.sum
+    assert(acc.n == mass)
+    val back = MpSketch.fromLongs(acc.toLongs)
+    assert(back.n == acc.n && back.trackedErrRank == acc.trackedErrRank)
+    val bound = SketchQuantiles.errBoundRank(mass, 64)
+    ps.foreach { p =>
+      val t = targetRank(mass, p)
+      assert(back.valueAtRank(t) == acc.valueAtRank(t))
+      assert(rankOkW(items, acc.valueAtRank(t), t, bound), s"p=$p bound=$bound")
+    }
+  }
+
+  test("weighted operator + rankAuditWeighted: all rows certified, mass totals exact") {
+    val rows = lcg(6000, seed = 41L).zip(lcg(6000, seed = 42L)).zipWithIndex
+      .map { case ((v, w), i) => (s"g${i % 3}", v, (w % 50L) + 1L) }.toSeq
+    val df = rows.toDF("group", "v", "w")
+    val est = SketchQuantiles.approxByGroupWeighted(df, col("group"),
+      col("v"), col("w"), Seq(250, 500, 750, 990), k = 128)
+    val audited = SketchQuantiles.rankAuditWeighted(df, col("group"),
+      col("v"), col("w"), est).collect()
+    assert(audited.length == 12)
+    val massByGroup = rows.groupBy(_._1).map { case (g, rs) => g -> rs.map(_._3).sum }
+    audited.foreach { r =>
+      val g = r.getAs[String]("group")
+      assert(r.getAs[Boolean]("rank_ok"), r.toString)
+      assert(r.getAs[Long]("n_total") == massByGroup(g))
+      assert(r.getAs[Long]("err_bound_rank") ==
+        SketchQuantiles.errBoundRank(massByGroup(g), 128))
+    }
+  }
+
   test("streaming twin: one-pass fold across micro-batches, certified within bound") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
