@@ -41,4 +41,79 @@ object AsOf {
       .filter(col("_side") === 1)
       .select(col(keyCol), col(idCol), col("_ts").as(tsCol), col("asof_ts"))
   }
+
+  /** Both running extremes over ONE union and ONE window ordering —
+    * the shared kernel of [[forward]] and [[nearest]]. Emits left rows
+    * with `_bwd` (greatest right ts ≤ left ts, null if none) and
+    * `_fwd` (smallest right ts ≥ left ts AND ≤ left ts + horizonUs,
+    * null if none in the window). tsCol must be a TIMESTAMP column.
+    *
+    * The horizon is part of the operator contract, not a convenience:
+    * unbounded LOOKBACK streams (the past compacts to one long,
+    * [[graft.streaming.StreamingAsOf]]), but unbounded LOOKAHEAD
+    * cannot — "no following right row" is never final while the
+    * stream lives, so the forward flavor that scales to an unbounded
+    * stream is "first right row within H", and the batch operator
+    * carries the same H so the twins share one oracle verbatim.
+    *
+    * Same plan shape as [[backward]]: ONE shuffle on the key, two
+    * running aggregates over the same sort (right rows sort before
+    * left at equal ts; the frame starting AT the left row therefore
+    * sees only right rows strictly after it, and the equal-ts case is
+    * recovered from `_bwd == ts`, which holds iff a right row sits at
+    * exactly the left ts). */
+  private def bothExtremes(left: DataFrame, right: DataFrame,
+      keyCol: String, idCol: String, tsCol: String,
+      horizonUs: Long): DataFrame = {
+    require(horizonUs >= 0L, s"horizon must be >= 0 us: $horizonUs")
+    val l = left.select(col(keyCol), col(idCol), col(tsCol).as("_ts"),
+      lit(1).as("_side"))
+    val r = right.select(col(keyCol), lit(null).cast(l.schema(idCol).dataType).as(idCol),
+      col(tsCol).as("_ts"), lit(0).as("_side"))
+    val ord = Window.partitionBy(col(keyCol)).orderBy(col("_ts"), col("_side"))
+    val wPast = ord.rowsBetween(Window.unboundedPreceding, 0)
+    val wFut = ord.rowsBetween(0, Window.unboundedFollowing)
+    l.unionByName(r)
+      .withColumn("_bwd",
+        max(when(col("_side") === 0, col("_ts"))).over(wPast))
+      .withColumn("_fexcl",
+        min(when(col("_side") === 0, col("_ts"))).over(wFut))
+      .filter(col("_side") === 1)
+      .withColumn("_fraw",
+        when(unix_micros(col("_bwd")) === unix_micros(col("_ts")), col("_ts"))
+          .otherwise(col("_fexcl")))
+      .withColumn("_fwd",
+        when(unix_micros(col("_fraw")) <= unix_micros(col("_ts")) + horizonUs,
+          col("_fraw")))
+      .select(col(keyCol), col(idCol), col("_ts").as(tsCol),
+        col("_bwd"), col("_fwd"))
+  }
+
+  /** Forward as-of with a match horizon: left rows + `asof_fwd_ts`,
+    * the smallest right timestamp in [left ts, left ts + horizonUs]
+    * (null when none — including a following right row beyond the
+    * horizon). See [[bothExtremes]] for why the horizon is the
+    * contract. */
+  def forward(left: DataFrame, right: DataFrame, keyCol: String,
+      idCol: String, tsCol: String, horizonUs: Long): DataFrame =
+    bothExtremes(left, right, keyCol, idCol, tsCol, horizonUs)
+      .select(col(keyCol), col(idCol), col(tsCol),
+        col("_fwd").as("asof_fwd_ts"))
+
+  /** Nearest as-of: left rows + `asof_near_ts`, whichever of the
+    * backward match (unbounded lookback) and the forward match
+    * (lookahead bounded by horizonUs) lies closer in time; equal
+    * distance resolves BACKWARD (deterministic; at a right row exactly
+    * on the left ts both candidates are that row). Null only when
+    * neither side matches. */
+  def nearest(left: DataFrame, right: DataFrame, keyCol: String,
+      idCol: String, tsCol: String, horizonUs: Long): DataFrame =
+    bothExtremes(left, right, keyCol, idCol, tsCol, horizonUs)
+      .withColumn("asof_near_ts",
+        when(col("_bwd").isNull, col("_fwd"))
+          .when(col("_fwd").isNull, col("_bwd"))
+          .when(unix_micros(col(tsCol)) - unix_micros(col("_bwd")) <=
+            unix_micros(col("_fwd")) - unix_micros(col(tsCol)), col("_bwd"))
+          .otherwise(col("_fwd")))
+      .select(col(keyCol), col(idCol), col(tsCol), col("asof_near_ts"))
 }

@@ -138,4 +138,209 @@ object StreamingAsOf {
       .flatMapGroupsWithState(OutputMode.Append(),
         GroupStateTimeout.EventTimeTimeout())(update)
   }
+
+  /** One finalized purchase of the FORWARD flavor; None when no click
+    * lands in [ts, ts + horizon]. */
+  case class FwdRow(userId: Long, purchaseId: Long,
+      firstClickTsMicros: Option[Long])
+
+  /** Pending purchase: id, ts, best forward candidate so far
+    * (Long.MaxValue = none), frozen backward answer (Long.MinValue =
+    * none; only [[nearest]] reads it, and only once `bwdFinal`). */
+  case class PendPurchase(id: Long, ts: Long, fwdBest: Long,
+      bwd: Long, bwdFinal: Boolean)
+
+  case class FwdState(compactMax: Long, clicks: List[Long],
+      pending: List[PendPurchase], maxTsMicros: Long)
+
+  /** One finalized purchase of the NEAREST flavor. */
+  case class NearRow(userId: Long, purchaseId: Long,
+      nearestClickTsMicros: Option[Long])
+
+  /** Streaming FORWARD as-of — each purchase enriched with the FIRST
+    * click in [ts, ts + horizon], per key. The horizon is the
+    * operator's contract, not a tuning knob: backward's unbounded
+    * lookback streams because the PAST compacts to one long, but "no
+    * following click" is never final while the stream lives — the
+    * forward flavor that exists on an unbounded stream is "first
+    * click within H". A purchase finalizes when the watermark passes
+    * ts + horizon (every qualifying click has event time ≤ ts +
+    * horizon < watermark, so it has arrived or was late-dropped, and
+    * LateDrops gates every run at zero) — so the emitted rows equal
+    * the horizon-bounded batch [[graft.ops.AsOf.forward]] exactly and
+    * the parity gate shares its DuckDB oracle verbatim.
+    *
+    * State is FULLY transient (the mirror-image of backward's one
+    * standing long): pending purchases live horizon + delay; a click
+    * below the watermark can never match a future purchase (the
+    * purchase would have ts ≥ watermark > click, and forward needs
+    * click ≥ ts), so clicks are folded into every pending purchase's
+    * running best ON ARRIVAL and evicted at each settle — a drained
+    * key's state is REMOVED entirely. */
+  def forward(spark: SparkSession, items: Dataset[AItem],
+      horizonSeconds: Long, gapSeconds: Long): Dataset[FwdRow] = {
+    import spark.implicits._
+    val horizonUs = horizonSeconds * 1000000L
+    fold[FwdRow](items, horizonUs, gapSeconds * 1000L,
+      needBwd = false) { (userId, p) =>
+      FwdRow(userId, p.id,
+        if (p.fwdBest == Long.MaxValue) None else Some(p.fwdBest))
+    }
+  }
+
+  /** Streaming NEAREST as-of — each purchase enriched with whichever
+    * of (last click ≤ ts, unbounded lookback) and (first click in
+    * [ts, ts + horizon]) lies closer; equal distance resolves
+    * BACKWARD, matching [[graft.ops.AsOf.nearest]] whose oracle the
+    * parity gate shares verbatim.
+    *
+    * State composes the two sides' irreducible parts: the backward
+    * standing long (compacted max click below the watermark — one
+    * long per key, for life) plus forward's transient horizon. The
+    * subtlety the composition adds: a purchase now OUTLIVES the
+    * watermark passing its ts (it waits on ts + horizon), so its
+    * backward answer is FROZEN at the first settle where watermark >
+    * ts — after that, clicks in (ts, watermark) may compact into the
+    * standing long without polluting the already-frozen answer
+    * (backward alone never needed the freeze: it finalizes the
+    * purchase at that same boundary). */
+  def nearest(spark: SparkSession, items: Dataset[AItem],
+      horizonSeconds: Long, gapSeconds: Long): Dataset[NearRow] = {
+    import spark.implicits._
+    val horizonUs = horizonSeconds * 1000000L
+    fold[NearRow](items, horizonUs, gapSeconds * 1000L,
+      needBwd = true) { (userId, p) =>
+      val b = if (p.bwd == Long.MinValue) None else Some(p.bwd)
+      val f = if (p.fwdBest == Long.MaxValue) None else Some(p.fwdBest)
+      val near = (b, f) match {
+        case (None, x) => x
+        case (x, None) => x
+        case (Some(bv), Some(fv)) =>
+          if (p.ts - bv <= fv - p.ts) Some(bv) else Some(fv)
+      }
+      NearRow(userId, p.id, near)
+    }
+  }
+
+  /** The shared horizon-bounded fold behind [[forward]] and
+    * [[nearest]]. `emit` renders a finalized purchase (its `bwd` is
+    * frozen-final iff `needBwd`). */
+  private def fold[R: org.apache.spark.sql.Encoder](items: Dataset[AItem],
+      horizonUs: Long, gapMs: Long, needBwd: Boolean)(
+      emit: (Long, PendPurchase) => R): Dataset[R] = {
+    val spark = items.sparkSession
+    import spark.implicits._
+
+    // 1) freeze backward answers for purchases the watermark passed
+    //    (before compaction — the kept click list still holds every
+    //    click in (last settle wm, now] and compactMax every older);
+    // 2) finalize purchases with wm > ts + horizon (their fwdBest is
+    //    complete: any further qualifying click would be late);
+    // 3) compact clicks below the watermark into the standing long
+    //    (dropped entirely when !needBwd — forward never reads it).
+    def settle(userId: Long, st: FwdState, wmMicros: Long)
+        : (FwdState, List[R]) = {
+      val frozen = st.pending.map { p =>
+        if (needBwd && !p.bwdFinal && p.ts < wmMicros) {
+          val b = st.clicks.foldLeft(st.compactMax) { (m, c) =>
+            if (c <= p.ts && c > m) c else m
+          }
+          p.copy(bwd = b, bwdFinal = true)
+        } else p
+      }
+      val (done, pend) = frozen.partition(p =>
+        wmMicros > safeAdd(p.ts, horizonUs))
+      val out = done.sortBy(p => (p.ts, p.id)).map(emit(userId, _))
+      val (old, fresh) = st.clicks.partition(_ < wmMicros)
+      val cm = if (needBwd) old.foldLeft(st.compactMax)(math.max)
+               else Long.MinValue
+      (FwdState(cm, fresh, pend, st.maxTsMicros), out)
+    }
+
+    def update(userId: Long, in: Iterator[AItem],
+        state: GroupState[FwdState]): Iterator[R] = {
+      val wmMicros = state.getCurrentWatermarkMs() * 1000L
+      def park(st: FwdState): Unit = {
+        if (st.pending.isEmpty && st.clicks.isEmpty &&
+            st.compactMax == Long.MinValue) state.remove()
+        else {
+          state.update(st)
+          if (st.pending.nonEmpty || st.clicks.nonEmpty) {
+            // wake at the earliest finalization boundary; click-only
+            // state uses the gap fallback so a drained key still
+            // empties (forward) or compacts to the long (nearest)
+            val next =
+              if (st.pending.nonEmpty)
+                st.pending.map(p => safeAdd(p.ts, horizonUs)).min / 1000L + 1L
+              else st.maxTsMicros / 1000L + gapMs
+            state.setTimeoutTimestamp(
+              math.max(next, state.getCurrentWatermarkMs() + 1L))
+          }
+        }
+      }
+      if (state.hasTimedOut) {
+        val (st, out) = settle(userId, state.get, wmMicros)
+        park(st)
+        out.iterator
+      } else {
+        val old = state.getOption
+          .getOrElse(FwdState(Long.MinValue, Nil, Nil, Long.MinValue))
+        var clicks = old.clicks
+        var pending = old.pending
+        var maxTs = old.maxTsMicros
+        var saw = false
+        in.foreach { e =>
+          e.kind match {
+            case "click" =>
+              val c = e.tsMicros
+              // fold into every pending purchase's window on arrival —
+              // the click may be evicted before the purchase finalizes
+              pending = pending.map { p =>
+                if (c >= p.ts && c <= safeAdd(p.ts, horizonUs) && c < p.fwdBest)
+                  p.copy(fwdBest = c)
+                else p
+              }
+              clicks ::= c; saw = true
+              maxTs = math.max(maxTs, c)
+            case "purchase" =>
+              // kept clicks ≥ last settle's watermark ≤ this ts cover
+              // the whole [ts, ts+H] candidate set (older clicks are
+              // < wm ≤ ts, below the forward window)
+              var best = Long.MaxValue
+              clicks.foreach { c =>
+                if (c >= e.tsMicros && c <= safeAdd(e.tsMicros, horizonUs) &&
+                  c < best) best = c
+              }
+              pending ::= PendPurchase(e.eventId, e.tsMicros, best,
+                Long.MinValue, bwdFinal = false)
+              saw = true
+              maxTs = math.max(maxTs, e.tsMicros)
+            case _ => () // sentinel / foreign kinds: watermark only
+          }
+        }
+        if (!saw && old.pending.isEmpty && old.clicks.isEmpty &&
+            old.compactMax == Long.MinValue)
+          Iterator.empty // sentinel-only key
+        else {
+          val (st, out) =
+            settle(userId, FwdState(old.compactMax, clicks, pending, maxTs),
+              wmMicros)
+          park(st)
+          out.iterator
+        }
+      }
+    }
+
+    items
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(update)
+  }
+
+  /** ts + horizon without Long overflow (a far-future sentinel ts plus
+    * a large horizon must saturate, not wrap). */
+  private def safeAdd(a: Long, b: Long): Long = {
+    val s = a + b
+    if (((a ^ s) & (b ^ s)) < 0L) Long.MaxValue else s
+  }
 }

@@ -350,7 +350,8 @@ object StreamScaleBench {
       "sessionize", "stats", "declare", "conformance", "hopping",
       "join", "outer_join", "neardup", "heavy_hitters", "hh_sketch",
       "winsorized", "quantiles", "quantiles_sketch", "hll", "cm",
-      "bloom", "upsert", "asof", "sample", "sample_by_group", "xes")
+      "bloom", "upsert", "asof", "asof_fwd", "asof_near", "sample",
+      "sample_by_group", "xes")
     opsFilter.foreach { f =>
       val bad = f -- KnownOps
       require(bad.isEmpty, s"unknown --ops tokens: ${bad.mkString(",")}; " +
@@ -1492,6 +1493,112 @@ object StreamScaleBench {
       val ok = streamFp == batchFp && streamFp._1 > 0L
       println(f"asof    x$copies stream=$secs%6.1fs batch=$bSecs%6.1fs batches=$nb peakState=$peak drops=$drops match=$ok (${streamFp._1} purchases, fingerprint-exact)")
       results += s""""asof":{"stream_s":$secs,"batch_s":$bSecs,"batches":$nb,"peak_state_rows":$peak,"late_drops":$drops,"match":$ok,"purchases":${streamFp._1}}"""
+    }
+
+    // ---- asof_fwd / asof_near: the 29th/30th gates' horizon-bounded
+    // forward and nearest as-of flavors under the REAL file source.
+    // Forward's state is FULLY transient (pending purchases live
+    // horizon + delay, clicks evict at the watermark, drained keys
+    // REMOVE); nearest adds backward's one standing long per key with
+    // the frozen-bwd discipline. The 3-day horizon (the gates'
+    // contract, inside the ~30-day staged span) makes all three row
+    // classes real at scale: matched, horizon-cut, no-follower.
+    // Batch truth: range windows over the same staged files (forward
+    // frame [0, H], backward [-inf, 0]), same fingerprint scheme. ----
+    val AsOfHorizonUs = 3L * 86400L * 1000000L
+    def asOfFwdBatch(): DataFrame = {
+      val pidCol = xxhash64(col("caseId"), col("tsMicros"))
+      val wf = Window.partitionBy(col("caseId")).orderBy(col("tsMicros"))
+        .rangeBetween(Window.currentRow, AsOfHorizonUs)
+      batchEv
+        .withColumn("firstClick",
+          min(when(col("activity") === "click", col("tsMicros"))).over(wf))
+        .filter(col("activity") === "purchase")
+        .select(col("caseId").as("userId"), pidCol.as("purchaseId"),
+          col("firstClick").as("firstClickTsMicros"))
+    }
+    if (wanted("asof_fwd")) {
+      import graft.streaming.StreamingAsOf
+      val pidCol = xxhash64(col("caseId"), col("tsMicros"))
+      def fp(batch: DataFrame): DataFrame =
+        batch.agg(count(lit(1)).as("n"),
+          coalesce(expr("bit_xor(xxhash64(userId, purchaseId," +
+            " firstClickTsMicros))"), lit(0L)).as("h1"),
+          coalesce(expr("bit_xor(xxhash64(firstClickTsMicros, userId," +
+            " purchaseId, 7))"), lit(0L)).as("h2"))
+      val (rows, nb, peak, drops, secs) = run(spark, dir, fpt, maxTs,
+          GapDays, sourceWatermark = false) { df =>
+        val items = df.select(col("caseId").as("userId"),
+            col("activity").as("kind"), pidCol.as("eventId"),
+            col("tsMicros"))
+          .withColumn("ts", timestamp_micros(col("tsMicros")))
+          .withWatermark("ts", "10 seconds")
+          .as[StreamingAsOf.AItem]
+        StreamingAsOf.forward(spark, items,
+          horizonSeconds = AsOfHorizonUs / 1000000L,
+          gapSeconds = gapSeconds).toDF()
+      } { batch => fp(batch) }
+      val streamFp = (rows.map(_.getLong(0)).sum,
+        rows.map(_.getLong(1)).reduceOption(_ ^ _).getOrElse(0L),
+        rows.map(_.getLong(2)).reduceOption(_ ^ _).getOrElse(0L))
+      val t0 = System.nanoTime()
+      val bs = fp(asOfFwdBatch()).head()
+      val batchFp = (bs.getLong(0), bs.getLong(1), bs.getLong(2))
+      val bSecs = (System.nanoTime() - t0) / 1e9
+      val ok = streamFp == batchFp && streamFp._1 > 0L
+      println(f"asof_fwd x$copies stream=$secs%6.1fs batch=$bSecs%6.1fs batches=$nb peakState=$peak drops=$drops match=$ok (${streamFp._1} purchases, fingerprint-exact)")
+      results += s""""asof_fwd":{"stream_s":$secs,"batch_s":$bSecs,"batches":$nb,"peak_state_rows":$peak,"late_drops":$drops,"match":$ok,"purchases":${streamFp._1}}"""
+    }
+
+    if (wanted("asof_near")) {
+      import graft.streaming.StreamingAsOf
+      val pidCol = xxhash64(col("caseId"), col("tsMicros"))
+      def fp(batch: DataFrame): DataFrame =
+        batch.agg(count(lit(1)).as("n"),
+          coalesce(expr("bit_xor(xxhash64(userId, purchaseId," +
+            " nearestClickTsMicros))"), lit(0L)).as("h1"),
+          coalesce(expr("bit_xor(xxhash64(nearestClickTsMicros, userId," +
+            " purchaseId, 7))"), lit(0L)).as("h2"))
+      val (rows, nb, peak, drops, secs) = run(spark, dir, fpt, maxTs,
+          GapDays, sourceWatermark = false) { df =>
+        val items = df.select(col("caseId").as("userId"),
+            col("activity").as("kind"), pidCol.as("eventId"),
+            col("tsMicros"))
+          .withColumn("ts", timestamp_micros(col("tsMicros")))
+          .withWatermark("ts", "10 seconds")
+          .as[StreamingAsOf.AItem]
+        StreamingAsOf.nearest(spark, items,
+          horizonSeconds = AsOfHorizonUs / 1000000L,
+          gapSeconds = gapSeconds).toDF()
+      } { batch => fp(batch) }
+      val streamFp = (rows.map(_.getLong(0)).sum,
+        rows.map(_.getLong(1)).reduceOption(_ ^ _).getOrElse(0L),
+        rows.map(_.getLong(2)).reduceOption(_ ^ _).getOrElse(0L))
+      val t0 = System.nanoTime()
+      val wb = Window.partitionBy(col("caseId")).orderBy(col("tsMicros"))
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      val wf = Window.partitionBy(col("caseId")).orderBy(col("tsMicros"))
+        .rangeBetween(Window.currentRow, AsOfHorizonUs)
+      val bs = fp(batchEv
+          .withColumn("lastClick",
+            max(when(col("activity") === "click", col("tsMicros"))).over(wb))
+          .withColumn("firstClick",
+            min(when(col("activity") === "click", col("tsMicros"))).over(wf))
+          .filter(col("activity") === "purchase")
+          .withColumn("nearest",
+            when(col("lastClick").isNull, col("firstClick"))
+              .when(col("firstClick").isNull, col("lastClick"))
+              .when(col("tsMicros") - col("lastClick") <=
+                col("firstClick") - col("tsMicros"), col("lastClick"))
+              .otherwise(col("firstClick")))
+          .select(col("caseId").as("userId"), pidCol.as("purchaseId"),
+            col("nearest").as("nearestClickTsMicros")))
+        .head()
+      val batchFp = (bs.getLong(0), bs.getLong(1), bs.getLong(2))
+      val bSecs = (System.nanoTime() - t0) / 1e9
+      val ok = streamFp == batchFp && streamFp._1 > 0L
+      println(f"asof_near x$copies stream=$secs%6.1fs batch=$bSecs%6.1fs batches=$nb peakState=$peak drops=$drops match=$ok (${streamFp._1} purchases, fingerprint-exact)")
+      results += s""""asof_near":{"stream_s":$secs,"batch_s":$bSecs,"batches":$nb,"peak_state_rows":$peak,"late_drops":$drops,"match":$ok,"purchases":${streamFp._1}}"""
     }
 
     // ---- sample: the 17th gate's bounded top-k πps fold under a

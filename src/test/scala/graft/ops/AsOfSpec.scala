@@ -96,6 +96,79 @@ class AsOfSpec extends SparkSpec {
     assert(got("lonely").isEmpty)       // key with no right rows at all
   }
 
+  test("forward as-of: smallest right ts >= left ts within horizon, equal ts inclusive") {
+    val purchases = Seq((1L, "p50", 50L), (1L, "p100", 100L), (1L, "p250", 250L),
+        (1L, "p500", 500L), (2L, "lonely", 10L))
+      .toDF("user_id", "purchase_id", "t")
+      .withColumn("ts", timestamp_micros(col("t"))).drop("t")
+    val clicks = Seq((1L, 100L), (1L, 200L), (1L, 400L), (3L, 1L))
+      .toDF("user_id", "t")
+      .withColumn("ts", timestamp_micros(col("t"))).drop("t")
+    val got = AsOf.forward(purchases, clicks, "user_id", "purchase_id", "ts",
+        horizonUs = 100L)
+      .select(col("purchase_id"), unix_micros(col("asof_fwd_ts")).as("a"))
+      .as[(String, Option[Long])].collect().toMap
+    assert(got("p50").contains(100L))  // within [50, 150]
+    assert(got("p100").contains(100L)) // equal ts is inclusive
+    assert(got("p250").isEmpty)        // next click 400 > 250+100: horizon-cut
+    assert(got("p500").isEmpty)        // no following click at all
+    assert(got("lonely").isEmpty)      // key with no right rows
+  }
+
+  test("nearest as-of: closer of backward/bounded-forward, ties backward") {
+    val purchases = Seq((1L, "tie", 150L), (1L, "fwd", 160L), (1L, "bwd", 130L),
+        (1L, "cut", 390L), (1L, "only_b", 900L), (2L, "only_f", 10L))
+      .toDF("user_id", "purchase_id", "t")
+      .withColumn("ts", timestamp_micros(col("t"))).drop("t")
+    val clicks = Seq((1L, 100L), (1L, 200L), (1L, 400L), (2L, 15L))
+      .toDF("user_id", "t")
+      .withColumn("ts", timestamp_micros(col("t"))).drop("t")
+    val got = AsOf.nearest(purchases, clicks, "user_id", "purchase_id", "ts",
+        horizonUs = 100L)
+      .select(col("purchase_id"), unix_micros(col("asof_near_ts")).as("a"))
+      .as[(String, Option[Long])].collect().toMap
+    assert(got("tie").contains(100L))    // |150-100| == |200-150| -> backward
+    assert(got("fwd").contains(200L))    // 200 is closer than 100
+    assert(got("bwd").contains(100L))    // 100 is closer than 200
+    // backward 200 is 190 away, forward 400 (inside [390,490]) is 10 -> forward
+    assert(got("cut").contains(400L))
+    assert(got("only_b").contains(400L)) // lookback unbounded: 900-400
+    assert(got("only_f").contains(15L))  // no click before 10
+  }
+
+  test("forward/nearest vs brute force on random instances") {
+    val rnd = new scala.util.Random(20260816L)
+    (1 to 10).foreach { _ =>
+      val nP = 1 + rnd.nextInt(40)
+      val nC = rnd.nextInt(30)
+      val h = (1 + rnd.nextInt(60)).toLong
+      val ps = (0 until nP).map(i => (rnd.nextInt(3).toLong, s"p$i", rnd.nextInt(200).toLong))
+      val cs = (0 until nC).map(_ => (rnd.nextInt(3).toLong, rnd.nextInt(200).toLong))
+      val purchases = ps.toDF("user_id", "purchase_id", "t")
+        .withColumn("ts", timestamp_micros(col("t"))).drop("t")
+      val clicks = cs.toDF("user_id", "t")
+        .withColumn("ts", timestamp_micros(col("t"))).drop("t")
+      val fwd = AsOf.forward(purchases, clicks, "user_id", "purchase_id", "ts", h)
+        .select(col("purchase_id"), unix_micros(col("asof_fwd_ts")))
+        .as[(String, Option[Long])].collect().toMap
+      val near = AsOf.nearest(purchases, clicks, "user_id", "purchase_id", "ts", h)
+        .select(col("purchase_id"), unix_micros(col("asof_near_ts")))
+        .as[(String, Option[Long])].collect().toMap
+      ps.foreach { case (u, id, t) =>
+        val mine = cs.filter(_._1 == u).map(_._2)
+        val bf = mine.filter(_ <= t).sorted.lastOption
+        val ff = mine.filter(c => c >= t && c <= t + h).sorted.headOption
+        assert(fwd(id) == ff, s"fwd $id t=$t h=$h cs=$mine")
+        val expNear = (bf, ff) match {
+          case (None, x) => x
+          case (x, None) => x
+          case (Some(b), Some(f)) => if (t - b <= f - t) Some(b) else Some(f)
+        }
+        assert(near(id) == expNear, s"near $id t=$t h=$h cs=$mine")
+      }
+    }
+  }
+
   test("range join auto: both inputs empty returns empty, no NPE") {
     val points = Seq.empty[(String, Long)].toDF("id", "t")
       .withColumn("ts", timestamp_micros(col("t"))).drop("t")

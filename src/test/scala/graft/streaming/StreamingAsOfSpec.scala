@@ -86,4 +86,158 @@ class StreamingAsOfSpec extends SparkSpec {
       ))
     assert(got.size == 5) // exactly one row per purchase, none dropped
   }
+
+  test("forward: horizon match, horizon cut, evicted-click fold, equal-ts tie, drained key removed") {
+    implicit val sqlCtx = spark.sqlContext
+    val H = 100L // seconds
+    val input = MemoryStream[(Long, String, Long, Long)]
+    val items = input.toDS()
+      .toDF("userId", "kind", "eventId", "tsMicros")
+      .withColumn("ts", timestamp_micros(col("tsMicros")))
+      .withWatermark("ts", "10 seconds")
+      .as[StreamingAsOf.AItem]
+    val q = StreamingAsOf.forward(spark, items, horizonSeconds = H,
+        gapSeconds = 3600L)
+      .writeStream.format("memory").queryName("asof_fw")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: purchase t=5 will be answered by click t=50 (inside
+      // [5,105]); the click arrives in the SAME batch. purchase t=200
+      // waits. user 2's purchase t=10 has its click at t=10 (tie).
+      input.addData(Seq(
+        (1L, "purchase", 1L, sec(5)),
+        (1L, "click", 900L, sec(50)),
+        (1L, "purchase", 2L, sec(200)),
+        (2L, "purchase", 3L, sec(10)),
+        (2L, "click", 901L, sec(10))))
+      q.processAllAvailable()
+      // batch 2: a BETTER (earlier-in-window) click for purchase 2
+      // cannot exist below the watermark; click t=210 matches it.
+      // click t=260 also matches but is later — best must stay 210.
+      // The wm after batch 1 is 190 (200-10): click t=50 is about to
+      // be evicted, purchase 1 must already hold it as fwdBest.
+      input.addData(Seq(
+        (1L, "click", 902L, sec(210)),
+        (1L, "click", 903L, sec(260)),
+        (1L, "purchase", 4L, sec(400)))) // will be horizon-cut: no click in [400,500]
+      q.processAllAvailable()
+      // flush: two sentinels past maxTs + H + slack
+      input.addData(Seq((-1L, "__sentinel__", -1L, sec(2000))))
+      q.processAllAvailable()
+      input.addData(Seq((-2L, "__sentinel__", -2L, sec(4000))))
+      q.processAllAvailable()
+    } finally q.stop()
+    LateDrops.assertNone(q, "asof_fw")
+    val got = spark.table("asof_fw").as[StreamingAsOf.FwdRow].collect()
+      .map(r => r.purchaseId -> r.firstClickTsMicros).toMap
+    spark.catalog.dropTempView("asof_fw")
+    assert(got == Map(
+      1L -> Some(sec(50)),  // in-window match folded before eviction
+      2L -> Some(sec(210)), // first (not any) click in window
+      3L -> Some(sec(10)),  // click AT purchase ts counts (>=)
+      4L -> None,           // no click in [400, 500]: horizon-cut
+      ))
+    assert(got.size == 4)
+  }
+
+  test("nearest: backward freeze survives later compaction; ties backward; both-None") {
+    implicit val sqlCtx = spark.sqlContext
+    val H = 100L
+    val input = MemoryStream[(Long, String, Long, Long)]
+    val items = input.toDS()
+      .toDF("userId", "kind", "eventId", "tsMicros")
+      .withColumn("ts", timestamp_micros(col("tsMicros")))
+      .withWatermark("ts", "10 seconds")
+      .as[StreamingAsOf.AItem]
+    val q = StreamingAsOf.nearest(spark, items, horizonSeconds = H,
+        gapSeconds = 3600L)
+      .writeStream.format("memory").queryName("asof_nw")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 1 is the freeze torture case: click 100, purchase 150,
+      // clicks 200 and 245 — the answer is the TIE between 100 and
+      // 200 (both 50 away), resolving backward to 100. Click 200
+      // compacts into the standing long BEFORE the purchase finalizes
+      // (wm passes 200 while the purchase waits on 150+H=250), so an
+      // implementation without the freeze would read the polluted
+      // compactMax=200 and answer forward. user 9 only advances the
+      // watermark. user 2: purchase with no clicks -> None. user 3:
+      // backward click 10 compacted early, forward 390 (90 < 290).
+      input.addData(Seq(
+        (1L, "click", 900L, sec(100)),
+        (3L, "click", 901L, sec(10)),
+        (2L, "purchase", 20L, sec(50)),
+        (9L, "click", 990L, sec(60))))
+      q.processAllAvailable() // wm -> 90
+      input.addData(Seq(
+        (1L, "purchase", 10L, sec(150)),
+        (9L, "click", 991L, sec(180))))
+      q.processAllAvailable() // wm -> 170 (purchase 150 arrived at wm 90)
+      input.addData(Seq(
+        (1L, "click", 902L, sec(200)), // folds as fwdBest, then the settle
+                                       // (wm 170 > 150) FREEZES bwd=100 and
+                                       // compacts click 100
+        (9L, "click", 992L, sec(230))))
+      q.processAllAvailable() // wm -> 220
+      input.addData(Seq(
+        (1L, "click", 903L, sec(245)), // in-window but later than 200: best
+                                       // stays 200; settle (wm 220) compacts
+                                       // click 200 into compactMax
+        (3L, "purchase", 30L, sec(300)),
+        (3L, "click", 904L, sec(390)),
+        (9L, "click", 993L, sec(300))))
+      q.processAllAvailable() // wm -> 290 > 250: purchase 150 finalizes on
+                              // its timer only AFTER click 200 compacted
+      input.addData(Seq((-1L, "__sentinel__", -1L, sec(2000))))
+      q.processAllAvailable()
+      input.addData(Seq((-2L, "__sentinel__", -2L, sec(4000))))
+      q.processAllAvailable()
+    } finally q.stop()
+    LateDrops.assertNone(q, "asof_nw")
+    val got = spark.table("asof_nw").as[StreamingAsOf.NearRow].collect()
+      .map(r => r.purchaseId -> r.nearestClickTsMicros).toMap
+    spark.catalog.dropTempView("asof_nw")
+    assert(got == Map(
+      10L -> Some(sec(100)), // tie (50 vs 50) resolves BACKWARD
+      20L -> None,           // no click on either side
+      30L -> Some(sec(390)), // forward beats the compacted backward
+      ))
+    assert(got.size == 3)
+  }
+
+  test("nearest: tie click arriving before freeze gives same answer as batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Long, Long)]
+    val items = input.toDS()
+      .toDF("userId", "kind", "eventId", "tsMicros")
+      .withColumn("ts", timestamp_micros(col("tsMicros")))
+      .withWatermark("ts", "10 seconds")
+      .as[StreamingAsOf.AItem]
+    val q = StreamingAsOf.nearest(spark, items, horizonSeconds = 100L,
+        gapSeconds = 3600L)
+      .writeStream.format("memory").queryName("asof_nw2")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // everything in one batch: purchase t=150 between clicks 100 and
+      // 200 (tie -> 100); purchase t=149 (bwd 100 d=49, fwd 200 d=51
+      // -> 100); purchase t=151 (bwd 100 d=51, fwd 200 d=49 -> 200)
+      input.addData(Seq(
+        (1L, "click", 900L, sec(100)),
+        (1L, "click", 901L, sec(200)),
+        (1L, "purchase", 10L, sec(150)),
+        (1L, "purchase", 11L, sec(149)),
+        (1L, "purchase", 12L, sec(151))))
+      q.processAllAvailable()
+      input.addData(Seq((-1L, "__sentinel__", -1L, sec(2000))))
+      q.processAllAvailable()
+      input.addData(Seq((-2L, "__sentinel__", -2L, sec(4000))))
+      q.processAllAvailable()
+    } finally q.stop()
+    LateDrops.assertNone(q, "asof_nw2")
+    val got = spark.table("asof_nw2").as[StreamingAsOf.NearRow].collect()
+      .map(r => r.purchaseId -> r.nearestClickTsMicros).toMap
+    spark.catalog.dropTempView("asof_nw2")
+    assert(got == Map(
+      10L -> Some(sec(100)), 11L -> Some(sec(100)), 12L -> Some(sec(200))))
+  }
 }
