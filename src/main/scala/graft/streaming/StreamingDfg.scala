@@ -1,27 +1,104 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-/** Streaming directly-follows mining: edges emitted from CLOSED
-  * traces ([[TraceAssembly]]), so ordering is resolved once per trace
-  * at session close — exact under out-of-order arrival within the
-  * watermark, unlike last-event-state streaming DFGs that corrupt
-  * edges on any reordering. Downstream the edge stream feeds an
-  * ordinary streaming aggregation (or lands in parquet for the batch
-  * [[graft.ops.Dfg]] analytics).
+/** Streaming directly-follows mining — exact under out-of-order
+  * arrival within the watermark, unlike last-event-state streaming
+  * DFGs that corrupt edges on any reordering.
   *
-  * State = open traces only (TraceAssembly's bound); edge emission is
-  * stateless flatMap over each closed trace.
+  * r15: the per-case state no longer buffers the whole open trace.
+  * The DFG edge multiset of a time-sorted trace is a LEFT FOLD with
+  * state (last event, edge counts) — consecutive-pair counting — and
+  * the watermark finalizes a sorted prefix exactly as in
+  * [[StreamingFunnel]] (every event below it is immutable; each
+  * micro-batch's foldable slice sits at-or-above every previously
+  * folded one; a (ts, activity) tie group never straddles the strict
+  * ts < wm cut). So the keyed state compacts the below-watermark
+  * history into ONE (ts, activity) pair plus an edge-count map bounded
+  * by |alphabet|² — NOT by trace length — and buffers only in-horizon
+  * events. The old shape ([[TraceAssembly]]'s full event buffer)
+  * re-serialized each case's growing history at every touching
+  * micro-batch; at ×100 that was the most expensive row of the
+  * file-source audit (SCALE.md r15).
+  *
+  * Emission contract unchanged: one [[Edge]] row per directly-follows
+  * OCCURRENCE of the closed trace (counts expand at flush), so
+  * downstream aggregations see the identical multiset.
   */
-object StreamingDfg {
+object StreamingDfg extends Serializable {
 
   case class Edge(actFrom: String, actTo: String)
+
+  /** Compacted fold state: `lastAct`/`lastTs` is the final event of
+    * the folded (below-watermark) prefix (`hasLast` false until the
+    * first fold); `edges` maps "from\u0001to" to its count; `tss`/
+    * `acts` buffer only in-horizon events. */
+  case class DfgSt(hasLast: Boolean, lastTs: Long, lastAct: String,
+      edges: Map[String, Long], tss: Seq[Long], acts: Seq[String],
+      lastMicros: Long)
+
+  private val Sep = "\u0001"
+
+  /** Advance the (last event, edge counts) fold through a
+    * (ts, activity)-sorted slice. Prefix-composable: folding a sorted
+    * trace in consecutive slices yields the same counts as folding it
+    * whole. */
+  private def advance(st: DfgSt, sorted: Seq[(Long, String)]): DfgSt = {
+    if (sorted.isEmpty) return st
+    var edges = st.edges
+    var hasLast = st.hasLast
+    var lastAct = st.lastAct
+    var lastTs = st.lastTs
+    sorted.foreach { case (ts, a) =>
+      if (hasLast) {
+        val k = lastAct + Sep + a
+        edges = edges.updated(k, edges.getOrElse(k, 0L) + 1L)
+      }
+      hasLast = true; lastAct = a; lastTs = ts
+    }
+    DfgSt(hasLast, lastTs, lastAct, edges, st.tss, st.acts, st.lastMicros)
+  }
 
   def edges(spark: SparkSession, events: Dataset[TraceAssembly.InEvent],
       gapSeconds: Long): Dataset[Edge] = {
     import spark.implicits._
-    TraceAssembly.assemble(spark, events, gapSeconds).flatMap { t =>
-      t.activities.sliding(2).collect { case Seq(a, b) => Edge(a, b) }
+
+    def update(caseId: String, in: Iterator[TraceAssembly.InEvent],
+        state: GroupState[DfgSt]): Iterator[Edge] = {
+      if (state.hasTimedOut) {
+        val st0 = state.get
+        state.remove()
+        val sorted = st0.tss.zip(st0.acts).sortBy(e => (e._1, e._2))
+        val st = advance(st0, sorted)
+        st.edges.iterator.flatMap { case (k, n) =>
+          val i = k.indexOf(Sep)
+          Iterator.fill(n.toInt)(Edge(k.substring(0, i), k.substring(i + 1)))
+        }
+      } else {
+        val wmMicros = state.getCurrentWatermarkMs() * 1000L
+        val old = state.getOption
+          .getOrElse(DfgSt(hasLast = false, 0L, "", Map.empty, Nil, Nil, 0L))
+        var last = old.lastMicros
+        val fresh = scala.collection.mutable.ListBuffer.empty[(Long, String)]
+        in.foreach { e =>
+          last = math.max(last, e.tsMicros)
+          fresh += ((e.tsMicros, e.activity))
+        }
+        val pairs = old.tss.zip(old.acts) ++ fresh
+        val (done, rest) = pairs.partition(_._1 < wmMicros)
+        val folded =
+          if (done.isEmpty) old
+          else advance(old, done.sortBy(e => (e._1, e._2)))
+        state.update(DfgSt(folded.hasLast, folded.lastTs, folded.lastAct,
+          folded.edges, rest.map(_._1), rest.map(_._2), last))
+        state.setTimeoutTimestamp(last / 1000L + gapSeconds * 1000L)
+        Iterator.empty
+      }
     }
+
+    events.groupByKey(_.caseId)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(update)
   }
 }

@@ -90,6 +90,58 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming DFG compaction: a trace folded across many watermark advances == batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[TraceAssembly.InEvent]
+    val events = input.toDS()
+      .withColumn("ts", timestamp_micros(col("tsMicros")))
+      .withWatermark("ts", "10 seconds")
+      .as[TraceAssembly.InEvent]
+    val query = StreamingDfg.edges(spark, events, gapSeconds = 3600)
+      .writeStream.format("memory").queryName("stream_dfg_c")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // one long trace with repeated edges and ties, delivered in four
+      // batches while the watermark advances THROUGH the trace — each
+      // batch's below-watermark slice compacts into (last event, edge
+      // counts) long before the trace closes; the repeat x->y edge
+      // spans a fold boundary, and the (ts 40) tie group arrives split
+      // across batches but lands entirely on one side of every cut
+      val all = scala.collection.mutable.ListBuffer[TraceAssembly.InEvent]()
+      def add(evs: TraceAssembly.InEvent*): Unit = {
+        all ++= evs; input.addData(evs: _*); query.processAllAvailable()
+      }
+      add(TraceAssembly.InEvent("T", "x", sec(10)),
+        TraceAssembly.InEvent("T", "y", sec(20)))             // wm -> 10
+      add(TraceAssembly.InEvent("T", "x", sec(30)),
+        TraceAssembly.InEvent("T", "b", sec(40)))             // wm -> 30: folds 10,20
+      add(TraceAssembly.InEvent("T", "y", sec(35)),           // repeats x->y
+        TraceAssembly.InEvent("T", "a", sec(40)),             // tie at 40
+        TraceAssembly.InEvent("T", "y", sec(50)))             // wm -> 40: folds 30,35
+      add(TraceAssembly.InEvent("T", "z", sec(60)),
+        TraceAssembly.InEvent("U", "w", sec(70)))             // wm -> 60
+      // flush far past gap, twice (timers fire vs the prior watermark)
+      add(TraceAssembly.InEvent("F", "_s", sec(7200)))
+      add(TraceAssembly.InEvent("F2", "_s", sec(14400)))
+      val streamed = spark.table("stream_dfg_c")
+        .as[(String, String)].collect().toSeq
+        .filter(e => e._1 != "_s" && e._2 != "_s")
+        .groupBy(identity).view.mapValues(_.length).toMap
+      val batch = all.toSeq.map(e => (e.caseId, e.activity, e.tsMicros))
+        .toDF("case", "act", "t")
+        .withColumn("ts", timestamp_micros(col("t")))
+      // tie-break on activity — the stream fold's (ts, activity) sort
+      // and the bench's batch truth both pin this total order
+      val expect = graft.ops.Dfg.edges(batch, "case", "act", "ts", "act")
+        .as[(String, String, Long)].collect()
+        .filter(e => e._1 != "_s" && e._2 != "_s")
+        .map { case (a, b, n) => (a, b) -> n.toInt }.toMap
+      assert(streamed == expect, s"streamed=$streamed expect=$expect")
+      assert(expect(("x", "y")) == 2) // the repeated edge spans a fold cut
+    } finally query.stop()
+    spark.catalog.dropTempView("stream_dfg_c")
+  }
+
   test("running stats update incrementally (stats.rs as stateful agg)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Long)]
