@@ -891,7 +891,7 @@ object EventLogQueries {
         .drop("ts")
     },
 
-    // Streaming ↔ batch FORWARD as-of parity (gate 29) — the
+    // Streaming ↔ batch FORWARD as-of parity (gate 28) — the
     // mirror-image state story of gate 27: backward streams unbounded
     // lookback by compacting the past to one standing long; forward
     // streams by being horizon-bounded, and its state is FULLY
@@ -912,7 +912,7 @@ object EventLogQueries {
       }
     },
 
-    // Streaming ↔ batch NEAREST as-of parity (gate 30) — composes the
+    // Streaming ↔ batch NEAREST as-of parity (gate 29) — composes the
     // two sides' irreducible state: the backward standing long PLUS
     // forward's transient horizon. The composition's one subtlety: a
     // purchase now outlives the watermark passing its ts (it waits on
