@@ -83,7 +83,16 @@ object AsOf {
         when(unix_micros(col("_bwd")) === unix_micros(col("_ts")), col("_ts"))
           .otherwise(col("_fexcl")))
       .withColumn("_fwd",
-        when(unix_micros(col("_fraw")) <= unix_micros(col("_ts")) + horizonUs,
+        // Saturating ts + horizon, mirroring the streaming twin's
+        // safeAdd: a horizon near Long.MaxValue must widen the window
+        // to "any following row", not wrap negative (non-ANSI) or
+        // throw (ANSI). horizonUs >= 0, so Long.MaxValue - horizonUs
+        // is overflow-free on the driver and the guard needs no SQL
+        // arithmetic beyond the comparison.
+        when(unix_micros(col("_fraw")) <=
+          when(unix_micros(col("_ts")) > lit(Long.MaxValue - horizonUs),
+            lit(Long.MaxValue))
+            .otherwise(unix_micros(col("_ts")) + horizonUs),
           col("_fraw")))
       .select(col(keyCol), col(idCol), col("_ts").as(tsCol),
         col("_bwd"), col("_fwd"))

@@ -421,8 +421,20 @@ object SketchQuantiles {
     * the weighted proof ([[MpSketch.addWeighted]]). */
   def rankAuditWeighted(df: DataFrame, groupCol: Column, valueCol: Column,
       weightCol: Column, estimates: DataFrame): DataFrame = {
+    // The audit must sum EXACTLY the mass the sketch ingested.
+    // addWeighted requires w >= 1; enforce the same contract here so
+    // a null/non-positive weight expression fails loudly instead of
+    // silently certifying against a different mass definition.
+    val wChecked = {
+      val w = weightCol.cast("long")
+      when(w.isNotNull && w >= 1L, w)
+        .otherwise(raise_error(concat(
+          lit("rankAuditWeighted: weight must be a non-null long >= 1 " +
+            "(the addWeighted contract); got "),
+          coalesce(w.cast("string"), lit("null")))))
+    }
     val items = df.select(groupCol.cast("string").as("group"),
-      valueCol.cast("long").as("v"), weightCol.cast("long").as("w"))
+      valueCol.cast("long").as("v"), wChecked.as("w"))
     items.join(broadcast(estimates), Seq("group"))
       .groupBy(col("group"), col("p_permille"), col("value_est"),
         col("n_total"), col("err_bound_rank"))

@@ -32,33 +32,54 @@ object StreamingDfg extends Serializable {
 
   /** Compacted fold state: `lastAct`/`lastTs` is the final event of
     * the folded (below-watermark) prefix (`hasLast` false until the
-    * first fold); `edges` maps "from\u0001to" to its count; `tss`/
-    * `acts` buffer only in-horizon events. */
+    * first fold); `edgeFrom`/`edgeTo`/`edgeN` are parallel columns of
+    * the edge-count map — STRUCTURED, because activity names may
+    * contain any character (the r15 shape joined the pair on a
+    * control-byte separator and split on its first occurrence, which
+    * a separator-bearing activity would corrupt); `tss`/`acts` buffer
+    * only in-horizon events. */
   case class DfgSt(hasLast: Boolean, lastTs: Long, lastAct: String,
-      edges: Map[String, Long], tss: Seq[Long], acts: Seq[String],
-      lastMicros: Long)
-
-  private val Sep = "\u0001"
+      edgeFrom: Seq[String], edgeTo: Seq[String], edgeN: Seq[Long],
+      tss: Seq[Long], acts: Seq[String], lastMicros: Long)
 
   /** Advance the (last event, edge counts) fold through a
     * (ts, activity)-sorted slice. Prefix-composable: folding a sorted
     * trace in consecutive slices yields the same counts as folding it
-    * whole. */
+    * whole. The hash map is materialized from / back to the
+    * parallel-seq state columns once per touching micro-batch —
+    * O(|alphabet|²), the same order as serializing the state at all. */
   private def advance(st: DfgSt, sorted: Seq[(Long, String)]): DfgSt = {
     if (sorted.isEmpty) return st
-    var edges = st.edges
+    val edges = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    var i = 0
+    while (i < st.edgeFrom.length) {
+      edges.put((st.edgeFrom(i), st.edgeTo(i)), st.edgeN(i)); i += 1
+    }
     var hasLast = st.hasLast
     var lastAct = st.lastAct
     var lastTs = st.lastTs
     sorted.foreach { case (ts, a) =>
       if (hasLast) {
-        val k = lastAct + Sep + a
-        edges = edges.updated(k, edges.getOrElse(k, 0L) + 1L)
+        val k = (lastAct, a)
+        edges.put(k, edges.getOrElse(k, 0L) + 1L)
       }
       hasLast = true; lastAct = a; lastTs = ts
     }
-    DfgSt(hasLast, lastTs, lastAct, edges, st.tss, st.acts, st.lastMicros)
+    val ks = edges.keysIterator.toArray
+    DfgSt(hasLast, lastTs, lastAct,
+      ks.map(_._1).toSeq, ks.map(_._2).toSeq, ks.map(edges(_)).toSeq,
+      st.tss, st.acts, st.lastMicros)
   }
+
+  /** Long-safe `Iterator.fill`: `Iterator.fill(n.toInt)` on a count
+    * above Int.MaxValue wraps negative and yields an EMPTY iterator —
+    * silently dropping occurrences. This form never truncates. */
+  private def fillL(n: Long, e: Edge): Iterator[Edge] =
+    new Iterator[Edge] {
+      private var i = 0L
+      def hasNext: Boolean = i < n
+      def next(): Edge = { i += 1L; e }
+    }
 
   def edges(spark: SparkSession, events: Dataset[TraceAssembly.InEvent],
       gapSeconds: Long): Dataset[Edge] = {
@@ -71,14 +92,13 @@ object StreamingDfg extends Serializable {
         state.remove()
         val sorted = st0.tss.zip(st0.acts).sortBy(e => (e._1, e._2))
         val st = advance(st0, sorted)
-        st.edges.iterator.flatMap { case (k, n) =>
-          val i = k.indexOf(Sep)
-          Iterator.fill(n.toInt)(Edge(k.substring(0, i), k.substring(i + 1)))
+        st.edgeFrom.indices.iterator.flatMap { i =>
+          fillL(st.edgeN(i), Edge(st.edgeFrom(i), st.edgeTo(i)))
         }
       } else {
         val wmMicros = state.getCurrentWatermarkMs() * 1000L
         val old = state.getOption
-          .getOrElse(DfgSt(hasLast = false, 0L, "", Map.empty, Nil, Nil, 0L))
+          .getOrElse(DfgSt(hasLast = false, 0L, "", Nil, Nil, Nil, Nil, Nil, 0L))
         var last = old.lastMicros
         val fresh = scala.collection.mutable.ListBuffer.empty[(Long, String)]
         in.foreach { e =>
@@ -91,7 +111,8 @@ object StreamingDfg extends Serializable {
           if (done.isEmpty) old
           else advance(old, done.sortBy(e => (e._1, e._2)))
         state.update(DfgSt(folded.hasLast, folded.lastTs, folded.lastAct,
-          folded.edges, rest.map(_._1), rest.map(_._2), last))
+          folded.edgeFrom, folded.edgeTo, folded.edgeN,
+          rest.map(_._1), rest.map(_._2), last))
         state.setTimeoutTimestamp(last / 1000L + gapSeconds * 1000L)
         Iterator.empty
       }

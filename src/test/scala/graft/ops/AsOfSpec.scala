@@ -136,6 +136,24 @@ class AsOfSpec extends SparkSpec {
     assert(got("only_f").contains(15L))  // no click before 10
   }
 
+  test("forward as-of: extreme horizon saturates instead of overflowing") {
+    // ts + horizon with horizonUs near Long.MaxValue would wrap
+    // negative under non-ANSI (cutting EVERY match) or throw under
+    // ANSI; the saturating guard must make it mean "any following
+    // right row" — i.e. behave like an unbounded lookahead.
+    val purchases = Seq((1L, "p50", 50L), (1L, "p500", 500L))
+      .toDF("user_id", "purchase_id", "t")
+      .withColumn("ts", timestamp_micros(col("t"))).drop("t")
+    val clicks = Seq((1L, 400L)).toDF("user_id", "t")
+      .withColumn("ts", timestamp_micros(col("t"))).drop("t")
+    val got = AsOf.forward(purchases, clicks, "user_id", "purchase_id", "ts",
+        horizonUs = Long.MaxValue)
+      .select(col("purchase_id"), unix_micros(col("asof_fwd_ts")).as("a"))
+      .as[(String, Option[Long])].collect().toMap
+    assert(got("p50").contains(400L))  // would wrap negative without the guard
+    assert(got("p500").isEmpty)        // still no FOLLOWING click
+  }
+
   test("forward/nearest vs brute force on random instances") {
     val rnd = new scala.util.Random(20260816L)
     (1 to 10).foreach { _ =>

@@ -221,6 +221,29 @@ class SketchQuantilesSpec extends SparkSpec {
     }
   }
 
+  test("rankAuditWeighted rejects weights outside the addWeighted contract") {
+    // addWeighted requires w >= 1; a weight expression that yields 0,
+    // negative, or null mass must fail the AUDIT loudly — silently
+    // summing it would certify against a different mass definition
+    // than the sketch ingested.
+    val est = SketchQuantiles.approxByGroupWeighted(
+      Seq(("g", 1L, 2L), ("g", 5L, 3L)).toDF("group", "v", "w"),
+      col("group"), col("v"), col("w"), Seq(500), k = 64)
+    Seq(Seq(("g", 1L, 0L)), Seq(("g", 1L, -4L))).foreach { bad =>
+      val ex = intercept[Exception] {
+        SketchQuantiles.rankAuditWeighted(bad.toDF("group", "v", "w"),
+          col("group"), col("v"), col("w"), est).collect()
+      }
+      assert(ex.getMessage.contains("weight must be"), ex.getMessage)
+    }
+    val exNull = intercept[Exception] {
+      SketchQuantiles.rankAuditWeighted(
+        Seq(("g", 1L, Option.empty[Long])).toDF("group", "v", "w"),
+        col("group"), col("v"), col("w"), est).collect()
+    }
+    assert(exNull.getMessage.contains("weight must be"), exNull.getMessage)
+  }
+
   test("streaming twin: one-pass fold across micro-batches, certified within bound") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode

@@ -142,6 +142,45 @@ class StreamingSpec extends SparkSpec {
     spark.catalog.dropTempView("stream_dfg_c")
   }
 
+  test("streaming DFG: activity names containing \\u0001 survive the state round-trip") {
+    // r15 keyed the compacted edge-count map on from+"\u0001"+to and
+    // split on the FIRST separator — an activity named "p\u0001q"
+    // would re-split as ("p", "q\u0001…") and emit wrong pairs. The
+    // r16 state carries structured (from, to, n) parallel columns;
+    // this pins the exact adversarial name, across a fold boundary.
+    implicit val sqlCtx = spark.sqlContext
+    val evil = "p\u0001q"   // contains the old separator
+    val input = MemoryStream[TraceAssembly.InEvent]
+    val events = input.toDS()
+      .withColumn("ts", timestamp_micros(col("tsMicros")))
+      .withWatermark("ts", "10 seconds")
+      .as[TraceAssembly.InEvent]
+    val query = StreamingDfg.edges(spark, events, gapSeconds = 30)
+      .writeStream.format("memory").queryName("stream_dfg_sep")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        TraceAssembly.InEvent("A", evil, sec(10)),
+        TraceAssembly.InEvent("A", "r", sec(20)))
+      query.processAllAvailable()
+      // watermark advance folds the prefix INTO the structured map,
+      // then a later event extends it before the close
+      input.addData(TraceAssembly.InEvent("A", evil, sec(30)))
+      query.processAllAvailable()
+      input.addData(TraceAssembly.InEvent("F", "_s", sec(500)))
+      query.processAllAvailable()
+      input.addData(TraceAssembly.InEvent("F2", "_s", sec(600)))
+      query.processAllAvailable()
+      val streamed = spark.table("stream_dfg_sep")
+        .as[(String, String)].collect().toSeq
+        .filter(e => e._1 != "_s" && e._2 != "_s")
+        .groupBy(identity).view.mapValues(_.length).toMap
+      assert(streamed == Map((evil, "r") -> 1, ("r", evil) -> 1),
+        s"streamed=$streamed")
+    } finally query.stop()
+    spark.catalog.dropTempView("stream_dfg_sep")
+  }
+
   test("running stats update incrementally (stats.rs as stateful agg)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Long)]
