@@ -127,6 +127,31 @@ object Split {
       s"WHEN $b < ${trainPermille + valPermille} THEN 'val' ELSE 'test' END"
   }
 
+  /** Leakage-safe document split: the unit of assignment is the
+    * exact-duplicate CLUSTER, not the document. A plain per-id split
+    * routes copies of the same text to different branches — the
+    * classic train→test leak that inflates held-out metrics — so the
+    * branch is derived from a hash of the NORMALIZED CONTENT
+    * (lower(trim(text)), the [[graft.dedup.Dedup.exact]] cluster key):
+    * duplicates co-assign by construction, with NO shuffle and no
+    * cluster materialization — the whole operator is one map-side
+    * codegen'd scan. Adds `cluster_key` (the content hash, shared by
+    * all members of an exact-dup cluster) and `is_train`.
+    *
+    * Near-dup-safe variants plug in the same way: substitute any
+    * deterministic per-cluster key (e.g. a
+    * [[graft.dedup.Dedup.duplicateClusters]] canonical id) for the
+    * content hash and bucket THAT — the co-assignment argument only
+    * needs "same cluster ⇒ same key".
+    */
+  def assignLeakSafe(docs: DataFrame, textCol: String, trainPermille: Int,
+      seed: Long): DataFrame =
+    docs
+      .withColumn("cluster_key", graft.functions.NativeExpressions
+        .charHash(lower(trim(col(textCol))), 7L))
+      .withColumn("is_train",
+        bucket(col("cluster_key"), seed) < lit(trainPermille))
+
   /** The `Split` operator proper: (train, test) DataFrames. Both are
     * lazy views over the same scan — cache upstream if both sides are
     * consumed (the reference's Duplicator note, SURVEY.md §4).

@@ -1271,6 +1271,48 @@ object EventLogQueries {
         Seq("act_from", "act_to"), col("wait_us"), Seq(500, 950))
     },
 
+    // Temporal profile (ops/Temporal): per-segment sufficient
+    // statistics (n, Σw, Σw²) at second granularity — exact
+    // decimal(38,0) sums surfaced as one correctly-rounded double
+    // each, the repo's standard gate convention for moments.
+    "q_temporal_profile" -> { (s, dir) =>
+      graft.ops.Temporal.profile(Tables(s, dir, "events"),
+        caseCol = "user_id", activityCol = "event_type",
+        tsCol = "ts", tieBreak = "event_id")
+    },
+
+    // Temporal-conformance deviations: per segment, occurrences more
+    // than ζ=2 population std-devs from the segment's own mean wait —
+    // the z-test evaluated as the division-free fixed IEEE tree
+    // (n·e − s1)² > ζ²(n·s2 − s1²) over exact-integer-derived doubles,
+    // mirrored term-by-term in the oracle.
+    "q_temporal_deviations" -> { (s, dir) =>
+      graft.ops.Temporal.deviations(Tables(s, dir, "events"),
+        caseCol = "user_id", activityCol = "event_type",
+        tsCol = "ts", tieBreak = "event_id", zeta = 2.0)
+    },
+
+    // Performance spectrum (ops/Temporal): every transition occurrence
+    // value-banded into its segment's exact quartile band (rank =
+    // ceil(p·n/1000), the Quantiles contract), rolled up per
+    // (segment, band). Banding is a broadcast-joined comparison, never
+    // an NTILE sort of a hot segment on one partition.
+    "q_perf_spectrum" -> { (s, dir) =>
+      graft.ops.Temporal.spectrum(Tables(s, dir, "events"),
+        caseCol = "user_id", activityCol = "event_type",
+        tsCol = "ts", tieBreak = "event_id")
+    },
+
+    // Batching-behavior detection (ops/Batching): maximal same
+    // (activity, resource) runs with inter-event gaps ≤ 1 day —
+    // user_id plays the resource here (who executes), the
+    // queue-mining companion of per-case sessionization.
+    "q_batching" -> { (s, dir) =>
+      graft.ops.Batching.summary(Tables(s, dir, "events"),
+        activityCol = "event_type", resourceCol = "user_id",
+        tsCol = "ts", tieBreak = "event_id", gapUs = 86400L * 1000000L)
+    },
+
     // Frequency-threshold model simplification (the Disco slider):
     // DFG restricted to frequent activities and frequent edges.
     "q_dfg_simplified" -> { (s, dir) =>
@@ -1833,6 +1875,82 @@ object EventLogQueries {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
         |WHERE act_to IS NOT NULL
         |GROUP BY 1, 2""".stripMargin,
+    "q_temporal_profile" ->
+      """WITH p0 AS (
+        |  SELECT event_type AS act_from, lead(event_type) OVER w AS act_to,
+        |    (epoch_us(lead(ts) OVER w) - epoch_us(ts)) // 1000000 AS wait_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT act_from, act_to, count(*) AS n,
+        |  CAST(sum(wait_s) AS DOUBLE) AS sum_wait_s,
+        |  CAST(sum(wait_s * wait_s) AS DOUBLE) AS sumsq_wait_s
+        |FROM p0 WHERE act_to IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin,
+    // the z-test as the same division-free IEEE tree the Spark plan
+    // evaluates — exact-integer moments cast to double once, then
+    // (n·e − s1)² > ζ²(n·s2 − s1²) term-for-term
+    "q_temporal_deviations" ->
+      """WITH p0 AS (
+        |  SELECT event_type AS act_from, lead(event_type) OVER w AS act_to,
+        |    (epoch_us(lead(ts) OVER w) - epoch_us(ts)) // 1000000 AS wait_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |pp AS (SELECT * FROM p0 WHERE act_to IS NOT NULL),
+        |pr AS (SELECT act_from, act_to, count(*) AS n,
+        |    CAST(sum(wait_s) AS DOUBLE) AS s1,
+        |    CAST(sum(wait_s * wait_s) AS DOUBLE) AS s2
+        |  FROM pp GROUP BY 1, 2)
+        |SELECT act_from, act_to, n,
+        |  CAST(sum(CASE WHEN n >= 2 AND
+        |      (CAST(n AS DOUBLE) * CAST(wait_s AS DOUBLE) - s1)
+        |        * (CAST(n AS DOUBLE) * CAST(wait_s AS DOUBLE) - s1)
+        |      > 4.0 * (CAST(n AS DOUBLE) * s2 - s1 * s1)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_dev
+        |FROM pp JOIN pr USING (act_from, act_to)
+        |GROUP BY 1, 2, 3""".stripMargin,
+    // same row_number rank-selection equivalence as q_exact_quantiles,
+    // then value-banding against the selected quartiles
+    "q_perf_spectrum" ->
+      """WITH p0 AS (
+        |  SELECT event_type AS act_from, lead(event_type) OVER w AS act_to,
+        |    epoch_us(lead(ts) OVER w) - epoch_us(ts) AS wait_us
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |pp AS (SELECT * FROM p0 WHERE act_to IS NOT NULL),
+        |r AS (SELECT act_from, act_to, wait_us,
+        |    row_number() OVER (PARTITION BY act_from, act_to ORDER BY wait_us) AS rn,
+        |    count(*) OVER (PARTITION BY act_from, act_to) AS n
+        |  FROM pp),
+        |th AS (SELECT act_from, act_to,
+        |    max(CASE WHEN rn = (n // 1000) * 250 + ((n % 1000) * 250 + 999) // 1000 THEN wait_us END) AS q1,
+        |    max(CASE WHEN rn = (n // 1000) * 500 + ((n % 1000) * 500 + 999) // 1000 THEN wait_us END) AS q2,
+        |    max(CASE WHEN rn = (n // 1000) * 750 + ((n % 1000) * 750 + 999) // 1000 THEN wait_us END) AS q3
+        |  FROM r GROUP BY 1, 2)
+        |SELECT act_from, act_to, band, count(*) AS n,
+        |  min(wait_us) AS min_wait_us, max(wait_us) AS max_wait_us
+        |FROM (
+        |  SELECT pp.act_from, pp.act_to, wait_us,
+        |    1 + CAST(wait_us > q1 AS INT) + CAST(wait_us > q2 AS INT)
+        |      + CAST(wait_us > q3 AS INT) AS band
+        |  FROM pp JOIN th USING (act_from, act_to))
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q_batching" ->
+      """WITH d AS (
+        |  SELECT event_type AS activity, user_id AS resource, ts, event_id,
+        |    CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (
+        |        PARTITION BY event_type, user_id ORDER BY ts, event_id))
+        |      <= 86400000000 THEN 0 ELSE 1 END AS nb
+        |  FROM events),
+        |b AS (SELECT activity, resource,
+        |    sum(nb) OVER (PARTITION BY activity, resource
+        |      ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS bid
+        |  FROM d),
+        |s AS (SELECT activity, resource, bid, count(*) AS sz
+        |  FROM b GROUP BY 1, 2, 3)
+        |SELECT activity, count(*) AS n_batches, max(sz) AS max_batch_size,
+        |  CAST(sum(CASE WHEN sz >= 2 THEN sz ELSE 0 END) AS BIGINT)
+        |    AS n_batched_events
+        |FROM s GROUP BY 1""".stripMargin,
     "q_dfg_simplified" ->
       """WITH kept AS (
         |  SELECT event_type AS act FROM events

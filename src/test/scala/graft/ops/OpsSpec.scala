@@ -52,6 +52,31 @@ class OpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Split.assign(bad, "case_id", 500, 1) }
   }
 
+  test("split: leak-safe — exact duplicates never straddle the split") {
+    // 400 distinct texts, each planted in 1-3 copies under DIFFERENT
+    // doc ids; a per-id split would leak copies across branches, the
+    // content-keyed split cannot.
+    val docs = (1 to 400).flatMap { i =>
+      val copies = 1 + i % 3
+      (0 until copies).map(j => (i.toLong * 10 + j, s"document body $i  "))
+    }.toDF("doc_id", "text")
+    val got = Split.assignLeakSafe(docs, "text", 700, seed = 5)
+    // same normalized content -> same cluster_key -> same branch
+    val straddling = got.groupBy(lower(trim(col("text"))))
+      .agg(countDistinct(col("is_train")).as("k"), countDistinct(col("cluster_key")).as("c"))
+      .filter(col("k") =!= 1 || col("c") =!= 1)
+    assert(straddling.count() == 0L)
+    // and the ratio still converges at CLUSTER granularity
+    val ratio = got.filter(col("is_train"))
+      .select("cluster_key").distinct().count().toDouble / 400.0
+    assert(math.abs(ratio - 0.7) < 0.08, s"got $ratio")
+    // normalization: differing only by case/outer whitespace co-assigns
+    val pair = Seq((1L, "Hello World"), (2L, "  hello world ")).toDF("doc_id", "text")
+    val keys = Split.assignLeakSafe(pair, "text", 500, seed = 5)
+      .select("cluster_key").as[Long].collect().toSet
+    assert(keys.size == 1)
+  }
+
   test("split: deterministic across partitionings") {
     val one = Split.assign((1L to 1000L).toDF("c").repartition(1), "c", 500, 9)
       .filter(col("is_train")).select("c").as[Long].collect().toSet
