@@ -28,6 +28,28 @@ object EventLogQueries {
   private val sessRun = new AtomicInteger(0)
   private val hopRun = new AtomicInteger(0)
 
+  /** Temporal-deviation oracle — shared verbatim by the batch
+    * conformance gate and its streaming twin (gate 30). */
+  private val temporalDevSql =
+    """WITH p0 AS (
+      |  SELECT event_type AS act_from, lead(event_type) OVER w AS act_to,
+      |    (epoch_us(lead(ts) OVER w) - epoch_us(ts)) // 1000000 AS wait_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |pp AS (SELECT * FROM p0 WHERE act_to IS NOT NULL),
+      |pr AS (SELECT act_from, act_to, count(*) AS n,
+      |    CAST(sum(wait_s) AS DOUBLE) AS s1,
+      |    CAST(sum(wait_s * wait_s) AS DOUBLE) AS s2
+      |  FROM pp GROUP BY 1, 2)
+      |SELECT act_from, act_to, n,
+      |  CAST(sum(CASE WHEN n >= 2 AND
+      |      (CAST(n AS DOUBLE) * CAST(wait_s AS DOUBLE) - s1)
+      |        * (CAST(n AS DOUBLE) * CAST(wait_s AS DOUBLE) - s1)
+      |      > 4.0 * (CAST(n AS DOUBLE) * s2 - s1 * s1)
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_dev
+      |FROM pp JOIN pr USING (act_from, act_to)
+      |GROUP BY 1, 2, 3""".stripMargin
+
   /** Backward as-of oracle — shared verbatim by the batch as-of gate
     * and its streaming twin. */
   private val asofSql =
@@ -1218,6 +1240,74 @@ object EventLogQueries {
       }
     },
 
+    // Streaming ↔ batch temporal-conformance parity (gate 30): the
+    // events table staged to a tmpfs drop-dir → StreamingTemporal's
+    // ONLINE pair fold (pairs emit as the watermark finalizes them,
+    // not at case close) → the deviation z-filter IN-STREAM as a
+    // stream-static broadcast join against the batch profile — so the
+    // sink only ever holds DEVIATING occurrences (alert-proportional,
+    // not row-proportional), the shape an online conformance monitor
+    // actually runs. The bounded per-segment rollup joins back the
+    // profile's n for the batch-identical output; the oracle is
+    // q_temporal_deviations' SQL verbatim. The sentinel trace never
+    // emits a pair: its second event stays above every watermark it
+    // sees, and its gap timer never fires.
+    "q_stream_temporal_parity" -> { (s, dir) =>
+      ParityFeed.withStreamParallelism(s, 8) {
+      import s.implicits._
+      import graft.streaming.{StreamingTemporal, TraceAssembly}
+      val src = Tables(s, dir, "events")
+        .select(col("user_id").cast("string").as("caseId"),
+          col("event_type").as("activity"),
+          unix_micros(col("ts")).as("tsMicros"))
+      // the FIXED profile an online monitor checks against — the
+      // data's own batch profile, so the twin shares the batch oracle
+      val profile = graft.ops.Temporal.profile(Tables(s, dir, "events"),
+        caseCol = "user_id", activityCol = "event_type",
+        tsCol = "ts", tieBreak = "event_id").cache()
+      try {
+      ParityFeed.withFeed(s, src) { (feed, maxTs) =>
+      ParityFeed.sentinel(s, feed, "_sentinel", "x",
+        maxTs + 2L * 86400L * 1000000L)
+      val events = ParityFeed.stream(s, feed)
+        .withColumn("ts", timestamp_micros(col("tsMicros")))
+        .withWatermark("ts", "10 seconds")
+        .as[TraceAssembly.InEvent]
+      val name = s"stream_temporal_parity_${sessRun.incrementAndGet()}"
+      val pairs = StreamingTemporal.pairs(s, events, gapSeconds = 86400L)
+        .select(col("actFrom").as("act_from"), col("actTo").as("act_to"),
+          expr("waitUs div 1000000").as("wait_s"))
+      val q = graft.ops.Temporal.deviationFlags(pairs, profile, zeta = 2.0)
+        .filter(col("is_dev"))
+        .select(col("act_from"), col("act_to"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        q.processAllAvailable()
+        ParityFeed.sentinel(s, feed, "_sentinel", "y",
+          maxTs + 4L * 86400L * 1000000L)
+        q.processAllAvailable()
+      } finally q.stop()
+      graft.streaming.LateDrops.assertNone(q, name)
+      // alert-proportional sink → alphabet²-bounded rollup, then the
+      // profile supplies each segment's total n (0-deviation segments
+      // included via the left join)
+      val counts = s.table(name)
+        .groupBy(col("act_from"), col("act_to"))
+        .agg(count(lit(1)).as("_nd"))
+      val res = profile.select(col("act_from"), col("act_to"), col("n"))
+        .join(counts, Seq("act_from", "act_to"), "left")
+        .select(col("act_from"), col("act_to"), col("n"),
+          coalesce(col("_nd"), lit(0L)).as("n_dev"))
+      val rows = res.collect()
+      val out = s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+      s.catalog.dropTempView(name)
+      out
+      }
+      } finally profile.unpersist()
+      }
+    },
+
     // Run-length interval collapse (ops/Sessionize.runs): consecutive
     // same-type events per user fold into validity intervals — the
     // SCD2-style history reshape; ONE case-key shuffle (lag flag +
@@ -1889,25 +1979,11 @@ object EventLogQueries {
     // the z-test as the same division-free IEEE tree the Spark plan
     // evaluates — exact-integer moments cast to double once, then
     // (n·e − s1)² > ζ²(n·s2 − s1²) term-for-term
-    "q_temporal_deviations" ->
-      """WITH p0 AS (
-        |  SELECT event_type AS act_from, lead(event_type) OVER w AS act_to,
-        |    (epoch_us(lead(ts) OVER w) - epoch_us(ts)) // 1000000 AS wait_s
-        |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |pp AS (SELECT * FROM p0 WHERE act_to IS NOT NULL),
-        |pr AS (SELECT act_from, act_to, count(*) AS n,
-        |    CAST(sum(wait_s) AS DOUBLE) AS s1,
-        |    CAST(sum(wait_s * wait_s) AS DOUBLE) AS s2
-        |  FROM pp GROUP BY 1, 2)
-        |SELECT act_from, act_to, n,
-        |  CAST(sum(CASE WHEN n >= 2 AND
-        |      (CAST(n AS DOUBLE) * CAST(wait_s AS DOUBLE) - s1)
-        |        * (CAST(n AS DOUBLE) * CAST(wait_s AS DOUBLE) - s1)
-        |      > 4.0 * (CAST(n AS DOUBLE) * s2 - s1 * s1)
-        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_dev
-        |FROM pp JOIN pr USING (act_from, act_to)
-        |GROUP BY 1, 2, 3""".stripMargin,
+    "q_temporal_deviations" -> temporalDevSql,
+    // the streaming twin gates against the SAME oracle verbatim: the
+    // online pair fold + in-stream deviation filter must reproduce the
+    // batch z-flag multiset exactly
+    "q_stream_temporal_parity" -> temporalDevSql,
     // same row_number rank-selection equivalence as q_exact_quantiles,
     // then value-banding against the selected quartiles
     "q_perf_spectrum" ->

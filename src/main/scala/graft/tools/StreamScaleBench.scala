@@ -346,8 +346,8 @@ object StreamScaleBench {
     // the valid tokens are exactly the artifact's op keys; a typo must
     // fail loudly, not silently skip every block and write an empty
     // artifact
-    val KnownOps = Set("funnel", "dfg", "drift", "throttle", "dedup",
-      "sessionize", "stats", "declare", "conformance", "hopping",
+    val KnownOps = Set("funnel", "dfg", "temporal", "drift", "throttle",
+      "dedup", "sessionize", "stats", "declare", "conformance", "hopping",
       "join", "outer_join", "neardup", "heavy_hitters", "hh_sketch",
       "winsorized", "quantiles", "quantiles_sketch", "hll", "cm",
       "bloom", "upsert", "asof", "asof_fwd", "asof_near", "sample",
@@ -425,6 +425,53 @@ object StreamScaleBench {
       val ok = streamEdges == batchEdges
       println(f"dfg     x$copies stream=$secs%6.1fs batch=$bSecs%6.1fs batches=$nb peakState=$peak drops=$drops match=$ok (${streamEdges.size} edges)")
       results += s""""dfg":{"stream_s":$secs,"batch_s":$bSecs,"batches":$nb,"peak_state_rows":$peak,"late_drops":$drops,"match":$ok}"""
+    }
+
+    // ---- temporal: ONLINE pair fold + in-stream deviation filter ----
+    // The online-conformance shape: transition pairs emit as the
+    // watermark finalizes them (not at case close), the z-filter runs
+    // IN-STREAM as a stream-static broadcast join against the fixed
+    // profile, and only DEVIATING occurrences leave the stateful stage
+    // — sink volume ∝ alerts. State per case: one (ts, activity) pair
+    // + in-horizon buffer (the DFG compaction minus the edge map).
+    if (wanted("temporal")) {
+      val profile = graft.ops.Temporal.profileOf(
+        graft.ops.Temporal.pairsWithSeconds(
+          batchEv.withColumn("ts", timestamp_micros(col("tsMicros"))),
+          caseCol = "caseId", activityCol = "activity",
+          tsCol = "ts", tieBreak = "activity")).cache()
+      profile.count() // materialize outside the timed window
+      val (rows, nb, peak, drops, secs) = run(spark, dir, fpt, maxTs, GapDays) { df =>
+        val pairs = graft.streaming.StreamingTemporal.pairs(spark,
+          df.select(col("caseId").cast("string").as("caseId"),
+            col("activity"), col("tsMicros"), col("ts"))
+            .as[TraceAssembly.InEvent], gapSeconds)
+          .select(col("actFrom").as("act_from"), col("actTo").as("act_to"),
+            expr("waitUs div 1000000").as("wait_s"))
+        graft.ops.Temporal.deviationFlags(pairs, profile, zeta = 2.0)
+          .filter(col("is_dev"))
+          .select(col("act_from"), col("act_to"))
+      } { batch =>
+        batch.groupBy(col("act_from"), col("act_to"))
+          .agg(count(lit(1)).as("n"))
+      }
+      val streamDevs = rows.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+      val t0 = System.nanoTime()
+      val batchDevs = graft.ops.Temporal.deviationFlags(
+          graft.ops.Temporal.pairsWithSeconds(
+            batchEv.withColumn("ts", timestamp_micros(col("tsMicros"))),
+            caseCol = "caseId", activityCol = "activity",
+            tsCol = "ts", tieBreak = "activity"), profile, zeta = 2.0)
+        .filter(col("is_dev"))
+        .groupBy(col("act_from"), col("act_to")).agg(count(lit(1)).as("n"))
+        .as[(String, String, Long)].collect()
+        .map { case (a, b, n) => (a, b) -> n }.toMap
+      val bSecs = (System.nanoTime() - t0) / 1e9
+      profile.unpersist()
+      val ok = streamDevs == batchDevs
+      println(f"temporal x$copies stream=$secs%6.1fs batch=$bSecs%6.1fs batches=$nb peakState=$peak drops=$drops match=$ok (${streamDevs.values.sum} deviations)")
+      results += s""""temporal":{"stream_s":$secs,"batch_s":$bSecs,"batches":$nb,"peak_state_rows":$peak,"late_drops":$drops,"match":$ok}"""
     }
 
     // ---- drift: tumbling day windows, MID-STREAM eviction ----
