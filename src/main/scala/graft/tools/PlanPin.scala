@@ -70,7 +70,13 @@ object PlanPin {
     // round-11: the one-pass outlier pipeline must keep lineitem to a
     // SINGLE scan branch (the old shape rescanned the table to flag
     // rows against the broadcast p99 — the digest pins the rescan out)
-    "q_outlier_flags")
+    "q_outlier_flags",
+    // round-16: the spectrum must keep the bucketed rank selection +
+    // BROADCAST threshold join-back (an NTILE/sort-merge here melts a
+    // hot segment onto one partition); the deviation flag pass must
+    // keep its profile join a broadcast (alphabet²-row build side)
+    "q_perf_spectrum",
+    "q_temporal_deviations")
 
   private val Salient = (
     "ReusedExchange|" +
