@@ -435,12 +435,22 @@ object StreamScaleBench {
     // — sink volume ∝ alerts. State per case: one (ts, activity) pair
     // + in-horizon buffer (the DFG compaction minus the edge map).
     if (wanted("temporal")) {
-      val profile = graft.ops.Temporal.profileOf(
+      // The fixed profile is MATERIALIZED to a LocalTableScan
+      // (alphabet²-bounded collect, the StreamingDrift baseline-Map
+      // convention): a lazy batch DF over the staged drop-dir must
+      // never be referenced INSIDE the streaming query — a mid-stream
+      // re-listing of the mutating dir captures sentinel slices that
+      // the run deletes afterwards, and the stale listing then fails
+      // any later re-evaluation (caught live in this round's first
+      // ×10 sweep: FAILED_READ_FILE on a deleted sentinel).
+      val profLazy = graft.ops.Temporal.profileOf(
         graft.ops.Temporal.pairsWithSeconds(
           batchEv.withColumn("ts", timestamp_micros(col("tsMicros"))),
           caseCol = "caseId", activityCol = "activity",
-          tsCol = "ts", tieBreak = "activity")).cache()
-      profile.count() // materialize outside the timed window
+          tsCol = "ts", tieBreak = "activity"))
+      val profRows = profLazy.collect()
+      val profile = spark.createDataFrame(
+        java.util.Arrays.asList(profRows: _*), profLazy.schema)
       val (rows, nb, peak, drops, secs) = run(spark, dir, fpt, maxTs, GapDays) { df =>
         val pairs = graft.streaming.StreamingTemporal.pairs(spark,
           df.select(col("caseId").cast("string").as("caseId"),
@@ -468,7 +478,6 @@ object StreamScaleBench {
         .as[(String, String, Long)].collect()
         .map { case (a, b, n) => (a, b) -> n }.toMap
       val bSecs = (System.nanoTime() - t0) / 1e9
-      profile.unpersist()
       val ok = streamDevs == batchDevs
       println(f"temporal x$copies stream=$secs%6.1fs batch=$bSecs%6.1fs batches=$nb peakState=$peak drops=$drops match=$ok (${streamDevs.values.sum} deviations)")
       results += s""""temporal":{"stream_s":$secs,"batch_s":$bSecs,"batches":$nb,"peak_state_rows":$peak,"late_drops":$drops,"match":$ok}"""
