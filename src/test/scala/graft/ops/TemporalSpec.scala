@@ -82,6 +82,39 @@ class TemporalSpec extends SparkSpec {
     assert(got == Map(("a", "b") -> 0L, ("x", "y") -> 0L))
   }
 
+  test("profile + deviations vs brute force on random instances") {
+    val rnd = new scala.util.Random(20260816L)
+    (1 to 8).foreach { _ =>
+      val nCase = 1 + rnd.nextInt(12)
+      val acts = Seq("a", "b", "c")
+      val data = (0 until nCase).flatMap { c =>
+        (0 until 1 + rnd.nextInt(8)).map { _ =>
+          (s"c$c", acts(rnd.nextInt(acts.size)), rnd.nextInt(500).toLong)
+        }
+      }
+      // drop (case, ts) duplicates: ties across DIFFERENT activities
+      // would make the order tie-break-dependent, which the events
+      // table contract (unique (case, ts)) already excludes
+      val rows = data.groupBy(r => (r._1, r._3)).map(_._2.head).toSeq
+      val zeta = 1.5
+      val got = Temporal.deviations(ev(rows), "case", "act", "ts", "t", zeta)
+        .as[(String, String, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+      val exp = brutePairs(rows).groupBy(p => (p._1, p._2)).map {
+        case (k, ps) =>
+          val ws = ps.map(_._3.toDouble)
+          val n = ws.size
+          val mean = ws.sum / n
+          val varr = ws.map(w => (w - mean) * (w - mean)).sum / n
+          val nDev =
+            if (n < 2) 0
+            else ws.count(w => (w - mean) * (w - mean) > zeta * zeta * varr)
+          k -> ((n.toLong, nDev.toLong))
+      }
+      assert(got == exp, s"rows=$rows")
+    }
+  }
+
   test("spectrum: value bands against brute-force exact quantiles") {
     val got = Temporal.spectrum(ev(rows), "case", "act", "ts", "t")
       .as[(String, String, Int, Long, Long, Long)].collect()
