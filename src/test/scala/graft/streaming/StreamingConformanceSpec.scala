@@ -99,4 +99,60 @@ class StreamingConformanceSpec extends SparkSpec {
       assert(rows("T1").missing == 0L && rows("T1").remaining == 0L)
     } finally query.stop()
   }
+
+  test("compact replay state folds across >=3 watermark advances, tie group at a cut") {
+    implicit val sqlCtx = spark.sqlContext
+    val ev = graft.xes.XesReader.read(spark,
+      "/root/reference/static/xes/book/L1.xes").eventsDf
+    val wf = graft.ops.Alpha.mine(ev, "traceIdx", "activity", "ts", "seq")
+
+    val input = MemoryStream[TraceAssembly.InEvent]
+    val events = input.toDS()
+      .withColumn("ts", timestamp_micros(col("tsMicros")))
+      .withWatermark("ts", "10 seconds")
+      .as[TraceAssembly.InEvent]
+    val scored = StreamingConformance.replayFitness(
+      spark, events, gapSeconds = 3600, wf)
+    val query = scored.writeStream
+      .format("memory").queryName("replay_fold")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def add(evs: TraceAssembly.InEvent*): Unit = {
+        input.addData(evs: _*); query.processAllAvailable()
+      }
+      // T folds piecewise while open: wm afterwards 120 / 150 / 185;
+      // the (b,c) tie group sits EXACTLY at the 120 cut (strict
+      // ts < wm keeps it whole on the buffered side, then folds it
+      // as one sorted unit), and T receives input in every batch so
+      // each advance actually folds.
+      // the (c,b) tie arrives OUT OF ORDER before the wm reaches it
+      add(TraceAssembly.InEvent("T", "a", sec(100)),
+        TraceAssembly.InEvent("T", "c", sec(120)),
+        TraceAssembly.InEvent("T", "b", sec(120)),
+        TraceAssembly.InEvent("W", "x", sec(130)))   // wm -> 120: AT the tie
+      add(TraceAssembly.InEvent("T", "d", sec(155)),
+        TraceAssembly.InEvent("W", "x", sec(160)))   // folds {a}, tie held; wm -> 150
+      add(TraceAssembly.InEvent("T", "e", sec(190)),
+        TraceAssembly.InEvent("W", "x", sec(195)))   // folds {b,c} whole; wm -> 185
+      // close folds the {d,e} residue
+      // flush: timers fire against the advanced watermark
+      add(TraceAssembly.InEvent("F", "_s", sec(7200)))
+      add(TraceAssembly.InEvent("F2", "_s", sec(14400)))
+
+      val rows = spark.table("replay_fold")
+        .as[StreamingConformance.TraceFitness].collect()
+        .map(t => t.caseId -> t).toMap
+      assert(rows.contains("T"), s"T not closed: ${rows.keys}")
+      val got = rows("T")
+      // ground truth: the batch kernel over the fully sorted trace
+      val exp = graft.ops.Replay.replayVariant(
+        wf, Seq("a", "b", "c", "d", "e"))
+      assert(got.nEvents == 5L)
+      assert(got.missing == exp.missing && got.remaining == exp.remaining,
+        s"got $got vs batch $exp")
+      assert(math.abs(got.fitness - exp.fitness) < 1e-12,
+        s"got ${got.fitness} vs batch ${exp.fitness}")
+    } finally query.stop()
+    spark.catalog.dropTempView("replay_fold")
+  }
 }

@@ -86,4 +86,59 @@ class StreamingDeclareSpec extends SparkSpec {
         s"$tpl($a,$b): batch ($nApp,$nSat) vs evaluator ($nAppEval,$nSatEval)")
     }
   }
+
+  test("compact profile state folds across >=3 watermark advances, tie group at a cut") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[TraceAssembly.InEvent]
+    val events = input.toDS()
+      .withColumn("ts", timestamp_micros(col("tsMicros")))
+      .withWatermark("ts", "10 seconds")
+      .as[TraceAssembly.InEvent]
+    // every template, including order-sensitive ones whose verdicts
+    // hinge on first/last positions folded piecewise
+    val cons = Seq(
+      StreamingDeclare.Constraint("existence", "a"),
+      StreamingDeclare.Constraint("absence2", "b"),
+      StreamingDeclare.Constraint("init", "a"),
+      StreamingDeclare.Constraint("last", "e"),
+      StreamingDeclare.Constraint("responded_existence", "c", "e"),
+      StreamingDeclare.Constraint("response", "a", "b"),
+      StreamingDeclare.Constraint("precedence", "a", "d"),
+      StreamingDeclare.Constraint("succession", "a", "e"))
+    val query = StreamingDeclare.monitor(spark, events, gapSeconds = 3600, cons)
+      .writeStream.format("memory").queryName("declare_fold")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def add(evs: TraceAssembly.InEvent*): Unit = {
+        input.addData(evs: _*); query.processAllAvailable()
+      }
+      // same shape as the conformance fold spec: the (b,c) tie group
+      // sits exactly at the 120 cut, T folds in three slices + close
+      add(TraceAssembly.InEvent("T", "a", sec(100)),
+        TraceAssembly.InEvent("T", "c", sec(120)),
+        TraceAssembly.InEvent("T", "b", sec(120)),
+        TraceAssembly.InEvent("W", "x", sec(130)))   // wm -> 120: AT the tie
+      add(TraceAssembly.InEvent("T", "d", sec(155)),
+        TraceAssembly.InEvent("W", "x", sec(160)))   // folds {a}, tie held; wm -> 150
+      add(TraceAssembly.InEvent("T", "e", sec(190)),
+        TraceAssembly.InEvent("W", "x", sec(195)))   // folds {b,c} whole; wm -> 185
+      add(TraceAssembly.InEvent("F", "_s", sec(7200)))
+      add(TraceAssembly.InEvent("F2", "_s", sec(14400)))
+
+      val out = spark.table("declare_fold")
+        .as[StreamingDeclare.TraceCheck].collect()
+        .filter(_.caseId == "T")
+        .map(c => c.template -> ((c.applicable, c.satisfied))).toMap
+      assert(out.size == cons.size)
+      // ground truth: the pure evaluator over the fully sorted trace
+      val acts = Seq("a", "b", "c", "d", "e")
+      cons.foreach { c =>
+        assert(out(c.template) == StreamingDeclare.evaluate(c, acts),
+          s"${c.template}(${c.actA},${c.actB}): " +
+            s"streamed ${out(c.template)} vs batch " +
+            s"${StreamingDeclare.evaluate(c, acts)}")
+      }
+    } finally query.stop()
+    spark.catalog.dropTempView("declare_fold")
+  }
 }
