@@ -53,10 +53,11 @@ object EventLogQueries {
   /** Backward as-of oracle — shared verbatim by the batch as-of gate
     * and its streaming twin. */
   private val asofSql =
-    """SELECT p.user_id, p.event_id AS purchase_id, c.ts AS last_click_ts
+    """SELECT p.user_id, p.event_id AS purchase_id, c.ts AS last_click_ts,
+      |  c.event_id AS last_click_id
       |FROM (SELECT user_id, event_id, ts FROM events
       |      WHERE event_type = 'purchase') p
-      |ASOF LEFT JOIN (SELECT user_id, ts FROM events
+      |ASOF LEFT JOIN (SELECT user_id, ts, event_id FROM events
       |      WHERE event_type = 'click') c
       |  ON p.user_id = c.user_id AND c.ts <= p.ts""".stripMargin
 
@@ -76,13 +77,16 @@ object EventLogQueries {
     s"""SELECT user_id, purchase_id,
        |  CASE WHEN fts IS NOT NULL
        |         AND epoch_us(fts) <= epoch_us(pts) + $AsOfHorizonUs
-       |       THEN fts END AS first_click_ts
+       |       THEN fts END AS first_click_ts,
+       |  CASE WHEN fts IS NOT NULL
+       |         AND epoch_us(fts) <= epoch_us(pts) + $AsOfHorizonUs
+       |       THEN fid END AS first_click_id
        |FROM (
        |  SELECT p.user_id, p.event_id AS purchase_id, p.ts AS pts,
-       |         c.ts AS fts
+       |         c.ts AS fts, c.event_id AS fid
        |  FROM (SELECT user_id, event_id, ts FROM events
        |        WHERE event_type = 'purchase') p
-       |  ASOF LEFT JOIN (SELECT user_id, ts FROM events
+       |  ASOF LEFT JOIN (SELECT user_id, ts, event_id FROM events
        |        WHERE event_type = 'click') c
        |    ON p.user_id = c.user_id AND c.ts >= p.ts)""".stripMargin
 
@@ -92,14 +96,19 @@ object EventLogQueries {
   private val asofNearSql =
     s"""WITH p AS (SELECT user_id, event_id, ts FROM events
        |          WHERE event_type = 'purchase'),
-       |c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
-       |b AS (SELECT p.user_id, p.event_id, p.ts, cb.ts AS bts
+       |c AS (SELECT user_id, ts, event_id FROM events
+       |      WHERE event_type = 'click'),
+       |b AS (SELECT p.user_id, p.event_id, p.ts, cb.ts AS bts,
+       |        cb.event_id AS bid
        |      FROM p ASOF LEFT JOIN c cb
        |        ON p.user_id = cb.user_id AND cb.ts <= p.ts),
        |f AS (SELECT p.user_id, p.event_id,
        |        CASE WHEN cf.ts IS NOT NULL
        |               AND epoch_us(cf.ts) <= epoch_us(p.ts) + $AsOfHorizonUs
-       |             THEN cf.ts END AS fts
+       |             THEN cf.ts END AS fts,
+       |        CASE WHEN cf.ts IS NOT NULL
+       |               AND epoch_us(cf.ts) <= epoch_us(p.ts) + $AsOfHorizonUs
+       |             THEN cf.event_id END AS fid
        |      FROM p ASOF LEFT JOIN c cf
        |        ON p.user_id = cf.user_id AND cf.ts >= p.ts)
        |SELECT b.user_id, b.event_id AS purchase_id,
@@ -108,7 +117,13 @@ object EventLogQueries {
        |    WHEN fts IS NULL THEN bts
        |    WHEN epoch_us(b.ts) - epoch_us(bts)
        |         <= epoch_us(fts) - epoch_us(b.ts) THEN bts
-       |    ELSE fts END AS nearest_click_ts
+       |    ELSE fts END AS nearest_click_ts,
+       |  CASE
+       |    WHEN bts IS NULL THEN fid
+       |    WHEN fts IS NULL THEN bid
+       |    WHEN epoch_us(b.ts) - epoch_us(bts)
+       |         <= epoch_us(fts) - epoch_us(b.ts) THEN bid
+       |    ELSE fid END AS nearest_click_id
        |FROM b JOIN f ON b.user_id = f.user_id AND b.event_id = f.event_id""".stripMargin
 
   /** The shared harness of the three streaming as-of parity gates:
@@ -817,10 +832,12 @@ object EventLogQueries {
       val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("event_id").as("purchase_id"), col("ts"))
       val clicks = ev.filter(col("event_type") === "click")
-        .select(col("user_id"), col("ts"))
+        .select(col("user_id"), col("ts"), col("event_id"))
       graft.ops.AsOf.backward(purchases, clicks,
-          keyCol = "user_id", idCol = "purchase_id", tsCol = "ts")
+          keyCol = "user_id", idCol = "purchase_id", tsCol = "ts",
+          payloadCols = Seq("event_id"))
         .withColumnRenamed("asof_ts", "last_click_ts")
+        .withColumnRenamed("asof_event_id", "last_click_id")
         .drop("ts")
     },
 
@@ -866,7 +883,8 @@ object EventLogQueries {
       graft.streaming.LateDrops.assertNone(q, name)
       val res = s.table(name).select(
         col("userId").as("user_id"), col("purchaseId").as("purchase_id"),
-        timestamp_micros(col("lastClickTsMicros")).as("last_click_ts"))
+        timestamp_micros(col("lastClickTsMicros")).as("last_click_ts"),
+        col("lastClickId").as("last_click_id"))
       val rows = res.collect() // one row per purchase — the gate output
       val out = s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
       s.catalog.dropTempView(name)
@@ -888,11 +906,12 @@ object EventLogQueries {
       val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("event_id").as("purchase_id"), col("ts"))
       val clicks = ev.filter(col("event_type") === "click")
-        .select(col("user_id"), col("ts"))
+        .select(col("user_id"), col("ts"), col("event_id"))
       graft.ops.AsOf.forward(purchases, clicks,
           keyCol = "user_id", idCol = "purchase_id", tsCol = "ts",
-          horizonUs = AsOfHorizonUs)
+          horizonUs = AsOfHorizonUs, payloadCols = Seq("event_id"))
         .withColumnRenamed("asof_fwd_ts", "first_click_ts")
+        .withColumnRenamed("asof_fwd_event_id", "first_click_id")
         .drop("ts")
     },
 
@@ -905,11 +924,12 @@ object EventLogQueries {
       val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("event_id").as("purchase_id"), col("ts"))
       val clicks = ev.filter(col("event_type") === "click")
-        .select(col("user_id"), col("ts"))
+        .select(col("user_id"), col("ts"), col("event_id"))
       graft.ops.AsOf.nearest(purchases, clicks,
           keyCol = "user_id", idCol = "purchase_id", tsCol = "ts",
-          horizonUs = AsOfHorizonUs)
+          horizonUs = AsOfHorizonUs, payloadCols = Seq("event_id"))
         .withColumnRenamed("asof_near_ts", "nearest_click_ts")
+        .withColumnRenamed("asof_near_event_id", "nearest_click_id")
         .drop("ts")
     },
 
@@ -930,7 +950,8 @@ object EventLogQueries {
           horizonSeconds = AsOfHorizonUs / 1000000L, gapSeconds = 3600L)
           .toDF().select(col("userId").as("user_id"),
             col("purchaseId").as("purchase_id"),
-            timestamp_micros(col("firstClickTsMicros")).as("first_click_ts"))
+            timestamp_micros(col("firstClickTsMicros")).as("first_click_ts"),
+            col("firstClickId").as("first_click_id"))
       }
     },
 
@@ -948,7 +969,8 @@ object EventLogQueries {
           horizonSeconds = AsOfHorizonUs / 1000000L, gapSeconds = 3600L)
           .toDF().select(col("userId").as("user_id"),
             col("purchaseId").as("purchase_id"),
-            timestamp_micros(col("nearestClickTsMicros")).as("nearest_click_ts"))
+            timestamp_micros(col("nearestClickTsMicros")).as("nearest_click_ts"),
+            col("nearestClickId").as("nearest_click_id"))
       }
     },
 

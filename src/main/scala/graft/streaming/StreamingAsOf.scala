@@ -14,45 +14,68 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * a click older than the watermark can never be overtaken — any
   * still-unfinalized or future purchase has event time ≥ the
   * watermark, so of all such clicks only the MAXIMUM matters, and the
-  * state compacts them into ONE long that persists for the key's
-  * lifetime (a purchase arbitrarily far in the future is still
-  * answered by it — the irreducible state of an as-of join with
-  * unbounded lookback, and exactly one long per key, the same
+  * state compacts them into ONE (ts, payload) pair that persists for
+  * the key's lifetime (a purchase arbitrarily far in the future is
+  * still answered by it — the irreducible state of an as-of join with
+  * unbounded lookback, and exactly one pair per key, the same
   * key-proportional class as [[StreamingUpsert]]). Everything else in
   * the state is transient: clicks and pending purchases inside the
   * watermark horizon (ingest rate × delay, the interval-join bound
   * class), evicted at each settle — a drained key parks as the one
-  * long with no timer.
+  * pair with no timer.
+  *
+  * Payload: each emitted row carries the matched click's payload (its
+  * event id) alongside the matched timestamp — the enrichment face of
+  * the operator. Click candidates compare as (ts, payload) structs,
+  * mirroring [[graft.ops.AsOf]]'s struct-ordered tie policy exactly
+  * (backward: greatest; forward: least among strictly-later, greatest
+  * at exactly the purchase ts — the batch equal-ts recovery path), so
+  * the twins stay bit-equal even on inputs with (key, ts) ties.
   *
   * Deterministic under any batching/arrival order: a purchase is
   * finalized only once the watermark passes its event time (after
   * which a qualifying click would be late-dropped, and LateDrops
-  * gates every run at zero), and its answer is the max over ALL
+  * gates every run at zero), and its answer is the struct-max over ALL
   * clicks ≤ its ts — so the emitted rows equal the batch ASOF LEFT
   * JOIN's rows exactly, and the parity gate shares
   * `q_asof_last_click`'s DuckDB oracle verbatim.
   *
+  * State encoding changed when payloads landed (clicks are (ts, pay)
+  * pairs now); checkpoints are ephemeral bench/test dirs throughout
+  * the repo, so no state-format migration is provided — restoring a
+  * pre-payload checkpoint is not supported.
+  *
   * Reference anchor: ops/AsOf.backward (SURVEY.md §2.5 range/as-of
   * family) — this is its no-retention streaming face.
   */
-object StreamingAsOf {
+object StreamingAsOf extends Serializable {
 
   /** One stream row: key, kind ("click" / "purchase" — anything else
     * is dropped in the fold, which also absorbs sentinel routing),
-    * the purchase id (ignored for clicks), event-time micros. */
+    * the event id (the purchase id for purchases; the click's payload
+    * identity for clicks), event-time micros. */
   case class AItem(userId: Long, kind: String, eventId: Long,
       tsMicros: Long)
 
-  /** `compactMax` is the max click ts strictly below the last
-    * finalization watermark (Long.MinValue = none); `clicks` and
-    * `pending` hold only rows at-or-above it. */
-  case class AsOfState(compactMax: Long, clicks: List[Long],
-      pending: List[(Long, Long)], maxTsMicros: Long)
+  /** A click candidate: event-time micros + payload (its event id).
+    * Orders lexicographically — the batch kernel's struct order. */
+  case class Click(ts: Long, pay: Long)
 
-  /** One finalized purchase; `lastClickTsMicros` is None when no
+  private val NoClick = Click(Long.MinValue, Long.MinValue)
+
+  private def structMax(a: Click, b: Click): Click =
+    if (b.ts > a.ts || (b.ts == a.ts && b.pay > a.pay)) b else a
+
+  /** `compact` is the struct-max click strictly below the last
+    * finalization watermark ([[NoClick]] = none); `clicks` and
+    * `pending` hold only rows at-or-above it. */
+  case class AsOfState(compactTs: Long, compactPay: Long,
+      clicks: List[Click], pending: List[(Long, Long)], maxTsMicros: Long)
+
+  /** One finalized purchase; the matched-click fields are None when no
     * click precedes it (the LEFT side of the batch ASOF join). */
   case class AsOfRow(userId: Long, purchaseId: Long,
-      lastClickTsMicros: Option[Long])
+      lastClickTsMicros: Option[Long], lastClickId: Option[Long])
 
   /** `items` must carry a watermark on its event-time column. */
   def backward(spark: SparkSession, items: Dataset[AItem],
@@ -61,20 +84,23 @@ object StreamingAsOf {
     val gapMs = gapSeconds * 1000L
 
     // finalize every pending purchase the watermark has passed: its
-    // answer is max(compactMax, max kept click <= its ts); then
+    // answer is structMax(compact, max kept click <= its ts); then
     // compact clicks the watermark has passed the same way
     def settle(userId: Long, st: AsOfState, wmMicros: Long)
         : (AsOfState, List[AsOfRow]) = {
+      val compact = Click(st.compactTs, st.compactPay)
       val (done, pend) = st.pending.partition(_._2 < wmMicros)
       val out = done.sortBy(p => (p._2, p._1)).map { case (id, ts) =>
-        val best = st.clicks.foldLeft(st.compactMax) { (m, c) =>
-          if (c <= ts && c > m) c else m
+        val best = st.clicks.foldLeft(compact) { (m, c) =>
+          if (c.ts <= ts) structMax(m, c) else m
         }
-        AsOfRow(userId, id, if (best == Long.MinValue) None else Some(best))
+        AsOfRow(userId, id,
+          if (best == NoClick) None else Some(best.ts),
+          if (best == NoClick) None else Some(best.pay))
       }
-      val (old, fresh) = st.clicks.partition(_ < wmMicros)
-      val cm = old.foldLeft(st.compactMax)(math.max)
-      (AsOfState(cm, fresh, pend, st.maxTsMicros), out)
+      val (old, fresh) = st.clicks.partition(_.ts < wmMicros)
+      val cm = old.foldLeft(compact)(structMax)
+      (AsOfState(cm.ts, cm.pay, fresh, pend, st.maxTsMicros), out)
     }
 
     def update(userId: Long, in: Iterator[AItem],
@@ -85,11 +111,11 @@ object StreamingAsOf {
       // must survive settles that drain everything else (dropping it
       // forgot the key's click history; caught by the ×10 bench row's
       // fingerprint before this module ever shipped). A key parks as
-      // one long with NO timer once nothing is in flight; only
+      // one pair with NO timer once nothing is in flight; only
       // in-horizon clicks/pending purchases re-arm the flush timer.
       def park(st: AsOfState): Unit = {
         if (st.pending.isEmpty && st.clicks.isEmpty &&
-            st.compactMax == Long.MinValue) state.remove()
+            st.compactTs == Long.MinValue) state.remove()
         else {
           state.update(st)
           if (st.pending.nonEmpty || st.clicks.nonEmpty)
@@ -104,7 +130,8 @@ object StreamingAsOf {
         out.iterator
       } else {
         val old = state.getOption
-          .getOrElse(AsOfState(Long.MinValue, Nil, Nil, Long.MinValue))
+          .getOrElse(AsOfState(Long.MinValue, Long.MinValue, Nil, Nil,
+            Long.MinValue))
         var clicks = old.clicks
         var pending = old.pending
         var maxTs = old.maxTsMicros
@@ -112,7 +139,7 @@ object StreamingAsOf {
         in.foreach { e =>
           e.kind match {
             case "click" =>
-              clicks ::= e.tsMicros; saw = true
+              clicks ::= Click(e.tsMicros, e.eventId); saw = true
               maxTs = math.max(maxTs, e.tsMicros)
             case "purchase" =>
               pending ::= (e.eventId, e.tsMicros); saw = true
@@ -121,12 +148,12 @@ object StreamingAsOf {
           }
         }
         if (!saw && old.pending.isEmpty && old.clicks.isEmpty &&
-            old.compactMax == Long.MinValue)
+            old.compactTs == Long.MinValue)
           Iterator.empty // sentinel-only key
         else {
           val (st, out) =
-            settle(userId, AsOfState(old.compactMax, clicks, pending, maxTs),
-              wmMicros)
+            settle(userId, AsOfState(old.compactTs, old.compactPay, clicks,
+              pending, maxTs), wmMicros)
           park(st)
           out.iterator
         }
@@ -142,25 +169,36 @@ object StreamingAsOf {
   /** One finalized purchase of the FORWARD flavor; None when no click
     * lands in [ts, ts + horizon]. */
   case class FwdRow(userId: Long, purchaseId: Long,
-      firstClickTsMicros: Option[Long])
+      firstClickTsMicros: Option[Long], firstClickId: Option[Long])
 
   /** Pending purchase: id, ts, best forward candidate so far
-    * (Long.MaxValue = none), frozen backward answer (Long.MinValue =
-    * none; only [[nearest]] reads it, and only once `bwdFinal`). */
-  case class PendPurchase(id: Long, ts: Long, fwdBest: Long,
-      bwd: Long, bwdFinal: Boolean)
+    * (fwdTs = Long.MaxValue = none), frozen backward answer
+    * (bwdTs = Long.MinValue = none; only [[nearest]] reads it, and
+    * only once `bwdFinal`). */
+  case class PendPurchase(id: Long, ts: Long, fwdTs: Long, fwdPay: Long,
+      bwdTs: Long, bwdPay: Long, bwdFinal: Boolean)
 
-  case class FwdState(compactMax: Long, clicks: List[Long],
-      pending: List[PendPurchase], maxTsMicros: Long)
+  case class FwdState(compactTs: Long, compactPay: Long,
+      clicks: List[Click], pending: List[PendPurchase], maxTsMicros: Long)
 
   /** One finalized purchase of the NEAREST flavor. */
   case class NearRow(userId: Long, purchaseId: Long,
-      nearestClickTsMicros: Option[Long])
+      nearestClickTsMicros: Option[Long], nearestClickId: Option[Long])
+
+  /** Is click `c` a better FORWARD candidate than (curTs, curPay) for
+    * a purchase at `pTs`? Mirrors the batch tie policy: least ts
+    * first; at equal candidate ts, least payload — except candidates
+    * at exactly the purchase ts, where the batch equal-ts recovery
+    * path takes the backward (greatest-payload) struct. */
+  private def fwdBetter(c: Click, curTs: Long, curPay: Long,
+      pTs: Long): Boolean =
+    c.ts < curTs || (c.ts == curTs &&
+      (if (c.ts == pTs) c.pay > curPay else c.pay < curPay))
 
   /** Streaming FORWARD as-of — each purchase enriched with the FIRST
     * click in [ts, ts + horizon], per key. The horizon is the
     * operator's contract, not a tuning knob: backward's unbounded
-    * lookback streams because the PAST compacts to one long, but "no
+    * lookback streams because the PAST compacts to one pair, but "no
     * following click" is never final while the stream lives — the
     * forward flavor that exists on an unbounded stream is "first
     * click within H". A purchase finalizes when the watermark passes
@@ -171,7 +209,7 @@ object StreamingAsOf {
     * the parity gate shares its DuckDB oracle verbatim.
     *
     * State is FULLY transient (the mirror-image of backward's one
-    * standing long): pending purchases live horizon + delay; a click
+    * standing pair): pending purchases live horizon + delay; a click
     * below the watermark can never match a future purchase (the
     * purchase would have ts ≥ watermark > click, and forward needs
     * click ≥ ts), so clicks are folded into every pending purchase's
@@ -184,7 +222,8 @@ object StreamingAsOf {
     fold[FwdRow](items, horizonUs, gapSeconds * 1000L,
       needBwd = false) { (userId, p) =>
       FwdRow(userId, p.id,
-        if (p.fwdBest == Long.MaxValue) None else Some(p.fwdBest))
+        if (p.fwdTs == Long.MaxValue) None else Some(p.fwdTs),
+        if (p.fwdTs == Long.MaxValue) None else Some(p.fwdPay))
     }
   }
 
@@ -195,13 +234,13 @@ object StreamingAsOf {
     * parity gate shares verbatim.
     *
     * State composes the two sides' irreducible parts: the backward
-    * standing long (compacted max click below the watermark — one
-    * long per key, for life) plus forward's transient horizon. The
+    * standing pair (compacted struct-max click below the watermark —
+    * one pair per key, for life) plus forward's transient horizon. The
     * subtlety the composition adds: a purchase now OUTLIVES the
     * watermark passing its ts (it waits on ts + horizon), so its
     * backward answer is FROZEN at the first settle where watermark >
     * ts — after that, clicks in (ts, watermark) may compact into the
-    * standing long without polluting the already-frozen answer
+    * standing pair without polluting the already-frozen answer
     * (backward alone never needed the freeze: it finalizes the
     * purchase at that same boundary). */
   def nearest(spark: SparkSession, items: Dataset[AItem],
@@ -210,15 +249,15 @@ object StreamingAsOf {
     val horizonUs = horizonSeconds * 1000000L
     fold[NearRow](items, horizonUs, gapSeconds * 1000L,
       needBwd = true) { (userId, p) =>
-      val b = if (p.bwd == Long.MinValue) None else Some(p.bwd)
-      val f = if (p.fwdBest == Long.MaxValue) None else Some(p.fwdBest)
+      val b = if (p.bwdTs == Long.MinValue) None else Some(Click(p.bwdTs, p.bwdPay))
+      val f = if (p.fwdTs == Long.MaxValue) None else Some(Click(p.fwdTs, p.fwdPay))
       val near = (b, f) match {
         case (None, x) => x
         case (x, None) => x
         case (Some(bv), Some(fv)) =>
-          if (p.ts - bv <= fv - p.ts) Some(bv) else Some(fv)
+          if (p.ts - bv.ts <= fv.ts - p.ts) Some(bv) else Some(fv)
       }
-      NearRow(userId, p.id, near)
+      NearRow(userId, p.id, near.map(_.ts), near.map(_.pay))
     }
   }
 
@@ -233,28 +272,28 @@ object StreamingAsOf {
 
     // 1) freeze backward answers for purchases the watermark passed
     //    (before compaction — the kept click list still holds every
-    //    click in (last settle wm, now] and compactMax every older);
-    // 2) finalize purchases with wm > ts + horizon (their fwdBest is
+    //    click in (last settle wm, now] and compact every older);
+    // 2) finalize purchases with wm > ts + horizon (their fwd best is
     //    complete: any further qualifying click would be late);
-    // 3) compact clicks below the watermark into the standing long
+    // 3) compact clicks below the watermark into the standing pair
     //    (dropped entirely when !needBwd — forward never reads it).
     def settle(userId: Long, st: FwdState, wmMicros: Long)
         : (FwdState, List[R]) = {
+      val compact = Click(st.compactTs, st.compactPay)
       val frozen = st.pending.map { p =>
         if (needBwd && !p.bwdFinal && p.ts < wmMicros) {
-          val b = st.clicks.foldLeft(st.compactMax) { (m, c) =>
-            if (c <= p.ts && c > m) c else m
+          val b = st.clicks.foldLeft(compact) { (m, c) =>
+            if (c.ts <= p.ts) structMax(m, c) else m
           }
-          p.copy(bwd = b, bwdFinal = true)
+          p.copy(bwdTs = b.ts, bwdPay = b.pay, bwdFinal = true)
         } else p
       }
       val (done, pend) = frozen.partition(p =>
         wmMicros > safeAdd(p.ts, horizonUs))
       val out = done.sortBy(p => (p.ts, p.id)).map(emit(userId, _))
-      val (old, fresh) = st.clicks.partition(_ < wmMicros)
-      val cm = if (needBwd) old.foldLeft(st.compactMax)(math.max)
-               else Long.MinValue
-      (FwdState(cm, fresh, pend, st.maxTsMicros), out)
+      val (old, fresh) = st.clicks.partition(_.ts < wmMicros)
+      val cm = if (needBwd) old.foldLeft(compact)(structMax) else NoClick
+      (FwdState(cm.ts, cm.pay, fresh, pend, st.maxTsMicros), out)
     }
 
     def update(userId: Long, in: Iterator[AItem],
@@ -262,13 +301,13 @@ object StreamingAsOf {
       val wmMicros = state.getCurrentWatermarkMs() * 1000L
       def park(st: FwdState): Unit = {
         if (st.pending.isEmpty && st.clicks.isEmpty &&
-            st.compactMax == Long.MinValue) state.remove()
+            st.compactTs == Long.MinValue) state.remove()
         else {
           state.update(st)
           if (st.pending.nonEmpty || st.clicks.nonEmpty) {
             // wake at the earliest finalization boundary; click-only
             // state uses the gap fallback so a drained key still
-            // empties (forward) or compacts to the long (nearest)
+            // empties (forward) or compacts to the pair (nearest)
             val next =
               if (st.pending.nonEmpty)
                 st.pending.map(p => safeAdd(p.ts, horizonUs)).min / 1000L + 1L
@@ -284,7 +323,8 @@ object StreamingAsOf {
         out.iterator
       } else {
         val old = state.getOption
-          .getOrElse(FwdState(Long.MinValue, Nil, Nil, Long.MinValue))
+          .getOrElse(FwdState(Long.MinValue, Long.MinValue, Nil, Nil,
+            Long.MinValue))
         var clicks = old.clicks
         var pending = old.pending
         var maxTs = old.maxTsMicros
@@ -292,39 +332,42 @@ object StreamingAsOf {
         in.foreach { e =>
           e.kind match {
             case "click" =>
-              val c = e.tsMicros
+              val c = Click(e.tsMicros, e.eventId)
               // fold into every pending purchase's window on arrival —
               // the click may be evicted before the purchase finalizes
               pending = pending.map { p =>
-                if (c >= p.ts && c <= safeAdd(p.ts, horizonUs) && c < p.fwdBest)
-                  p.copy(fwdBest = c)
+                if (c.ts >= p.ts && c.ts <= safeAdd(p.ts, horizonUs) &&
+                  fwdBetter(c, p.fwdTs, p.fwdPay, p.ts))
+                  p.copy(fwdTs = c.ts, fwdPay = c.pay)
                 else p
               }
               clicks ::= c; saw = true
-              maxTs = math.max(maxTs, c)
+              maxTs = math.max(maxTs, c.ts)
             case "purchase" =>
               // kept clicks ≥ last settle's watermark ≤ this ts cover
               // the whole [ts, ts+H] candidate set (older clicks are
               // < wm ≤ ts, below the forward window)
-              var best = Long.MaxValue
+              var bestTs = Long.MaxValue; var bestPay = Long.MaxValue
               clicks.foreach { c =>
-                if (c >= e.tsMicros && c <= safeAdd(e.tsMicros, horizonUs) &&
-                  c < best) best = c
+                if (c.ts >= e.tsMicros && c.ts <= safeAdd(e.tsMicros, horizonUs) &&
+                  fwdBetter(c, bestTs, bestPay, e.tsMicros)) {
+                  bestTs = c.ts; bestPay = c.pay
+                }
               }
-              pending ::= PendPurchase(e.eventId, e.tsMicros, best,
-                Long.MinValue, bwdFinal = false)
+              pending ::= PendPurchase(e.eventId, e.tsMicros, bestTs, bestPay,
+                Long.MinValue, Long.MinValue, bwdFinal = false)
               saw = true
               maxTs = math.max(maxTs, e.tsMicros)
             case _ => () // sentinel / foreign kinds: watermark only
           }
         }
         if (!saw && old.pending.isEmpty && old.clicks.isEmpty &&
-            old.compactMax == Long.MinValue)
+            old.compactTs == Long.MinValue)
           Iterator.empty // sentinel-only key
         else {
           val (st, out) =
-            settle(userId, FwdState(old.compactMax, clicks, pending, maxTs),
-              wmMicros)
+            settle(userId, FwdState(old.compactTs, old.compactPay, clicks,
+              pending, maxTs), wmMicros)
           park(st)
           out.iterator
         }

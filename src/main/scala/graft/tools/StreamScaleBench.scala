@@ -1515,9 +1515,9 @@ object StreamScaleBench {
       def fp(batch: DataFrame): DataFrame =
         batch.agg(count(lit(1)).as("n"),
           coalesce(expr("bit_xor(xxhash64(userId, purchaseId," +
-            " lastClickTsMicros))"), lit(0L)).as("h1"),
+            " lastClickTsMicros, lastClickId))"), lit(0L)).as("h1"),
           coalesce(expr("bit_xor(xxhash64(lastClickTsMicros, userId," +
-            " purchaseId, 7))"), lit(0L)).as("h2"))
+            " lastClickId, purchaseId, 7))"), lit(0L)).as("h2"))
       val (rows, nb, peak, drops, secs) = run(spark, dir, fpt, maxTs,
           GapDays, sourceWatermark = false) { df =>
         val items = df.select(col("caseId").as("userId"),
@@ -1542,7 +1542,10 @@ object StreamScaleBench {
             max(when(col("activity") === "click", col("tsMicros"))).over(w))
           .filter(col("activity") === "purchase")
           .select(col("caseId").as("userId"), pidCol.as("purchaseId"),
-            col("lastClick").as("lastClickTsMicros")))
+            col("lastClick").as("lastClickTsMicros"),
+            when(col("lastClick").isNotNull,
+              xxhash64(col("caseId"), col("lastClick")))
+              .as("lastClickId")))
         .head()
       val batchFp = (bs.getLong(0), bs.getLong(1), bs.getLong(2))
       val bSecs = (System.nanoTime() - t0) / 1e9
@@ -1571,7 +1574,10 @@ object StreamScaleBench {
           min(when(col("activity") === "click", col("tsMicros"))).over(wf))
         .filter(col("activity") === "purchase")
         .select(col("caseId").as("userId"), pidCol.as("purchaseId"),
-          col("firstClick").as("firstClickTsMicros"))
+          col("firstClick").as("firstClickTsMicros"),
+          when(col("firstClick").isNotNull,
+            xxhash64(col("caseId"), col("firstClick")))
+            .as("firstClickId"))
     }
     if (wanted("asof_fwd")) {
       import graft.streaming.StreamingAsOf
@@ -1579,9 +1585,9 @@ object StreamScaleBench {
       def fp(batch: DataFrame): DataFrame =
         batch.agg(count(lit(1)).as("n"),
           coalesce(expr("bit_xor(xxhash64(userId, purchaseId," +
-            " firstClickTsMicros))"), lit(0L)).as("h1"),
+            " firstClickTsMicros, firstClickId))"), lit(0L)).as("h1"),
           coalesce(expr("bit_xor(xxhash64(firstClickTsMicros, userId," +
-            " purchaseId, 7))"), lit(0L)).as("h2"))
+            " firstClickId, purchaseId, 7))"), lit(0L)).as("h2"))
       val (rows, nb, peak, drops, secs) = run(spark, dir, fpt, maxTs,
           GapDays, sourceWatermark = false) { df =>
         val items = df.select(col("caseId").as("userId"),
@@ -1612,9 +1618,9 @@ object StreamScaleBench {
       def fp(batch: DataFrame): DataFrame =
         batch.agg(count(lit(1)).as("n"),
           coalesce(expr("bit_xor(xxhash64(userId, purchaseId," +
-            " nearestClickTsMicros))"), lit(0L)).as("h1"),
+            " nearestClickTsMicros, nearestClickId))"), lit(0L)).as("h1"),
           coalesce(expr("bit_xor(xxhash64(nearestClickTsMicros, userId," +
-            " purchaseId, 7))"), lit(0L)).as("h2"))
+            " nearestClickId, purchaseId, 7))"), lit(0L)).as("h2"))
       val (rows, nb, peak, drops, secs) = run(spark, dir, fpt, maxTs,
           GapDays, sourceWatermark = false) { df =>
         val items = df.select(col("caseId").as("userId"),
@@ -1648,7 +1654,10 @@ object StreamScaleBench {
                 col("firstClick") - col("tsMicros"), col("lastClick"))
               .otherwise(col("firstClick")))
           .select(col("caseId").as("userId"), pidCol.as("purchaseId"),
-            col("nearest").as("nearestClickTsMicros")))
+            col("nearest").as("nearestClickTsMicros"),
+            when(col("nearest").isNotNull,
+              xxhash64(col("caseId"), col("nearest")))
+              .as("nearestClickId")))
         .head()
       val batchFp = (bs.getLong(0), bs.getLong(1), bs.getLong(2))
       val bSecs = (System.nanoTime() - t0) / 1e9

@@ -187,6 +187,54 @@ class AsOfSpec extends SparkSpec {
     }
   }
 
+  test("as-of payloads ride the running extremes; ties are struct-ordered") {
+    // clicks with (key, ts) TIES carrying distinct payloads — the
+    // case the class-doc tie policy pins: backward takes the greatest
+    // (ts, payload) struct; forward the least among strictly-later
+    // rows, but a match at exactly the left ts inherits backward's
+    // greatest-payload direction (the equal-ts recovery path)
+    val purchases = Seq((1L, "P60", 60L), (1L, "P100", 100L),
+        (1L, "P150", 150L), (1L, "P250", 250L))
+      .toDF("user_id", "purchase_id", "t")
+      .withColumn("ts", timestamp_micros(col("t"))).drop("t")
+    val clicks = Seq((1L, 100L, 10L), (1L, 100L, 20L),
+        (1L, 200L, 5L), (1L, 200L, 7L))
+      .toDF("user_id", "t", "pay")
+      .withColumn("ts", timestamp_micros(col("t"))).drop("t")
+
+    val bwd = AsOf.backward(purchases, clicks, "user_id", "purchase_id",
+        "ts", payloadCols = Seq("pay"))
+      .select(col("purchase_id"), unix_micros(col("asof_ts")), col("asof_pay"))
+      .as[(String, Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(bwd("P60") == ((None, None)))
+    assert(bwd("P100") == ((Some(100L), Some(20L)))) // tie -> greatest pay
+    assert(bwd("P150") == ((Some(100L), Some(20L))))
+    assert(bwd("P250") == ((Some(200L), Some(7L))))
+
+    val fwd = AsOf.forward(purchases, clicks, "user_id", "purchase_id",
+        "ts", horizonUs = 100L, payloadCols = Seq("pay"))
+      .select(col("purchase_id"), unix_micros(col("asof_fwd_ts")),
+        col("asof_fwd_pay"))
+      .as[(String, Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(fwd("P60") == ((Some(100L), Some(10L))))  // strictly later: least
+    assert(fwd("P100") == ((Some(100L), Some(20L)))) // equal-ts: greatest
+    assert(fwd("P150") == ((Some(200L), Some(5L))))
+    assert(fwd("P250") == ((None, None)))            // nothing in horizon
+
+    val near = AsOf.nearest(purchases, clicks, "user_id", "purchase_id",
+        "ts", horizonUs = 100L, payloadCols = Seq("pay"))
+      .select(col("purchase_id"), unix_micros(col("asof_near_ts")),
+        col("asof_near_pay"))
+      .as[(String, Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(near("P60") == ((Some(100L), Some(10L))))  // only forward
+    assert(near("P100") == ((Some(100L), Some(20L)))) // both at d=0 -> bwd
+    assert(near("P150") == ((Some(100L), Some(20L)))) // d=50 tie -> bwd
+    assert(near("P250") == ((Some(200L), Some(7L))))  // only backward
+  }
+
   test("range join auto: both inputs empty returns empty, no NPE") {
     val points = Seq.empty[(String, Long)].toDF("id", "t")
       .withColumn("ts", timestamp_micros(col("t"))).drop("t")

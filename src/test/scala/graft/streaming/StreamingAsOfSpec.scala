@@ -240,4 +240,78 @@ class StreamingAsOfSpec extends SparkSpec {
     assert(got == Map(
       10L -> Some(sec(100)), 11L -> Some(sec(100)), 12L -> Some(sec(200))))
   }
+
+  test("payloads: all three flavors match the batch struct-ordered tie policy") {
+    // The AsOfSpec tie dataset, streamed: clicks with (key, ts) TIES
+    // carrying distinct payloads (eventId). Expectations are the batch
+    // kernel's — backward greatest (ts, pay); forward least among
+    // strictly-later but greatest at exactly the purchase ts (the
+    // equal-ts recovery); nearest the winning side's payload.
+    implicit val sqlCtx = spark.sqlContext
+    val data = Seq(
+      (1L, "click", 10L, sec(100)), (1L, "click", 20L, sec(100)),
+      (1L, "click", 5L, sec(200)), (1L, "click", 7L, sec(200)),
+      (1L, "purchase", 60L, sec(60)), (1L, "purchase", 100L, sec(100)),
+      (1L, "purchase", 150L, sec(150)), (1L, "purchase", 250L, sec(250)))
+
+    def drive[R](name: String)(mk: org.apache.spark.sql.Dataset[
+        StreamingAsOf.AItem] => org.apache.spark.sql.Dataset[R])
+        : Seq[org.apache.spark.sql.Row] = {
+      val input = MemoryStream[(Long, String, Long, Long)]
+      val items = input.toDS()
+        .toDF("userId", "kind", "eventId", "tsMicros")
+        .withColumn("ts", timestamp_micros(col("tsMicros")))
+        .withWatermark("ts", "10 seconds")
+        .as[StreamingAsOf.AItem]
+      val q = mk(items).writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        input.addData(data)
+        q.processAllAvailable()
+        input.addData(Seq((-1L, "__sentinel__", -1L, sec(86400))))
+        q.processAllAvailable()
+        input.addData(Seq((-2L, "__sentinel__", -2L, sec(2 * 86400))))
+        q.processAllAvailable()
+      } finally q.stop()
+      LateDrops.assertNone(q, name)
+      val rows = spark.table(name).collect().toSeq
+      spark.catalog.dropTempView(name)
+      rows
+    }
+
+    val bwd = drive("asof_pay_b")(
+        StreamingAsOf.backward(spark, _, gapSeconds = 3600L))
+      .map(r => r.getLong(1) ->
+        ((Option(r.get(2)).map(_.asInstanceOf[Long]),
+          Option(r.get(3)).map(_.asInstanceOf[Long])))).toMap
+    assert(bwd == Map(
+      60L -> ((None, None)),
+      100L -> ((Some(sec(100)), Some(20L))),
+      150L -> ((Some(sec(100)), Some(20L))),
+      250L -> ((Some(sec(200)), Some(7L)))))
+
+    val fwd = drive("asof_pay_f")(
+        StreamingAsOf.forward(spark, _, horizonSeconds = 100L,
+          gapSeconds = 3600L))
+      .map(r => r.getLong(1) ->
+        ((Option(r.get(2)).map(_.asInstanceOf[Long]),
+          Option(r.get(3)).map(_.asInstanceOf[Long])))).toMap
+    assert(fwd == Map(
+      60L -> ((Some(sec(100)), Some(10L))),
+      100L -> ((Some(sec(100)), Some(20L))),
+      150L -> ((Some(sec(200)), Some(5L))),
+      250L -> ((None, None))))
+
+    val near = drive("asof_pay_n")(
+        StreamingAsOf.nearest(spark, _, horizonSeconds = 100L,
+          gapSeconds = 3600L))
+      .map(r => r.getLong(1) ->
+        ((Option(r.get(2)).map(_.asInstanceOf[Long]),
+          Option(r.get(3)).map(_.asInstanceOf[Long])))).toMap
+    assert(near == Map(
+      60L -> ((Some(sec(100)), Some(10L))),
+      100L -> ((Some(sec(100)), Some(20L))),
+      150L -> ((Some(sec(100)), Some(20L))),
+      250L -> ((Some(sec(200)), Some(7L)))))
+  }
 }
