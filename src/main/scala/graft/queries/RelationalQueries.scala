@@ -416,6 +416,87 @@ object RelationalQueries {
       }
       }
     },
+
+    // Streaming ↔ batch WEIGHTED sketch-quantiles parity — gate 31:
+    // the weighted member the streaming family lacked after
+    // q_quantiles_sketch_weighted shipped batch-side (r15). Keyed
+    // state is the identical bounded Array[Long] (the wire format
+    // signals the weighted fills by negating slot 0); each lineitem
+    // row folds mass l_quantity via MpSketch.addWeighted, so n_total
+    // is the group's total MASS and err_bound_rank =
+    // errBoundRank(mass, k) — the batch gate's exact arithmetic. The
+    // staged feed is read back ONLY to certify estimates against
+    // exact WEIGHTED ranks (rankAuditWeighted — the audit, not the
+    // operator); shares q_quantiles_sketch_weighted's oracle verbatim.
+    "q_stream_quantiles_sketch_weighted_parity" -> { (s, dir) =>
+      ParityFeed.withStreamParallelism(s, 8) {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.OutputMode
+      import graft.ops.SketchQuantiles
+      import graft.streaming.StreamingSketchQuantiles
+      val Ignore = "\u0000ignore"
+      val ps = Seq(250, 500, 750, 900, 990)
+      val K = 4096
+      val src = Tables(s, dir, "lineitem").select(
+        concat_ws("|", col("l_returnflag"), col("l_linestatus")).as("group"),
+        expr("CAST(round(CAST(l_extendedprice AS DOUBLE) * 100) AS BIGINT)").as("v"),
+        col("l_quantity").cast("long").as("w"),
+        ((col("l_orderkey").cast("long") * 8L
+          + col("l_linenumber").cast("long")) * 1000000L).as("tsMicros"))
+      ParityFeed.withSharedFeed(s, s"robustw:$dir", src) { (feed, maxTs) =>
+      ParityFeed.sentinel(s, feed, Ignore, 0L, 1L, maxTs + 86400L * 1000000L)
+      val items = ParityFeed.stream(s, feed)
+        .select(when(col("tsMicros") > lit(maxTs), lit(Ignore))
+          .otherwise(col("group")).as("group"), col("v"), col("w"),
+          col("tsMicros"))
+        .withColumn("ts", timestamp_micros(col("tsMicros")))
+        .withWatermark("ts", "10 seconds")
+        .as[StreamingSketchQuantiles.WItem]
+      val name = s"stream_sketchqw_parity_${winsRun.incrementAndGet()}"
+      val q = StreamingSketchQuantiles.quantilesWeighted(s, items, k = K,
+          psPermille = ps, gapSeconds = 3600L, ignoreGroup = Ignore)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        q.processAllAvailable()
+        ParityFeed.sentinel(s, feed, Ignore, 0L, 1L,
+          maxTs + 2L * 86400L * 1000000L)
+        q.processAllAvailable()
+      } finally q.stop()
+      graft.streaming.LateDrops.assertNone(q, name)
+      // bounded: |groups| · |ps| rows (the flushed estimates)
+      val est = s.table(name)
+        .select(col("group"), col("pPermille").as("p_permille"),
+          col("valueEst").as("value_est"), col("nTotal").as("n_total"),
+          col("errBoundRank").as("err_bound_rank"))
+        .collect().toSeq
+      s.catalog.dropTempView(name)
+      val estDf = s.createDataFrame(
+        java.util.Arrays.asList(est: _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("group",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("p_permille",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("value_est",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n_total",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("err_bound_rank",
+            org.apache.spark.sql.types.LongType))))
+      // audit-only read of the retained files (sentinels excluded by
+      // ts): certifies |true weighted rank(est) − target| ≤ bound
+      SketchQuantiles.rankAuditWeighted(
+          ParityFeed.replay(s, feed).where(col("tsMicros") <= maxTs)
+            .select(col("group"), col("v"), col("w")),
+          col("group"), col("v"), col("w"), estDf)
+        .select(substring_index(col("group"), "|", 1).as("l_returnflag"),
+          substring_index(col("group"), "|", -1).as("l_linestatus"),
+          col("p_permille"), col("n_total"), col("err_bound_rank"),
+          col("rank_ok"))
+      }
+      }
+    },
     // Pivot (wide aggregation): documents count per source × language,
     // explicit pinned column set so the schema is static at any scale.
     "q_pivot_lang_source" -> { (s, dir) =>
@@ -774,6 +855,7 @@ object RelationalQueries {
     "q_quantiles_sketch" -> sketchAuditSql,
     "q_quantiles_sketch_weighted" -> sketchAuditWeightedSql,
     "q_stream_quantiles_sketch_parity" -> sketchAuditSql,
+    "q_stream_quantiles_sketch_weighted_parity" -> sketchAuditWeightedSql,
     "q_pivot_lang_source" ->
       """SELECT source,
         |  CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS de,

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.{Dataset, Encoder, SparkSession}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft.ops.SketchQuantiles
@@ -18,14 +18,23 @@ import graft.ops.SketchQuantiles.MpSketch
   * the data-branch flush covers sentinel-pinned groups whose timers
   * can never fire).
   *
+  * The WEIGHTED flavor ([[quantilesWeighted]]) folds mass-carrying
+  * items through [[MpSketch.addWeighted]] over the identical keyed
+  * machinery: the serialized wire format already signals the extended
+  * form by negating slot 0 and appending the fill partials, so the
+  * state stays one bounded Array[Long]; n is the group's total MASS
+  * and the bound is errBoundRank(mass, k) — the batch weighted gate's
+  * exact arithmetic, audited by the same weighted-rank oracle.
+  *
   * The emitted rows carry the (merge-order-dependent) estimate plus
   * the two DETERMINISTIC fields the parity gate hashes: the exact
-  * group size n and the a-priori rank-error bound
-  * ([[SketchQuantiles.errBoundRank]], a pure function of (n, k)) —
-  * batch and stream agree on both bit-for-bit, and the estimate
-  * itself is audited against exact ranks within the bound
-  * ([[SketchQuantiles.rankAudit]]), which the class-doc proof makes
-  * deterministically TRUE under any batching.
+  * group size n (total mass in the weighted flavor) and the a-priori
+  * rank-error bound ([[SketchQuantiles.errBoundRank]], a pure function
+  * of (n, k)) — batch and stream agree on both bit-for-bit, and the
+  * estimate itself is audited against exact (weighted) ranks within
+  * the bound ([[SketchQuantiles.rankAudit]] /
+  * [[SketchQuantiles.rankAuditWeighted]]), which the class-doc proof
+  * makes deterministically TRUE under any batching.
   *
   * A group that re-opens after its flush (late rows above the
   * watermark) would emit a second row set for the residue; under the
@@ -33,7 +42,7 @@ import graft.ops.SketchQuantiles.MpSketch
   * not occur — the same single-flush shape as every twin in the
   * family.
   */
-object StreamingSketchQuantiles {
+object StreamingSketchQuantiles extends Serializable {
 
   /** Keyed state: the serialized sketch and the max seen event time
     * (max-merged — out-of-order rows above the watermark can never
@@ -43,12 +52,35 @@ object StreamingSketchQuantiles {
   case class SketchRow(group: String, pPermille: Int, valueEst: Long,
     nTotal: Long, errBoundRank: Long)
 
+  /** A weighted stream item: `w ≥ 1` rows' worth of mass at value `v`
+    * (the [[MpSketch.addWeighted]] contract). */
+  case class WItem(group: String, v: Long, w: Long, tsMicros: Long)
+
   /** `items` must carry a watermark on its event-time column (the
     * VItem convention shared with the winsorized/quantiles twins). */
   def quantiles(spark: SparkSession,
       items: Dataset[StreamingWinsorized.VItem], k: Int,
       psPermille: Seq[Int], gapSeconds: Long,
       ignoreGroup: String): Dataset[SketchRow] = {
+    import spark.implicits._
+    run[StreamingWinsorized.VItem](spark, items, k, psPermille, gapSeconds,
+      ignoreGroup, _.group, _.tsMicros, (sk, e) => sk.add(e.v))
+  }
+
+  /** The weighted twin: identical state machine, mass-folding ingest.
+    * Shares the batch weighted gate's audit oracle verbatim. */
+  def quantilesWeighted(spark: SparkSession, items: Dataset[WItem], k: Int,
+      psPermille: Seq[Int], gapSeconds: Long,
+      ignoreGroup: String): Dataset[SketchRow] = {
+    import spark.implicits._
+    run[WItem](spark, items, k, psPermille, gapSeconds,
+      ignoreGroup, _.group, _.tsMicros, (sk, e) => sk.addWeighted(e.v, e.w))
+  }
+
+  private def run[T: Encoder](spark: SparkSession, items: Dataset[T],
+      k: Int, psPermille: Seq[Int], gapSeconds: Long, ignoreGroup: String,
+      key: T => String, ts: T => Long,
+      ingest: (MpSketch, T) => Unit): Dataset[SketchRow] = {
     import spark.implicits._
     require(psPermille.nonEmpty && psPermille.forall(p => p >= 1 && p <= 1000),
       s"permille targets must be in [1,1000]: $psPermille")
@@ -64,7 +96,7 @@ object StreamingSketchQuantiles {
       }
     }
 
-    def update(group: String, in: Iterator[StreamingWinsorized.VItem],
+    def update(group: String, in: Iterator[T],
         state: GroupState[SketchState]): Iterator[SketchRow] = {
       if (state.hasTimedOut) {
         val st = state.get
@@ -77,9 +109,9 @@ object StreamingSketchQuantiles {
         var maxTs = old.map(_.maxTsMicros).getOrElse(Long.MinValue)
         var saw = false
         in.foreach { e =>
-          if (e.group != ignoreGroup) {
-            sk.add(e.v); saw = true
-            maxTs = math.max(maxTs, e.tsMicros)
+          if (key(e) != ignoreGroup) {
+            ingest(sk, e); saw = true
+            maxTs = math.max(maxTs, ts(e))
           }
         }
         if (!saw && old.isEmpty) Iterator.empty // sentinel-only group
@@ -101,7 +133,7 @@ object StreamingSketchQuantiles {
     }
 
     items
-      .groupByKey(_.group)
+      .groupByKey(key)
       .flatMapGroupsWithState(OutputMode.Append(),
         GroupStateTimeout.EventTimeTimeout())(update)
   }

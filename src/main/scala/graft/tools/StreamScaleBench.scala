@@ -349,7 +349,8 @@ object StreamScaleBench {
     val KnownOps = Set("funnel", "dfg", "temporal", "drift", "throttle",
       "dedup", "sessionize", "stats", "declare", "conformance", "hopping",
       "join", "outer_join", "neardup", "heavy_hitters", "hh_sketch",
-      "winsorized", "quantiles", "quantiles_sketch", "hll", "cm",
+      "winsorized", "quantiles", "quantiles_sketch",
+      "quantiles_sketch_w", "hll", "cm",
       "bloom", "upsert", "asof", "asof_fwd", "asof_near", "sample",
       "sample_by_group", "xes")
     opsFilter.foreach { f =>
@@ -1330,6 +1331,78 @@ object StreamScaleBench {
         audit.forall(identity) && nbOk && streamEst.nonEmpty
       println(f"qsketch x$copies stream=$secs%6.1fs batch=$bSecs%6.1fs audit=$auditSecs%.1fs batches=$nb peakState=$peak drops=$drops match=$ok (${streamEst.size} group-permille rows, within-bound)")
       results += s""""quantiles_sketch":{"stream_s":$secs,"batch_s":$bSecs,"batches":$nb,"peak_state_rows":$peak,"late_drops":$drops,"match":$ok,"rows":${streamEst.size}}"""
+    }
+
+    // ---- quantiles_sketch_w: gate 31's WEIGHTED one-pass sketch
+    // under the REAL file source — identical keyed machinery (one
+    // bounded Array[Long] per group; the wire format flags the
+    // weighted fills by negating slot 0), each row folding a derived
+    // mass w ∈ [1, 9] via MpSketch.addWeighted. n_total is the
+    // group's total MASS and the bound errBoundRank(mass, k); the
+    // audit certifies BOTH sides within the bound against exact
+    // WEIGHTED ranks (_lt/_le accumulate mass, not rows) and requires
+    // stream n/bound == batch n/bound exactly. Batch truth:
+    // SketchQuantiles.approxByGroupWeighted over the same files. ----
+    if (wanted("quantiles_sketch_w")) {
+      import graft.ops.SketchQuantiles
+      import graft.streaming.StreamingSketchQuantiles
+      val Ignore = " "
+      val ps = Seq(250, 500, 750, 900, 990)
+      val K = 4096
+      val vCol = pmod(xxhash64(col("caseId"), col("tsMicros")),
+        lit(2000000L)) - lit(1000000L)
+      val wCol = pmod(xxhash64(col("tsMicros"), col("caseId"), lit(13)),
+        lit(9L)) + lit(1L)
+      val (rows, nb, peak, drops, secs) = run(spark, dir, fpt, maxTs,
+          GapDays, sourceWatermark = false) { df =>
+        val items = df.select(when(col("caseId") < 0L, lit(Ignore))
+              .otherwise(col("activity")).as("group"),
+            vCol.as("v"), wCol.as("w"), col("tsMicros"))
+          .withColumn("ts", timestamp_micros(col("tsMicros")))
+          .withWatermark("ts", "10 seconds")
+          .as[StreamingSketchQuantiles.WItem]
+        StreamingSketchQuantiles.quantilesWeighted(spark, items, k = K,
+          psPermille = ps, gapSeconds = gapSeconds,
+          ignoreGroup = Ignore).toDF()
+      } { batch => batch.select(col("group"), col("pPermille"),
+          col("valueEst"), col("nTotal"), col("errBoundRank")) }
+      val streamEst = rows.map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      val t0 = System.nanoTime()
+      val batchEst = SketchQuantiles.approxByGroupWeighted(
+          batchEv.select(col("activity").as("group"), vCol.as("v"),
+            wCol.as("w")),
+          col("group"), col("v"), col("w"), ps, k = K)
+        .collect().map(r => (r.getString(0), r.getInt(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      val bSecs = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val estAll = (streamEst.toSeq.map { case ((g, p), (v, n, b)) =>
+          (g, p, v, n, b, "s") } ++
+        batchEst.toSeq.map { case ((g, p), (v, n, b)) =>
+          (g, p, v, n, b, "b") })
+        .toDF("group", "p_permille", "value_est", "n_total",
+          "err_bound_rank", "side")
+      val audit = batchEv
+        .select(col("activity").as("group"), vCol.as("v"), wCol.as("w"))
+        .join(broadcast(estAll), Seq("group"))
+        .groupBy(col("group"), col("p_permille"), col("value_est"),
+          col("n_total"), col("err_bound_rank"), col("side"))
+        .agg(sum(when(col("v") < col("value_est"), col("w")).otherwise(0L)).as("_lt"),
+          sum(when(col("v") <= col("value_est"), col("w")).otherwise(0L)).as("_le"))
+        .withColumn("_target", expr("(n_total div 1000) * p_permille" +
+          " + ((n_total % 1000) * p_permille + 999) div 1000"))
+        .select((col("_lt") < col("_target") + col("err_bound_rank") &&
+          col("_le") >= col("_target") - col("err_bound_rank")).as("ok"))
+        .as[Boolean].collect()
+      val auditSecs = (System.nanoTime() - t1) / 1e9
+      val nbOk = streamEst.keySet == batchEst.keySet &&
+        streamEst.forall { case (kk, (_, n, b)) =>
+          val (_, bn, bb) = batchEst(kk); n == bn && b == bb }
+      val ok = audit.length == 2 * streamEst.size &&
+        audit.forall(identity) && nbOk && streamEst.nonEmpty
+      println(f"qsketchw x$copies stream=$secs%6.1fs batch=$bSecs%6.1fs audit=$auditSecs%.1fs batches=$nb peakState=$peak drops=$drops match=$ok (${streamEst.size} group-permille rows, within-bound)")
+      results += s""""quantiles_sketch_w":{"stream_s":$secs,"batch_s":$bSecs,"batches":$nb,"peak_state_rows":$peak,"late_drops":$drops,"match":$ok,"rows":${streamEst.size}}"""
     }
 
     // ---- hll: the 22nd gate's order-free register fold under a REAL

@@ -285,4 +285,48 @@ class SketchQuantilesSpec extends SparkSpec {
       assert(rankOk(sorted, r.valueEst, t, r.errBoundRank), r.toString)
     }
   }
+
+  test("weighted streaming twin: mass fold across micro-batches, certified within bound") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import graft.streaming.StreamingSketchQuantiles
+    implicit val sqlCtx = spark.sqlContext
+    val Ignore = "\u0000ignore"
+    val vs = lcg(6000, seed = 9L)
+    val rows = vs.zipWithIndex.map { case (v, i) =>
+      (s"g${i % 2}", v, (math.abs(v) % 9L) + 1L, (i + 1).toLong * 1000000L)
+    }
+    val maxTs = rows.map(_._4).max
+    val input = MemoryStream[(String, Long, Long, Long)]
+    val items = input.toDS().toDF("group", "v", "w", "tsMicros")
+      .withColumn("ts", timestamp_micros(col("tsMicros")))
+      .withWatermark("ts", "10 seconds")
+      .as[StreamingSketchQuantiles.WItem]
+    val q = StreamingSketchQuantiles.quantilesWeighted(spark, items, k = 128,
+        psPermille = Seq(500, 990), gapSeconds = 60L, ignoreGroup = Ignore)
+      .writeStream.format("memory").queryName("sketch_qw")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val (c1, c2) = rows.splitAt(2500) // two data micro-batches: state must fold
+      input.addData(c1.toSeq); q.processAllAvailable()
+      input.addData(c2.toSeq); q.processAllAvailable()
+      input.addData((Ignore, 0L, 1L, maxTs + 86400L * 1000000L)); q.processAllAvailable()
+      input.addData((Ignore, 0L, 1L, maxTs + 2L * 86400L * 1000000L)); q.processAllAvailable()
+    } finally q.stop()
+    graft.streaming.LateDrops.assertNone(q, "sketch_qw")
+    val out = spark.table("sketch_qw")
+      .as[StreamingSketchQuantiles.SketchRow].collect()
+    spark.catalog.dropTempView("sketch_qw")
+    assert(out.length == 4) // 2 groups x 2 permilles, ONE flush each
+    val byGroup = rows.groupBy(_._1)
+      .map { case (g, rs) => g -> rs.map(r => (r._2, r._3)).toArray }
+    out.foreach { r =>
+      val items = byGroup(r.group)
+      val mass = items.map(_._2).sum
+      assert(r.nTotal == mass) // n is the group's total MASS
+      assert(r.errBoundRank == SketchQuantiles.errBoundRank(mass, 128))
+      val t = targetRank(r.nTotal, r.pPermille)
+      assert(rankOkW(items, r.valueEst, t, r.errBoundRank), r.toString)
+    }
+  }
 }
