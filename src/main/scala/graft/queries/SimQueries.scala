@@ -114,7 +114,11 @@ object SimQueries {
     // Full-corpus k-NN graph (every vector is a query) — the batch
     // graph build behind dedup clustering and diversity sampling.
     // Same multi-table LSH equi-join; candidate volume is linear in
-    // bucket collisions, never |corpus|².
+    // bucket collisions, never |corpus|². ANCHOR: the plane count is
+    // FIXED, so per-bucket load — and the ×N ratio — grows with the
+    // corpus BY CONSTRUCTION; kept as the labeled fixed-parameter
+    // baseline (ScaleBench.Anchors marks its artifact row) that the
+    // auto twin below exists to beat. Scale path: q_sim_knn_graph_auto.
     "q_sim_knn_graph" -> { (s, dir) =>
       Ann.knnGraph(Tables(s, dir, "embeddings"), "vec_id", "embedding",
         KGraph, TablesL, Planes, Seed, Dims)
