@@ -48,9 +48,7 @@ object ImageIo {
       }
     } catch { case _: Exception => None }
 
-  /** Re-encode a raster as PNG (lossless — JPEG would change pixel
-    * values on every resize hop). */
-  def encodePng(img: Ppm.Image): Array[Byte] = {
+  private def toBuffered(img: Ppm.Image): BufferedImage = {
     val buf = new BufferedImage(img.width, img.height, BufferedImage.TYPE_INT_RGB)
     var y = 0
     while (y < img.height) {
@@ -67,8 +65,36 @@ object ImageIo {
       }
       y += 1
     }
+    buf
+  }
+
+  /** Re-encode a raster as PNG (lossless — JPEG would change pixel
+    * values on every resize hop). */
+  def encodePng(img: Ppm.Image): Array[Byte] = {
     val out = new ByteArrayOutputStream()
-    ImageIO.write(buf, "png", out)
+    ImageIO.write(toBuffered(img), "png", out)
+    out.toByteArray
+  }
+
+  /** Encode a raster as JPEG at an explicit quality (the default
+    * writer setting varies by platform; pinning it keeps fixture
+    * bytes reproducible on one JDK). Lossy by design — fixture twins
+    * encoded this way land at small nonzero Hamming, not 0. */
+  def encodeJpeg(img: Ppm.Image, quality: Float = 0.9f): Array[Byte] = {
+    import javax.imageio.{IIOImage, ImageWriteParam}
+    val writer = ImageIO.getImageWritersByFormatName("jpg").next()
+    val params = writer.getDefaultWriteParam
+    params.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
+    params.setCompressionQuality(quality)
+    val out = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(out)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new IIOImage(toBuffered(img), null, null), params)
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
     out.toByteArray
   }
 }

@@ -4,7 +4,7 @@ import java.io.File
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
 import graft.GraftSession
-import graft.multimodal.{ImageDedup, Ppm}
+import graft.multimodal.{ImageDedup, ImageIo, Multimodal, Ppm}
 
 /** Regenerates the committed perceptual-image-dedup fixtures (dev
   * tool): a deterministic PPM corpus under `fixtures/images/` and the
@@ -21,12 +21,19 @@ import graft.multimodal.{ImageDedup, Ppm}
   * the hashes from the committed PPM bytes and pins the corpus
   * structure (planted brightness/upscale twins at Hamming 0).
   *
-  * Corpus (70 images, ids encode provenance):
-  *   0..39    base images, varied sizes, pixel values < 200
+  * Corpus (86 images, ids encode provenance; three container
+  * formats so the gate exercises the whole Codec.raster dispatch —
+  * Netpbm kernel AND the javax.imageio JPEG/PNG seam):
+  *   0..39    base images (PPM), varied sizes, pixel values < 200
   *   100+k    k<10: brightness +8 copy of base k  (dHash-identical)
   *   200+k    k<10: 2x nearest-neighbor upscale of base k (identical)
   *   300+k    k<10: base k with one horizontal strip re-textured
   *            (small nonzero Hamming, deterministic)
+  *   400+k    k<10: PNG re-encode of base k (lossless ⇒
+  *            dHash-identical cross-container twin)
+  *   500+k    k<6:  JPEG re-encode of base k at quality 0.9 (lossy ⇒
+  *            small Hamming; hashes pinned from the DECODED bytes, so
+  *            the table is exact for this JDK's codec)
   *
   * Run after any intentional decode/dHash change:
   * `sbt "runMain graft.tools.DumpImageFixtures"`.
@@ -75,7 +82,7 @@ object DumpImageFixtures {
     img.copy(pixels = px)
   }
 
-  /** The full deterministic corpus: (mediaId, raster). */
+  /** The PPM half of the corpus: (mediaId, raster). */
   def corpus: Seq[(Long, Ppm.Image)] =
     (0L until 40L).map(id => id -> base(id)) ++
       (0L until 10L).map(k => (100L + k) -> brighten(base(k), 8)) ++
@@ -83,17 +90,30 @@ object DumpImageFixtures {
         (200L + k) -> { val b = base(k); Ppm.resize(b, b.width * 2, b.height * 2) }) ++
       (0L until 10L).map(k => (300L + k) -> perturb(base(k), k))
 
+  /** Every committed file: (mediaId, extension, encoded bytes). */
+  def files: Seq[(Long, String, Array[Byte])] =
+    corpus.map { case (id, img) => (id, "ppm", Ppm.encode(img)) } ++
+      (0L until 10L).map(k =>
+        (400L + k, "png", ImageIo.encodePng(base(k)))) ++
+      (0L until 6L).map(k =>
+        (500L + k, "jpg", ImageIo.encodeJpeg(base(k), quality = 0.9f)))
+
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/root/repo/fixtures")
     val imgDir = new File(s"$out/images")
     imgDir.mkdirs()
-    val rows = corpus
-    rows.foreach { case (id, img) =>
-      Files.write(Paths.get(s"$out/images/img_$id.ppm"), Ppm.encode(img))
+    val rows = files
+    rows.foreach { case (id, ext, bytes) =>
+      Files.write(Paths.get(s"$out/images/img_$id.$ext"), bytes)
     }
     val spark = GraftSession.get("8")
     import spark.implicits._
-    val hashes = rows.map { case (id, img) => (id, ImageDedup.dHash(img)) }
+    // hashes from the ROUND-TRIPPED bytes (decode included) — for the
+    // lossy JPEG entries the decoded raster, not the source raster,
+    // is what the gated query hashes
+    val hashes = rows.map { case (id, _, bytes) =>
+      (id, ImageDedup.dHash(Multimodal.Codec.raster(bytes).get))
+    }
     val df = hashes.toDF("media_id", "dhash")
     val tmp = s"$out/_image_dhash_tmp"
     df.coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -104,6 +124,6 @@ object DumpImageFixtures {
     new File(tmp).listFiles().foreach(_.delete())
     new File(tmp).delete()
     spark.stop()
-    println(s"wrote ${rows.size} ppm files + image_dhash.parquet")
+    println(s"wrote ${rows.size} image files (ppm/png/jpg) + image_dhash.parquet")
   }
 }
