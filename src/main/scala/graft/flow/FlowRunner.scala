@@ -140,10 +140,17 @@ object FlowRunner {
   private def allSegments(p: Pipe): Seq[Segment] =
     (p.source +: p.streams) ++ p.sink.toSeq
 
+  /** Test seam: invoked with the pipe name on the executing thread as
+    * each pipe begins — the concurrency spec parks both independent
+    * pipes here to prove they really overlap. */
+  @volatile private[flow] var pipeStartHook: String => Unit = _ => ()
+
   def run(spark: SparkSession, flow: Flow): FlowResult = {
     var artifacts = Map.empty[String, Any]
     var namedStreams = Map.empty[String, XesReader.XLog]
     val cached = Seq.newBuilder[Dataset[_]]
+    val registerCached: Dataset[_] => Unit =
+      ds => cached.synchronized { cached += ds }
 
     // Dependency order: run pipes whose stream receivers AND artifact
     // receivers are all available (the reference acquires artifact
@@ -164,9 +171,37 @@ object FlowRunner {
           s"flow deadlock: pipes ${blocked.map(_.name).mkString(", ")} wait on " +
             s"channels ${waits.distinct.mkString(", ")}")
       }
-      ready.foreach { pipe =>
-        val (arts, streams) = runPipe(spark, pipe, namedStreams, artifacts,
-          cached += _)
+      // A generation's ready pipes are mutually independent BY
+      // CONSTRUCTION (every channel they consume already exists), so
+      // they run CONCURRENTLY — the reference's ThreadExecutor spawns
+      // one thread per pipe the same way (executor.rs:53-68), and a
+      // SparkSession accepts jobs from multiple threads (that is how
+      // the scheduler pools executor slots across them). Results merge
+      // in declaration order regardless of completion order, so
+      // channel-name collisions resolve exactly as the sequential
+      // runner did and outputs stay byte-identical.
+      val results: Seq[(Map[String, Any], Map[String, XesReader.XLog])] =
+        if (ready.size == 1)
+          ready.map(p => runPipe(spark, p, namedStreams, artifacts,
+            registerCached))
+        else {
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(ready.size)
+          try {
+            val futs = ready.map { p =>
+              val (ns, as) = (namedStreams, artifacts) // immutable snapshots
+              pool.submit(new java.util.concurrent.Callable[
+                  (Map[String, Any], Map[String, XesReader.XLog])] {
+                def call() = runPipe(spark, p, ns, as, registerCached)
+              })
+            }
+            futs.map { f =>
+              try f.get()
+              catch { case e: java.util.concurrent.ExecutionException =>
+                throw e.getCause }
+            }
+          } finally pool.shutdown()
+        }
+      results.foreach { case (arts, streams) =>
         artifacts ++= arts
         namedStreams ++= streams
       }
@@ -179,6 +214,7 @@ object FlowRunner {
       named: Map[String, XesReader.XLog], globalArtifacts: Map[String, Any],
       registerCached: Dataset[_] => Unit)
       : (Map[String, Any], Map[String, XesReader.XLog]) = {
+    pipeStartHook(pipe.name)
     var artifacts = Map.empty[String, Any]
     var streams = Map.empty[String, XesReader.XLog]
 

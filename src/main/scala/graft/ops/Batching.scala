@@ -31,8 +31,6 @@ object Batching {
   def batches(events: DataFrame, activityCol: String, resourceCol: String,
       tsCol: String, tieBreak: String, gapUs: Long): DataFrame = {
     require(gapUs >= 0L, s"gap must be >= 0 us: $gapUs")
-    val w = Window.partitionBy(col(activityCol), col(resourceCol))
-      .orderBy(col(tsCol), col(tieBreak))
     events
       .select(col(activityCol).as("activity"), col(resourceCol).as("resource"),
         unix_micros(col(tsCol)).as("_us"), col(tieBreak))

@@ -99,11 +99,19 @@ object Split {
     }
   }
 
+  /** A permille fraction outside [0, 1000] silently yields an
+    * all-train or all-test split — fail loudly instead (shared by all
+    * three assign variants). */
+  private def requirePermille(name: String, p: Int): Unit =
+    require(p >= 0 && p <= 1000, s"$name must be in [0, 1000]: $p")
+
   /** Adds a deterministic `is_train` flag at case granularity. */
   def assign(events: DataFrame, caseCol: String, trainPermille: Int,
-      seed: Long): DataFrame =
+      seed: Long): DataFrame = {
+    requirePermille("trainPermille", trainPermille)
     events.withColumn("is_train",
       bucket(keyColumn(events, caseCol), seed) < lit(trainPermille))
+  }
 
   /** Three-way split at case granularity: adds a `split` column in
     * {train, val, test} from the same deterministic bucket —
@@ -112,6 +120,10 @@ object Split {
     * reference's two-way Split. */
   def assign3(events: DataFrame, caseCol: String, trainPermille: Int,
       valPermille: Int, seed: Long): DataFrame = {
+    requirePermille("trainPermille", trainPermille)
+    requirePermille("valPermille", valPermille)
+    requirePermille("trainPermille + valPermille",
+      trainPermille + valPermille)
     val b = bucket(keyColumn(events, caseCol), seed)
     events.withColumn("split",
       when(b < lit(trainPermille), lit("train"))
@@ -145,12 +157,14 @@ object Split {
     * needs "same cluster ⇒ same key".
     */
   def assignLeakSafe(docs: DataFrame, textCol: String, trainPermille: Int,
-      seed: Long): DataFrame =
+      seed: Long): DataFrame = {
+    requirePermille("trainPermille", trainPermille)
     docs
       .withColumn("cluster_key", graft.functions.NativeExpressions
         .charHash(lower(trim(col(textCol))), 7L))
       .withColumn("is_train",
         bucket(col("cluster_key"), seed) < lit(trainPermille))
+  }
 
   /** The `Split` operator proper: (train, test) DataFrames. Both are
     * lazy views over the same scan — cache upstream if both sides are

@@ -50,6 +50,26 @@ object EventLogQueries {
       |FROM pp JOIN pr USING (act_from, act_to)
       |GROUP BY 1, 2, 3""".stripMargin
 
+  /** Batching-summary oracle — shared verbatim by q_batching and its
+    * streaming twin (gate 32). */
+  private val batchingSql =
+    """WITH d AS (
+        |  SELECT event_type AS activity, user_id AS resource, ts, event_id,
+        |    CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (
+        |        PARTITION BY event_type, user_id ORDER BY ts, event_id))
+        |      <= 86400000000 THEN 0 ELSE 1 END AS nb
+        |  FROM events),
+        |b AS (SELECT activity, resource,
+        |    sum(nb) OVER (PARTITION BY activity, resource
+        |      ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS bid
+        |  FROM d),
+        |s AS (SELECT activity, resource, bid, count(*) AS sz
+        |  FROM b GROUP BY 1, 2, 3)
+        |SELECT activity, count(*) AS n_batches, max(sz) AS max_batch_size,
+        |  CAST(sum(CASE WHEN sz >= 2 THEN sz ELSE 0 END) AS BIGINT)
+        |    AS n_batched_events
+        |FROM s GROUP BY 1""".stripMargin
+
   /** Backward as-of oracle — shared verbatim by the batch as-of gate
     * and its streaming twin. */
   private val asofSql =
@@ -1226,6 +1246,7 @@ object EventLogQueries {
         .select(col("user_id").as("caseId"),
           col("event_type").as("activity"),
           unix_micros(col("ts")).as("tsMicros"))
+      ParityFeed.requireUniqueCaseTs(src, "caseId", "tsMicros")
       ParityFeed.withFeed(s, src) { (feed, maxTs) =>
       // sentinel case: pushes the watermark past every case's
       // last-event + gap timeout so all cases close in batch two
@@ -1282,6 +1303,7 @@ object EventLogQueries {
         .select(col("user_id").cast("string").as("caseId"),
           col("event_type").as("activity"),
           unix_micros(col("ts")).as("tsMicros"))
+      ParityFeed.requireUniqueCaseTs(src, "caseId", "tsMicros")
       // the FIXED profile an online monitor checks against — the
       // data's own batch profile, so the twin shares the batch oracle
       val profile = graft.ops.Temporal.profile(Tables(s, dir, "events"),
@@ -1423,6 +1445,56 @@ object EventLogQueries {
       graft.ops.Batching.summary(Tables(s, dir, "events"),
         activityCol = "event_type", resourceCol = "user_id",
         tsCol = "ts", tieBreak = "event_id", gapUs = 86400L * 1000000L)
+    },
+
+    // Streaming ↔ batch batching-detection parity (gate 32): the
+    // events table staged to a tmpfs drop-dir → StreamingBatching's
+    // per-(activity, resource) run fold (state = the OPEN batch only,
+    // four longs — the Sessionize compaction argument; tie order is
+    // immaterial because tied events always share a batch) → one row
+    // per CLOSED maximal run, rolled up per activity IN THE PLAN to
+    // the batch summary. Shares q_batching's oracle verbatim.
+    "q_stream_batching_parity" -> { (s, dir) =>
+      ParityFeed.withStreamParallelism(s, 8) {
+      import s.implicits._
+      import graft.streaming.StreamingBatching
+      val src = Tables(s, dir, "events")
+        .select(col("event_type").as("activity"),
+          col("user_id").as("resource"),
+          unix_micros(col("ts")).as("tsMicros"))
+      ParityFeed.withFeed(s, src) { (feed, maxTs) =>
+      ParityFeed.sentinel(s, feed, "_sentinel", -1L,
+        maxTs + 3L * 86400L * 1000000L)
+      val items = ParityFeed.stream(s, feed)
+        .withColumn("ts", timestamp_micros(col("tsMicros")))
+        .withWatermark("ts", "10 seconds")
+        .as[StreamingBatching.BItem]
+      val name = s"stream_batching_parity_${sessRun.incrementAndGet()}"
+      val q = StreamingBatching.batches(s, items,
+          gapUs = 86400L * 1000000L, gapSeconds = 86400L)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        q.processAllAvailable()
+        ParityFeed.sentinel(s, feed, "_sentinel", -1L,
+          maxTs + 6L * 86400L * 1000000L)
+        q.processAllAvailable()
+      } finally q.stop()
+      graft.streaming.LateDrops.assertNone(q, name)
+      // batch rows fold to the alphabet-bounded summary IN THE PLAN
+      val res = s.table(name)
+        .filter(col("activity") =!= "_sentinel")
+        .groupBy(col("activity"))
+        .agg(count(lit(1)).as("n_batches"),
+          max(col("batchSize")).as("max_batch_size"),
+          sum(when(col("batchSize") >= 2L, col("batchSize")).otherwise(0L))
+            .as("n_batched_events"))
+      val rows = res.collect() // one row per activity
+      val out = s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+      s.catalog.dropTempView(name)
+      out
+      }
+      }
     },
 
     // Frequency-threshold model simplification (the Disco slider):
@@ -2032,23 +2104,8 @@ object EventLogQueries {
         |      + CAST(wait_us > q3 AS INT) AS band
         |  FROM pp JOIN th USING (act_from, act_to))
         |GROUP BY 1, 2, 3""".stripMargin,
-    "q_batching" ->
-      """WITH d AS (
-        |  SELECT event_type AS activity, user_id AS resource, ts, event_id,
-        |    CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (
-        |        PARTITION BY event_type, user_id ORDER BY ts, event_id))
-        |      <= 86400000000 THEN 0 ELSE 1 END AS nb
-        |  FROM events),
-        |b AS (SELECT activity, resource,
-        |    sum(nb) OVER (PARTITION BY activity, resource
-        |      ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS bid
-        |  FROM d),
-        |s AS (SELECT activity, resource, bid, count(*) AS sz
-        |  FROM b GROUP BY 1, 2, 3)
-        |SELECT activity, count(*) AS n_batches, max(sz) AS max_batch_size,
-        |  CAST(sum(CASE WHEN sz >= 2 THEN sz ELSE 0 END) AS BIGINT)
-        |    AS n_batched_events
-        |FROM s GROUP BY 1""".stripMargin,
+    "q_stream_batching_parity" -> batchingSql,
+    "q_batching" -> batchingSql,
     "q_dfg_simplified" ->
       """WITH kept AS (
         |  SELECT event_type AS act FROM events

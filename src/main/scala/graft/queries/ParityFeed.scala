@@ -180,6 +180,25 @@ private[queries] object ParityFeed {
     * latest. Safe because a streaming query fixes both settings from
     * the conf AT START, inside this scope; batch queries planned
     * after restore are untouched. */
+  /** The streaming folds order tied events by (ts, activity) while
+    * the batch oracles tie-break on event_id — parity therefore rests
+    * on the dataset's unique-(case, ts) contract (stated in
+    * TESTDATA.md for the events table). Assert it loudly with one
+    * bounded aggregation, so a future dataset with intra-case ts ties
+    * fails with a clear message instead of an opaque multiset
+    * mismatch. */
+  def requireUniqueCaseTs(df: DataFrame, caseCol: String,
+      tsCol: String): Unit = {
+    import org.apache.spark.sql.functions.count
+    val dup = df.groupBy(col(caseCol), col(tsCol))
+      .agg(count(org.apache.spark.sql.functions.lit(1)).as("_n"))
+      .filter(col("_n") > 1).limit(1).count()
+    require(dup == 0L,
+      s"parity-gate contract violated: duplicate ($caseCol, $tsCol) " +
+        "pairs exist — the streaming (ts, activity) fold order and the " +
+        "batch event_id tie-break are no longer interchangeable")
+  }
+
   def withStreamParallelism[A](s: SparkSession, n: Int)(f: => A): A = {
     val key = "spark.sql.shuffle.partitions"
     val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"

@@ -25,6 +25,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * Emission contract unchanged: one [[Edge]] row per directly-follows
   * OCCURRENCE of the closed trace (counts expand at flush), so
   * downstream aggregations see the identical multiset.
+  *
+  * State-format note: the compaction changed the state encoding (the
+  * edge map became parallel seqs), which a checkpoint written by the
+  * pre-compaction encoding cannot deserialize. Checkpoints are
+  * ephemeral bench/test dirs throughout this repo, so no migration is
+  * provided — a long-lived deployment upgrading across the change
+  * must restart the query from a fresh checkpoint location (the
+  * standard Structured Streaming state-schema-evolution posture).
   */
 object StreamingDfg extends Serializable {
 

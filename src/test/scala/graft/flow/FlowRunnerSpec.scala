@@ -103,6 +103,61 @@ class FlowRunnerSpec extends SparkSpec {
     assert(testLog.counts == test.counts)
   }
 
+  test("independent pipes in one generation run CONCURRENTLY (executor.rs:53-68)") {
+    // Two pipes with no channel between them — the reference's
+    // ThreadExecutor runs such pipes on separate threads. The start
+    // hook parks EACH pipe until BOTH have begun: under the old
+    // sequential runner pipe A would wait out the full timeout with
+    // pipe B never started; under the threaded runner both arrive at
+    // the latch immediately and the flow completes.
+    val l1 = "/root/reference/static/xes/book/L1.xes"
+    val two =
+      s"""{
+         |  "pipes": [
+         |    {"name": "A",
+         |     "source": {"name": "XesReader", "attributes":
+         |       {"path": {"String": "$l1"}}},
+         |     "streams": [{"name": "Statistics", "artifact_sender": ["a_stats"]}]},
+         |    {"name": "B",
+         |     "source": {"name": "XesReader", "attributes":
+         |       {"path": {"String": "$l1"}}},
+         |     "streams": [{"name": "Statistics", "artifact_sender": ["b_stats"]}]}
+         |  ]
+         |}""".stripMargin
+    val latch = new java.util.concurrent.CountDownLatch(2)
+    FlowRunner.pipeStartHook = { _ =>
+      latch.countDown()
+      if (!latch.await(60, java.util.concurrent.TimeUnit.SECONDS))
+        throw new IllegalStateException(
+          "independent pipes did not overlap: the second pipe never started " +
+            "while the first was running")
+    }
+    try {
+      val result = FlowRunner.runJson(spark, two)
+      val a = result.artifacts("a_stats").asInstanceOf[FlowRunner.Statistics]
+      val b = result.artifacts("b_stats").asInstanceOf[FlowRunner.Statistics]
+      assert(a == b && a.nTraces == 6L, s"a=${a.counts} b=${b.counts}")
+    } finally FlowRunner.pipeStartHook = _ => ()
+  }
+
+  test("a failing concurrent pipe surfaces its own exception, not a wrapper") {
+    val two =
+      s"""{
+         |  "pipes": [
+         |    {"name": "OK",
+         |     "source": {"name": "XesReader", "attributes":
+         |       {"path": {"String": "/root/reference/static/xes/book/L1.xes"}}},
+         |     "streams": [{"name": "Statistics", "artifact_sender": ["ok_stats"]}]},
+         |    {"name": "BAD",
+         |     "source": {"name": "XesReader", "attributes":
+         |       {"path": {"String": "/root/reference/static/xes/book/L1.xes"}}},
+         |     "streams": [{"name": "NoSuchSegment"}]}
+         |  ]
+         |}""".stripMargin
+    val e = intercept[IllegalArgumentException](FlowRunner.runJson(spark, two))
+    assert(e.getMessage.contains("NoSuchSegment"))
+  }
+
   test("Duplicator fan-out: copy channel sees the identical stream (duplicator.rs:12-92)") {
     val flow =
       """pipes:
