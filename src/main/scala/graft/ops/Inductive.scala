@@ -33,7 +33,9 @@ import ProcessTree._
   * IMd sees only the DFG abstraction (no log splitting), so unlike
   * full IM it does not guarantee perfect replay fitness on every log;
   * the specs pin the textbook results where they are exact and the
-  * accepted-variant behavior elsewhere.
+  * accepted-variant behavior elsewhere. [[InductiveLog]] is the full
+  * IM: the same cut rules ([[findCut]]) driven through distributed
+  * log splitting, with the perfect-fitness guarantee.
   */
 object Inductive {
 
@@ -119,9 +121,55 @@ object Inductive {
       val a = g.activities.head
       return if (g.edges.contains((a, a))) Loop(Seq(Leaf(a), Tau)) else Leaf(a)
     }
-    xorCut(g).orElse(seqCut(g)).orElse(andCut(g)).orElse(loopCut(g))
-      .getOrElse(flower(g))
+    findCut(g) match {
+      case Some((CutKind.XorK, comps)) =>
+        Xor(comps.map(c =>
+          mineGraph(Graph(c, within(g, c), g.starts & c, g.ends & c))))
+      case Some((CutKind.SeqK, ordered)) =>
+        Sequence(ordered.zipWithIndex.map { case (grp, i) =>
+          val before = ordered.take(i).flatten.toSet
+          val after = ordered.drop(i + 1).flatten.toSet
+          val starts = (g.starts & grp) ++
+            grp.filter(a => g.edges.exists(e => before(e._1) && e._2 == a))
+          val ends = (g.ends & grp) ++
+            grp.filter(a => g.edges.exists(e => e._1 == a && after(e._2)))
+          mineGraph(Graph(grp, within(g, grp), starts, ends))
+        })
+      case Some((CutKind.AndK, groups)) =>
+        And(groups.map(grp =>
+          mineGraph(Graph(grp, within(g, grp), g.starts & grp, g.ends & grp))))
+      case Some((CutKind.LoopK, body +: redos)) =>
+        val bodyTree = mineGraph(Graph(body, within(g, body), g.starts, g.ends))
+        val redoTrees = redos.map { r =>
+          val starts = r.filter(a => g.edges.exists(e => g.ends(e._1) && e._2 == a))
+          val ends = r.filter(a => g.edges.exists(e => e._1 == a && g.starts(e._2)))
+          mineGraph(Graph(r, within(g, r), starts, ends))
+        }
+        Loop(bodyTree +: redoTrees)
+      case _ => flower(g)
+    }
   }
+
+  /** The four IM cut rules in standard order, detection only — the
+    * partition of the alphabet, not the recursion. [[mineGraph]] (IMd)
+    * recurses on derived sub-GRAPHS; [[InductiveLog.mine]] (full IM)
+    * routes the EVENTS through the same partition and re-derives each
+    * child's DFG from its actual sublog. For [[CutKind.SeqK]] groups
+    * are in sequence order; for [[CutKind.LoopK]] the body group is
+    * first, redo groups after. */
+  private[ops] sealed trait CutKind
+  private[ops] object CutKind {
+    case object XorK extends CutKind
+    case object SeqK extends CutKind
+    case object AndK extends CutKind
+    case object LoopK extends CutKind
+  }
+
+  private[ops] def findCut(g: Graph): Option[(CutKind, Seq[Set[String]])] =
+    xorGroups(g).map(gs => (CutKind.XorK: CutKind, gs))
+      .orElse(seqGroups(g).map(gs => (CutKind.SeqK: CutKind, gs)))
+      .orElse(andGroups(g).map(gs => (CutKind.AndK: CutKind, gs)))
+      .orElse(loopGroups(g).map(gs => (CutKind.LoopK: CutKind, gs)))
 
   // ---- cut machinery (driver-side, alphabet-sized) ----
 
@@ -146,14 +194,12 @@ object Inductive {
   private def within(g: Graph, group: Set[String]): Set[(String, String)] =
     g.edges.filter(e => group(e._1) && group(e._2))
 
-  private def xorCut(g: Graph): Option[ProcessTree] = {
+  private def xorGroups(g: Graph): Option[Seq[Set[String]]] = {
     val comps = components(g.activities, g.edges)
-    if (comps.size < 2) None
-    else Some(Xor(comps.map(c =>
-      mineGraph(Graph(c, within(g, c), g.starts & c, g.ends & c)))))
+    if (comps.size < 2) None else Some(comps)
   }
 
-  private def seqCut(g: Graph): Option[ProcessTree] = {
+  private def seqGroups(g: Graph): Option[Seq[Set[String]]] = {
     // reachability closure over the (small) alphabet
     val acts = g.activities.toSeq.sorted
     val idx = acts.zipWithIndex.toMap
@@ -183,19 +229,10 @@ object Inductive {
       }
     }
     if (groups.size < 2) return None
-    val ordered = groups.sortWith((x, y) => gReach(x, y) && !gReach(y, x))
-    Some(Sequence(ordered.zipWithIndex.map { case (grp, i) =>
-      val before = ordered.take(i).flatten.toSet
-      val after = ordered.drop(i + 1).flatten.toSet
-      val starts = (g.starts & grp) ++
-        grp.filter(a => g.edges.exists(e => before(e._1) && e._2 == a))
-      val ends = (g.ends & grp) ++
-        grp.filter(a => g.edges.exists(e => e._1 == a && after(e._2)))
-      mineGraph(Graph(grp, within(g, grp), starts, ends))
-    }))
+    Some(groups.sortWith((x, y) => gReach(x, y) && !gReach(y, x)))
   }
 
-  private def andCut(g: Graph): Option[ProcessTree] = {
+  private def andGroups(g: Graph): Option[Seq[Set[String]]] = {
     // H-graph: connect a—b unless BOTH a→b and b→a exist
     val acts = g.activities.toSeq
     val h = for {
@@ -216,11 +253,10 @@ object Inductive {
       groups = rest.filterNot(_ == host) :+ (host ++ bad)
     }
     if (groups.size < 2 || groups.exists(!valid(_))) None
-    else Some(And(groups.sortBy(_.min).map(grp =>
-      mineGraph(Graph(grp, within(g, grp), g.starts & grp, g.ends & grp)))))
+    else Some(groups.sortBy(_.min))
   }
 
-  private def loopCut(g: Graph): Option[ProcessTree] = {
+  private def loopGroups(g: Graph): Option[Seq[Set[String]]] = {
     val seed = g.starts ++ g.ends
     if (seed == g.activities) return None
     val rest = g.activities -- seed
@@ -236,13 +272,7 @@ object Inductive {
     }
     if (redos.isEmpty) return None
     val body = seed ++ intoBody.flatten
-    val bodyTree = mineGraph(Graph(body, within(g, body), g.starts, g.ends))
-    val redoTrees = redos.map { r =>
-      val starts = r.filter(a => g.edges.exists(e => g.ends(e._1) && e._2 == a))
-      val ends = r.filter(a => g.edges.exists(e => e._1 == a && g.starts(e._2)))
-      mineGraph(Graph(r, within(g, r), starts, ends))
-    }
-    Some(Loop(bodyTree +: redoTrees))
+    Some(body +: redos)
   }
 
   /** Fallthrough: the flower model ⟲(τ, a₁,…,aₙ) — any sequence over

@@ -1,0 +1,262 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Full inductive miner (IM) — cut detection PLUS log splitting
+  * (public algorithm family: Leemans et al.; the reference lists
+  * miners as its capability direction only,
+  * `/root/reference/src/lib.rs:11-22`). [[Inductive.mine]] (IMd) sees
+  * only the directly-follows abstraction, so behavior the DFG cannot
+  * express — a skippable sequence step, a parallel branch that some
+  * traces omit — mines to a tree that rejects those traces. Full IM
+  * splits the LOG at every cut and recurses on the sublogs, so
+  * emptiness is observable (`xor(tau, …)` appears where traces skip a
+  * block) and the mined tree fits every trace of its log by
+  * construction (the perfect-fitness theorem; the events-table gate
+  * asserts it via [[PetriNet.accepts]] per variant).
+  *
+  * Scale shape — LEVEL-SYNCHRONOUS distributed recursion, not
+  * per-sublog jobs: one working DataFrame `(node, case, activity, ts,
+  * tie)` holds every active sublog at the current recursion depth,
+  * tagged by its tree-node path. Each level costs a fixed number of
+  * distributed passes REGARDLESS of how many sublogs are active:
+  *
+  *  1. stats — per-(node, case) window pass (first/last/length +
+  *     lag-edges), then per-node aggregation; the collect is
+  *     `nodes × alphabet²`-bounded, never event-proportional;
+  *  2. cut search — driver-side over each node's collected DFG
+  *     (the same alphabet-sized [[Inductive.findCut]] the IMd path
+  *     uses);
+  *  3. split — ONE broadcast-join routing every event to its child
+  *     node (`activity → child` is a total map per splitting node);
+  *     only loop splits rewrite the case key (segment index from a
+  *     running count of body/redo class changes — the sessionize
+  *     argument). Terminal nodes drop out of the inner join.
+  *
+  * Depth is bounded by the alphabet (every split strictly shrinks a
+  * group or strips empties exactly once), so total work is
+  * O(depth) shuffles over a monotonically SHRINKING event set —
+  * at 100 TB the driver never sees an event, only per-node DFGs.
+  * `localCheckpoint` truncates the per-level lineage (the k-core
+  * convention).
+  *
+  * Empty traces never materialize as rows: a child's empty-trace
+  * count is `parent's trace count − observed distinct cases`, tracked
+  * on the driver (seq/and children inherit the parent count; xor and
+  * loop sublogs cannot lose traces / cannot produce empties).
+  */
+object InductiveLog {
+
+  private val ND = "_im_node"
+  private val CS = "_im_case"
+  private val ACT = "_im_act"
+  private val TS = "_im_ts"
+  private val TIE = "_im_tie"
+
+  private case class NodeStats(
+      nCases: Long, maxLen: Long, acts: Set[String],
+      edges: Map[(String, String), Long],
+      starts: Map[String, Long], ends: Map[String, Long])
+
+  def mine(events: DataFrame, caseCol: String, activityCol: String,
+      tsCol: String, tieBreak: String, maxLevels: Int = 64): ProcessTree =
+    mineImpl(events, caseCol, activityCol, tsCol, tieBreak, 0.0, maxLevels)
+
+  /** IMf with log splitting: at every node the weighted DFG is
+    * thinned by [[Inductive.filterNoise]] (relative threshold `eta`
+    * against the strongest edge per source) BEFORE the cut search,
+    * and a sublog whose empty-trace share is within `eta` drops those
+    * empties instead of emitting `xor(tau, …)` — the two places
+    * infrequent behavior enters the recursion. `eta = 0` is exactly
+    * [[mine]]. Noise filtering trades the perfect-fitness theorem for
+    * a cleaner model (the IMf contract), so the IMf gate pins
+    * closed-form trees, not acceptance. */
+  def mineFiltered(events: DataFrame, caseCol: String, activityCol: String,
+      tsCol: String, tieBreak: String, eta: Double,
+      maxLevels: Int = 64): ProcessTree = {
+    require(eta >= 0.0 && eta <= 1.0, s"eta must be in [0,1], got $eta")
+    mineImpl(events, caseCol, activityCol, tsCol, tieBreak, eta, maxLevels)
+  }
+
+  private def mineImpl(events: DataFrame, caseCol: String, activityCol: String,
+      tsCol: String, tieBreak: String, eta: Double, maxLevels: Int): ProcessTree = {
+    import Inductive.{CutKind, Graph}
+    import ProcessTree._
+
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    var df = events.select(
+      lit("r").as(ND), col(caseCol).cast("string").as(CS),
+      col(activityCol).cast("string").as(ACT),
+      col(tsCol).as(TS), col(tieBreak).as(TIE))
+
+    // node path -> expected trace count (None = whatever is observed);
+    // and node path -> decision: a finished subtree, or (operator tag,
+    // child paths) resolved bottom-up after the loop.
+    var frontier = Map[String, Option[Long]]("r" -> None)
+    val decided = scala.collection.mutable
+      .Map.empty[String, Either[ProcessTree, (String, Seq[String])]]
+
+    var level = 0
+    while (frontier.nonEmpty) {
+      level += 1
+      require(level <= maxLevels, s"IM recursion exceeded $maxLevels levels")
+      df.cache()
+      val stats = collectStats(df)
+
+      val instr = Seq.newBuilder[(String, String, String, Int)]
+      var next = Map.empty[String, Option[Long]]
+
+      frontier.foreach { case (path, expectedOpt) =>
+        stats.get(path) match {
+          case None =>
+            // no events reached this sublog: every trace is empty
+            decided(path) = Left(Tau)
+          case Some(st) =>
+            val expected = expectedOpt.getOrElse(st.nCases)
+            // IMf: an empty-trace share within eta is infrequent
+            // behavior — drop it rather than emitting xor(tau, …)
+            val empties =
+              if (expected - st.nCases <= eta * expected) 0L
+              else expected - st.nCases
+            if (empties > 0) {
+              // strip-empties fall-through: xor(tau, L \ {epsilon})
+              val c = s"$path/0"
+              decided(path) = Right(("xor_tau", Seq(c)))
+              st.acts.foreach(a => instr += ((path, a, c, -1)))
+              next += c -> Some(st.nCases)
+            } else if (st.acts.size == 1) {
+              val a = st.acts.head
+              decided(path) = Left(
+                if (st.maxLen <= 1L) Leaf(a) else Loop(Seq(Leaf(a), Tau)))
+            } else {
+              val g =
+                if (eta > 0.0)
+                  Inductive.filterNoise(Inductive.WeightedGraph(
+                    st.acts, st.edges, st.starts, st.ends), eta)
+                else
+                  Graph(st.acts, st.edges.keySet, st.starts.keySet,
+                    st.ends.keySet)
+              Inductive.findCut(g) match {
+                case Some((kind, groups)) =>
+                  val tag = kind match {
+                    case CutKind.XorK => "xor"
+                    case CutKind.SeqK => "seq"
+                    case CutKind.AndK => "and"
+                    case CutKind.LoopK => "loop"
+                  }
+                  val children = groups.indices.map(i => s"$path/$i")
+                  decided(path) = Right((tag, children))
+                  groups.zipWithIndex.foreach { case (grp, i) =>
+                    // loop splits re-segment by class change, so the
+                    // class is the group index; -1 = no segmentation
+                    val cls = if (kind == CutKind.LoopK) i else -1
+                    grp.foreach(a => instr += ((path, a, children(i), cls)))
+                    next += children(i) -> (kind match {
+                      // seq/and children keep every parent trace (some
+                      // possibly empty); xor routes whole traces, loop
+                      // sublogs are exactly the observed segments
+                      case CutKind.SeqK | CutKind.AndK => Some(expected)
+                      case _ => None
+                    })
+                  }
+                case None =>
+                  decided(path) = Left(
+                    Loop(Tau +: st.acts.toSeq.sorted.map(Leaf(_))))
+              }
+            }
+        }
+      }
+
+      if (next.nonEmpty) {
+        val instrDf = instr.result().toDF(ND, ACT, "_im_child", "_im_cls")
+        val routed = df.join(broadcast(instrDf), Seq(ND, ACT))
+        val w = Window.partitionBy(col(ND), col(CS)).orderBy(col(TS), col(TIE))
+        val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val clsChanged = lag(col("_im_cls"), 1).over(w).isNull
+          .or(lag(col("_im_cls"), 1).over(w) =!= col("_im_cls"))
+        val out = routed
+          .withColumn("_im_seg",
+            sum(when(clsChanged, 1L).otherwise(0L)).over(run))
+          .select(
+            col("_im_child").as(ND),
+            when(col("_im_cls") >= 0,
+              concat(col(CS), lit("#"), col("_im_seg")))
+              .otherwise(col(CS)).as(CS),
+            col(ACT), col(TS), col(TIE))
+        val fresh = out.localCheckpoint(true)
+        df.unpersist()
+        df = fresh
+      } else {
+        df.unpersist()
+      }
+      frontier = next
+    }
+
+    def build(path: String): ProcessTree = decided(path) match {
+      case Left(t) => t
+      case Right(("xor_tau", cs)) => Xor(Seq(Tau, build(cs.head)))
+      case Right(("xor", cs)) => Xor(cs.map(build))
+      case Right(("seq", cs)) => Sequence(cs.map(build))
+      case Right(("and", cs)) => And(cs.map(build))
+      case Right(("loop", cs)) => Loop(cs.map(build))
+      case Right((tag, _)) => sys.error(s"unknown operator tag $tag")
+    }
+    if (decided.contains("r")) build("r") else Tau
+  }
+
+  /** One stats sweep over every active sublog: per-(node, case)
+    * first/last/length plus lag-derived DFG edges, folded to one
+    * alphabet²-bounded row per node. Edge/start/end FREQUENCIES ride
+    * along (same pass shape) so the IMf path can threshold them. */
+  private def collectStats(df: DataFrame): Map[String, NodeStats] = {
+    val w = Window.partitionBy(col(ND), col(CS)).orderBy(col(TS), col(TIE))
+    val marked = df.withColumn("_im_prev", lag(col(ACT), 1).over(w))
+
+    val perCase = marked.groupBy(col(ND), col(CS)).agg(
+      count(lit(1L)).as("_len"),
+      min_by(col(ACT), struct(col(TS), col(TIE))).as("_first"),
+      max_by(col(ACT), struct(col(TS), col(TIE))).as("_last"))
+    val nodeAgg = perCase.groupBy(col(ND)).agg(
+      count(lit(1L)).as("_n"),
+      max(col("_len")).as("_maxLen"))
+    def weighted(src: DataFrame, c: String, out: String) =
+      src.groupBy(col(ND), col(c)).agg(count(lit(1L)).as("_wn"))
+        .groupBy(col(ND))
+        .agg(collect_set(struct(col(c).as("a"), col("_wn").as("n"))).as(out))
+    val startW = weighted(perCase, "_first", "_starts")
+    val endW = weighted(perCase, "_last", "_ends")
+    val edges = marked.filter(col("_im_prev").isNotNull)
+      .groupBy(col(ND), col("_im_prev"), col(ACT))
+      .agg(count(lit(1L)).as("_wn"))
+      .groupBy(col(ND))
+      .agg(collect_set(struct(col("_im_prev").as("f"), col(ACT).as("t"),
+        col("_wn").as("n"))).as("_edges"))
+    val acts = df.select(col(ND), col(ACT)).distinct()
+      .groupBy(col(ND)).agg(collect_set(col(ACT)).as("_acts"))
+
+    def wMap(r: Row, field: String): Map[String, Long] =
+      Option(r.getSeq[Row](r.fieldIndex(field))).getOrElse(Seq.empty)
+        .map(e => e.getString(0) -> e.getLong(1)).toMap
+
+    nodeAgg
+      .join(edges, Seq(ND), "left")
+      .join(startW, Seq(ND))
+      .join(endW, Seq(ND))
+      .join(acts, Seq(ND))
+      .collect()
+      .map { r =>
+        val edgeW = Option(r.getSeq[Row](r.fieldIndex("_edges")))
+          .getOrElse(Seq.empty)
+          .map(e => (e.getString(0), e.getString(1)) -> e.getLong(2)).toMap
+        r.getString(r.fieldIndex(ND)) -> NodeStats(
+          r.getLong(r.fieldIndex("_n")),
+          r.getLong(r.fieldIndex("_maxLen")),
+          r.getSeq[String](r.fieldIndex("_acts")).toSet,
+          edgeW, wMap(r, "_starts"), wMap(r, "_ends"))
+      }.toMap
+  }
+}

@@ -81,6 +81,95 @@ object MinerQueries {
       }.toDF("log", "tree")
     },
 
+    // Full inductive miner (log splitting) on logs whose trees are
+    // hand-derivable: the two book logs (same trees as IMd — the DFG
+    // is lossless there), plus three constructed logs where only log
+    // splitting can see the behavior — a skippable sequence step, a
+    // sometimes-omitted parallel branch, a tail repetition. IMd mines
+    // skip_middle to seq(a,b,c), which REJECTS the <a,c> trace; full
+    // IM observes the empty sublog and emits the xor(…,tau)
+    // (derivations step-by-step in InductiveLogSpec).
+    "q_inductive_log_trees" -> { (s, _) =>
+      import s.implicits._
+      def litLog(traces: Seq[Seq[String]]): DataFrame =
+        traces.zipWithIndex.flatMap { case (tr, ci) =>
+          tr.zipWithIndex.map { case (a, i) => (ci.toLong, i.toLong, a) }
+        }.toDF("caseId", "seq", "activity")
+      val constructed = Seq(
+        "skip_middle" -> Seq(
+          Seq("a", "b", "c"), Seq("a", "b", "c"), Seq("a", "c")),
+        "optional_branch" -> Seq(
+          Seq("a", "b", "c", "d"), Seq("a", "c", "b", "d"),
+          Seq("a", "c", "d")),
+        "tail_repeat" -> Seq(Seq("a", "b"), Seq("a", "b", "b")))
+      val bookTrees = Seq("L1", "L2").map { log =>
+        val ev = bookEvents(s, log)
+        (log, withCached(ev)(
+          InductiveLog.mine(ev, "traceIdx", "activity", "ts", "seq")).render)
+      }
+      val conTrees = constructed.map { case (name, traces) =>
+        (name,
+          InductiveLog.mine(litLog(traces), "caseId", "activity", "seq", "seq")
+            .render)
+      }
+      (bookTrees ++ conTrees).toDF("log", "tree")
+    },
+
+    // IMf with log splitting: eta thins each node's weighted DFG and
+    // drops an empty-trace share within eta. On a log with one rare
+    // deviating trace (1 of 41 skips the parallel block), eta = 0
+    // keeps fitness — xor(…,tau) absorbs the skip — while eta = 0.3
+    // cleans it away (closed-form derivations in InductiveLogSpec).
+    "q_inductive_imf_log" -> { (s, _) =>
+      import s.implicits._
+      val noisy =
+        Seq.fill(20)(Seq("a", "b", "c", "d")) ++
+        Seq.fill(20)(Seq("a", "c", "b", "d")) ++
+        Seq(Seq("a", "d"))
+      val ev = noisy.zipWithIndex.flatMap { case (tr, ci) =>
+        tr.zipWithIndex.map { case (a, i) => (ci.toLong, i.toLong, a) }
+      }.toDF("caseId", "seq", "activity")
+      ev.cache()
+      try Seq(
+        ("eta_0.0",
+          InductiveLog.mine(ev, "caseId", "activity", "seq", "seq").render),
+        ("eta_0.3",
+          InductiveLog.mineFiltered(ev, "caseId", "activity", "seq", "seq",
+            eta = 0.3).render)
+      ).toDF("variant", "tree")
+      finally ev.unpersist()
+    },
+
+    // Perfect-fitness THEOREM of full IM as a falsifiable gate on the
+    // real events table: the mined tree must accept every variant of
+    // the log it was mined from (IM's construction preserves all
+    // behavior; the flower fall-through accepts everything). The
+    // oracle derives the variant table in SQL and asserts
+    // accepted = true per variant — a wrong cut, a wrong split, or a
+    // broken tree→net compilation surfaces as a rejected variant, not
+    // as a silent tree difference. Scale shape: mining is the
+    // level-synchronous pass set (InductiveLog scaladoc); acceptance
+    // is per-VARIANT (the Replay/Alignments convention) against the
+    // broadcast net.
+    "q_inductive_log_fitness" -> { (s, dir) =>
+      import s.implicits._
+      val ev = graft.Tables(s, dir, "events")
+      val tree = InductiveLog.mine(ev, "user_id", "event_type", "ts", "event_id")
+      val bNet = s.sparkContext.broadcast(PetriNet.fromTree(tree))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      ev.select(col("user_id"),
+          collect_list(col("event_type")).over(w).as("_seq"))
+        .groupBy(col("user_id")).agg(first(col("_seq")).as("_seq"))
+        .groupBy(col("_seq")).agg(count(lit(1)).as("_n"))
+        .as[(Seq[String], Long)]
+        .map { case (v, n) =>
+          (v.mkString(","), n, bNet.value.accepts(v.toIndexedSeq)) }
+        .toDF("variant", "n_cases", "accepted")
+    },
+
     // Token replay of L1 against its own alpha net: perfect fitness is
     // a theorem (the net was mined from exactly this behavior), so the
     // oracle derives the variants from the committed XES fixture in
@@ -240,6 +329,28 @@ object MinerQueries {
         |  ('L1','seq(a,xor(and(b,c),e),d)'),
         |  ('L2','seq(a,loop(and(b,c),seq(e,f)),d)'))
         |t(log, tree)""".stripMargin,
+    "q_inductive_log_trees" ->
+      """SELECT * FROM (VALUES
+        |  ('L1','seq(a,xor(and(b,c),e),d)'),
+        |  ('L2','seq(a,loop(and(b,c),seq(e,f)),d)'),
+        |  ('skip_middle','seq(a,xor(b,tau),c)'),
+        |  ('optional_branch','seq(a,and(c,xor(b,tau)),d)'),
+        |  ('tail_repeat','seq(a,loop(b,tau))'))
+        |t(log, tree)""".stripMargin,
+    "q_inductive_imf_log" ->
+      """SELECT * FROM (VALUES
+        |  ('eta_0.0','seq(a,xor(and(b,c),tau),d)'),
+        |  ('eta_0.3','seq(a,and(b,c),d)'))
+        |t(variant, tree)""".stripMargin,
+    // variant table derived in SQL; accepted = true is the IM
+    // perfect-fitness theorem (see the query's comment)
+    "q_inductive_log_fitness" ->
+      """WITH traces AS (
+        |  SELECT user_id,
+        |    string_agg(event_type, ',' ORDER BY ts, event_id) AS variant
+        |  FROM events GROUP BY user_id)
+        |SELECT variant, count(*) AS n_cases, true AS accepted
+        |FROM traces GROUP BY variant""".stripMargin,
     // variants + case counts derived from the committed fixture in
     // SQL; fitness/missing/remaining are the perfect-fit theorem
     "q_replay_fitness_l1" ->
