@@ -51,8 +51,32 @@ import org.apache.spark.sql.functions._
   * count is `parent's trace count − observed distinct cases`, tracked
   * on the driver (seq/and children inherit the parent count; xor and
   * loop sublogs cannot lose traces / cannot produce empties).
+  *
+  * HYBRID RECURSION TAIL (r17 optimization): every level pays a fixed
+  * number of distributed passes, so a level over a few thousand rows
+  * costs the same scheduler/shuffle floor as a level over a billion —
+  * and the working set only ever SHRINKS. Once the remaining events
+  * fit under [[localCutoff]] (default 200k rows ≈ a few MB — the same
+  * driver-boundedness class as the alphabet²-sized stats collect that
+  * already runs every level), the ordered traces are collected ONCE
+  * and the remaining levels run the IDENTICAL decide/split logic on
+  * driver-local vectors: [[localStats]] computes the same NodeStats
+  * fields and [[localSplit]] replays the broadcast-join + running
+  * class-change segmentation row for row (InductiveLogSpec pins
+  * tree-equality of the two paths, constructed + book logs). A log
+  * that is small from the start (the textbook gates) short-circuits
+  * through one limit-bounded count and never launches a level. At
+  * 100 TB the top levels run distributed exactly as before — the
+  * cutoff only retires the latency-bound tail, and
+  * SPARK_GRAFT_IM_LOCAL_CUTOFF=0 forces the all-distributed path.
   */
 object InductiveLog {
+
+  /** Events threshold below which the remaining recursion folds on the
+    * driver. Bounded driver memory by construction (rows × ~50 B).
+    * Env-overridable so scale audits can pin either path. */
+  def localCutoff: Long =
+    sys.env.get("SPARK_GRAFT_IM_LOCAL_CUTOFF").map(_.toLong).getOrElse(200000L)
 
   private val ND = "_im_node"
   private val CS = "_im_case"
@@ -74,7 +98,16 @@ object InductiveLog {
 
   def mine(events: DataFrame, caseCol: String, activityCol: String,
       tsCol: String, tieBreak: String, maxLevels: Int = 64): ProcessTree =
-    mineImpl(events, caseCol, activityCol, tsCol, tieBreak, 0.0, maxLevels)
+    mineImpl(events, caseCol, activityCol, tsCol, tieBreak, 0.0, maxLevels,
+      localCutoff)
+
+  /** [[mine]] with an explicit local-fold cutoff — spec surface for
+    * pinning path equality (cutoff 0 = all-distributed). */
+  private[ops] def mineWithCutoff(events: DataFrame, caseCol: String,
+      activityCol: String, tsCol: String, tieBreak: String,
+      cutoff: Long, maxLevels: Int = 64): ProcessTree =
+    mineImpl(events, caseCol, activityCol, tsCol, tieBreak, 0.0, maxLevels,
+      cutoff)
 
   /** IMf with log splitting: at every node the weighted DFG is
     * thinned by [[Inductive.filterNoise]] (relative threshold `eta`
@@ -89,11 +122,13 @@ object InductiveLog {
       tsCol: String, tieBreak: String, eta: Double,
       maxLevels: Int = 64): ProcessTree = {
     require(eta >= 0.0 && eta <= 1.0, s"eta must be in [0,1], got $eta")
-    mineImpl(events, caseCol, activityCol, tsCol, tieBreak, eta, maxLevels)
+    mineImpl(events, caseCol, activityCol, tsCol, tieBreak, eta, maxLevels,
+      localCutoff)
   }
 
   private def mineImpl(events: DataFrame, caseCol: String, activityCol: String,
-      tsCol: String, tieBreak: String, eta: Double, maxLevels: Int): ProcessTree = {
+      tsCol: String, tieBreak: String, eta: Double, maxLevels: Int,
+      cutoff: Long): ProcessTree = {
     import Inductive.{CutKind, Graph}
     import ProcessTree._
 
@@ -104,6 +139,15 @@ object InductiveLog {
       lit("r").as(ND), col(caseCol).cast("string").as(CS),
       col(activityCol).cast("string").as(ACT),
       col(tsCol).as(TS), col(tieBreak).as(TIE))
+
+    // Driver-local working set once the events fit under `cutoff`:
+    // node -> case -> ordered activity vector. null while distributed.
+    var local: Map[String, Map[String, Vector[String]]] = null
+    // pre-gate: a log that is small from the start never launches a
+    // distributed level (LocalLimit early-stops the count on big logs)
+    if (cutoff > 0 && cutoff < Int.MaxValue &&
+        df.limit(cutoff.toInt + 1).count() <= cutoff)
+      local = collectTraces(df)
 
     // node path -> expected trace count (None = whatever is observed);
     // and node path -> decision: a finished subtree, or (operator tag,
@@ -116,8 +160,18 @@ object InductiveLog {
     while (frontier.nonEmpty) {
       level += 1
       require(level <= maxLevels, s"IM recursion exceeded $maxLevels levels")
-      df.cache()
-      val stats = collectStats(df)
+      // distributed level: cache the WINDOWED frame (one sort serves
+      // the per-case, edge and occurrence branches AND the split join —
+      // previously the lag window executed twice per level over the
+      // cached raw frame); local level: pure driver folds.
+      val marked: DataFrame =
+        if (local == null) {
+          val w = Window.partitionBy(col(ND), col(CS))
+            .orderBy(col(TS), col(TIE))
+          df.withColumn("_im_prev", lag(col(ACT), 1).over(w)).cache()
+        } else null
+      val (stats, totalEvents) =
+        if (local == null) collectStats(marked) else (localStats(local), 0L)
 
       val instr = Seq.newBuilder[(String, String, String, Int)]
       var next = Map.empty[String, Option[Long]]
@@ -209,27 +263,40 @@ object InductiveLog {
         }
       }
 
+      val instrs = instr.result()
       if (next.nonEmpty) {
-        val instrDf = instr.result().toDF(ND, ACT, "_im_child", "_im_cls")
-        val routed = df.join(broadcast(instrDf), Seq(ND, ACT))
-        val w = Window.partitionBy(col(ND), col(CS)).orderBy(col(TS), col(TIE))
-        val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val clsChanged = lag(col("_im_cls"), 1).over(w).isNull
-          .or(lag(col("_im_cls"), 1).over(w) =!= col("_im_cls"))
-        val out = routed
-          .withColumn("_im_seg",
-            sum(when(clsChanged, 1L).otherwise(0L)).over(run))
-          .select(
-            col("_im_child").as(ND),
-            when(col("_im_cls") >= 0,
-              concat(col(CS), lit("#"), col("_im_seg")))
-              .otherwise(col(CS)).as(CS),
-            col(ACT), col(TS), col(TIE))
-        val fresh = out.localCheckpoint(true)
-        df.unpersist()
-        df = fresh
-      } else {
-        df.unpersist()
+        if (local != null) {
+          local = localSplit(local, instrs)
+        } else {
+          val instrDf = instrs.toDF(ND, ACT, "_im_child", "_im_cls")
+          val routed = marked.drop("_im_prev")
+            .join(broadcast(instrDf), Seq(ND, ACT))
+          val w = Window.partitionBy(col(ND), col(CS)).orderBy(col(TS), col(TIE))
+          val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          val clsChanged = lag(col("_im_cls"), 1).over(w).isNull
+            .or(lag(col("_im_cls"), 1).over(w) =!= col("_im_cls"))
+          val out = routed
+            .withColumn("_im_seg",
+              sum(when(clsChanged, 1L).otherwise(0L)).over(run))
+            .select(
+              col("_im_child").as(ND),
+              when(col("_im_cls") >= 0,
+                concat(col(CS), lit("#"), col("_im_seg")))
+                .otherwise(col(CS)).as(CS),
+              col(ACT), col(TS), col(TIE))
+          if (totalEvents <= cutoff) {
+            // the split output can only be smaller than this level's
+            // input — fold the remaining recursion on the driver
+            local = collectTraces(out)
+            marked.unpersist()
+          } else {
+            val fresh = out.localCheckpoint(true)
+            marked.unpersist()
+            df = fresh
+          }
+        }
+      } else if (local == null) {
+        marked.unpersist()
       }
       frontier = next
     }
@@ -249,18 +316,21 @@ object InductiveLog {
   /** One stats sweep over every active sublog: per-(node, case)
     * first/last/length plus lag-derived DFG edges, folded to one
     * alphabet²-bounded row per node. Edge/start/end FREQUENCIES ride
-    * along (same pass shape) so the IMf path can threshold them. */
-  private def collectStats(df: DataFrame): Map[String, NodeStats] = {
-    val w = Window.partitionBy(col(ND), col(CS)).orderBy(col(TS), col(TIE))
-    val marked = df.withColumn("_im_prev", lag(col(ACT), 1).over(w))
-
+    * along (same pass shape) so the IMf path can threshold them.
+    * Takes the CACHED windowed frame (`_im_prev` present) so the
+    * per-case, edge and occurrence branches share one sort; also
+    * returns the total event count (Σ per-node Σ_len) — the hybrid
+    * cutoff signal. */
+  private def collectStats(marked: DataFrame)
+      : (Map[String, NodeStats], Long) = {
     val perCase = marked.groupBy(col(ND), col(CS)).agg(
       count(lit(1L)).as("_len"),
       min_by(col(ACT), struct(col(TS), col(TIE))).as("_first"),
       max_by(col(ACT), struct(col(TS), col(TIE))).as("_last"))
     val nodeAgg = perCase.groupBy(col(ND)).agg(
       count(lit(1L)).as("_n"),
-      max(col("_len")).as("_maxLen"))
+      max(col("_len")).as("_maxLen"),
+      sum(col("_len")).as("_tot"))
     def weighted(src: DataFrame, c: String, out: String) =
       src.groupBy(col(ND), col(c)).agg(count(lit(1L)).as("_wn"))
         .groupBy(col(ND))
@@ -273,7 +343,7 @@ object InductiveLog {
       .groupBy(col(ND))
       .agg(collect_set(struct(col("_im_prev").as("f"), col(ACT).as("t"),
         col("_wn").as("n"))).as("_edges"))
-    val actOcc = df.groupBy(col(ND), col(ACT), col(CS))
+    val actOcc = marked.groupBy(col(ND), col(ACT), col(CS))
       .agg(count(lit(1L)).as("_o"))
       .groupBy(col(ND), col(ACT))
       .agg(max(col("_o")).as("_mo"), count(lit(1L)).as("_cw"))
@@ -285,13 +355,13 @@ object InductiveLog {
       Option(r.getSeq[Row](r.fieldIndex(field))).getOrElse(Seq.empty)
         .map(e => e.getString(0) -> e.getLong(1)).toMap
 
-    nodeAgg
+    val rows = nodeAgg
       .join(edges, Seq(ND), "left")
       .join(startW, Seq(ND))
       .join(endW, Seq(ND))
       .join(actOcc, Seq(ND))
       .collect()
-      .map { r =>
+    val stats = rows.map { r =>
         val edgeW = Option(r.getSeq[Row](r.fieldIndex("_edges")))
           .getOrElse(Seq.empty)
           .map(e => (e.getString(0), e.getString(1)) -> e.getLong(2)).toMap
@@ -302,5 +372,94 @@ object InductiveLog {
           r.getLong(r.fieldIndex("_maxLen")),
           occ, edgeW, wMap(r, "_starts"), wMap(r, "_ends"))
       }.toMap
+    val total =
+      if (rows.isEmpty) 0L
+      else { val i = rows.head.fieldIndex("_tot"); rows.map(_.getLong(i)).sum }
+    (stats, total)
+  }
+
+  // ---- driver-local recursion tail (see object scaladoc) ----
+
+  /** Collects the working frame as ordered traces: node -> case ->
+    * activity vector. ONE aggregation job; ordering by (TS, TIE) is
+    * done engine-side via a struct sort so the driver never touches
+    * the (arbitrary-typed) ordering columns. Bounded by the cutoff
+    * contract of the caller. */
+  private def collectTraces(df: DataFrame)
+      : Map[String, Map[String, Vector[String]]] = {
+    val rows = df.groupBy(col(ND), col(CS))
+      .agg(sort_array(collect_list(struct(col(TS), col(TIE), col(ACT))))
+        .getField(ACT).as("_tr"))
+      .collect()
+    rows.groupBy(_.getString(0)).map { case (node, rs) =>
+      node -> rs.map(r =>
+        r.getString(1) -> r.getSeq[String](2).toVector).toMap
+    }
+  }
+
+  /** The same per-node NodeStats [[collectStats]] computes, folded
+    * from local traces — field-for-field identical so decide() cannot
+    * tell the paths apart. */
+  private def localStats(local: Map[String, Map[String, Vector[String]]])
+      : Map[String, NodeStats] =
+    local.map { case (node, cases) =>
+      var maxLen = 0L
+      val occMax = scala.collection.mutable.Map.empty[String, Long]
+      val occCw = scala.collection.mutable.Map.empty[String, Long]
+      val edges = scala.collection.mutable.Map.empty[(String, String), Long]
+      val starts = scala.collection.mutable.Map.empty[String, Long]
+      val ends = scala.collection.mutable.Map.empty[String, Long]
+      cases.values.foreach { tr =>
+        if (tr.size > maxLen) maxLen = tr.size
+        starts.updateWith(tr.head) { v => Some(v.getOrElse(0L) + 1L) }
+        ends.updateWith(tr.last) { v => Some(v.getOrElse(0L) + 1L) }
+        var i = 1
+        while (i < tr.size) {
+          edges.updateWith((tr(i - 1), tr(i))) { v => Some(v.getOrElse(0L) + 1L) }
+          i += 1
+        }
+        val perTrace = tr.groupBy(identity).view.mapValues(_.size.toLong)
+        perTrace.foreach { case (a, n) =>
+          occCw.updateWith(a) { v => Some(v.getOrElse(0L) + 1L) }
+          occMax.updateWith(a) { v => Some(math.max(v.getOrElse(0L), n)) }
+        }
+      }
+      node -> NodeStats(cases.size.toLong, maxLen,
+        occMax.keysIterator.map(a => a -> (occMax(a), occCw(a))).toMap,
+        edges.toMap, starts.toMap, ends.toMap)
+    }
+
+  /** Local mirror of the distributed split: route each event by
+    * (node, activity) through the instruction table, drop events with
+    * no instruction (terminal children), and segment loop sublogs by
+    * the running count of class changes over the ROUTED sequence —
+    * `_im_seg` starts at 1 and the re-keyed case is `case#seg`,
+    * byte-identical to the DataFrame path. */
+  private def localSplit(local: Map[String, Map[String, Vector[String]]],
+      instrs: Seq[(String, String, String, Int)])
+      : Map[String, Map[String, Vector[String]]] = {
+    val instrMap: Map[(String, String), (String, Int)] =
+      instrs.map { case (nd, a, child, cls) => (nd, a) -> (child, cls) }.toMap
+    val out = scala.collection.mutable.Map
+      .empty[String, scala.collection.mutable.Map[String, Vector[String]]]
+    local.foreach { case (node, cases) =>
+      cases.foreach { case (cs, tr) =>
+        var seg = 0L
+        var prevCls = Int.MinValue
+        var first = true
+        tr.foreach { a =>
+          instrMap.get((node, a)).foreach { case (child, cls) =>
+            if (first || cls != prevCls) seg += 1L
+            first = false
+            prevCls = cls
+            val key = if (cls >= 0) s"$cs#$seg" else cs
+            val m = out.getOrElseUpdate(child,
+              scala.collection.mutable.Map.empty[String, Vector[String]])
+            m.update(key, m.getOrElse(key, Vector.empty) :+ a)
+          }
+        }
+      }
+    }
+    out.view.mapValues(_.toMap).toMap
   }
 }

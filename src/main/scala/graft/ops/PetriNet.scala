@@ -61,6 +61,21 @@ case class PetriNet(
       .collect { case (t, i) if t.label.isDefined => (t.label.get, i) }
       .groupBy(_._1).view.mapValues(_.map(_._2).toArray).toMap
 
+    // Fast path (r17): pack the whole marking into ONE Long when the
+    // place count allows ≥ 2 bits per place. Process-tree/workflow
+    // nets are small and (near-)safe, so token counts fit the field;
+    // a field about to overflow aborts to the generic array path
+    // (same frontier sets, same budget accounting, same result —
+    // PetriNetSpec pins equality). Removes the per-marking Array
+    // clone + ArraySeq boxing + hash of the hot loop: the per-variant
+    // acceptance behind q_inductive_log_fitness was ~10× slower on
+    // τ-rich and/loop nets without it.
+    if (nP > 0 && nP <= 32) {
+      try return acceptsPacked(trace, maxStates, nP, tIn, tOut, tauIdx,
+        byLabel, pIdx)
+      catch { case PetriNet.PackedOverflow => /* fall through */ }
+    }
+
     def enabledAt(m: Array[Int], t: Int): Boolean = {
       val in = tIn(t); var i = 0
       while (i < in.length) { if (m(in(i)) <= 0) return false; i += 1 }
@@ -127,6 +142,115 @@ case class PetriNet(
     val target = new Array[Int](nP)
     finalMarking.foreach { case (p, c) => target(pIdx(p)) = c }
     frontier.exists(m => java.util.Arrays.equals(m, target))
+  }
+
+  /** [[accepts]] over Long-packed markings — 64/nP bits per place,
+    * open-addressed primitive seen-sets, zero allocation per firing.
+    * Throws [[PetriNet.PackedOverflow]] when a token count would no
+    * longer fit its field; the caller falls back to the array path.
+    * Semantics (frontier sets, cumulative `maxStates` budget, result)
+    * are identical by construction. */
+  private def acceptsPacked(trace: Seq[String], maxStates: Int, nP: Int,
+      tIn: Array[Array[Int]], tOut: Array[Array[Int]], tauIdx: Array[Int],
+      byLabel: Map[String, Array[Int]], pIdx: Map[String, Int]): Boolean = {
+    val bits = 64 / nP
+    val mask = if (bits >= 64) -1L else (1L << bits) - 1L
+    // transition deltas precomputed as (requiredMask-check inputs,
+    // packed subtract, packed add); overflow detected per firing
+    val nT = tIn.length
+    val inShift = Array.tabulate(nT)(t => tIn(t).map(_ * bits))
+    val outShift = Array.tabulate(nT)(t => tOut(t).map(_ * bits))
+
+    @inline def enabledP(m: Long, t: Int): Boolean = {
+      val s = inShift(t); var i = 0
+      while (i < s.length) { if (((m >>> s(i)) & mask) == 0L) return false; i += 1 }
+      true
+    }
+    @inline def fireP(m: Long, t: Int): Long = {
+      var n = m
+      val si = inShift(t); var i = 0
+      while (i < si.length) { n -= (1L << si(i)); i += 1 }
+      val so = outShift(t); i = 0
+      while (i < so.length) {
+        if (((n >>> so(i)) & mask) == mask) throw PetriNet.PackedOverflow
+        n += (1L << so(i)); i += 1
+      }
+      n
+    }
+
+    def pack(m: Map[String, Int]): Long = {
+      var out = 0L
+      m.foreach { case (p, c) =>
+        if (c < 0 || c > mask) throw PetriNet.PackedOverflow
+        out |= c.toLong << (pIdx(p) * bits)
+      }
+      out
+    }
+
+    var total = 0
+    @inline def budget(): Unit = {
+      total += 1
+      if (total > maxStates)
+        throw new IllegalStateException(s"state space exceeds $maxStates")
+    }
+
+    def tauClose(frontier: PetriNet.LongBuf, seen: PetriNet.LongSet): Unit = {
+      var i = 0
+      while (i < frontier.size) {
+        val m = frontier(i)
+        var ti = 0
+        while (ti < tauIdx.length) {
+          val t = tauIdx(ti)
+          if (enabledP(m, t)) {
+            val n = fireP(m, t)
+            if (seen.add(n)) { budget(); frontier += n }
+          }
+          ti += 1
+        }
+        i += 1
+      }
+    }
+
+    val init = pack(initialMarking)
+    var frontier = new PetriNet.LongBuf
+    frontier += init
+    var seen = new PetriNet.LongSet
+    seen.add(init)
+    tauClose(frontier, seen)
+
+    val it = trace.iterator
+    while (it.hasNext) {
+      val a = it.next()
+      val ts = byLabel.getOrElse(a, Array.empty[Int])
+      val next = new PetriNet.LongBuf
+      val nextSeen = new PetriNet.LongSet
+      var i = 0
+      while (i < frontier.size) {
+        val m = frontier(i)
+        var k = 0
+        while (k < ts.length) {
+          val t = ts(k)
+          if (enabledP(m, t)) {
+            val n = fireP(m, t)
+            if (nextSeen.add(n)) { budget(); next += n }
+          }
+          k += 1
+        }
+        i += 1
+      }
+      if (next.size == 0) return false
+      frontier = next
+      seen = nextSeen
+      tauClose(frontier, seen)
+    }
+
+    val target = pack(finalMarking)
+    var i = 0
+    while (i < frontier.size) {
+      if (frontier(i) == target) return true
+      i += 1
+    }
+    false
   }
 
   /** Classical workflow-net soundness via explicit state-space
@@ -200,6 +324,71 @@ case class PetriNet(
 }
 
 object PetriNet {
+
+  /** Control signal: a token count no longer fits its packed field —
+    * abort the packed acceptance and re-run on int arrays. Stackless
+    * (a shared singleton), so the abort costs nothing. */
+  private[ops] case object PackedOverflow
+    extends scala.util.control.ControlThrowable
+
+  /** Minimal growable Long array (no boxing). */
+  private[ops] final class LongBuf {
+    private var a = new Array[Long](16)
+    private var n = 0
+    def size: Int = n
+    def apply(i: Int): Long = a(i)
+    def +=(v: Long): Unit = {
+      if (n == a.length) a = java.util.Arrays.copyOf(a, n * 2)
+      a(n) = v; n += 1
+    }
+  }
+
+  /** Minimal open-addressing Long hash set (no boxing). 0 is handled
+    * via a presence flag so the empty-slot sentinel stays free. */
+  private[ops] final class LongSet {
+    private var cap = 64
+    private var keys = new Array[Long](cap)
+    private var n = 0
+    private var hasZero = false
+    private def mix(v: Long): Int = {
+      // splitmix64 finalizer
+      var z = v + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      ((z ^ (z >>> 31)) & (cap - 1)).toInt
+    }
+    /** True iff v was not present. */
+    def add(v: Long): Boolean = {
+      if (v == 0L) {
+        if (hasZero) return false
+        hasZero = true; return true
+      }
+      var i = mix(v)
+      while (keys(i) != 0L) {
+        if (keys(i) == v) return false
+        i = (i + 1) & (cap - 1)
+      }
+      keys(i) = v; n += 1
+      if (n * 4 > cap * 3) grow()
+      true
+    }
+    private def grow(): Unit = {
+      val old = keys
+      cap *= 2
+      keys = new Array[Long](cap)
+      n = 0
+      var i = 0
+      while (i < old.length) {
+        val v = old(i)
+        if (v != 0L) {
+          var j = mix(v)
+          while (keys(j) != 0L) j = (j + 1) & (cap - 1)
+          keys(j) = v; n += 1
+        }
+        i += 1
+      }
+    }
+  }
 
   /** Result of [[PetriNet.soundness]]. */
   case class Soundness(bounded: Boolean, optionToComplete: Boolean,

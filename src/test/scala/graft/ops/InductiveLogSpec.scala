@@ -131,6 +131,33 @@ class InductiveLogSpec extends SparkSpec {
     }
   }
 
+  test("distributed path (cutoff 0) mines the identical tree as the local fold") {
+    // every operator class + strip-empties + loop segmentation: the
+    // r17 hybrid recursion tail must be indistinguishable from the
+    // all-distributed path (same NodeStats, same split routing)
+    val logs = Seq(
+      Seq(Seq("a", "b", "c"), Seq("a", "b", "c"), Seq("a", "c")),
+      Seq(Seq("a", "b", "c", "d"), Seq("a", "c", "b", "d"), Seq("a", "c", "d")),
+      Seq(Seq("a", "b"), Seq("a", "b", "b")),
+      Seq(Seq("a", "b", "a"), Seq("a")),
+      Seq(Seq("a", "b"), Seq("c", "d")),
+      Seq(Seq("a", "b", "c", "a", "b", "c"), Seq("a", "c", "b")))
+    logs.foreach { traces =>
+      val distributed = InductiveLog.mineWithCutoff(
+        litLog(traces), "caseId", "activity", "seq", "seq", cutoff = 0L)
+      assert(distributed.render == mineLit(traces).render,
+        s"paths diverge on ${traces.map(_.mkString("")).mkString(";")}")
+    }
+    Seq("L1", "L2", "L3").foreach { log =>
+      val ev = bookEvents(log).cache()
+      try assert(
+        InductiveLog.mineWithCutoff(ev, "traceIdx", "activity", "ts", "seq",
+          cutoff = 0L).render ==
+        InductiveLog.mine(ev, "traceIdx", "activity", "ts", "seq").render)
+      finally ev.unpersist()
+    }
+  }
+
   test("IM-log fits every variant of the book corpus logs L1..L5") {
     Seq("L1", "L2", "L3", "L4", "L5").foreach { logName =>
       val ev = bookEvents(logName).cache()
