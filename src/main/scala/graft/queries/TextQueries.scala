@@ -396,11 +396,19 @@ object TextQueries {
       val sh = Tables(s, dir, "documents")
         .select(TextOps.tokens(col("text")).as("t"))
         .select(explode(TextOps.shinglesOf(col("t"), 3)).as("gram"))
-      val est = graft.text.HeavyHitters
+      // r17: collect the (≤ k, broadcast-sized) estimate ONCE — its
+      // rows already carry the exact stream length, so the audit no
+      // longer re-counts the shingle stream (each extra scan re-pays
+      // the tokenize+explode). 2 scans total, was 3.
+      val estRows = graft.text.HeavyHitters
         .sketchHeavyHitters(sh, col("gram"), ppm = 75, k = 1 << 14)
+        .collect()
+      val n = estRows.headOption.map(_.getLong(2))
+      import s.implicits._
+      val est = estRows.map(r => (r.getString(0), r.getLong(1))).toSeq
+        .toDF("item", "w_lower")
       graft.text.HeavyHitters
-        .mgAudit(sh, col("gram"), est.select("item", "w_lower"),
-          ppm = 75, k = 1 << 14)
+        .mgAudit(sh, col("gram"), est, ppm = 75, k = 1 << 14, n)
         .withColumnRenamed("item", "gram")
     },
 
@@ -438,8 +446,14 @@ object TextQueries {
           .otherwise(col("gram")).as("item"), col("tsMicros"))
         .as[StreamingHeavyHitters.Item]
       val name = s"stream_hh_sketch_${hhRun.incrementAndGet()}"
+      // emitBucketCounts (r17): each flush carries one null-item row
+      // with the bucket's exact folded weight — their sum is the
+      // exact stream length, so the audit below no longer re-counts
+      // the retained files (the recount re-paid the tokenize+explode;
+      // a wrong N cannot pass silently — n_total is oracle-hashed)
       val q = StreamingHeavyHitters.candidates(s, items, k = k,
-          nBuckets = 8, ppm = ppm, gapSeconds = 3600L, ignoreItem = Ignore)
+          nBuckets = 8, ppm = ppm, gapSeconds = 3600L, ignoreItem = Ignore,
+          emitBucketCounts = true)
         .writeStream.format("memory").queryName(name)
         .outputMode(OutputMode.Append()).start()
       try {
@@ -450,9 +464,12 @@ object TextQueries {
       } finally q.stop()
       graft.streaming.LateDrops.assertNone(q, name)
       // bounded: the post-prune candidate superset (≈ heavy + border)
-      val candRows = s.table(name)
+      // plus one exact-count row per flush epoch
+      val allRows = s.table(name)
         .select(col("item"), col("wLower").as("w_lower")).collect()
       s.catalog.dropTempView(name)
+      val n = allRows.filter(_.isNullAt(0)).map(_.getLong(1)).sum
+      val candRows = allRows.filter(!_.isNullAt(0))
       val estDf = s.createDataFrame(
         java.util.Arrays.asList(candRows: _*),
         org.apache.spark.sql.types.StructType(Seq(
@@ -467,7 +484,7 @@ object TextQueries {
         .where(col("tsMicros") <= maxTs)
         .select(explode(TextOps.shinglesOf(TextOps.tokens(col("text")), 3))
           .as("gram"))
-      graft.text.HeavyHitters.mgAudit(sh, col("gram"), estDf, ppm, k)
+      graft.text.HeavyHitters.mgAudit(sh, col("gram"), estDf, ppm, k, Some(n))
         .withColumnRenamed("item", "gram")
       }
       }

@@ -118,9 +118,18 @@ object StreamingHeavyHitters {
     * one. `gapSeconds` is the quiet horizon after the bucket's max
     * seen event time at which the sketch flushes.
     */
+  /** When `emitBucketCounts` is set, every flush is prefixed with one
+    * `Candidate(bucket, null, nb)` row carrying the bucket's exact
+    * folded weight since it (re)opened. Each input row folds into
+    * exactly one flush epoch, so Σ of the null-item rows' wLower over
+    * the whole run is the EXACT stream length — downstream audits
+    * (mgAudit's n_total) read it from the sink instead of re-scanning
+    * the retained source (r17). Off by default: existing consumers
+    * see the unchanged row set. */
   def candidates(spark: SparkSession, items: Dataset[Item], k: Int,
       nBuckets: Int, ppm: Int, gapSeconds: Long,
-      ignoreItem: String, watermarkDelay: String = "10 seconds")
+      ignoreItem: String, watermarkDelay: String = "10 seconds",
+      emitBucketCounts: Boolean = false)
       : Dataset[Candidate] = {
     import spark.implicits._
     require(ppm >= 1 && ppm <= 1000000, s"ppm out of range: $ppm")
@@ -134,9 +143,12 @@ object StreamingHeavyHitters {
       val nb = st.nb
       val thrB = (nb / 1000000L) * ppm + ((nb % 1000000L) * ppm + 999999L) / 1000000L
       val cutoff = thrB - nb / (k + 1L)
-      st.m.iterator.collect {
+      val cands = st.m.iterator.collect {
         case (s, w) if w >= cutoff => Candidate(bucket, s, w)
       }
+      if (emitBucketCounts)
+        Iterator.single(Candidate(bucket, null, nb)) ++ cands
+      else cands
     }
 
     def update(bucket: Int, in: Iterator[WItem],

@@ -86,8 +86,14 @@ object HeavyHitters {
     * a string column. `k` must satisfy `k+1 > 10⁶/ppm` (statically
     * checked) or the candidate superset guarantee fails.
     *
-    * EAGERNESS: runs the N-count job at plan-construction time (the
-    * threshold is a literal in the returned plan).
+    * EAGERNESS: runs the sketch job at plan-construction time — the
+    * exact stream length N rides the merge tree as null-item rows
+    * (the [[sketchHeavyHitters]] convention), so the threshold is a
+    * literal in the returned plan and the candidates a collected
+    * (k-bounded, broadcastable) local table. TWO data scans total
+    * (sketch + recount); the r17 optimization removed the third scan
+    * that previously computed N alone — on a shingle stream each scan
+    * re-pays the tokenize+explode, the family's dominant cost.
     */
   def exactHeavyHitters(rows: DataFrame, itemExpr: Column, ppm: Int,
       k: Int = 1 << 15): DataFrame = {
@@ -98,19 +104,22 @@ object HeavyHitters {
     import spark.implicits._
     val items = rows.select(itemExpr.cast("string").as("item"))
       .filter(col("item").isNotNull)
-    val lvl1 = items.as[String]
-      .mapPartitions(it => mgMerge(it.map((_, 1L)), k))
-      .toDF("item", "_w")
+    val lvl1 = items.as[String].mapPartitions { it =>
+      val sk = new MgSketch(k); var n = 0L
+      it.foreach { s => sk.add(s, 1L); n += 1L }
+      Iterator.single((null: String, n)) ++ sk.entries.iterator
+    }
     // repartition (real shuffle boundaries), NOT coalesce: coalesce(1)
     // would collapse the level-2 stage into the same single task and
     // the "32-way re-summarize" would run serially over all k·P
     // level-1 rows — exactly the bottleneck the tree exists to avoid
-    val lvl2 = lvl1.repartition(32).as[(String, Long)]
-      .mapPartitions(it => mgMerge(it, k))
-    val cands = lvl2.repartition(1)
-      .mapPartitions(it => mgMerge(it, k))
-      .map(_._1).toDF("item")
-    val n = items.count()
+    val lvl2 = lvl1.repartition(32).mapPartitions(it => mgMergeN(it, k))
+    // ≤ k+1 rows: the global candidate summary plus the exact N row
+    val merged = lvl2.repartition(1).mapPartitions(it => mgMergeN(it, k))
+      .collect()
+    val n = merged.collectFirst { case (null, c) => c }.getOrElse(0L)
+    val cands = merged.collect { case (s, _) if s != null => s }
+      .toSeq.toDF("item")
     // ceil(n*ppm/1e6) without i64 overflow at any n (n·ppm can breach
     // 2⁶³ on a 100 TB token stream): split n = q·10⁶ + r.
     val thr = (n / 1000000L) * ppm + ((n % 1000000L) * ppm + 999999L) / 1000000L
@@ -205,13 +214,25 @@ object HeavyHitters {
     *          lower_le_exact, gap_le_bound)
     */
   def mgAudit(rows: DataFrame, itemExpr: Column, est: DataFrame,
-      ppm: Int, k: Int): DataFrame = {
+      ppm: Int, k: Int): DataFrame =
+    mgAudit(rows, itemExpr, est, ppm, k, None)
+
+  /** [[mgAudit]] with the exact stream length supplied by the caller
+    * (r17): when the estimating pass already knows N exactly (the
+    * one-pass sketch's null-row count, the streaming fold's per-flush
+    * bucket totals), recounting it here would re-pay a full scan of
+    * the stream — on the shingle gates that scan re-runs the
+    * tokenize+explode, the single largest cost in the audit. A wrong
+    * `nTotal` cannot pass silently: n_total/err_bound_cnt are hashed
+    * against the oracle's own exact count. */
+  def mgAudit(rows: DataFrame, itemExpr: Column, est: DataFrame,
+      ppm: Int, k: Int, nTotal: Option[Long]): DataFrame = {
     require(ppm >= 1 && ppm <= 1000000, s"ppm out of range: $ppm")
     require(k + 1L > 1000000L / ppm,
       s"k=$k breaks the superset guarantee for ppm=$ppm: need k+1 > 1e6/ppm")
     val items = rows.select(itemExpr.cast("string").as("item"))
       .filter(col("item").isNotNull)
-    val n = items.count()
+    val n = nTotal.getOrElse(items.count())
     val thr = (n / 1000000L) * ppm + ((n % 1000000L) * ppm + 999999L) / 1000000L
     val bound = n / (k + 1L)
     val cand = est.groupBy("item").agg(sum("w_lower").as("w_lower"))
@@ -239,10 +260,11 @@ object HeavyHitters {
     * group summaries merge through a per-group weighted re-summarize
     * (one `groupByKey(group)` pass over ≤ k·P weighted rows per
     * group), and the ≤ k·|groups| candidates broadcast into an exact
-    * recount. The per-group threshold `ceil(N_g·ppm/10⁶)` is computed
-    * IN-PLAN from a group-count join (no driver collect at all here —
-    * unlike the global variant there is no single literal to embed),
-    * with the same overflow-safe integer split.
+    * recount. The per-group threshold `ceil(N_g·ppm/10⁶)` derives
+    * from exact group lengths that ride the summaries as null-item
+    * rows (k·|groups|-bounded collect — the same boundedness contract
+    * as the candidate broadcast), with the same overflow-safe integer
+    * split.
     *
     * @return (group, item, n) — exact counts of exactly the items at
     *         ≥ ppm of their group
@@ -257,20 +279,37 @@ object HeavyHitters {
     val items = rows.select(groupExpr.cast("string").as("grp"),
         itemExpr.cast("string").as("item"))
       .filter(col("grp").isNotNull && col("item").isNotNull)
+    // exact per-group lengths ride the per-partition summaries as
+    // null-item rows (the sketchHeavyHitters convention), so the
+    // per-group thresholds come out of the SAME scan as the
+    // candidates — previously a third full scan recounted them (r17;
+    // on shingle streams each scan re-pays the tokenize+explode)
     val lvl1 = items.as[(String, String)].mapPartitions { it =>
       val sketches = scala.collection.mutable.HashMap.empty[String, MgSketch]
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
       it.foreach { case (g, s) =>
         sketches.getOrElseUpdate(g, new MgSketch(k)).add(s, 1L)
+        counts.update(g, counts.getOrElse(g, 0L) + 1L)
       }
-      sketches.iterator.flatMap { case (g, sk) =>
-        sk.entries.map { case (s, w) => (g, s, w) }
-      }
+      counts.iterator.map { case (g, n) => (g, null: String, n) } ++
+        sketches.iterator.flatMap { case (g, sk) =>
+          sk.entries.map { case (s, w) => (g, s, w) }
+        }
     }
-    val cands = lvl1.groupByKey(_._1)
+    // ≤ (k+1)·|groups| rows after the per-group merge — collected so
+    // the candidate table and the threshold table come from ONE job
+    val merged = lvl1.groupByKey(_._1)
       .flatMapGroups { (g, it) =>
-        mgMerge(it.map(r => (r._2, r._3)), k).map { case (s, _) => (g, s) }
-      }.toDF("grp", "item")
-    val totals = items.groupBy("grp").agg(count(lit(1)).as("_ng"))
+        var n = 0L
+        val sk = new MgSketch(k)
+        it.foreach { case (_, s, w) => if (s == null) n += w else sk.add(s, w) }
+        Iterator.single((g, null: String, n)) ++
+          sk.entries.iterator.map { case (s, _) => (g, s, 0L) }
+      }.collect()
+    val cands = merged.collect { case (g, s, _) if s != null => (g, s) }
+      .toSeq.toDF("grp", "item")
+    val totals = merged.collect { case (g, null, n) => (g, n) }
+      .toSeq.toDF("grp", "_ng")
     items.join(broadcast(cands), Seq("grp", "item"))
       .groupBy("grp", "item").agg(count(lit(1)).as("n"))
       .join(broadcast(totals), "grp")

@@ -105,6 +105,38 @@ class StreamingHeavyHittersSpec extends SparkSpec {
     assert(Set("hot", "warm").subsetOf(cands.toSet))
   }
 
+  test("emitBucketCounts: null-item flush rows sum to the exact stream length") {
+    // multi-batch + multi-bucket + forced evictions: every data row
+    // must land in exactly one flush epoch's nb, sentinels in none
+    implicit val sqlCtx = spark.sqlContext
+    val (chunk1, chunk2) = skewed.splitAt(40)
+    val input = MemoryStream[(String, Long)]
+    val items = input.toDS().toDF("item", "tsMicros")
+      .as[StreamingHeavyHitters.Item]
+    val q = StreamingHeavyHitters.candidates(spark, items, k = 19,
+        nBuckets = 4, ppm = 100000, gapSeconds = 60L, ignoreItem = Ignore,
+        emitBucketCounts = true)
+      .writeStream.format("memory").queryName("hh_nb")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(chunk1); q.processAllAvailable()
+      input.addData(chunk2); q.processAllAvailable()
+      val maxTs = skewed.map(_._2).max
+      input.addData((Ignore, maxTs + sec(86400))); q.processAllAvailable()
+      input.addData((Ignore, maxTs + 2L * sec(86400))); q.processAllAvailable()
+    } finally q.stop()
+    LateDrops.assertNone(q, "hh_nb")
+    val rows = spark.table("hh_nb")
+      .select(col("item"), col("wLower")).collect()
+    spark.catalog.dropTempView("hh_nb")
+    val n = rows.filter(_.isNullAt(0)).map(_.getLong(1)).sum
+    assert(n == skewed.size.toLong,
+      s"bucket counts sum to $n, stream length is ${skewed.size}")
+    // and the candidate superset is unchanged by the extra rows
+    val cands = rows.filter(!_.isNullAt(0)).map(_.getString(0)).toSet
+    assert(Set("hot", "warm").subsetOf(cands))
+  }
+
   test("recount drops replayed batch ids (exactly-once fold)") {
     val items = Seq(("a", sec(1)), ("a", sec(2)), ("b", sec(3)))
     val rec = new StreamingHeavyHitters.ExactRecount(spark,
