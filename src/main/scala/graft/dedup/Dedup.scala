@@ -379,6 +379,7 @@ object Dedup {
       // |activities|² driver step. The distributed loop below is the
       // path for genuinely huge pair lists.
       val es = edges.as[(Long, Long)].collect()
+      graft.ops.LocalCkpt.free(edges) // last read of the staged edges
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -460,6 +461,9 @@ object Dedup {
       // carried in the driver var (one fewer job per round).
       val ssCount = ss.count()
       done = ssCount == eCount && ss.exceptAll(e).isEmpty
+      // the fixpoint probe was this round's last read of the previous
+      // generation — release its checkpoint blocks deterministically
+      graft.ops.LocalCkpt.free(e)
       e = ss
       eCount = ssCount
     }

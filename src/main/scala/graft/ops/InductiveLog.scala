@@ -289,14 +289,17 @@ object InductiveLog {
             // input — fold the remaining recursion on the driver
             local = collectTraces(out)
             marked.unpersist()
+            LocalCkpt.free(df) // previous level's checkpoint, if any
           } else {
             val fresh = out.localCheckpoint(true)
             marked.unpersist()
+            LocalCkpt.free(df) // previous level's checkpoint, if any
             df = fresh
           }
         }
       } else if (local == null) {
         marked.unpersist()
+        LocalCkpt.free(df) // recursion ended distributed: last level's blocks
       }
       frontier = next
     }

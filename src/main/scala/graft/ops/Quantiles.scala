@@ -154,19 +154,36 @@ object Quantiles {
           :+ lit(0L).as("hi_value"))
           ++ moments.map(m => lit(0L).cast("double").as(m)): _*).limit(0)
       case Some(cum) =>
-        def sel(p: Int, pfx: String) = quantileRow(cum, p)
-          .select((g :+ col("_n") :+ col("_v").as(s"${pfx}_v")
-            :+ col("_c").as(s"${pfx}_c") :+ col("_cumx").as(s"${pfx}_cumx")
-            :+ col("_vcumx").as(s"${pfx}_vcumx")
-            :+ col("_v2cumx").as(s"${pfx}_v2cumx")): _*)
-        val lo = sel(loPermille, "lo")
-        val hi = sel(hiPermille, "hi").drop("_n")
+        // BOTH permille rows come out of ONE pass over the cum table
+        // (r17): the old per-permille selection instantiated the whole
+        // cum pipeline twice and self-joined — every branch re-scanned
+        // the input because per-branch column pruning specializes the
+        // scans and defeats exchange reuse. The exploded filter is the
+        // exactByGroup form; the group then pivots the (exactly two)
+        // selected rows to lo_*/hi_* columns. Values are identical:
+        // each group selects exactly one row per permille, max(when)
+        // over {the row, null} is that row.
+        val two = cum
+          .withColumn("_p",
+            explode(array(lit(loPermille), lit(hiPermille))))
+          .withColumn("_rank",
+            expr("(_n div 1000) * _p + ((_n % 1000) * _p + 999) div 1000"))
+          .where(col("_cumx") < col("_rank") &&
+            col("_rank") <= col("_cumx") + col("_c"))
+        def pick(p: Int, c: Column, as: String) =
+          max(when(col("_p") === p, c)).as(as)
+        val joined = two.groupBy(g: _*).agg(
+          max(col("_n")).as("_n"),
+          pick(loPermille, col("_v"), "lo_v"),
+          pick(loPermille, col("_cumx"), "lo_cumx"),
+          pick(loPermille, col("_vcumx"), "lo_vcumx"),
+          pick(loPermille, col("_v2cumx"), "lo_v2cumx"),
+          pick(hiPermille, col("_v"), "hi_v"),
+          pick(hiPermille, col("_c"), "hi_c"),
+          pick(hiPermille, col("_cumx"), "hi_cumx"),
+          pick(hiPermille, col("_vcumx"), "hi_vcumx"),
+          pick(hiPermille, col("_v2cumx"), "hi_v2cumx"))
         val dec = (c: Column) => c.cast("decimal(38,0)")
-        // groupCols may be empty (global stats): a zero-using-column
-        // join is a cartesian Spark may reject by conf; both sides are
-        // exactly one row there, so make the 1×1 cross explicit
-        val joined =
-          if (groupCols.isEmpty) lo.crossJoin(hi) else lo.join(hi, groupCols)
         val nAbove = dec(col("_n") - col("hi_cumx") - col("hi_c"))
         val nD = col("n_total").cast("double")
         val meanE = col("winsorized_sum") / nD
@@ -220,8 +237,9 @@ object Quantiles {
     * `_vcumx` = Σ v·c and `_v2cumx` = Σ v²·c over rows with a smaller
     * value (both DECIMAL(38,0) — a 100 TB value-weighted prefix
     * breaches i64; see [[winsorizedStats]] for the v² magnitude
-    * bound). The default path constructs EXACTLY the pre-r11 plan
-    * (digest-pinned consumers).
+    * bound). Group size `_n` rides the bounded offsets table (r17 —
+    * consumers' digests re-pinned; the old separate group-count
+    * branch re-scanned the input).
     */
   private def cumTable(df: DataFrame, groupCols: Seq[String], valueCol: Column,
                        targetBuckets: Int,
@@ -262,12 +280,20 @@ object Quantiles {
           coalesce(sum(v2c).over(wIn), lit(0L).cast("decimal(38,0)")))
     val wOff = Window.partitionBy(g: _*).orderBy(col("_b"))
       .rowsBetween(Window.unboundedPreceding, -1)
+    // group size = Σ bucket counts over the SAME bounded offsets rows
+    // (full-frame window) — previously a separate `counts.groupBy(g)`
+    // branch whose extra reference re-ran the count exchange and a
+    // second broadcast join (r17; per-branch column pruning defeats
+    // exchange reuse, so every reference was a full input re-scan)
+    val wAll = Window.partitionBy(g: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val offAggs =
       if (!valueSums) Seq(sum("_c").as("_bc"))
       else Seq(sum("_c").as("_bc"), sum(vc).as("_vbc"), sum(v2c).as("_v2bc"))
     val offsets0 = bucketed.groupBy((g :+ col("_b")): _*).agg(offAggs.head, offAggs.tail: _*)
       .withColumn("_off", coalesce(sum("_bc").over(wOff), lit(0L)))
-    val offCols = g :+ col("_b") :+ col("_off")
+      .withColumn("_n", sum("_bc").over(wAll))
+    val offCols = g :+ col("_b") :+ col("_off") :+ col("_n")
     val offsets =
       if (!valueSums) offsets0.select(offCols: _*)
       else offsets0.withColumn("_voff",
@@ -284,12 +310,6 @@ object Quantiles {
       else cum0
         .withColumn("_vcumx", (col("_vpre") + col("_voff")).cast("decimal(38,0)"))
         .withColumn("_v2cumx", (col("_v2pre") + col("_v2off")).cast("decimal(38,0)"))
-
-    // group sizes: one row per group, broadcast back
-    val ngrp = counts.groupBy(g: _*).agg(sum("_c").as("_n"))
-    val joined =
-      if (groupCols.isEmpty) cum.crossJoin(broadcast(ngrp))
-      else cum.join(broadcast(ngrp), groupCols)
-    Some(joined)
+    Some(cum)
   }
 }

@@ -106,11 +106,14 @@ object Triangles {
             .as("n_edges"))
         .head()
       degPrev.unpersist(blocking = false)
-      ePrev.unpersist(blocking = false)
+      // release the checkpoint blocks NOW (LocalCkpt scaladoc):
+      // Dataset.unpersist does not reach them, and three stale edge
+      // generations otherwise sit in the store until GC
+      LocalCkpt.free(ePrev)
       (r, agg.getLong(0), agg.getLong(1))
     }
     deg.unpersist(blocking = false)
-    e.unpersist(blocking = false)
+    LocalCkpt.free(e)
     rows.toDF("round", "n_nodes", "n_edges")
   }
 
@@ -122,20 +125,44 @@ object Triangles {
     *         (⌊3000·triangles / wedges⌋; 0 when wedge-free).
     */
   def stats(pairs: DataFrame): DataFrame = {
-    val deg = pairs.select(col("a").as("n"))
-      .union(pairs.select(col("b").as("n")))
-      .groupBy("n").agg(count(lit(1)).as("deg"))
+    val spark = pairs.sparkSession
+    // The summary fans the SAME frames into five branches (deg feeds
+    // the orientation twice and the wedge total; pairs feeds deg, the
+    // orientation and the edge count; adj probes twice). Uncached,
+    // every physical reference duplicates the whole upstream subtree
+    // — the r17 plan audit counted 188 Exchange nodes, dominated by
+    // re-derivations of the pair self-join. Cache the shared frames,
+    // evaluate the single result row EAGERLY, release the caches, and
+    // rewrap (the kCorePeel/PageRank.topK convention — the output is
+    // one row, so materializing is the honest plan).
+    val (out, shared) = statsPlan(pairs, doCache = true)
+    try {
+      val rows = out.collect() // exactly one row
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    } finally shared.foreach(_.unpersist(blocking = false))
+  }
 
-    val withDeg = pairs
+  /** The lazy plan behind [[stats]], factored out so plan-shape tests
+    * can assert the wedge equi-join shape (stats itself materializes
+    * to one row, so its public plan is a LocalTableScan). Returns the
+    * one-row summary frame plus the fan-out frames to unpersist after
+    * the action when `doCache` is set. */
+  private[graft] def statsPlan(pairs: DataFrame,
+                               doCache: Boolean): (DataFrame, Seq[DataFrame]) = {
+    def shared(df: DataFrame) = if (doCache) df.cache() else df
+    val p = shared(pairs.select(col("a"), col("b")))
+    val deg = shared(p.select(col("a").as("n"))
+      .union(p.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg")))
+    val withDeg = p
       .join(deg.select(col("n").as("a"), col("deg").as("da")), "a")
       .join(deg.select(col("n").as("b"), col("deg").as("db")), "b")
     // a < b by contract, so the (da == db) tie keeps id order.
     val lowFirst = col("da") < col("db") ||
       (col("da") === col("db") && col("a") < col("b"))
-    val directed = withDeg.select(
+    val directed = shared(withDeg.select(
       when(lowFirst, col("a")).otherwise(col("b")).as("src"),
-      when(lowFirst, col("b")).otherwise(col("a")).as("dst"))
-
+      when(lowFirst, col("b")).otherwise(col("a")).as("dst")))
     // Adjacency-intersection count: per directed edge (u,v),
     // |N⁺(u) ∩ N⁺(v)| — each triangle's unique 2-out-degree apex
     // contributes exactly once. Equivalent to enumerating apex wedges
@@ -143,8 +170,8 @@ object Triangles {
     // C(outdeg,2) rows — 74M at sf0.1) is never materialized through
     // a join: the intersection runs as per-row array arithmetic over
     // out-neighbor lists whose length the orientation caps at O(√m).
-    val adj = directed.groupBy("src")
-      .agg(sort_array(collect_list(col("dst"))).as("_nbrs"))
+    val adj = shared(directed.groupBy("src")
+      .agg(sort_array(collect_list(col("dst"))).as("_nbrs")))
     val tri = directed
       .join(adj, Seq("src"))
       .withColumnRenamed("_nbrs", "_nu")
@@ -157,13 +184,14 @@ object Triangles {
       // deg·(deg−1) is even, so `div` is exact; i64 throughout (the
       // Scala `/` on long columns would promote to double).
       sum(expr("(deg * (deg - 1)) div 2")).cast("long").as("n_wedges"))
-    val edges = pairs.agg(count(lit(1)).as("n_edges"))
+    val edges = p.agg(count(lit(1)).as("n_edges"))
 
-    totals.crossJoin(edges).crossJoin(tri)
+    val out = totals.crossJoin(edges).crossJoin(tri)
       .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
         col("n_triangles"),
         when(col("n_wedges") > 0L,
           expr("(n_triangles * 3000) div n_wedges"))
           .otherwise(lit(0L)).cast("long").as("clustering_permille"))
+    (out, Seq(p, deg, directed, adj))
   }
 }

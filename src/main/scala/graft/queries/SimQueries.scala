@@ -146,15 +146,24 @@ object SimQueries {
     // own elsewhere; this query pins their composition, the vector
     // counterpart of q_pipeline_corpus.
     "q_pipeline_vectors" -> { (s, dir) =>
+      // `coded` fans into the centroid pass, BOTH sides of the
+      // semantic in-cell self-join, the survivor semi-join and the
+      // k-center base — uncached, each physical reference re-derives
+      // the quantization scan (r17 plan audit). The result is
+      // k-bounded driver rows (kCenter rewraps), so the cache is
+      // released before returning.
       val coded = Quantize.int8(Tables(s, dir, "embeddings"),
           "vec_id", "embedding")
         .select(col("vec_id"), col("q").cast("array<float>").as("embedding"))
-      val (cids, cvecs) = Ann.ivfCentroids(coded, "vec_id", "embedding", Stride)
-      val keep = graft.dedup.Dedup.semantic(coded, "vec_id", "embedding",
-          cids, cvecs, tau = 0.4)
-        .filter(col("keep")).select("vec_id")
-      val survivors = coded.join(keep, Seq("vec_id"), "left_semi")
-      Diversity.kCenter(survivors, "vec_id", "embedding", k = 5)
+        .cache()
+      try {
+        val (cids, cvecs) = Ann.ivfCentroids(coded, "vec_id", "embedding", Stride)
+        val keep = graft.dedup.Dedup.semantic(coded, "vec_id", "embedding",
+            cids, cvecs, tau = 0.4)
+          .filter(col("keep")).select("vec_id")
+        val survivors = coded.join(keep, Seq("vec_id"), "left_semi")
+        Diversity.kCenter(survivors, "vec_id", "embedding", k = 5)
+      } finally coded.unpersist(blocking = false)
     },
     // Random-projection features (JL): 64 -> 8 dims against the
     // deterministic mixed-LCG planes; zero-shuffle scan, one scalar

@@ -756,17 +756,36 @@ object TextQueries {
     // per-language realized totals. Every stage is an operator gated
     // on its own elsewhere; this query pins their composition.
     "q_pipeline_corpus" -> { (s, dir) =>
+      // Stage outputs fan out (deduped feeds the boilerplate df AND
+      // the survivor join; clean feeds the mixture's weights AND its
+      // filter+totals): uncached, each physical reference re-derived
+      // the whole upstream pipeline — 32 corpus scans / 60 Exchanges
+      // in the r17 plan audit (per-branch column pruning defeats
+      // exchange reuse). Cache the two fan-out frames, evaluate the
+      // (per-language, ~|langs|-row) result eagerly, release, rewrap
+      // (the kCorePeel convention). At 100 TB the caches hold the
+      // kept corpus — exactly what the recomputation would otherwise
+      // re-derive per branch, and MEMORY_AND_DISK spills.
       val docs = Tables(s, dir, "documents")
       val quality = docs.filter(TextOps.qualityKeep(col("text")))
       val canonical = graft.dedup.Dedup.exact(quality, "doc_id", "text")
         .filter(!col("is_dup")).select("doc_id")
       val deduped = quality.join(canonical, Seq("doc_id"), "left_semi")
-      val keepBp = TextOps.boilerplate(deduped, "doc_id", "text", n = 3, minDf = 5)
-        .filter(col("common_frac") <= 0.5).select("doc_id")
-      val clean = deduped.join(keepBp, Seq("doc_id"), "left_semi")
-      graft.text.Mixture.sampleToBudget(clean, groupCol = "lang",
-        sizeCol = col("n_chars"), keyCol = "doc_id",
-        budgetUnits = 40000L, alpha = 0.5, seed = 42L)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val keepBp = TextOps.boilerplate(deduped, "doc_id", "text",
+            n = 3, minDf = 5)
+          .filter(col("common_frac") <= 0.5).select("doc_id")
+        val clean = deduped.join(keepBp, Seq("doc_id"), "left_semi")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val out = graft.text.Mixture.sampleToBudget(clean,
+            groupCol = "lang", sizeCol = col("n_chars"), keyCol = "doc_id",
+            budgetUnits = 40000L, alpha = 0.5, seed = 42L)
+          val rows = out.collect() // one row per kept language
+          s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+        } finally clean.unpersist(blocking = false)
+      } finally deduped.unpersist(blocking = false)
     },
 
     // Training-shard manifest: deterministic 16-way hash sharding of

@@ -9,7 +9,16 @@ object Explain {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     args.foreach { name =>
       println(s"========== $name ==========")
-      SparkEntry.queries(name)(spark, dir).explain("formatted")
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.explain("formatted")
+      // SPARK_GRAFT_EXPLAIN_FINAL=1: run the query, then print the
+      // AQE FINAL plan (runtime exchange reuse, join rewrites,
+      // coalesced reads are invisible in the pre-execution plan)
+      if (sys.env.get("SPARK_GRAFT_EXPLAIN_FINAL").contains("1")) {
+        df.count()
+        println(s"---------- $name FINAL ----------")
+        println(df.queryExecution.executedPlan.toString.take(20000))
+      }
     }
     spark.stop()
   }

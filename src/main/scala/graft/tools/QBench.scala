@@ -17,7 +17,7 @@ object QBench {
     val names =
       if (args(1) == "all") graft.SparkEntry.queries.keys.toSeq.sorted
       else args(1).split(',').toSeq
-    val runs = if (args.length > 2) args(2).toInt else 2
+    val runs = if (args.length > 2) args(2).toInt else 2 // 0 = plan-only
     val planDir = if (args.length > 3) Some(args(3)) else None
     val spark = graft.GraftSession.get()
     graft.GraftSession.quietWindowWarnings()
@@ -32,14 +32,21 @@ object QBench {
           df.queryExecution.explainString(
             org.apache.spark.sql.execution.FormattedMode))
       }
+      // SPARK_GRAFT_QBENCH_COUNT=1 times fn().count() — the graded
+      // Bench action — instead of the noop sink; count() can prune
+      // final projections, so the two modes legitimately differ.
+      val useCount = sys.env.get("SPARK_GRAFT_QBENCH_COUNT").contains("1")
       val times = (1 to runs).map { _ =>
         System.gc()
         val t0 = System.nanoTime()
         spark.sparkContext.setJobDescription(s"qbench:$name")
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        if (useCount) fn(spark, sfDir).count()
+        else fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
-      println(f"QBENCH $name%-40s ${times.map(t => f"$t%.2f").mkString(" ")}  min=${times.min}%.2f")
+      if (times.nonEmpty)
+        println(f"QBENCH $name%-40s ${times.map(t => f"$t%.2f").mkString(" ")}  min=${times.min}%.2f")
+      else println(s"QBENCH $name plan-only")
     }
     spark.stop()
   }

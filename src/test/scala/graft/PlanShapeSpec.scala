@@ -59,12 +59,19 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("triangles: wedge join is an equi-join on the apex; no cartesian") {
-    val p = plan("q_graph_triangles")
+    // stats() materializes its one-row result eagerly (fan-out caching),
+    // so the public query plan is a LocalTableScan; assert the shape on
+    // the factored-out lazy plan instead.
+    val pairs = graft.ops.Triangles.coOrderPartPairs(spark, dir)
+    val (out, _) = graft.ops.Triangles.statsPlan(pairs, doCache = false)
+    val p = out.queryExecution.executedPlan.toString
     // the 1-row result combiners (totals × edges × tri) are broadcast
     // nested-loop by design; the edge-scale joins must all be hash
     // equi-joins and nothing may be a real cartesian product
     assert(!p.contains("CartesianProduct"), p.take(1200))
     assert(p.contains("HashJoin"), p.take(1200))
+    // and the shipped query is the materialized rewrap of that plan
+    assert(plan("q_graph_triangles").contains("LocalTableScan"))
   }
 
   test("weighted sample is map-side + TakeOrdered — no shuffle, no global sort") {
