@@ -95,9 +95,28 @@ object PageRank {
     * the returned plan no longer references the unpersisted cache.
     */
   def topK(spark: SparkSession, edges: DataFrame, iters: Int, k: Int,
-           scale: Long = 1000000L): DataFrame = {
-    val outw = edges.groupBy("src").agg(sum("w").as("ow"))
-    val esrc = edges.join(outw, "src")
+           scale: Long = 1000000L,
+           localMaxEdges: Long = graft.ops.Triangles.localMaxEdgesDefault)
+      : DataFrame = {
+    import spark.implicits._
+    // ONE materialization of the edge list up front (r17, the IM-log
+    // hybrid-tail pattern shared with Triangles): the count picks the
+    // execution tier, and the checkpoint keeps a lazy caller plan
+    // (e.g. coTransactionEdges' symmetrizing union, whose two branches
+    // would otherwise each re-derive the pair aggregation) from being
+    // computed once per downstream reference.
+    val ck = edges.select(col("src"), col("dst"), col("w"))
+      .localCheckpoint(true)
+    val n = ck.count()
+    if (n <= localMaxEdges) {
+      // driver tail: identical fixed-point integer iteration over the
+      // collected array (path equality pinned in PageRank spec)
+      val es = ck.as[(Long, Long, Long)].collect()
+      LocalCkpt.free(ck)
+      return topKLocal(es, iters, k, scale).toDF("node", "rank_fp")
+    }
+    val outw = ck.groupBy("src").agg(sum("w").as("ow"))
+    val esrc = ck.join(outw, "src")
       .select(col("src"), col("dst"), col("w"), col("ow"))
       .repartition(col("src")).cache()
     try {
@@ -106,7 +125,42 @@ object PageRank {
         .limit(k)
       val rows: Array[Row] = ranked.collect() // k rows, bounded
       spark.createDataFrame(java.util.Arrays.asList(rows: _*), ranked.schema)
-    } finally esrc.unpersist()
+    } finally {
+      esrc.unpersist()
+      LocalCkpt.free(ck)
+    }
+  }
+
+  /** Driver tail of [[topK]]: the same per-edge floor-division
+    * arithmetic and (rank desc, node asc) selection over a collected
+    * (src, dst, w) array. */
+  private[graft] def topKLocal(es: Array[(Long, Long, Long)], iters: Int,
+      k: Int, scale: Long): Seq[(Long, Long)] = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val teleport = scale * 150L / 1000L
+    val damped0 = scale * 850L / 1000L
+    val ow = scala.collection.mutable.LongMap.empty[Long]
+    es.foreach { case (s, _, w) => ow.update(s, ow.getOrElse(s, 0L) + w) }
+    // round 1: r0 ≡ scale, damped contribution is a constant
+    var ranks = scala.collection.mutable.LongMap.empty[Long]
+    es.foreach { case (s, d, w) =>
+      ranks.update(d, ranks.getOrElse(d, 0L) + damped0 * w / ow(s))
+    }
+    ranks.transformValues(_ + teleport)
+    for (_ <- 2 to iters) {
+      val next = scala.collection.mutable.LongMap.empty[Long]
+      es.foreach { case (s, d, w) =>
+        // the distributed tier joins edges to ranks on src: edges
+        // whose src holds no rank contribute nothing
+        ranks.get(s).foreach { r =>
+          next.update(d, next.getOrElse(d, 0L) + (r * 850L / 1000L) * w / ow(s))
+        }
+      }
+      next.transformValues(_ + teleport)
+      ranks = next
+    }
+    ranks.toSeq.map { case (node, r) => (node, r) }
+      .sortBy { case (node, r) => (-r, node) }.take(k)
   }
 
   /** The co-transaction graph used by the gated query: supplier and

@@ -29,14 +29,39 @@ import org.apache.spark.sql.functions._
   */
 object Triangles {
 
+  /** Edge-count cutoff under which the peel/summary folds on the
+    * driver (r17, the IM-log hybrid-tail pattern): BOTH graph queries
+    * spend 3-5 s of pure stage/shuffle latency on a ~1M-edge graph at
+    * sf0.1, while the identical arithmetic over a collected edge array
+    * runs in milliseconds. 2^22 pairs (64 MB of boxed longs, the same
+    * bound Dedup.clusters documents for its driver union-find) keeps
+    * the driver safe; a 100 TB co-occurrence graph exceeds it and
+    * takes the distributed path below, which is also what the
+    * env-override forces for the path-equality specs. */
+  private[graft] def localMaxEdgesDefault: Long =
+    sys.env.get("SPARK_GRAFT_GRAPH_LOCAL_EDGES").map(_.toLong)
+      .getOrElse(1L << 22)
+
   /** Distinct co-order part pairs: parts appearing in the same order
-    * are linked; (a, b) with a < b, deduplicated across orders. */
+    * are linked; (a, b) with a < b, deduplicated across orders.
+    *
+    * Shape (r17): ONE partial-agg shuffle builds each order's sorted
+    * distinct part set (collect_set merges map-side), the per-order
+    * C(n,2) pairs explode from the array with no join, and the final
+    * distinct is the second and last shuffle. The previous self-join
+    * form paid three (distinct(o,p), the o-join, distinct(a,b)) and
+    * re-derived its input once per side. Per-order blowup is identical
+    * to the join form (C(n,2) rows either way); the sorted array makes
+    * a < b structural. */
   def coOrderPartPairs(spark: SparkSession, dir: String): DataFrame = {
-    val op = graft.Tables(spark, dir, "lineitem")
+    graft.Tables(spark, dir, "lineitem")
       .select(col("l_orderkey").as("o"), col("l_partkey").cast("long").as("p"))
-      .distinct()
-    op.as("x").join(op.as("y"), col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-      .select(col("x.p").as("a"), col("y.p").as("b"))
+      .groupBy("o").agg(sort_array(collect_set(col("p"))).as("ps"))
+      .select(explode(expr(
+        "flatten(transform(ps, (x, i) -> " +
+          "transform(slice(ps, i + 2, size(ps)), y -> struct(x, y))))"))
+        .as("pr"))
+      .select(col("pr.x").as("a"), col("pr.y").as("b"))
       .distinct()
   }
 
@@ -55,8 +80,25 @@ object Triangles {
     * semi-joins of the edge list against the (node-sized, shrinking)
     * survivor set; the edge list never grows and nothing is collected.
     */
-  def kCorePeel(pairs: DataFrame, k: Int, rounds: Int): DataFrame = {
+  def kCorePeel(pairs: DataFrame, k: Int, rounds: Int,
+                localMaxEdges: Long = localMaxEdgesDefault): DataFrame = {
     import pairs.sparkSession.implicits._
+    // ONE materialization of the pair list up front: the doubled edge
+    // union below otherwise computes the whole pairs pipeline twice
+    // (its two branches share no exchange — per-branch pruning
+    // specializes the scans), and the edge count it yields for free
+    // picks the execution tier (r17).
+    val ckpt = pairs.select(col("a"), col("b")).localCheckpoint(true)
+    val nPairs = ckpt.count()
+    if (nPairs <= localMaxEdges) {
+      // driver tail: identical peel arithmetic over the collected
+      // array (path equality pinned in TrianglesSpec); at sf0.1 this
+      // replaces ~8 distributed jobs on a 1.2M-edge graph
+      val es = ckpt.as[(Long, Long)].collect()
+      LocalCkpt.free(ckpt)
+      return kCorePeelLocal(es, k, rounds).toDF("round", "n_nodes", "n_edges")
+    }
+    val pairsCk = ckpt
     // Eager per-round evaluation: a lazily-composed union would
     // recompute the whole peel chain (pairs included) once per output
     // row — O(rounds²) passes. The result is rounds tiny rows, so
@@ -80,9 +122,10 @@ object Triangles {
     // exactly the 4.9 s → 13.1 s instability flagged in round 8).
     // MEMORY_AND_DISK storage, so pressure spills instead of
     // recomputing (nothing upstream to recompute after truncation).
-    var e = pairs.select(col("a").as("src"), col("b").as("dst"))
-      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+    var e = pairsCk.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairsCk.select(col("b").as("src"), col("a").as("dst")))
       .localCheckpoint(true)
+    LocalCkpt.free(pairsCk) // doubled list materialized; pairs blocks done
     def degreesOf(edges: DataFrame): DataFrame =
       edges.groupBy("src").agg(count(lit(1)).as("_deg")).cache()
     var deg = degreesOf(e)
@@ -124,22 +167,131 @@ object Triangles {
     *         Σ C(deg,2)), n_triangles, clustering_permille
     *         (⌊3000·triangles / wedges⌋; 0 when wedge-free).
     */
-  def stats(pairs: DataFrame): DataFrame = {
+  def stats(pairs: DataFrame,
+            localMaxEdges: Long = localMaxEdgesDefault): DataFrame = {
     val spark = pairs.sparkSession
-    // The summary fans the SAME frames into five branches (deg feeds
-    // the orientation twice and the wedge total; pairs feeds deg, the
-    // orientation and the edge count; adj probes twice). Uncached,
-    // every physical reference duplicates the whole upstream subtree
-    // — the r17 plan audit counted 188 Exchange nodes, dominated by
-    // re-derivations of the pair self-join. Cache the shared frames,
-    // evaluate the single result row EAGERLY, release the caches, and
-    // rewrap (the kCorePeel/PageRank.topK convention — the output is
-    // one row, so materializing is the honest plan).
-    val (out, shared) = statsPlan(pairs, doCache = true)
+    import spark.implicits._
+    // ONE materialization of the pair list up front (same move as
+    // kCorePeel): the summary fans the SAME frame into five branches
+    // (deg feeds the orientation twice and the wedge total; pairs
+    // feeds deg, the orientation and the edge count; adj probes
+    // twice) — uncached, every physical reference re-derived the pair
+    // self-join (188 Exchange nodes in the r17 plan audit). The count
+    // picks the execution tier.
+    val ckpt = pairs.select(col("a"), col("b")).localCheckpoint(true)
+    val nPairs = ckpt.count()
+    if (nPairs <= localMaxEdges) {
+      // driver tail: identical orientation/intersection arithmetic
+      // over the collected array (path equality pinned in
+      // TrianglesSpec)
+      val es = ckpt.as[(Long, Long)].collect()
+      LocalCkpt.free(ckpt)
+      val (nn, ne, nw, nt, cp) = statsLocal(es)
+      return Seq((nn, ne, nw, nt, cp)).toDF(
+        "n_nodes", "n_edges", "n_wedges", "n_triangles",
+        "clustering_permille")
+    }
+    // distributed tier: cache the fan-out frames, evaluate the single
+    // result row EAGERLY, release the caches, and rewrap (the
+    // kCorePeel/PageRank.topK convention — the output is one row, so
+    // materializing is the honest plan)
+    val (out, shared) = statsPlan(ckpt, doCache = true)
     try {
       val rows = out.collect() // exactly one row
       spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
-    } finally shared.foreach(_.unpersist(blocking = false))
+    } finally {
+      shared.foreach(_.unpersist(blocking = false))
+      LocalCkpt.free(ckpt)
+    }
+  }
+
+  /** Driver tail of [[kCorePeel]]: the same per-round arithmetic
+    * (filter by previous round's degrees, recount, emit survivors)
+    * over a collected edge array. */
+  private[graft] def kCorePeelLocal(pairsArr: Array[(Long, Long)],
+      k: Int, rounds: Int): Seq[(Int, Long, Long)] = {
+    def degreesOf(es: Array[(Long, Long)]): scala.collection.mutable.LongMap[Long] = {
+      val m = scala.collection.mutable.LongMap.empty[Long]
+      var i = 0
+      while (i < es.length) {
+        val (a, b) = es(i)
+        m.update(a, m.getOrElse(a, 0L) + 1L)
+        m.update(b, m.getOrElse(b, 0L) + 1L)
+        i += 1
+      }
+      m
+    }
+    var es = pairsArr
+    var deg = degreesOf(es)
+    (1 to rounds).map { r =>
+      val dPrev = deg
+      es = es.filter { case (a, b) =>
+        dPrev.getOrElse(a, 0L) >= k && dPrev.getOrElse(b, 0L) >= k
+      }
+      deg = degreesOf(es)
+      // n_nodes counts nodes with ≥1 surviving edge (the distributed
+      // tier's degree table only holds rows for endpoints present in
+      // the doubled list); n_edges is the undirected edge count
+      (r, deg.size.toLong, es.length.toLong)
+    }
+  }
+
+  /** Driver tail of [[stats]]: same degree-(then-id) orientation and
+    * out-neighbor intersection as the distributed tier, over sorted
+    * adjacency slices. */
+  private[graft] def statsLocal(
+      es: Array[(Long, Long)]): (Long, Long, Long, Long, Long) = {
+    val deg = scala.collection.mutable.LongMap.empty[Long]
+    es.foreach { case (a, b) =>
+      deg.update(a, deg.getOrElse(a, 0L) + 1L)
+      deg.update(b, deg.getOrElse(b, 0L) + 1L)
+    }
+    val nNodes = deg.size.toLong
+    val nEdges = es.length.toLong
+    var nWedges = 0L
+    deg.foreach { case (_, d) => nWedges += d * (d - 1) / 2 }
+    // Remap node ids to dense ints so each oriented edge packs into
+    // ONE long ((src << 32) | dst) — the intersection loop below then
+    // runs over primitive arrays (the boxed-tuple form measured 2×
+    // slower than the distributed tier it replaces; this form is ~10×
+    // faster than that). The orientation itself compares ORIGINAL ids
+    // (a < b by contract breaks degree ties), identical to statsPlan.
+    val idOf = scala.collection.mutable.LongMap.empty[Int]
+    def dense(x: Long): Long = idOf.getOrElseUpdate(x, idOf.size).toLong
+    val packed = new Array[Long](es.length)
+    var i = 0
+    while (i < es.length) {
+      val (a, b) = es(i)
+      val da = deg(a); val db = deg(b)
+      packed(i) =
+        if (da < db || (da == db && a < b)) (dense(a) << 32) | dense(b)
+        else (dense(b) << 32) | dense(a)
+      i += 1
+    }
+    java.util.Arrays.sort(packed) // (src, dst) lexicographic
+    // out-neighbor slice offsets per dense src id
+    val off = new Array[Int](idOf.size + 1)
+    i = 0
+    while (i < packed.length) { off((packed(i) >>> 32).toInt + 1) += 1; i += 1 }
+    i = 0
+    while (i < idOf.size) { off(i + 1) += off(i); i += 1 }
+    var nTri = 0L
+    i = 0
+    while (i < packed.length) {
+      val u = (packed(i) >>> 32).toInt
+      val v = (packed(i) & 0xffffffffL).toInt
+      var x = off(u); val xh = off(u + 1)
+      var y = off(v); val yh = off(v + 1)
+      while (x < xh && y < yh) {
+        val dx = packed(x) & 0xffffffffL; val dy = packed(y) & 0xffffffffL
+        if (dx == dy) { nTri += 1; x += 1; y += 1 }
+        else if (dx < dy) x += 1
+        else y += 1
+      }
+      i += 1
+    }
+    val permille = if (nWedges > 0) nTri * 3000 / nWedges else 0L
+    (nNodes, nEdges, nWedges, nTri, permille)
   }
 
   /** The lazy plan behind [[stats]], factored out so plan-shape tests

@@ -86,6 +86,17 @@ class PageRankSpec extends SparkSpec {
     assert(top == resorted)
   }
 
+  test("topK: driver tail and distributed tier agree (path equality)") {
+    val edges = PageRank.coTransactionEdges(spark, "/root/testdata/sf0.001")
+    val local = PageRank.topK(spark, edges, iters = 3, k = 25,
+        localMaxEdges = Long.MaxValue)
+      .as[(Long, Long)].collect().toSeq
+    val dist = PageRank.topK(spark, edges, iters = 3, k = 25,
+        localMaxEdges = 0L)
+      .as[(Long, Long)].collect().toSeq
+    assert(local == dist)
+  }
+
   test("co-transaction graph is symmetric (every node has out-edges)") {
     val edges = PageRank.coTransactionEdges(spark, "/root/testdata/sf0.001")
     val srcs = edges.select("src").distinct().as[Long].collect().toSet

@@ -68,6 +68,32 @@ class TrianglesSpec extends SparkSpec {
     assert(peel(k4, k = 3, rounds = 2) == Seq((1, 4L, 6L), (2, 4L, 6L)))
   }
 
+  test("stats: driver tail and distributed tier agree (path equality)") {
+    val rnd = new scala.util.Random(7)
+    val edges = (for {
+      a <- 1 to 60; b <- (a + 1) to 60 if rnd.nextDouble() < 0.15
+    } yield (a.toLong, b.toLong)).toDF("a", "b")
+    val local = Triangles.stats(edges, localMaxEdges = Long.MaxValue)
+      .collect().head.toSeq
+    val dist = Triangles.stats(edges, localMaxEdges = 0L)
+      .collect().head.toSeq
+    assert(local == dist)
+  }
+
+  test("kCorePeel: driver tail and distributed tier agree (path equality)") {
+    val rnd = new scala.util.Random(11)
+    val edges = (for {
+      a <- 1 to 80; b <- (a + 1) to 80 if rnd.nextDouble() < 0.08
+    } yield (a.toLong, b.toLong)).toDF("a", "b")
+    val local = Triangles.kCorePeel(edges, k = 3, rounds = 4,
+        localMaxEdges = Long.MaxValue)
+      .as[(Int, Long, Long)].collect().sortBy(_._1).toSeq
+    val dist = Triangles.kCorePeel(edges, k = 3, rounds = 4,
+        localMaxEdges = 0L)
+      .as[(Int, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(local == dist)
+  }
+
   test("triangle-heavy random graph matches the brute-force count") {
     val rnd = new scala.util.Random(42)
     val n = 30
