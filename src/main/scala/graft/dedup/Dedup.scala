@@ -435,7 +435,26 @@ object Dedup {
       .filter(col("a") =!= col("b")).distinct().localCheckpoint()
     var eCount = e.count()
     var rounds = 0
-    var done = eCount == 0L
+    // Fixpoint probe (r17): the paper's termination theorem says the
+    // round-to-round edge set is unchanged ⟺ every component is a
+    // star rooted at its minimum. Canonical (bigger, smaller) distinct
+    // edges form exactly such a star forest ⟺ no node is the child of
+    // two edges AND no node is both a child and a root (roots are
+    // automatically the component min because b < a on every edge).
+    // Testing THAT structurally is one node-keyed aggregation instead
+    // of the old full exceptAll anti-join — and it fires one round
+    // EARLIER (the old probe had to run a whole extra contraction
+    // round to observe "nothing changed").
+    def isStarForest(df: DataFrame): Boolean =
+      df.select(explode(array(
+          struct(col("a").as("n"), lit(1L).as("ca"), lit(0L).as("cb")),
+          struct(col("b").as("n"), lit(0L).as("ca"), lit(1L).as("cb"))))
+          .as("x"))
+        .groupBy(col("x.n"))
+        .agg(sum(col("x.ca")).as("_ca"), sum(col("x.cb")).as("_cb"))
+        .filter(col("_ca") > 1L || (col("_ca") > 0L && col("_cb") > 0L))
+        .limit(1).count() == 0L
+    var done = eCount == 0L || isStarForest(e)
     while (!done) {
       rounds += 1
       // large-star: full neighborhoods (symmetrize), per-node min,
@@ -455,12 +474,11 @@ object Dedup {
         .union(mins2.select(col("u").as("a"), col("m").as("b")))
         .filter(col("a") =!= col("b")).distinct()
         .localCheckpoint()
-      // fixpoint: the round changed nothing (star forest reached).
-      // Both sides are distinct sets, so equality = equal counts +
-      // empty one-way difference; the previous round's count is
-      // carried in the driver var (one fewer job per round).
+      // fixpoint: star forest reached (structural probe above) — the
+      // count keeps the checkpoint materialization eager and feeds the
+      // empty-graph degenerate case
       val ssCount = ss.count()
-      done = ssCount == eCount && ss.exceptAll(e).isEmpty
+      done = ssCount == 0L || isStarForest(ss)
       // the fixpoint probe was this round's last read of the previous
       // generation — release its checkpoint blocks deterministically
       graft.ops.LocalCkpt.free(e)

@@ -54,10 +54,18 @@ object Heuristics {
   def net(events: DataFrame, caseCol: String, activityCol: String,
       tsCol: String, tieBreak: String, depThreshold: Double,
       minEdgeN: Long): DataFrame = {
+    // Materialize the two alphabet-bounded measure tables ONCE (r17):
+    // `dep` fans into both best-successor rankings and the final join
+    // (3 references), `l2` into both sides of its symmetrizing union —
+    // uncached, every reference re-ran the case-window pass over the
+    // full event log (18 scans / 56 Exchanges in the r17 plan audit).
+    // Both tables are ≤|A|² rows, so the checkpoints are trivially
+    // cheap at any scale.
     val dep = Dfg.dependencyMeasures(events, caseCol, activityCol,
-      tsCol, tieBreak)
+      tsCol, tieBreak).localCheckpoint(true)
     val n = Dfg.edges(events, caseCol, activityCol, tsCol, tieBreak)
     val l2 = l2Counts(events, caseCol, activityCol, tsCol, tieBreak)
+      .localCheckpoint(true)
     val l2sym = l2.unionByName(
         l2.select(col("act_to").as("act_from"), col("act_from").as("act_to"),
           col("n_aba")))

@@ -165,7 +165,12 @@ object Sessionize {
     * shape as the trace-filter cascade. */
   def filterTopKVariants(events: DataFrame, caseCol: String,
       activityCol: String, tsCol: String, tieBreak: String, k: Int): DataFrame = {
+    // case-variant table materialized ONCE (r17): it feeds both the
+    // top-k ranking and the kept-case projection — uncached, each
+    // reference re-ran the case window + collect_list over the full
+    // event log. One row per case, so the checkpoint is case-sized.
     val cv = caseVariants(events, caseCol, activityCol, tsCol, tieBreak)
+      .localCheckpoint(true)
     val top = cv.groupBy("variant").agg(count(lit(1)).as("_n"))
       .withColumn("_rnk", row_number().over(
         Window.orderBy(col("_n").desc, col("variant").asc)))

@@ -304,9 +304,13 @@ object RelationalQueries {
     // the operator — approxByGroup itself is one pass.
     "q_quantiles_sketch" -> { (s, dir) =>
       import graft.ops.SketchQuantiles
+      // narrow (group, v) projection materialized ONCE (r17): the
+      // sketch pass and the rank-audit certification otherwise each
+      // re-scan lineitem (4 scans in the r17 plan audit)
       val src = Tables(s, dir, "lineitem").select(
         concat_ws("|", col("l_returnflag"), col("l_linestatus")).as("group"),
         expr("CAST(round(CAST(l_extendedprice AS DOUBLE) * 100) AS BIGINT)").as("v"))
+        .localCheckpoint(true)
       val est = SketchQuantiles.approxByGroup(src, col("group"), col("v"),
         Seq(250, 500, 750, 900, 990), k = 4096)
       SketchQuantiles.rankAudit(src, col("group"), col("v"), est)
@@ -330,6 +334,7 @@ object RelationalQueries {
         concat_ws("|", col("l_returnflag"), col("l_linestatus")).as("group"),
         expr("CAST(round(CAST(l_extendedprice AS DOUBLE) * 100) AS BIGINT)").as("v"),
         col("l_quantity").cast("long").as("w"))
+        .localCheckpoint(true) // see q_quantiles_sketch (r17)
       val est = SketchQuantiles.approxByGroupWeighted(src, col("group"),
         col("v"), col("w"), Seq(250, 500, 750, 900, 990), k = 4096)
       SketchQuantiles.rankAuditWeighted(src, col("group"), col("v"),

@@ -646,8 +646,13 @@ object TextQueries {
       // array attribute (see TextOps.shinglesOf on why the inline
       // form is quadratic in words per doc)
       val toked = docs.select(TextOps.tokens(col("text")).as("t"))
+      // vocab table materialized ONCE (r17): `uni` feeds the total-
+      // token aggregate and BOTH unigram joins — uncached, each
+      // reference re-ran the tokenize + explode + count over the
+      // corpus. Vocab-sized, so the checkpoint is tiny.
       val uni = toked.select(explode(col("t")).as("tok"))
         .groupBy("tok").agg(count(lit(1)).as("n_tok"))
+        .localCheckpoint(true)
       val bi = toked.select(explode(TextOps.shinglesOf(col("t"), 2)).as("gram"))
         .groupBy("gram").agg(count(lit(1)).as("n_ab"))
         .filter(col("n_ab") >= 5)

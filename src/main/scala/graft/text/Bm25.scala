@@ -53,7 +53,12 @@ object Bm25 {
     */
   def topK(docs: DataFrame, textCol: String, terms: Seq[String], k: Int): DataFrame = {
     require(terms.nonEmpty, "terms must be non-empty")
-    val d = docStats(docs, textCol, terms)
+    // Materialize the per-doc stats ONCE (r17): `d` feeds both the
+    // corpus-scalar aggregate and the scoring pass — uncached, each
+    // reference re-ran the tokenize + per-term filter projection over
+    // the whole corpus (2 scans in the r17 plan audit). The stats
+    // table is (2 + |terms|) longs per doc — tiny at any scale.
+    val d = docStats(docs, textCol, terms).localCheckpoint(true)
     val dfCols = terms.indices.flatMap { i =>
       Seq(sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
     }
