@@ -118,9 +118,14 @@ object SpanDedup {
     * Docs with no spans are absent (join back as 0 upstream if
     * needed). */
   def spanCoverage(spans: DataFrame): DataFrame = {
-    val sides = spans.select(col("id_a").as("doc_id"),
+    // span list materialized ONCE (r17): the two union sides otherwise
+    // each re-derive the whole upstream span pipeline (gram explode +
+    // capped occ-list + pair windows). Span rows are few — the dup
+    // signal, not the corpus.
+    val sp = spans.localCheckpoint(true)
+    val sides = sp.select(col("id_a").as("doc_id"),
         col("start_a").as("_s"), (col("start_a") + col("span_len")).as("_e"))
-      .unionByName(spans.select(col("id_b").as("doc_id"),
+      .unionByName(sp.select(col("id_b").as("doc_id"),
         col("start_b").as("_s"), (col("start_b") + col("span_len")).as("_e")))
     mergedIntervals(sides)
       .groupBy(col("doc_id"))
@@ -142,8 +147,12 @@ object SpanDedup {
     * text moves through exactly one shuffle. */
   def scrub(docs: DataFrame, idCol: String, textCol: String,
       spans: DataFrame): DataFrame = {
+    // cut-interval table materialized ONCE (r17): `cuts` feeds both
+    // the gap and the tail branches — uncached, each re-derived the
+    // span pipeline + interval merge. Tiny (merged cut rows per doc).
     val cuts = mergedIntervals(spans.select(col("id_b").as("doc_id"),
       col("start_b").as("_s"), (col("start_b") + col("span_len")).as("_e")))
+      .localCheckpoint(true)
     val wd = Window.partitionBy(col("doc_id")).orderBy(col("_us"))
     // complement of the cuts: the gap before each cut + the tail after
     // the last cut (tail end = null -> clamped to the doc length below)

@@ -29,21 +29,34 @@ object Alpha {
   /** Runs the alpha algorithm. `events` as in [[Dfg.edges]]. */
   def mine(events: DataFrame, caseCol: String, activityCol: String,
       tsCol: String, tieBreak: String, maxActivities: Int = 20): WorkflowNet = {
-    val edges = Dfg.edges(events, caseCol, activityCol, tsCol, tieBreak)
-      .select("act_from", "act_to").collect()
-      .map(r => (r.getString(0), r.getString(1))).toSet
-    val acts = events.select(col(activityCol)).distinct()
-      .collect().map(_.getString(0)).toSet
-    require(acts.size <= maxActivities,
-      s"alpha miner subset search capped at $maxActivities activities (got ${acts.size})")
-
-    val starts = Dfg.startActivities(events, caseCol, activityCol, tsCol, tieBreak)
-      .select("activity").collect().map(_.getString(0)).toSet
+    // ONE collect for all four bounded footprint pieces (r17, the
+    // probeInventory fold): edges, alphabet, start and end activities
+    // ride a single tagged union — the four separate collects each
+    // paid a full job's scheduling latency, and the union's branches
+    // run as parallel stages of one job instead.
+    val nullS = lit(null).cast("string")
+    val edgesB = Dfg.edges(events, caseCol, activityCol, tsCol, tieBreak)
+      .select(lit(0).as("_k"), col("act_from").as("_a"), col("act_to").as("_b"))
+    val actsB = events.select(col(activityCol)).distinct()
+      .select(lit(1).as("_k"), col(activityCol).as("_a"), nullS.as("_b"))
+    val startsB = Dfg.startActivities(events, caseCol, activityCol, tsCol,
+        tieBreak)
+      .select(lit(2).as("_k"), col("activity").as("_a"), nullS.as("_b"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(caseCol)).orderBy(col(tsCol).desc, col(tieBreak).desc)
-    val ends = events.withColumn("_rn", row_number().over(w))
+    val endsB = events.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
-      .select(col(activityCol)).distinct().collect().map(_.getString(0)).toSet
+      .select(col(activityCol)).distinct()
+      .select(lit(3).as("_k"), col(activityCol).as("_a"), nullS.as("_b"))
+    val rows = edgesB.unionByName(actsB).unionByName(startsB)
+      .unionByName(endsB).collect()
+    val edges = rows.filter(_.getInt(0) == 0)
+      .map(r => (r.getString(1), r.getString(2))).toSet
+    val acts = rows.filter(_.getInt(0) == 1).map(_.getString(1)).toSet
+    require(acts.size <= maxActivities,
+      s"alpha miner subset search capped at $maxActivities activities (got ${acts.size})")
+    val starts = rows.filter(_.getInt(0) == 2).map(_.getString(1)).toSet
+    val ends = rows.filter(_.getInt(0) == 3).map(_.getString(1)).toSet
 
     def follows(a: String, b: String) = edges.contains((a, b))
     def causal(a: String, b: String) = follows(a, b) && !follows(b, a)
