@@ -147,12 +147,13 @@ object SpanDedup {
     * text moves through exactly one shuffle. */
   def scrub(docs: DataFrame, idCol: String, textCol: String,
       spans: DataFrame): DataFrame = {
-    // cut-interval table materialized ONCE (r17): `cuts` feeds both
-    // the gap and the tail branches — uncached, each re-derived the
-    // span pipeline + interval merge. Tiny (merged cut rows per doc).
+    // NOTE (r17): deliberately NOT materialized. A localCheckpoint
+    // here (tried for the gap/tail double derivation) forces the span
+    // pipeline to fully evaluate at plan construction, defeating the
+    // column pruning a bounded consumer gets on the lazy plan — the
+    // bench's count-mode scrub gates regressed 0.3 s → 2.5-3.8 s.
     val cuts = mergedIntervals(spans.select(col("id_b").as("doc_id"),
       col("start_b").as("_s"), (col("start_b") + col("span_len")).as("_e")))
-      .localCheckpoint(true)
     val wd = Window.partitionBy(col("doc_id")).orderBy(col("_us"))
     // complement of the cuts: the gap before each cut + the tail after
     // the last cut (tail end = null -> clamped to the doc length below)
