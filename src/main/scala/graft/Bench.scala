@@ -125,7 +125,18 @@ object Bench {
     if (compact.length <= 1900) println(compact)
     else {
       val total = results.map(_._2.min).sum
-      println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","errors":${errs.size},"sf":"$sfDir","runs":$runs,"agg":"min","queries_in":"$out"}""")
+      // r18 (additions-only; the PERF grader has been per-query-blind
+      // for two rounds because the full map exceeds the driver's
+      // 2000-char stdout window): a top-15 "slowest" map plus
+      // stream/batch rollups fit comfortably in the window and let the
+      // driver name regressed queries without parsing the file.
+      val streamS = results.filter(_._1.startsWith("q_stream"))
+        .map(_._2.min).sum
+      val batchS = total - streamS
+      val slowest = results.sortBy(-_._2.min).take(15)
+        .map { case (k, v) => "\"" + k + "\":" + f"${v.min}%.2f" }
+        .mkString("{", ",", "}")
+      println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","errors":${errs.size},"stream_s":$streamS%.2f,"batch_s":$batchS%.2f,"slowest":$slowest,"sf":"$sfDir","runs":$runs,"agg":"min","queries_in":"$out"}""")
     }
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
       line(_.toString) + "\n")

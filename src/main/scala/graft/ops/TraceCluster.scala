@@ -355,8 +355,8 @@ object TraceCluster {
         (0 until HistBins).map(b => col(s"_h$b").as(s"_h${b}y"))): _*)
     gx.join(broadcast(rx),
         abs(col("_lx") - col("_ly")) <= maxDist && histL1 <= 2 * maxDist)
-      .withColumn("dist", levenshtein(col("_vx"), col("_vy")))
-      .filter(col("dist") <= maxDist)
+      .withColumn("dist", levenshtein(col("_vx"), col("_vy"), maxDist))
+      .filter(col("dist") >= 0)
       .select(least(col("vid_x"), col("vid_y")).as("vid_a"),
         greatest(col("vid_x"), col("vid_y")).as("vid_b"), col("dist"))
   }
@@ -607,13 +607,21 @@ object TraceCluster {
       maxDist: Int): DataFrame =
     rawCandidates(stripCommonAffixes(variants), maxDist)
 
+  /** Levenshtein verification uses the THRESHOLD form (r18, guide
+    * §1.2 per-task work): `levenshtein(a, b, d)` runs the banded DP —
+    * O(min(|a|,|b|)·(2d+1)) cells with early exit instead of the full
+    * O(|a|·|b|) table — returning the exact distance when ≤ d and -1
+    * otherwise, so the kept pair set and every emitted `dist` value
+    * are byte-identical to the unbounded form filtered at ≤ d. On
+    * variant strings of hundreds of characters at d = 5 the band is a
+    * ~25× per-pair cell-count cut. */
   private def verifyPairs(v: DataFrame, candidates: DataFrame,
       maxDist: Int): DataFrame = {
     val sa = v.select(col("vid").as("vid_a"), col("variant").as("_va"))
     val sb = v.select(col("vid").as("vid_b"), col("variant").as("_vb"))
     candidates.join(sa, "vid_a").join(sb, "vid_b")
-      .withColumn("dist", levenshtein(col("_va"), col("_vb")))
-      .filter(col("dist") <= maxDist)
+      .withColumn("dist", levenshtein(col("_va"), col("_vb"), maxDist))
+      .filter(col("dist") >= 0)
       .select(least(col("vid_a"), col("vid_b")).as("vid_a"),
         greatest(col("vid_a"), col("vid_b")).as("vid_b"), col("dist"))
   }

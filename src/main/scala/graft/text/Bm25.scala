@@ -57,8 +57,13 @@ object Bm25 {
     // corpus-scalar aggregate and the scoring pass — uncached, each
     // reference re-ran the tokenize + per-term filter projection over
     // the whole corpus (2 scans in the r17 plan audit). The stats
-    // table is (2 + |terms|) longs per doc — tiny at any scale.
-    val d = docStats(docs, textCol, terms).localCheckpoint(true)
+    // table is (2 + |terms|) longs per doc — NARROW but O(docs) ROWS
+    // (r18, advisor item: the r17 "tiny at any scale" claim was
+    // wrong), so the checkpoint is size-gated: above the cutoff both
+    // consumers re-run the pruned tokenize projection instead of
+    // pinning a corpus-row-count frame in executor storage.
+    val d = graft.ops.LocalCkpt.ifSmall(
+      docStats(docs, textCol, terms), docs.count())
     val dfCols = terms.indices.flatMap { i =>
       Seq(sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
     }
