@@ -64,6 +64,59 @@ object Native {
     new GenericArrayData(out)
   }
 
+  /** Whitespace per Java regex `\s` — ASCII only: [ \t\n\x0B\f\r ].
+    * A BYTE-level test is exact for UTF-8: multi-byte sequences only
+    * use bytes ≥ 0x80, which never collide with these values. */
+  @inline private def isRegexSpace(b: Byte): Boolean =
+    b == 0x20 || (b >= 0x09 && b <= 0x0D)
+
+  /** Word k-gram STRINGS (tokens joined by one space), duplicates
+    * kept, document order — byte-for-byte equal to
+    * `shinglesOf(tokens(text), k)` (split on `\s+`, drop empties,
+    * `concat_ws(" ", ...)` windows) for EVERY input, built in one
+    * byte-level pass over the UTF8String: no regex split, no
+    * per-element lambda trees, no intermediate token array column.
+    * The r17 plan audits measured the HOF form as the dominant map
+    * cost of every shingle consumer (tokenize+explode re-paid per
+    * scan); this kernel is a single static call per row inside
+    * WholeStageCodegen. */
+  def shingleStrings(text: UTF8String, k: Int): ArrayData = {
+    val bytes = text.getBytes
+    val n = bytes.length
+    val spans = new scala.collection.mutable.ArrayBuffer[Int](64)
+    var i = 0
+    while (i < n) {
+      while (i < n && isRegexSpace(bytes(i))) i += 1
+      if (i < n) {
+        val start = i
+        while (i < n && !isRegexSpace(bytes(i))) i += 1
+        spans += start; spans += i
+      }
+    }
+    val nTok = spans.length / 2
+    if (nTok < k) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](nTok - k + 1)
+    var t = 0
+    while (t <= nTok - k) {
+      var len = k - 1 // k-1 separator spaces
+      var j = 0
+      while (j < k) { len += spans(2 * (t + j) + 1) - spans(2 * (t + j)); j += 1 }
+      val buf = new Array[Byte](len)
+      var o = 0
+      j = 0
+      while (j < k) {
+        if (j > 0) { buf(o) = ' '.toByte; o += 1 }
+        val s0 = spans(2 * (t + j)); val e0 = spans(2 * (t + j) + 1)
+        System.arraycopy(bytes, s0, buf, o, e0 - s0)
+        o += e0 - s0
+        j += 1
+      }
+      out(t) = UTF8String.fromBytes(buf)
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Distinct hashes of word k-grams (tokens joined by one space) —
     * same value as charHash over the joined shingle string. */
   def shingleHashes(text: UTF8String, k: Int): ArrayData = {

@@ -33,6 +33,25 @@ object NativeExpressions {
       copy(child = newChild)
   }
 
+  /** Word k-gram strings (r18) — the STRING twin of
+    * [[ShingleHashesExpr]] for consumers that need the gram text
+    * itself (heavy-hitter items are oracle-hashed strings). Output is
+    * byte-equal to `shinglesOf(tokens(text), k)` for every input
+    * (spec-pinned); one static call replaces the regex split +
+    * per-element lambda tree that dominated the shingle consumers'
+    * map cost. */
+  case class ShingleStringsExpr(child: Expression, k: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "graft_shingle_strings"
+    override protected def nullSafeEval(input: Any): Any =
+      Native.shingleStrings(input.asInstanceOf[UTF8String], k)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.Native.shingleStrings($c, $k)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   case class TokenHashesExpr(child: Expression)
       extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -271,6 +290,7 @@ object NativeExpressions {
   private def e(col: Column): Expression = GraftColumnBridge.expression(col)
 
   def shingleHashes(text: Column, k: Int): Column = c(ShingleHashesExpr(e(text), k))
+  def shingleStrings(text: Column, k: Int): Column = c(ShingleStringsExpr(e(text), k))
   def tokenHashes(text: Column): Column = c(TokenHashesExpr(e(text)))
   def minhashSig(shingles: Column, n: Int, seed: Long): Column =
     c(MinHashSigExpr(e(shingles), n, seed))

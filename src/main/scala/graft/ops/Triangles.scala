@@ -37,10 +37,22 @@ object Triangles {
     * bound Dedup.clusters documents for its driver union-find) keeps
     * the driver safe; a 100 TB co-occurrence graph exceeds it and
     * takes the distributed path below, which is also what the
-    * env-override forces for the path-equality specs. */
-  private[graft] def localMaxEdgesDefault: Long =
-    sys.env.get("SPARK_GRAFT_GRAPH_LOCAL_EDGES").map(_.toLong)
-      .getOrElse(1L << 22)
+    * env-override forces for the path-equality specs. r18 (advisor):
+    * parsed ONCE into a validated val — a malformed value now fails
+    * loudly at first use instead of throwing NumberFormatException
+    * deep inside query construction on every call; and note the 2^22
+    * bound is ~64 MB of PAYLOAD but 200-270 MB on-heap once boxed as
+    * (Long, Long) tuples (more for PageRank's 3-tuples) — a real
+    * driver-heap consideration near the cutoff, covered by the 48 GB
+    * driver in this deployment and tunable via the env var. */
+  private[graft] lazy val localMaxEdgesDefault: Long = {
+    val raw = sys.env.getOrElse("SPARK_GRAFT_GRAPH_LOCAL_EDGES",
+      (1L << 22).toString)
+    try raw.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"SPARK_GRAFT_GRAPH_LOCAL_EDGES must be a long, got '$raw'")
+    }
+  }
 
   /** Distinct co-order part pairs: parts appearing in the same order
     * are linked; (a, b) with a < b, deduplicated across orders.

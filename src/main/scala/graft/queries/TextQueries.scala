@@ -278,9 +278,11 @@ object TextQueries {
     // (the superset guarantee k+1 > 1e6/ppm is a static check). The
     // oracle is the plain GROUP BY … HAVING the sketch path avoids.
     "q_token_heavy_hitters" -> { (s, dir) =>
-      val toked = Tables(s, dir, "documents")
-        .select(TextOps.tokens(col("text")).as("t"))
-      val sh = toked.select(explode(TextOps.shinglesOf(col("t"), 3)).as("gram"))
+      // r18: native one-pass shingle-string kernel (byte-equal to the
+      // tokenize+HOF form, spec-pinned) — the tokenize+explode map
+      // side was this family's dominant cost in the r17 audit
+      val sh = Tables(s, dir, "documents")
+        .select(explode(TextOps.shingleStrings(col("text"), 3)).as("gram"))
       graft.text.HeavyHitters
         .exactHeavyHitters(sh, col("gram"), ppm = 75, k = 1 << 15)
         .withColumnRenamed("item", "gram")
@@ -292,10 +294,9 @@ object TextQueries {
     // thresholds computed IN-PLAN (no driver collect); the oracle is
     // the per-group GROUP BY … HAVING the sketch path avoids.
     "q_token_heavy_hitters_by_lang" -> { (s, dir) =>
-      val toked = Tables(s, dir, "documents")
-        .select(col("lang"), TextOps.tokens(col("text")).as("t"))
-      val sh = toked.select(col("lang"),
-        explode(TextOps.shinglesOf(col("t"), 3)).as("gram"))
+      val sh = Tables(s, dir, "documents")
+        .select(col("lang"), // native shingle kernel (r18), see above
+          explode(TextOps.shingleStrings(col("text"), 3)).as("gram"))
       graft.text.HeavyHitters
         .exactHeavyHittersByGroup(sh, col("lang"), col("gram"),
           ppm = 150, k = 1 << 13)
@@ -336,7 +337,7 @@ object TextQueries {
           ((col("doc_id").cast("long") + 1L) * 1000000L).as("tsMicros"))
       ParityFeed.withSharedFeed(s, s"docs:$dir", docs, slices = 32) { (feed, maxTs) =>
       def shingleStream(df: org.apache.spark.sql.DataFrame) =
-        df.select(explode(TextOps.shinglesOf(TextOps.tokens(col("text")), 3))
+        df.select(explode(TextOps.shingleStrings(col("text"), 3))
             .as("gram"), col("tsMicros"))
           // far-future sentinel docs explode to ≥0 shingles ("s s s"
           // to one, a stale "s" from the hll/cm twins to none); any
@@ -373,7 +374,7 @@ object TextQueries {
       val rec = new StreamingHeavyHitters.ExactRecount(s, cands, Ignore)
       rec.addBatch(ParityFeed.replay(s, feed)
         .where(col("tsMicros") <= maxTs)
-        .select(explode(TextOps.shinglesOf(TextOps.tokens(col("text")), 3))
+        .select(explode(TextOps.shingleStrings(col("text"), 3))
           .as("item")), 0L)
       rec.result(ppm).toDF("gram", "n")
       }
@@ -393,9 +394,8 @@ object TextQueries {
     // a-priori bound ⌊N/(k+1)⌋ recomputed by DuckDB with identical
     // integer arithmetic, and three flags the MG proof forces TRUE.
     "q_token_hh_sketch" -> { (s, dir) =>
-      val sh = Tables(s, dir, "documents")
-        .select(TextOps.tokens(col("text")).as("t"))
-        .select(explode(TextOps.shinglesOf(col("t"), 3)).as("gram"))
+      val sh = Tables(s, dir, "documents") // native shingle kernel (r18)
+        .select(explode(TextOps.shingleStrings(col("text"), 3)).as("gram"))
       // r17: collect the (≤ k, broadcast-sized) estimate ONCE — its
       // rows already carry the exact stream length, so the audit no
       // longer re-counts the shingle stream (each extra scan re-pays
@@ -440,7 +440,7 @@ object TextQueries {
       ParityFeed.sentinel(s, feed, "zz_ignore", "s s s",
         maxTs + 86400L * 1000000L)
       val items = ParityFeed.stream(s, feed)
-        .select(explode(TextOps.shinglesOf(TextOps.tokens(col("text")), 3))
+        .select(explode(TextOps.shingleStrings(col("text"), 3))
           .as("gram"), col("tsMicros"))
         .select(when(col("tsMicros") > lit(maxTs), lit(Ignore))
           .otherwise(col("gram")).as("item"), col("tsMicros"))
@@ -482,7 +482,7 @@ object TextQueries {
       // heavy item against exact counts
       val sh = ParityFeed.replay(s, feed)
         .where(col("tsMicros") <= maxTs)
-        .select(explode(TextOps.shinglesOf(TextOps.tokens(col("text")), 3))
+        .select(explode(TextOps.shingleStrings(col("text"), 3))
           .as("gram"))
       graft.text.HeavyHitters.mgAudit(sh, col("gram"), estDf, ppm, k, Some(n))
         .withColumnRenamed("item", "gram")
@@ -653,7 +653,9 @@ object TextQueries {
       val uni = toked.select(explode(col("t")).as("tok"))
         .groupBy("tok").agg(count(lit(1)).as("n_tok"))
         .localCheckpoint(true)
-      val bi = toked.select(explode(TextOps.shinglesOf(col("t"), 2)).as("gram"))
+      val bi = docs // native shingle kernel (r18): cheaper than reusing
+        // the tokens column through the interpreted HOF window
+        .select(explode(TextOps.shingleStrings(col("text"), 2)).as("gram"))
         .groupBy("gram").agg(count(lit(1)).as("n_ab"))
         .filter(col("n_ab") >= 5)
       // total tokens from the vocab-sized unigram table — no third

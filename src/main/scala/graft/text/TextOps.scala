@@ -50,6 +50,15 @@ object TextOps {
       .otherwise(transform(sequence(lit(0), size(toks) - k),
         i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*)))
 
+  /** [[shingles]] via the native one-pass byte-level kernel (r18) —
+    * byte-for-byte the same array for every input (spec-pinned
+    * against the HOF form), one static codegen call per row instead
+    * of a regex split plus a per-element lambda tree. Prefer this on
+    * every hot path that only needs the gram strings; the HOF form
+    * remains as the executable specification. */
+  def shingleStrings(text: Column, k: Int): Column =
+    NativeExpressions.shingleStrings(text, k)
+
   val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "in", "to", "is")
 
   /** Quality metrics: doc length, token count, mean token length,

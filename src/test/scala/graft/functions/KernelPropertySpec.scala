@@ -128,4 +128,41 @@ class KernelPropertySpec extends AnyFunSuite {
     // unknown qid keeps its sentinel
     assert(Native.pqAdc(99L, code, qIds, tables, qNorm2, cNormPos) == -2.0)
   }
+
+  /** Independent reference for the r18 shingle-string kernel: the
+    * exact column semantics it replaces — Java regex `\s+` split
+    * (Spark's split), drop empties, join k-windows with one space. */
+  private def naiveShingleStrings(s: String, k: Int): Seq[String] = {
+    val toks = s.split("\\s+", -1).filter(_.nonEmpty).toSeq
+    if (toks.length < k) Seq.empty
+    else (0 to toks.length - k).map(i => toks.slice(i, i + k).mkString(" "))
+  }
+
+  test("shingleStrings == regex-split+window reference on 400 whitespace-rich unicode strings") {
+    // whitespace-rich generator: every regex-\s char, plus Unicode
+    // whitespace the regex does NOT match (U+00A0, U+2003, U+2028) —
+    // the kernel must treat those as TOKEN bytes exactly like \s+
+    val wsPool = Seq(" ", "\t", "\n", "\u000B", "\f", "\r",
+      "  ", " \t ", "\u00A0", "\u2003", "\u2028")
+    def randDoc(): String =
+      (0 until rnd.nextInt(30)).map { _ =>
+        if (rnd.nextBoolean()) wsPool(rnd.nextInt(wsPool.length))
+        else randString(8)
+      }.mkString
+    (1 to 400).foreach { _ =>
+      val s = randDoc()
+      val k = 1 + rnd.nextInt(4)
+      val got = Native.shingleStrings(UTF8String.fromString(s), k)
+      val exp = naiveShingleStrings(s, k)
+      assert(got.numElements() == exp.length, s"k=$k s=${s.take(40)}")
+      (0 until got.numElements()).foreach { i =>
+        assert(got.getUTF8String(i).toString == exp(i),
+          s"pos $i k=$k s=${s.take(40)}")
+      }
+    }
+    // degenerate shapes
+    assert(Native.shingleStrings(UTF8String.fromString(""), 3).numElements() == 0)
+    assert(Native.shingleStrings(UTF8String.fromString("   "), 1).numElements() == 0)
+    assert(Native.shingleStrings(UTF8String.fromString("a b"), 3).numElements() == 0)
+  }
 }
