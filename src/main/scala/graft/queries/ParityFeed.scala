@@ -30,7 +30,7 @@ import org.apache.spark.sql.types.StructType
   * appended as one-row parquet slices ([[sentinel]]): a new file is a
   * new micro-batch, exactly like a drop-dir tail in production.
   */
-private[queries] object ParityFeed {
+private[graft] object ParityFeed {
 
   /** A staged drop-dir feed: the directory and the staged schema (the
     * file source requires an explicit schema). */
@@ -118,7 +118,27 @@ private[queries] object ParityFeed {
         (feed, mx)
       })
     }
-    f(feed, maxTs)
+    // r18: delete the files ADDED during `f` (the gate's own sentinel
+    // slices) once its streams are stopped — on a JVM-lived shared dir
+    // every stale one-row slice costs each LATER gate a scan task plus
+    // listing/seen-log bookkeeping in its data batch, which at ~2
+    // appends per gate per run outgrows the staging cost the sharing
+    // saves. Safe because the graded harnesses run queries
+    // sequentially (no stream is live on the feed when `f` returns);
+    // the stale-sentinel absorption contract above stays in force as
+    // the defense for any leftover slice.
+    val dirFile = new File(feed.dir)
+    val before = Option(dirFile.list()).map(_.toSet).getOrElse(Set.empty[String])
+    try f(feed, maxTs) finally {
+      var deleted = false
+      Option(dirFile.listFiles()).foreach(_.foreach { x =>
+        if (!before.contains(x.getName)) { x.delete(); deleted = true }
+      })
+      // the replay path is a batch read whose file listing rides the
+      // session FileStatusCache — drop the stale entries so a LATER
+      // gate's replay of this dir cannot list the files just deleted
+      if (deleted) s.catalog.refreshByPath(feed.dir)
+    }
   }
 
   /** [[withFeed]] with every row staged TWICE — the exactly-once dedup
@@ -155,14 +175,60 @@ private[queries] object ParityFeed {
   def sentinel(s: SparkSession, feed: FileFeed, values: Any*): Unit =
     sentinelRows(s, feed, Seq(values))
 
-  /** Appends SEVERAL sentinel rows as ONE slice (one write job — a
-    * gate that needs a sentinel per stream branch, like the outer
-    * join's view+purchase pair, pays one commit instead of two). */
+  /** Appends SEVERAL sentinel rows as ONE slice, written DIRECTLY
+    * with parquet-mr on the driver (r18): the Spark write path cost a
+    * full job (~0.12 s of planning + task launch + commit protocol)
+    * per append, ~2 appends per gate per run across 30+ gates. The
+    * feeds stage only primitive columns (long / int / double /
+    * string), and the file-stream source reads parquet columns by
+    * name, so interop with the Spark-staged slices is the ordinary
+    * parquet contract. A fresh UUID filename makes each append its
+    * own micro-batch exactly like the old one-file append job. */
   def sentinelRows(s: SparkSession, feed: FileFeed,
-      rows: Seq[Seq[Any]]): Unit =
-    s.createDataFrame(
-        java.util.Arrays.asList(rows.map(v => Row(v: _*)): _*), feed.schema)
-      .coalesce(1).write.mode("append").parquet(feed.dir)
+      rows: Seq[Seq[Any]]): Unit = {
+    import org.apache.parquet.example.data.simple.SimpleGroup
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.parquet.hadoop.metadata.CompressionCodecName
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.spark.sql.types._
+    val b = Types.buildMessage()
+    feed.schema.fields.foreach { f =>
+      f.dataType match {
+        case LongType    => b.optional(INT64).named(f.name)
+        case IntegerType => b.optional(INT32).named(f.name)
+        case DoubleType  => b.optional(DOUBLE).named(f.name)
+        case StringType  => b.optional(BINARY)
+          .as(LogicalTypeAnnotation.stringType()).named(f.name)
+        case other => throw new IllegalArgumentException(
+          s"sentinelRows supports primitive feed columns only; " +
+            s"${f.name} is $other")
+      }
+    }
+    val schema = b.named("spark_schema")
+    val path = new org.apache.hadoop.fs.Path(
+      feed.dir, s"sentinel-${java.util.UUID.randomUUID()}.parquet")
+    val w = ExampleParquetWriter.builder(path)
+      .withConf(s.sparkContext.hadoopConfiguration)
+      .withType(schema)
+      .withCompressionCodec(CompressionCodecName.UNCOMPRESSED)
+      .build()
+    try rows.foreach { vs =>
+      require(vs.length == feed.schema.fields.length,
+        s"sentinel row arity ${vs.length} != schema ${feed.schema.fields.length}")
+      val g = new SimpleGroup(schema)
+      feed.schema.fields.zip(vs).foreach { case (f, v) =>
+        f.dataType match {
+          case LongType    => g.add(f.name, v.asInstanceOf[Long])
+          case IntegerType => g.add(f.name, v.asInstanceOf[Int])
+          case DoubleType  => g.add(f.name, v.asInstanceOf[Double])
+          case StringType  => g.add(f.name, v.asInstanceOf[String])
+          case _ => ()
+        }
+      }
+      w.write(g)
+    } finally w.close()
+  }
 
   /** Runs `f` with `spark.sql.shuffle.partitions` lowered to `n` and
     * no-data micro-batches disabled, restoring both after. The parity

@@ -418,8 +418,11 @@ object RelationalQueries {
           org.apache.spark.sql.types.StructField("err_bound_rank",
             org.apache.spark.sql.types.LongType))))
       // audit-only read of the retained files (sentinels excluded by
-      // ts): certifies |true_rank(est) − target| ≤ bound
-      SketchQuantiles.rankAudit(
+      // ts): certifies |true_rank(est) − target| ≤ bound. Materialized
+      // INSIDE the feed block (r18): the shared feed now deletes a
+      // gate's sentinel slices at block exit, so a lazy plan escaping
+      // the block would list files that no longer exist at action time.
+      val audit = SketchQuantiles.rankAudit(
           ParityFeed.replay(s, feed).where(col("tsMicros") <= maxTs)
             .select(col("group"), col("v")),
           col("group"), col("v"), estDf)
@@ -427,6 +430,8 @@ object RelationalQueries {
           substring_index(col("group"), "|", -1).as("l_linestatus"),
           col("p_permille"), col("n_total"), col("err_bound_rank"),
           col("rank_ok"))
+      val auditRows = audit.collect() // |groups| · |ps| rows, bounded
+      s.createDataFrame(java.util.Arrays.asList(auditRows: _*), audit.schema)
       }
       }
     },
@@ -499,8 +504,9 @@ object RelationalQueries {
           org.apache.spark.sql.types.StructField("err_bound_rank",
             org.apache.spark.sql.types.LongType))))
       // audit-only read of the retained files (sentinels excluded by
-      // ts): certifies |true weighted rank(est) − target| ≤ bound
-      SketchQuantiles.rankAuditWeighted(
+      // ts): certifies |true weighted rank(est) − target| ≤ bound.
+      // Materialized INSIDE the feed block (r18, see the unit gate).
+      val audit = SketchQuantiles.rankAuditWeighted(
           ParityFeed.replay(s, feed).where(col("tsMicros") <= maxTs)
             .select(col("group"), col("v"), col("w")),
           col("group"), col("v"), col("w"), estDf)
@@ -508,6 +514,8 @@ object RelationalQueries {
           substring_index(col("group"), "|", -1).as("l_linestatus"),
           col("p_permille"), col("n_total"), col("err_bound_rank"),
           col("rank_ok"))
+      val auditRows = audit.collect() // |groups| · |ps| rows, bounded
+      s.createDataFrame(java.util.Arrays.asList(auditRows: _*), audit.schema)
       }
       }
     },

@@ -185,10 +185,15 @@ object TextQueries {
         .where(col("tsMicros") <= maxTs)
         .select(explode(TextOps.tokens(col("text"))).as("token"))
         .groupBy("token").agg(count(lit(1)).as("true_n"))
-      CmSketch.estimate(cells, probes, d = d, w = w, seed = seed)
+      // materialized INSIDE the feed block (r18): the shared feed
+      // deletes this gate's sentinel slices at block exit, so a lazy
+      // plan escaping the block would list files that no longer exist
+      val res = CmSketch.estimate(cells, probes, d = d, w = w, seed = seed)
         .join(exact, Seq("token"), "left")
         .select(col("token"), col("est_n"),
           coalesce(col("true_n"), lit(0L)).as("true_n"))
+      val resRows = res.collect() // |probes| rows, bounded
+      s.createDataFrame(java.util.Arrays.asList(resRows: _*), res.schema)
       }
       }
     },
@@ -479,13 +484,19 @@ object TextQueries {
             org.apache.spark.sql.types.LongType))))
       // audit-only read of the retained files (sentinels excluded by
       // ts): certifies found / lower_le_exact / gap_le_bound per true
-      // heavy item against exact counts
+      // heavy item against exact counts. Materialized INSIDE the feed
+      // block (r18): the shared feed deletes this gate's sentinel
+      // slices at block exit, so a lazy plan escaping the block would
+      // list files that no longer exist at action time.
       val sh = ParityFeed.replay(s, feed)
         .where(col("tsMicros") <= maxTs)
         .select(explode(TextOps.shingleStrings(col("text"), 3))
           .as("gram"))
-      graft.text.HeavyHitters.mgAudit(sh, col("gram"), estDf, ppm, k, Some(n))
+      val audit = graft.text.HeavyHitters
+        .mgAudit(sh, col("gram"), estDf, ppm, k, Some(n))
         .withColumnRenamed("item", "gram")
+      val auditRows = audit.collect() // ≤ |true heavy| rows, bounded
+      s.createDataFrame(java.util.Arrays.asList(auditRows: _*), audit.schema)
       }
       }
     },
