@@ -541,12 +541,15 @@ object TextQueries {
       import org.apache.spark.sql.streaming.OutputMode
       import graft.streaming.StreamingSample
       val IgnoreId = Long.MinValue
-      val src = Tables(s, dir, "documents")
-        .select(col("doc_id").cast("long").as("id"),
-          col("n_chars").cast("long").as("weight"),
-          ((col("doc_id").cast("long") + 1L) * 1000000L).as("tsMicros"))
-      ParityFeed.withFeed(s, src) { (feed, maxTs) =>
-      ParityFeed.sentinel(s, feed, 0L, 1L, maxTs + 86400L * 1000000L)
+      // r18: ONE shared (group, id, weight, ts) documents feed serves
+      // both sampling gates; this gate projects the group away
+      ParityFeed.withSharedFeed(s, s"docsample:$dir", Tables(s, dir, "documents")
+          .select(col("lang").as("group"),
+            col("doc_id").cast("long").as("id"),
+            col("n_chars").cast("long").as("weight"),
+            ((col("doc_id").cast("long") + 1L) * 1000000L).as("tsMicros"))) {
+        (feed, maxTs) =>
+      ParityFeed.sentinel(s, feed, "", 0L, 1L, maxTs + 86400L * 1000000L)
       // sentinel rows remap to IgnoreId IN a projection — a filter
       // would be pushed below the watermark node and stall it
       val items = ParityFeed.stream(s, feed)
@@ -563,7 +566,7 @@ object TextQueries {
         .outputMode(OutputMode.Append()).start()
       try {
         q.processAllAvailable()
-        ParityFeed.sentinel(s, feed, 0L, 1L, maxTs + 2L * 86400L * 1000000L)
+        ParityFeed.sentinel(s, feed, "", 0L, 1L, maxTs + 2L * 86400L * 1000000L)
         q.processAllAvailable()
       } finally q.stop()
       graft.streaming.LateDrops.assertNone(q, name)
@@ -590,11 +593,13 @@ object TextQueries {
       import org.apache.spark.sql.streaming.OutputMode
       import graft.streaming.StreamingSample
       val IgnoreId = Long.MinValue
-      val src = Tables(s, dir, "documents")
-        .select(col("lang").as("group"), col("doc_id").cast("long").as("id"),
-          col("n_chars").cast("long").as("weight"),
-          ((col("doc_id").cast("long") + 1L) * 1000000L).as("tsMicros"))
-      ParityFeed.withFeed(s, src) { (feed, maxTs) =>
+      // r18: the shared docsample feed (see q_stream_sample_parity)
+      ParityFeed.withSharedFeed(s, s"docsample:$dir", Tables(s, dir, "documents")
+          .select(col("lang").as("group"),
+            col("doc_id").cast("long").as("id"),
+            col("n_chars").cast("long").as("weight"),
+            ((col("doc_id").cast("long") + 1L) * 1000000L).as("tsMicros"))) {
+        (feed, maxTs) =>
       ParityFeed.sentinel(s, feed, "", 0L, 1L, maxTs + 86400L * 1000000L)
       // sentinel rows remap to IgnoreId IN a projection (standing rule)
       val items = ParityFeed.stream(s, feed)
